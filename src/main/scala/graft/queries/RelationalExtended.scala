@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Tables
+
+/** Extended relational surface: JSON extraction, time bucketing, string
+  * functions, idempotent upsert semantics, tumbling windows, window
+  * functions, set operations, rollup, pivot (SURVEY.md §2.6-§2.8 plus the
+  * Spark-SQL capability surface the reference delegates to Postgres).
+  */
+object RelationalExtended {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Q9 — JSON extraction from a string column (SURVEY §2.7 F8: the
+    // raw_data JSONB escape hatch). get_json_object is codegen'd; no UDF.
+    Q(
+      "q9_json_extract",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+             |       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+             |       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q10 — unix-time/timestamp formatting (SURVEY §2.7 F3/F4): month
+    // bucketing via date_format, the reference's strftime analog.
+    Q(
+      "q10_orders_by_month",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("month"),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q11 — string scalar functions (SURVEY §2.7 F1/F2, C3 label
+    // synthesis): abbreviation first7...last3 + thousands separators.
+    Q(
+      "q11_string_functions",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .select(
+            col("c_custkey"),
+            concat(substring(col("c_name"), 1, 7), lit("..."),
+              substring(col("c_name"), -3, 3)).as("abbrev"),
+            format_number(col("c_custkey") * 1000, 0).as("fmt"),
+            length(col("c_name")).cast("long").as("name_len"),
+            upper(col("c_mktsegment")).as("seg"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |       substr(c_name, 1, 7) || '...' || substr(c_name, -3, 3) AS abbrev,
+             |       format('{:,}', c_custkey * 1000) AS fmt,
+             |       CAST(length(c_name) AS BIGINT) AS name_len,
+             |       upper(c_mktsegment) AS seg
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q12 — idempotent upsert / last-write-wins dedup (SURVEY §2.1 S6/S7,
+    // §2.8 ST5): re-processing half the keys with updated values must keep
+    // exactly the newest version per key. Window dedup is the plan-level
+    // strategy graft.etl.Load uses for MERGE-less parquet.
+    Q(
+      "q12_upsert_last_write_wins",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+        val v1 = o.withColumn("version", lit(1L))
+        val v2 = o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("version", lit(2L))
+        val w = Window.partitionBy("o_orderkey").orderBy(col("version").desc)
+        v1.unionByName(v2)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             |       CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END AS version
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q13 — tumbling event-time window (SURVEY §2.8 ST1/ST2): the batch
+    // equivalent of the streaming hourly count; streaming parity is pinned
+    // by StreamingSpec.
+    Q(
+      "q13_tumbling_hourly",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(
+            date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+            col("n"), col("sum_value"))
+          .orderBy("hour"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             |       count(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q14 — ranking window function: top-3 orders per customer. Spark has
+    // no index for this (the reference leans on Postgres indexes); the
+    // window shuffles once on o_custkey.
+    Q(
+      "q14_window_topn_per_customer",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         CAST(row_number() OVER (PARTITION BY o_custkey
+             |              ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q15 — lag/lead analytic window: per-user value delta between
+    // consecutive events.
+    Q(
+      "q15_window_lag_delta",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("delta", col("value") - col("prev_value"))
+          .select("user_id", "event_id", "value", "prev_value", "delta")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value, prev_value, value - prev_value AS delta FROM (
+             |  SELECT user_id, event_id, ts, value,
+             |         lag(value, 1) OVER (PARTITION BY user_id
+             |             ORDER BY ts ASC, event_id ASC) AS prev_value
+             |  FROM events) t
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q16 — INTERSECT set op: customers placing both urgent and low
+    // priority orders.
+    Q(
+      "q16_intersect",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+          .intersect(o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q17 — EXCEPT set op: customers with orders but never urgent ones.
+    Q(
+      "q17_except",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.select("o_custkey")
+          .except(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q18 — anti join (NOT EXISTS): parts never shipped. Broadcast-able
+    // build side at scale when the filtered side stays small; otherwise
+    // shuffled hash anti.
+    Q(
+      "q18_anti_join_unsold_parts",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("2001-01-01"))
+          .select("l_partkey")
+        p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+          .select("p_partkey", "p_name")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+             |                  WHERE l_partkey = p_partkey
+             |                    AND l_shipdate >= TIMESTAMP '2001-01-01')
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q19 — ROLLUP grouping sets with exact decimal totals.
+    Q(
+      "q19_rollup_status_priority",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q20 — pivot: per-user event-type counts as columns (conditional
+    // aggregation; DuckDB side uses FILTER).
+    Q(
+      "q20_pivot_event_counts",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |       count(*) FILTER (WHERE event_type = 'click') AS click,
+             |       count(*) FILTER (WHERE event_type = 'view') AS view,
+             |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |       count(*) FILTER (WHERE event_type = 'error') AS error
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}
