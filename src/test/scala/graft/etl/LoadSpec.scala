@@ -1,0 +1,52 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class LoadSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def asSet(df: DataFrame): Set[(Long, String, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("upsert keeps newest version per key (S6/S7 last-write-wins)") {
+    val existing = Seq((1L, "old", 1L), (2L, "old", 1L)).toDF("slot", "v", "version")
+    val incoming = Seq((2L, "new", 2L), (3L, "new", 2L)).toDF("slot", "v", "version")
+    val got = asSet(Load.upsert(existing, incoming, Seq("slot"), "version"))
+    assert(got == Set((1L, "old", 1L), (2L, "new", 2L), (3L, "new", 2L)))
+  }
+
+  test("upsert is idempotent: re-applying a batch changes nothing (ST5)") {
+    val existing = Seq((1L, "a", 1L)).toDF("slot", "v", "version")
+    val batch = Seq((1L, "b", 2L), (2L, "b", 2L)).toDF("slot", "v", "version")
+    val once = Load.upsert(existing, batch, Seq("slot"), "version")
+    val twice = Load.upsert(once, batch, Seq("slot"), "version")
+    assert(asSet(once) == asSet(twice))
+  }
+
+  test("parent probe: parent in batch kept, unknown parent nulled (S9/J2)") {
+    val incoming = Seq((1000L, 999L), (1001L, 1000L)).toDF("slot", "parent_slot")
+    val existing = Seq.empty[Long].toDF("slot")
+    val got = Load.resolveParentSlots(incoming, existing)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1000L).isEmpty)      // slot 999 unknown -> NULL (FK safety)
+    assert(got(1001L).contains(1000L)) // parent in same batch -> kept
+  }
+
+  test("parent probe: parent in existing table kept") {
+    val incoming = Seq((1000L, 999L)).toDF("slot", "parent_slot")
+    val existing = Seq(999L).toDF("slot")
+    val got = Load.resolveParentSlots(incoming, existing).head
+    assert(got.getLong(1) == 999L)
+  }
+
+  test("writeAtomic stages then swaps, and re-run overwrites cleanly (S8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-load").toString + "/blocks"
+    Load.writeAtomic(Seq((1L, "a")).toDF("slot", "v"), dir)
+    assert(spark.read.parquet(dir).count() == 1)
+    Load.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("slot", "v"), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+}
