@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Etl, Q, Relational, RelationalExtended}
+import graft.queries.{Etl, Q, Relational, RelationalExtended, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{Etl, Q, Relational, RelationalExtended}
 object SparkEntry {
 
   /** All registered capability queries, in declaration order. */
-  def allQueries: Seq[Q] = Relational.all ++ RelationalExtended.all ++ Etl.all
+  def allQueries: Seq[Q] =
+    Relational.all ++ RelationalExtended.all ++ Etl.all ++ TrainingData.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,65 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed in partition-sized batches.
+  *
+  * The decode step is STUBBED (no image/audio libraries in this
+  * environment): [[decodeImageStub]] produces deterministic fake dimensions/
+  * features from the bytes. The Spark-side contract — schema, partitioning,
+  * batch iteration shape — is real: swap `stubDecode` for a JNI/pandas-style
+  * decoder and nothing else changes. At 100 TB the media table is
+  * partitioned by content hash prefix so decode work spreads evenly.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+  final case class DecodedImage(
+      doc_id: Long, byte_len: Long, width: Int, height: Int, features: Array[Float])
+
+  /** Attach a binary media column + typed metadata (hash, length). Here the
+    * bytes come from the text column — the testdata stand-in for real blobs.
+    */
+  def withMedia(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("media", col(textCol).cast("binary"))
+      .withColumn("media_len", octet_length(col("media")).cast("long"))
+      .withColumn("media_sha256", sha2(col("media"), 256))
+
+  /** STUB image decode — deterministic fake: dimensions and a tiny feature
+    * vector derived from the byte content. Real implementation would decode
+    * pixels here; `???` marks the swap point.
+    */
+  private def stubDecode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    // ??? real decoder goes here (e.g. ImageIO/libjpeg via JNI)
+    val h = java.util.Arrays.hashCode(bytes)
+    val width = 64 + math.floorMod(h, 512)
+    val height = 64 + math.floorMod(h / 512, 512)
+    val features = Array.tabulate(8)(i => math.floorMod(h / (i + 1), 1000) / 1000.0f)
+    (width, height, features)
+  }
+
+  /** Batch decode over partitions: the mapPartitions shape a vectorized
+    * (Arrow/pandas-style) UDF would use — one iterator per partition, no
+    * per-row driver involvement, output schema fixed by the Encoder.
+    */
+  def decodeImageStub(spark: SparkSession, media: DataFrame): Dataset[DecodedImage] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, feats) = stubDecode(r.media)
+          DecodedImage(r.doc_id, r.media.length.toLong, w, h, feats)
+        }
+      }
+  }
+
+  /** Deterministic frame sampling plan for a (stub) video column: every k-th
+    * frame index up to nFrames — pure expression, no decode needed to plan.
+    */
+  def frameSampleIndices(nFrames: org.apache.spark.sql.Column, everyK: Int): org.apache.spark.sql.Column =
+    when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(everyK)))
+      .otherwise(array().cast("array<bigint>"))
+}

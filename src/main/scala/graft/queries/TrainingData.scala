@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.tables.Tables
+import graft.text.TextFunctions
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * deduplication (exact, MinHash+LSH, SimHash, exact shingle-Jaccard,
+  * embedding near-dup), similarity search (brute-force + LSH ANN), text
+  * analysis (language-ID, quality ratios, token counts, fingerprints), and
+  * multimodal binary plumbing. Oracles where DuckDB can express the same
+  * computation; approximate/hash-seeded ops are rows-only checked and pinned
+  * by ScalaTest instead.
+  */
+object TrainingData {
+
+  /** documents ∪ exact copies (id+1e6) of every 10th doc — the re-ingestion
+    * scenario exact dedup must collapse.
+    */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  /** documents ∪ near-duplicate copies (last 3 words dropped, id+1e6) of
+    * every 20th doc — the scenario near-dup detection must catch.
+    */
+  private def docsWithNearDups(base: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    base.unionByName(
+      base.filter(col("doc_id") % 20 === 0 && size(split(col("text"), " ")) > 3)
+        .withColumn("text", concat_ws(" ", slice(t, lit(1), size(t) - 3)))
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  private val sqlNearDupCte =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |nd AS (SELECT doc_id + 1000000 AS doc_id,
+      |              array_to_string((string_split(text,' '))[1:len(string_split(text,' '))-3], ' ') AS text
+      |       FROM documents
+      |       WHERE doc_id % 20 = 0 AND len(string_split(text,' ')) > 3),
+      |docs AS (SELECT * FROM base UNION ALL SELECT * FROM nd)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // D1 — exact dedup: hash-groupBy, min-id survivor. The md5 group key
+    // keeps shuffle rows tiny at 100 TB.
+    Q(
+      "d1_dedup_exact",
+      (s, dir) =>
+        Dedup.exact(docsWithExactDups(s, dir)).orderBy("doc_id"),
+      Some("""WITH docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+             |SELECT min(doc_id) AS doc_id, md5(text) AS text_hash, count(*) AS n_copies
+             |FROM docs GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // D2 — MinHash+LSH near-dup candidates (shingle->minhash->band->bucket
+    // join). Hash-seeded: rows-only check here, semantics pinned by
+    // DedupSpec against exact Jaccard.
+    Q(
+      "d2_dedup_minhash_lsh",
+      (s, dir) =>
+        Dedup.minhashLshPairs(
+          docsWithNearDups(Tables.documents(s, dir).select("doc_id", "text")))
+          .orderBy("id_a", "id_b")),
+
+    // ------------------------------------------------------------------
+    // D3 — SimHash near-dups: pigeonhole-blocked hamming join (guaranteed
+    // recall within the budget; subset to every 10th doc to keep the
+    // demo's candidate volume low — MinHash LSH is the primary scale path).
+    Q(
+      "d3_dedup_simhash",
+      (s, dir) =>
+        Dedup.simhashPairs(
+          docsWithNearDups(
+            Tables.documents(s, dir).select("doc_id", "text")
+              .filter(col("doc_id") % 10 === 0)),
+          maxHamming = 3)
+          .orderBy("id_a", "id_b")),
+
+    // ------------------------------------------------------------------
+    // D4 — exact shingle-set Jaccard pairs via inverted-index join, with a
+    // full DuckDB oracle (every 10th doc + near-dup copies).
+    Q(
+      "d4_jaccard_shingle_pairs",
+      (s, dir) =>
+        Dedup.jaccardShinglePairs(
+          docsWithNearDups(
+            Tables.documents(s, dir).select("doc_id", "text")
+              .filter(col("doc_id") % 10 === 0)),
+          threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      Some(s"""$sqlNearDupCte,
+             |sh AS (SELECT doc_id,
+             |              unnest(list_distinct(list_transform(
+             |                range(len(string_split(text,' ')) - 2),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' ')))) AS shingle
+             |       FROM docs WHERE len(string_split(text,' ')) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+             |common AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+             |           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             |           GROUP BY 1, 2)
+             |SELECT id_a, id_b, n_common, a.n_sh AS n_a, b.n_sh AS n_b,
+             |       CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) AS jaccard
+             |FROM common
+             |JOIN sizes a ON a.doc_id = id_a
+             |JOIN sizes b ON b.doc_id = id_b
+             |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T1 — heuristic language ID histogram (stopword-hit argmax).
+    Q(
+      "t1_lang_id",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(TextFunctions.langId(col("text")).as("lang_pred"))
+          .groupBy("lang_pred")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang_pred"),
+      Some {
+        val hitExprs = TextFunctions.stopwords.map { case (lang, ws) =>
+          s"len(list_filter(string_split(text,' '), w -> w IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$lang"
+        }.mkString(",\n       ")
+        val langs = TextFunctions.stopwords.map(_._1)
+        val cases = langs.zipWithIndex.map { case (l, i) =>
+          val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+          s"WHEN ${(s"s_$l > 0" +: later).mkString(" AND ")} THEN '$l'"
+        }.mkString("\n         ")
+        s"""WITH hits AS (SELECT $hitExprs FROM documents),
+           |pred AS (SELECT CASE
+           |         $cases
+           |         ELSE 'und' END AS lang_pred FROM hits)
+           |SELECT lang_pred, count(*) AS n FROM pred GROUP BY 1 ORDER BY lang_pred""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // T2 — quality-score ratios (length, type-token, avg token length,
+    // punctuation, stopword density).
+    Q(
+      "t2_quality_scores",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            TextFunctions.nTokens(col("text")).as("n_tokens"),
+            TextFunctions.nDistinctTokens(col("text")).as("n_distinct"),
+            TextFunctions.distinctRatio(col("text")).as("distinct_ratio"),
+            TextFunctions.avgTokenLen(col("text")).as("avg_token_len"),
+            TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+            TextFunctions.stopwordHits(col("text"), TextFunctions.stopwords.head._2)
+              .as("en_stopword_hits"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text,
+             |                  CAST(length(text) AS BIGINT) AS n_chars,
+             |                  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |                  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct
+             |           FROM documents)
+             |SELECT doc_id, n_chars, n_tokens, n_distinct,
+             |       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+             |       CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+             |       CAST(n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+             |       CAST(len(list_filter(string_split(text,' '),
+             |            w -> w IN ('the','a','of','and','to','in','is','that','it','was'))) AS BIGINT) AS en_stopword_hits
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T3 — token counting: whitespace vs regex word tokens.
+    Q(
+      "t3_token_counts",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            TextFunctions.nTokens(col("text")).as("n_ws_tokens"),
+            size(TextFunctions.regexTokens(col("text"))).cast("long").as("n_word_tokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens,
+             |       CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_word_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T4 — document fingerprint: md5 of the sorted distinct vocabulary.
+    Q(
+      "t4_fingerprints",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // E1 — brute-force cosine top-k ANN baseline: broadcast 8 query vectors,
+    // one corpus pass, double-precision dot products matching DuckDB's
+    // list_dot_product element order exactly.
+    Q(
+      "e1_ann_bruteforce",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |           FROM embeddings WHERE vec_id < 8),
+             |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             |sc AS (SELECT query_id, neighbor_id,
+             |              list_dot_product(qv, cv) /
+             |              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+             |       FROM c, q WHERE neighbor_id <> query_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |             CAST(row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+             |      FROM sc)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM r
+             |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // E2 — LSH-bucketed ANN (random-hyperplane buckets, bucket-local join):
+    // the scale path. Approximate by construction: rows-only check; recall
+    // vs brute force pinned in SimilaritySpec.
+    Q(
+      "e2_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val planes = Similarity.randomPlanes(nPlanes = 4, dim = 64)
+        Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, planes, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id")
+          .orderBy("query_id", "rnk")
+      }),
+
+    // ------------------------------------------------------------------
+    // E3 — embedding table profile: per-label counts and dimensionality.
+    Q(
+      "e3_embedding_stats",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), max(size(col("embedding"))).cast("long").as("dim"))
+          .orderBy("label"),
+      Some("""SELECT label, count(*) AS n, CAST(max(len(embedding)) AS BIGINT) AS dim
+             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // E4 — embedding near-duplicate pairs via LSH blocking: exact copies
+    // (injected for every 25th vector) must be found, with an exact oracle —
+    // identical vectors always share a bucket, so blocking loses none.
+    Q(
+      "e4_embedding_neardup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val corpus = emb.unionByName(
+          emb.filter(col("vec_id") % 25 === 0)
+            .withColumn("vec_id", col("vec_id") + 1000000L))
+        val planes = Similarity.randomPlanes(nPlanes = 8, dim = 64)
+        Similarity.nearDupPairs(corpus, planes, threshold = 0.999)
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+             |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // M1 — multimodal binary plumbing: opaque bytes + typed metadata
+    // (length, sha256). Decode itself is the stubbed mapPartitions path
+    // (MultimodalSpec); the metadata projection is oracle-checked.
+    Q(
+      "m1_binary_metadata",
+      (s, dir) =>
+        Multimodal.withMedia(Tables.documents(s, dir))
+          .select("doc_id", "media_len", "media_sha256")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS media_len,
+             |       sha256(text) AS media_sha256
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

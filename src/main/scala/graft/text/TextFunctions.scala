@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expression builders for large-scale training-data pipelines:
+  * tokenization, shingling, fingerprinting, language-ID heuristics, quality
+  * ratios, MinHash signatures, SimHash bit vectors. All pure Catalyst
+  * expressions — they run inside whole-stage codegen, no UDFs, so a 100 TB
+  * documents table processes as a single scan + projection.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Regex word tokens — the BPE-ish token-count denominator. */
+  def regexTokens(text: Column): Column = regexp_extract_all(text, lit("\\w+"), lit(0))
+
+  /** n-word shingles, preserving order; empty for docs shorter than n. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct vocabulary — robust
+    * to word order, the cheap "bag-of-words identical" dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  // -----------------------------------------------------------------------
+  // Language ID: tiny per-language stopword lists; prediction = priority-
+  // ordered argmax of hit counts (deterministic tie-break en>es>fr>de>zh).
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es", "se", "no"),
+    "fr" -> Seq("le", "les", "des", "et", "que", "une", "un", "est", "du", "il"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist", "den", "von", "mit", "nicht"),
+    "zh" -> Seq("de_zh", "shi", "bu", "le_zh", "zai", "ren", "you", "wo", "ta", "zhe"))
+
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(words.map(lit): _*))).cast("long")
+
+  /** Heuristic language ID over the stopword hit counts. */
+  def langId(text: Column): Column = {
+    val hits = stopwords.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+    // priority-ordered argmax: first language whose count >= all later ones
+    hits.zipWithIndex.foldRight(lit("und")) { case (((lang, h), i), elseCol) =>
+      val laterMax = hits.drop(i + 1).map(_._2)
+      val isMax = laterMax.foldLeft(h > 0) { case (acc, other) => acc && h >= other }
+      when(isMax, lang).otherwise(elseCol)
+    }
+  }
+
+  // -----------------------------------------------------------------------
+  // Quality ratios — each a single int/int division, deterministic across
+  // engines.
+  def nTokens(text: Column): Column = size(tokens(text)).cast("long")
+  def nDistinctTokens(text: Column): Column = size(array_distinct(tokens(text))).cast("long")
+
+  /** Type-token ratio: distinct/total — low values flag boilerplate. */
+  def distinctRatio(text: Column): Column =
+    nDistinctTokens(text).cast("double") / nTokens(text)
+
+  /** Mean token length: (chars - separators) / tokens. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - (nTokens(text) - 1)).cast("double") / nTokens(text)
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") / length(text)
+
+  // -----------------------------------------------------------------------
+  // MinHash signature: k independent min-hashes over the shingle set.
+  // array_min over xxhash64(shingle, seed) — one pass per seed, all codegen.
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    transform(
+      typedLit((0 until k).toArray),
+      s => array_min(transform(shinglesCol, sh => xxhash64(sh, s))))
+
+  /** Estimated Jaccard from two MinHash signatures: matching fraction. */
+  def minhashJaccardEstimate(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, v) => acc + v).cast("double") / k
+
+  /** LSH band hashes: split the k-length signature into `bands` bands of
+    * k/bands rows; one hash per band. Near-dup docs collide on >=1 band.
+    */
+  def minhashBands(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      i => xxhash64(concat_ws(",", transform(slice(sig, i * r + 1, lit(r)), _.cast("string"))), i))
+  }
+
+  // -----------------------------------------------------------------------
+  // SimHash: 64 sign bits; bit b votes +1 when xxhash64(token, b) is odd.
+  // Represented as an array of 0/1 ints (hamming = sum of |a-b|), with a
+  // 16-bit prefix bucket for blocked pair generation.
+  val SimhashBits = 64
+
+  def simhashBitVector(text: Column): Column = {
+    val t = tokens(text)
+    transform(
+      sequence(lit(0), lit(SimhashBits - 1)),
+      b => when(
+        size(filter(t, w => pmod(xxhash64(w, b), lit(2)) === 1)) * 2 > size(t), 1)
+        .otherwise(0))
+  }
+
+  /** Pack the first `bits` simhash bits into an int — the blocking key. */
+  def simhashPrefix(bitVec: Column, bits: Int): Column =
+    aggregate(slice(bitVec, 1, bits), lit(0), (acc, x) => acc * 2 + x)
+
+  /** Pigeonhole blocking keys: the 64 bits split into `nBlocks` contiguous
+    * segments, each packed to an int. Any two vectors within hamming
+    * distance `nBlocks - 1` agree exactly on at least one segment, so
+    * joining per (segment index, key) has guaranteed recall — unlike a
+    * single-prefix block, which misses any pair whose differing bits land
+    * in the prefix.
+    */
+  def simhashBlockKeys(bitVec: Column, nBlocks: Int): Column = {
+    val bounds = (0 to nBlocks).map(i => i * SimhashBits / nBlocks)
+    val segs = (0 until nBlocks).map { i =>
+      val start = bounds(i)
+      val len = bounds(i + 1) - start
+      aggregate(slice(bitVec, start + 1, len), lit(0), (acc, x) => acc * 2 + x)
+    }
+    array(segs: _*)
+  }
+
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v)
+}

@@ -1,0 +1,79 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+
+  /** docs + near-dup copies (drop last 3 words) of every 20th doc. */
+  private lazy val corpus = {
+    val t = split(col("text"), " ")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 20 === 0 && size(t) > 3)
+        .withColumn("text", concat_ws(" ", slice(t, lit(1), size(t) - 3)))
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  test("exact dedup collapses injected copies to the min id") {
+    val withCopies = docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 1000000L))
+    val out = Dedup.exact(withCopies)
+    assert(out.count() == docs.count()) // one survivor per distinct text
+    val survivors = out.filter(col("n_copies") === 2)
+    assert(survivors.count() == docs.filter(col("doc_id") % 10 === 0).count())
+    assert(survivors.filter(col("doc_id") >= 1000000L).count() == 0) // min id wins
+  }
+
+  test("minhash LSH finds every injected near-dup pair") {
+    val pairs = Dedup.minhashLshPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val injected = docs.filter(col("doc_id") % 20 === 0 && size(split(col("text"), " ")) > 3)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000L)).toSet
+    assert(injected.subsetOf(pairs), s"missing ${injected -- pairs}")
+  }
+
+  test("minhash estimates track exact jaccard on candidate pairs") {
+    val est = Dedup.minhashLshPairs(corpus, minEstJaccard = 0.0)
+      .withColumnRenamed("est_jaccard", "est")
+    val exact = Dedup.jaccardShinglePairs(corpus, threshold = 0.0)
+    val joined = est.join(exact, Seq("id_a", "id_b"))
+      .select(abs(col("est") - col("jaccard")).as("err"))
+      .agg(max("err")).head.getDouble(0)
+    assert(joined < 0.35, s"max |est-exact| = $joined") // 32 hashes -> coarse but bounded
+  }
+
+  test("simhash blocked join finds EVERY pair within the hamming budget") {
+    import graft.text.TextFunctions
+    val maxH = 6
+    val blocked = Dedup.simhashPairs(corpus, maxHamming = maxH).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth: all-pairs hamming over the same corpus
+    val sh = corpus.select(
+      col("doc_id").as("id"),
+      TextFunctions.simhashBitVector(col("text")).as("bits"))
+    val truth = sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
+      .withColumn("hamming", TextFunctions.hamming(col("x.bits"), col("y.bits")))
+      .filter(col("hamming") <= maxH)
+      .select(col("x.id"), col("y.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pigeonhole blocking (maxH+1 segments) guarantees 100% recall
+    assert(truth == blocked, s"missing ${truth -- blocked}, extra ${blocked -- truth}")
+    assert(truth.nonEmpty) // injected near-dups make this non-vacuous
+  }
+
+  test("exact jaccard pairs: injected copies of long docs score >= 0.9") {
+    // dropping 3 of w words keeps (w-5)/(w-2) of the 3-shingles: >=0.9 needs w>=35
+    val injectedScores = Dedup.jaccardShinglePairs(corpus, threshold = 0.5)
+      .filter(col("id_b") === col("id_a") + 1000000L)
+    assert(injectedScores.count() > 0)
+    assert(injectedScores.filter(col("n_a") >= 40).count() > 0)
+    assert(injectedScores.filter(col("n_a") >= 40)
+      .agg(min("jaccard")).head.getDouble(0) > 0.9)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("cosine of a vector with itself is ~1, dot is symmetric") {
+    val r = emb.limit(5)
+      .select(
+        Similarity.cosine(col("embedding"), col("embedding")).as("self"),
+        (Similarity.dot(col("embedding"), col("embedding")) -
+          Similarity.dot(col("embedding"), col("embedding"))).as("zero"))
+      .collect()
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+      assert(row.getDouble(1) == 0.0)
+    }
+  }
+
+  test("brute-force top-k: k rows per query, ranks dense, self excluded") {
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 4), emb, k = 5).cache()
+    assert(out.count() == 4 * 5)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val ranks = out.filter(col("query_id") === 0).select("rank")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ranks == Seq(1L, 2L, 3L, 4L, 5L))
+    // ranks ordered by descending cosine
+    val cos = out.filter(col("query_id") === 0).orderBy("rank")
+      .select("cosine").collect().map(_.getDouble(0))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("an injected exact copy is always the top-1 neighbor") {
+    val copy = emb.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(9999999L))
+    val out = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 7), emb.unionByName(copy), k = 1)
+    val top = out.head
+    assert(top.getAs[Long]("neighbor_id") == 9999999L)
+    assert(top.getAs[Double]("cosine") > 0.999999)
+  }
+
+  test("LSH buckets: deterministic, identical vectors share a bucket") {
+    val planes = Similarity.randomPlanes(8, 64)
+    val b1 = emb.select(Similarity.lshBucket(col("embedding"), planes).as("b"))
+      .collect().map(_.getInt(0))
+    val b2 = emb.select(Similarity.lshBucket(col("embedding"), planes).as("b"))
+      .collect().map(_.getInt(0))
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.toSet.size > 1) // actually partitions the space
+  }
+
+  test("LSH top-k achieves nonzero recall against brute force with fewer comparisons") {
+    val planes = Similarity.randomPlanes(4, 64)
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, emb, planes, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.0, s"recall=$recall")
+    info(f"LSH recall@5 = $recall%.2f (4 planes, 16 buckets)")
+  }
+
+  test("nearDupPairs finds injected duplicates via bucket-local join only") {
+    val copies = emb.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val planes = Similarity.randomPlanes(8, 64)
+    val pairs = Similarity.nearDupPairs(
+      emb.select("vec_id", "embedding").unionByName(copies.select("vec_id", "embedding")),
+      planes, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val injected = emb.filter(col("vec_id") % 25 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).map(id => (id, id + 1000000L)).toSet
+    assert(pairs == injected)
+  }
+}

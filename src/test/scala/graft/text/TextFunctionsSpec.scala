@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    Seq(text).toDF("text").select(c).head
+
+  test("shingles: n-grams in order, short docs empty") {
+    val got = one("a b c d", TextFunctions.shingles(col("text"), 3)).getSeq[String](0)
+    assert(got == Seq("a b c", "b c d"))
+    assert(one("a b", TextFunctions.shingles(col("text"), 3)).getSeq[String](0).isEmpty)
+  }
+
+  test("fingerprint is word-order invariant, content sensitive") {
+    val fp = (t: String) => one(t, TextFunctions.fingerprint(col("text"))).getString(0)
+    assert(fp("spark join table") == fp("table spark join"))
+    assert(fp("spark join table") == fp("spark spark join table")) // multiset-insensitive
+    assert(fp("spark join table") != fp("spark join tables"))
+  }
+
+  test("langId: stopword argmax with deterministic priority") {
+    val lid = (t: String) => one(t, TextFunctions.langId(col("text"))).getString(0)
+    assert(lid("the cat sat on the mat") == "en")
+    assert(lid("el gato es un animal y no la casa") == "es")
+    assert(lid("xyzzy qwerty") == "und")
+    // tie (both 1 hit) resolves to the higher-priority language
+    assert(lid("the el") == "en")
+  }
+
+  test("quality ratios: exact fractions") {
+    val df = Seq("aa bb aa").toDF("text")
+    val r = df.select(
+      TextFunctions.nTokens(col("text")),
+      TextFunctions.nDistinctTokens(col("text")),
+      TextFunctions.distinctRatio(col("text")),
+      TextFunctions.avgTokenLen(col("text"))).head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(math.abs(r.getDouble(2) - 2.0 / 3) < 1e-15)
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-15) // (8 - 2) / 3
+  }
+
+  test("minhash estimate approximates exact jaccard for near-identical docs") {
+    val a = (1 to 50).map(i => s"w$i").mkString(" ")
+    val b = (1 to 47).map(i => s"w$i").mkString(" ") // drop last 3 words
+    val df = Seq((a, b)).toDF("a", "b")
+    val est = df.select(
+      TextFunctions.minhashJaccardEstimate(
+        TextFunctions.minhashSignature(TextFunctions.shingles(col("a"), 3), 64),
+        TextFunctions.minhashSignature(TextFunctions.shingles(col("b"), 3), 64),
+        64)).head.getDouble(0)
+    // exact shingle jaccard = 45/48 = 0.9375; 64 hashes -> within ~0.15
+    assert(est > 0.75 && est <= 1.0, s"est=$est")
+  }
+
+  test("simhash: identical docs hamming 0, near docs small, different docs large") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 57).map(i => s"w$i").mkString(" ")
+    val far = (100 to 160).map(i => s"v$i").mkString(" ")
+    val df = Seq((base, base, near, far)).toDF("a", "b", "c", "d")
+    val bits = (c: String) => TextFunctions.simhashBitVector(col(c))
+    val r = df.select(
+      TextFunctions.hamming(bits("a"), bits("b")),
+      TextFunctions.hamming(bits("a"), bits("c")),
+      TextFunctions.hamming(bits("a"), bits("d"))).head
+    assert(r.getInt(0) == 0)
+    assert(r.getInt(1) < r.getInt(2), s"near=${r.getInt(1)} far=${r.getInt(2)}")
+  }
+}

@@ -43,7 +43,7 @@ def main():
     for name, sql in sorted(oracles.items()):
         try:
             got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+                f"SELECT * FROM read_parquet('{out_dir}/{name}.parquet/*.parquet')")
             got_cols = [d[0] for d in got.description]
             got_rows = got.fetchall()
             exp = con.execute(sql)
