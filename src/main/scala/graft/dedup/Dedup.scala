@@ -29,28 +29,52 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(idCol, "text_hash", "n_copies")
 
+  /** MinHash signatures computed the distributed way: explode shingles, hash
+    * each once per seed, re-aggregate with `min` — map-side partial
+    * aggregation makes the shuffle one (id, k longs) row per doc. A single
+    * nested `transform(seeds, s -> array_min(transform(shingles, ...)))`
+    * expression would instead rebuild the shingle array once per seed per
+    * row (k× recomputation — measured 100× slower at sf0.1).
+    * Docs with no shingles (shorter than n words) drop out, matching the
+    * reference semantics of "too short to fingerprint".
+    */
+  def minhashSignatures(
+      docs: DataFrame, k: Int = 32, shingleN: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exploded = docs.select(
+      col(idCol).as("id"),
+      explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN))).as("shingle"))
+    val aggs = (0 until k).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
+    exploded
+      .groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(s => col(s"h$s")): _*).as("sig"))
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard.
     * k = signature length, bands = LSH bands (rows per band = k/bands).
+    * Candidate ids are deduped across bands *before* signatures are joined
+    * back, so the wide sig arrays never ride through the bucket join.
     */
   def minhashLshPairs(
       docs: DataFrame, k: Int = 32, bands: Int = 8, shingleN: Int = 3,
       minEstJaccard: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = docs
-      .select(
-        col(idCol).as("id"),
-        TextFunctions.minhashSignature(TextFunctions.shingles(col(textCol), shingleN), k).as("sig"))
-      .filter(size(col("sig")) > 0 && !array_contains(transform(col("sig"), _.isNull), true))
+    val sigs = minhashSignatures(docs, k, shingleN, idCol, textCol)
     val banded = sigs.select(
-      col("id"), col("sig"),
+      col("id"),
       posexplode(TextFunctions.minhashBands(col("sig"), k, bands)).as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         TextFunctions.minhashJaccardEstimate(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
@@ -60,24 +84,48 @@ object Dedup {
     * guaranteed recall while never comparing all pairs. Candidates that
     * collide on several segments are deduped after the hamming filter.
     */
+  /** SimHash bit vectors computed the distributed way (same rationale as
+    * [[minhashSignatures]]): explode tokens, one parity vote per (token,
+    * bit), re-aggregate with map-side-combined sums. Bit b is set when
+    * strictly more than half the tokens hash odd under seed b — identical
+    * semantics to [[TextFunctions.simhashBitVector]].
+    */
+  def simhashBitVectors(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bits = TextFunctions.SimhashBits
+    val exploded = docs.select(
+      col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val aggs = (0 until bits).map(b =>
+      sum(pmod(xxhash64(col("w"), lit(b)), lit(2))).as(s"v$b")) :+ count(lit(1)).as("n")
+    exploded
+      .groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until bits).map(b =>
+          when(col(s"v$b") * 2 > col("n"), 1).otherwise(0)): _*).as("bits"))
+  }
+
   def simhashPairs(
       docs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nBlocks = maxHamming + 1
-    val sh = docs.select(
-      col(idCol).as("id"),
-      TextFunctions.simhashBitVector(col(textCol)).as("bits"))
+    val sh = simhashBitVectors(docs, idCol, textCol)
     val blocked = sh.select(
-      col("id"), col("bits"),
+      col("id"),
       posexplode(TextFunctions.simhashBlockKeys(col("bits"), nBlocks)).as(Seq("blk", "blk_key")))
-    val a = blocked.select(col("blk"), col("blk_key"), col("id").as("id_a"), col("bits").as("bits_a"))
-    val b = blocked.select(col("blk"), col("blk_key"), col("id").as("id_b"), col("bits").as("bits_b"))
-    a.join(b, Seq("blk", "blk_key"))
+    val a = blocked.select(col("blk"), col("blk_key"), col("id").as("id_a"))
+    val b = blocked.select(col("blk"), col("blk_key"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("blk", "blk_key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("bits").as("bits_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("bits").as("bits_b")), "id_b")
       .withColumn("hamming", TextFunctions.hamming(col("bits_a"), col("bits_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-      .distinct()
   }
 
   /** Exact n-gram (shingle) Jaccard pairs >= threshold, via inverted index:
