@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+
+/** SURVEY §2.8: slot-offset micro-batch source (ST1), finality lag (ST2),
+  * admission control (ST3), checkpointed idempotent upsert = effectively
+  * exactly-once (ST5), and the stateful capability surface (ST6).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  /** Minimal valid jsonParsed block: one successful system transfer. */
+  private def blockJson(slot: Long): String =
+    s"""{"slot":$slot,"blockhash":"hash$slot","parentSlot":${slot - 1},""" +
+      s""""blockTime":${1700000000L + slot},"blockHeight":${slot - 100},""" +
+      s""""transactions":[{"meta":{"err":null,"fee":5000},"transaction":{""" +
+      s""""signatures":["sig_$slot"],"message":{"accountKeys":[""" +
+      s"""{"pubkey":"A$slot","signer":true,"writable":true},""" +
+      s"""{"pubkey":"B$slot","signer":false,"writable":true}],""" +
+      s""""instructions":[{"program":"system","programId":"11111111111111111111111111111111",""" +
+      s""""parsed":{"type":"transfer","info":{"lamports":1000,"source":"A$slot","destination":"B$slot"}}}]}}}]}"""
+
+  private def writeSlots(dir: String, slots: Seq[Long]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    slots.foreach(s => Files.writeString(Paths.get(dir, s"$s.json"), blockJson(s)))
+  }
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("finality lag: only slots <= tip - lag are processed (ST2)") {
+    val src = tmpDir("src"); val tables = tmpDir("tables"); val ckpt = tmpDir("ckpt")
+    writeSlots(src, 100L to 130L)
+    val q = StreamingPipeline.start(spark, src, tables, ckpt, finalityLag = 20L)
+    q.awaitTermination()
+
+    val slots = spark.read.parquet(s"$tables/blocks")
+      .select("slot").collect().map(_.getLong(0)).sorted
+    assert(slots.toSeq == (100L to 110L)) // tip=130, horizon=110
+  }
+
+  test("admission control caps slots per micro-batch (ST3)") {
+    val src = tmpDir("src"); val tables = tmpDir("tables"); val ckpt = tmpDir("ckpt")
+    writeSlots(src, 1L to 30L)
+    val q = StreamingPipeline.start(
+      spark, src, tables, ckpt, finalityLag = 0L, maxSlotsPerTrigger = Some(5L))
+    q.awaitTermination()
+
+    // All 30 slots land, across >= 6 capped micro-batches.
+    assert(spark.read.parquet(s"$tables/blocks").count() == 30L)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 6)
+    assert(batches.forall(_.numInputRows <= 5))
+  }
+
+  test("checkpoint recovery resumes from the committed slot; upsert is idempotent (ST5)") {
+    val src = tmpDir("src"); val tables = tmpDir("tables"); val ckpt = tmpDir("ckpt")
+    writeSlots(src, 1L to 10L)
+    StreamingPipeline.start(spark, src, tables, ckpt, finalityLag = 0L).awaitTermination()
+    assert(spark.read.parquet(s"$tables/blocks").count() == 10L)
+
+    // New slots land; restart against the same checkpoint.
+    writeSlots(src, 11L to 15L)
+    val q2 = StreamingPipeline.start(spark, src, tables, ckpt, finalityLag = 0L)
+    q2.awaitTermination()
+
+    val blocks = spark.read.parquet(s"$tables/blocks")
+    assert(blocks.count() == 15L) // exactly one row per slot: no dup from replay
+    assert(blocks.select("slot").distinct().count() == 15L)
+    // Only the 5 new slots were read on restart.
+    assert(q2.recentProgress.map(_.numInputRows).sum == 5L)
+
+    val txs = spark.read.parquet(s"$tables/transactions")
+    assert(txs.count() == 15L)
+    assert(txs.select("signature").distinct().count() == 15L)
+  }
+
+  test("re-processing the same slot converges (last write wins)") {
+    val src = tmpDir("src"); val tables = tmpDir("tables")
+    writeSlots(src, 1L to 3L)
+    // Two runs with *different* checkpoints = full replay of all slots.
+    StreamingPipeline.start(spark, src, tables, tmpDir("c1"), finalityLag = 0L).awaitTermination()
+    StreamingPipeline.start(spark, src, tables, tmpDir("c2"), finalityLag = 0L).awaitTermination()
+    val blocks = spark.read.parquet(s"$tables/blocks")
+    assert(blocks.count() == 3L)
+  }
+
+  test("windowed counts with watermark drop too-late events (ST6)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val counts = StreamingPipeline.windowedCounts(
+      mem.toDF().toDF("ts", "user"), "ts", "user", "10 minutes", "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    def t(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    mem.addData((t(0), "u1"), (t(1), "u1"), (t(12), "u2"))
+    q.processAllAvailable() // watermark -> 10:07
+    mem.addData((t(30), "u3")) // watermark -> 10:25: [10:00,10:10) + [10:10,10:20) finalize
+    q.processAllAvailable()
+    // Too late: window end 10:10 < watermark 10:25 — must be dropped, the
+    // already-emitted count stays 2 (a row is late only once the watermark
+    // passes its window END, not its own timestamp).
+    mem.addData((t(1), "u1"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wc")
+      .select($"window_start", $"user", $"n").as[(Timestamp, String, Long)]
+      .collect().toSet
+    assert(rows.contains((t(0), "u1", 2L))) // late row NOT counted
+    assert(rows.contains((t(10), "u2", 1L)))
+    assert(!rows.exists { case (w, u, n) => w == t(0) && u == "u1" && n != 2L })
+  }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state (ST6)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val deduped = StreamingPipeline.dedupWithinWatermark(
+      mem.toDF().toDF("ts", "event_id"), "ts", "10 minutes", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    def t(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    mem.addData((t(0), "e1"), (t(1), "e1"), (t(2), "e2"))
+    q.processAllAvailable()
+    mem.addData((t(3), "e1")) // duplicate within watermark horizon
+    q.processAllAvailable()
+    q.stop()
+
+    assert(spark.table("dd").select($"event_id").as[String].collect().sorted.toSeq
+      == Seq("e1", "e2"))
+  }
+}
