@@ -114,7 +114,9 @@ class SlotBlockTable(properties: Map[String, String]) extends Table with Support
               properties.getOrElse("finalityLag", "20")).toLong,
             maxSlotsPerTrigger =
               properties.get("maxslotspertrigger").orElse(properties.get("maxSlotsPerTrigger"))
-                .map(_.toLong))
+                .map(_.toLong),
+            startSlot =
+              properties.get("startslot").orElse(properties.get("startSlot")).map(_.toLong))
       }
     }
 }
@@ -130,7 +132,8 @@ class SlotBlockMicroBatchStream(
     rpc: SlotRpc,
     dir: String,
     finalityLag: Long,
-    maxSlotsPerTrigger: Option[Long])
+    maxSlotsPerTrigger: Option[Long],
+    startSlot: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   override def getDefaultReadLimit: ReadLimit =
@@ -145,12 +148,14 @@ class SlotBlockMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowHorizon = Some(rpc.tipSlot().map(_ - finalityLag).getOrElse(Long.MinValue))
 
-  /** First offset: just before the earliest available slot (or -1 for an
+  /** First offset: just before `startSlot` when given (main.rs:90-98 range
+    * resolution), else just before the earliest available slot (or -1 for an
     * empty directory — the stream starts as soon as files land).
     */
   override def initialOffset(): Offset =
-    SlotOffset(rpc.tipSlot().map(_ => rpc.availableSlots(Long.MinValue, Long.MaxValue).head - 1)
-      .getOrElse(-1L))
+    SlotOffset(startSlot.map(_ - 1).getOrElse(
+      rpc.tipSlot().map(_ => rpc.availableSlots(Long.MinValue, Long.MaxValue).head - 1)
+        .getOrElse(-1L)))
 
   /** ST2+ST3: the offered end offset is tip - finalityLag, optionally capped
     * to `start + maxSlotsPerTrigger` (ReadMaxRows: one slot ≈ one "row" for

@@ -25,12 +25,14 @@ object StreamingPipeline {
       spark: SparkSession,
       blocksDir: String,
       finalityLag: Long = 20L,
-      maxSlotsPerTrigger: Option[Long] = None): DataFrame = {
+      maxSlotsPerTrigger: Option[Long] = None,
+      startSlot: Option[Long] = None): DataFrame = {
     val base = spark.readStream
       .format("slot-blocks")
       .option("path", blocksDir)
       .option("finalityLag", finalityLag.toString)
-    maxSlotsPerTrigger.fold(base)(n => base.option("maxSlotsPerTrigger", n.toString)).load()
+    val withMax = maxSlotsPerTrigger.fold(base)(n => base.option("maxSlotsPerTrigger", n.toString))
+    startSlot.fold(withMax)(s => withMax.option("startSlot", s.toString)).load()
   }
 
   /** One micro-batch upsert: raw JSON lines -> blocks + transactions tables
@@ -72,8 +74,9 @@ object StreamingPipeline {
       checkpointDir: String,
       finalityLag: Long = 20L,
       maxSlotsPerTrigger: Option[Long] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    readBlockStream(spark, blocksDir, finalityLag, maxSlotsPerTrigger)
+      trigger: Trigger = Trigger.AvailableNow(),
+      startSlot: Option[Long] = None): StreamingQuery =
+    readBlockStream(spark, blocksDir, finalityLag, maxSlotsPerTrigger, startSlot)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: DataFrame, id: Long) => upsertBatch(batch, id, tablesDir))
