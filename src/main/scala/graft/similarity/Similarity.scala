@@ -35,12 +35,17 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // Norms are computed once per input row, not per pair — the join
+    // boundary stops the optimizer from inlining them into the pair loop,
+    // which would triple the per-candidate flops.
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
@@ -66,15 +71,15 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, planes: Seq[Seq[Double]], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),
       lshBucket(col(vecCol), planes).as("bucket"))
     val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"),
       lshBucket(col(vecCol), planes).as("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine", "bucket")
@@ -88,13 +93,15 @@ object Similarity {
       vectors: DataFrame, planes: Seq[Seq[Double]], threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val withBucket = vectors.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
+      col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"),
       lshBucket(col(vecCol), planes).as("bucket"))
-    val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val a = withBucket.select(
+      col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = withBucket.select(
+      col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
