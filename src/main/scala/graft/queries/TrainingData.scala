@@ -246,6 +246,22 @@ object TrainingData {
       }),
 
     // ------------------------------------------------------------------
+    // E2b — IVF ANN: the partition-pruned scale path (cells = stored-table
+    // partitions at 100 TB; a query touches nProbe/C of the corpus).
+    // Approximate: rows-only check; full-probe == brute-force equivalence
+    // and recall pinned in SimilaritySpec.
+    Q(
+      "e5_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb,
+          nCentroids = 16, nProbe = 4, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id")
+          .orderBy("query_id", "rnk")
+      }),
+
+    // ------------------------------------------------------------------
     // E3 — embedding table profile: per-label counts and dimensionality.
     Q(
       "e3_embedding_stats",

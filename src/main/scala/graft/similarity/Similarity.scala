@@ -85,6 +85,83 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine", "bucket")
   }
 
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) ANN: partition the corpus into C cells around
+  // centroids; a query probes only its nProbe nearest cells. The build is
+  // one broadcast-join pass (n x C x d flops) + one shuffle on the cell id;
+  // at 100 TB the cell id doubles as the stored table's partition column, so
+  // probing touches nProbe/C of the data — a partition-pruned scan, which is
+  // the property LSH buckets can't give a table layout.
+
+  /** Deterministic centroid pick: the C corpus vectors with the smallest
+    * id-hash — a reproducible pseudo-random sample, executed as a
+    * TakeOrdered (top-C per partition, C merged at the driver), never a
+    * global sort. No k-means iterations: sampled centroids are the standard
+    * single-pass IVF bootstrap. The only window runs over the C picked rows.
+    */
+  def ivfCentroids(
+      corpus: DataFrame, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val picked = corpus.select(col(idCol).as("cid_src"), col(vecCol).as("centroid_vec"))
+      .orderBy(xxhash64(col("cid_src")), col("cid_src"))
+      .limit(nCentroids)
+    picked
+      .select(
+        (row_number().over(Window.orderBy(col("cid_src"))) - 1).as("centroid_id"),
+        col("centroid_vec"))
+  }
+
+  /** Assign every corpus vector to its nearest centroid (by cosine):
+    * broadcast the C centroids, one corpus pass, `max_by` argmax — no
+    * per-vector shuffle beyond the map-side-combined aggregation.
+    */
+  def ivfAssign(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+    val cent = centroids.withColumn("c_norm", norm(col("centroid_vec")))
+    c.crossJoin(broadcast(cent))
+      .withColumn("cos",
+        dot(col("vec"), col("centroid_vec")) / (col("nrm") * col("c_norm")))
+      .groupBy(col("id"))
+      .agg(max_by(col("centroid_id"), col("cos")).as("centroid_id"))
+  }
+
+  /** IVF approximate top-k: probe the query's `nProbe` nearest cells, exact
+    * cosine re-rank inside them. `nProbe = nCentroids` degrades gracefully
+    * to exact brute force (pinned in SimilaritySpec).
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, nCentroids: Int, nProbe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCentroids, idCol, vecCol)
+    val assignments = ivfAssign(corpus, centroids, idCol, vecCol)
+
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+    val cent = centroids.withColumn("c_norm", norm(col("centroid_vec")))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("probe_cos").desc, col("centroid_id").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("probe_cos",
+        dot(col("q_vec"), col("centroid_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select("query_id", "q_vec", "q_norm", "centroid_id")
+
+    val cand = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
+      .join(assignments.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Embedding near-duplicate pairs via LSH blocking: exact/near copies land
     * in the same bucket (identical vectors always do), so the pair join is
     * bucket-local. `threshold` on true cosine filters the candidates.

@@ -46,7 +46,14 @@ object StreamingPipeline {
     val parsed = Extract.parseBlocks(batch.select("value")).cache()
     try {
       val r = EtlPipeline.run(spark, parsed)
-      upsertTable(spark, r.blocks, s"$tablesDir/blocks", Seq("slot"), batchId)
+      // S9/J2: parent_slot survives only when the parent block is already
+      // landed or arrives in this batch (load.rs:172-182 FK-safety probe).
+      val blocksPath = s"$tablesDir/blocks"
+      val existingSlots =
+        if (new java.io.File(blocksPath).exists()) spark.read.parquet(blocksPath).select("slot")
+        else r.blocks.select("slot").limit(0)
+      val blocks = Load.resolveParentSlots(r.blocks, existingSlots)
+      upsertTable(spark, blocks, blocksPath, Seq("slot"), batchId)
       upsertTable(spark, r.transactions, s"$tablesDir/transactions", Seq("signature"), batchId)
     } finally parsed.unpersist()
   }

@@ -67,6 +67,39 @@ class SimilaritySpec extends SparkTestBase {
     info(f"LSH recall@5 = $recall%.2f (4 planes, 16 buckets)")
   }
 
+  test("IVF with full probe degrades to exact brute force") {
+    val queries = emb.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Similarity.ivfTopK(queries, emb, nCentroids = 8, nProbe = 8, k = 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact) // probing every cell = scanning the whole corpus
+  }
+
+  test("IVF partial probe: deterministic, with measurable recall") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val run = () => Similarity.ivfTopK(queries, emb, nCentroids = 8, nProbe = 3, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(); val b = run()
+    assert(a == b) // sampled centroids + hash order => reproducible
+    val recall = exact.intersect(a).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+    info(f"IVF recall@5 = $recall%.2f (8 cells, probe 3)")
+  }
+
+  test("IVF assignment covers every vector exactly once") {
+    val centroids = Similarity.ivfCentroids(emb, nCentroids = 8)
+    assert(centroids.count() == 8)
+    val assigned = Similarity.ivfAssign(emb, centroids)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("id").distinct().count() == emb.count())
+    assert(assigned.select("centroid_id").distinct().count() > 1)
+  }
+
   test("nearDupPairs finds injected duplicates via bucket-local join only") {
     val copies = emb.filter(col("vec_id") % 25 === 0)
       .withColumn("vec_id", col("vec_id") + 1000000L)

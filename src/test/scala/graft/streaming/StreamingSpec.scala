@@ -80,6 +80,21 @@ class StreamingSpec extends SparkTestBase {
     assert(txs.select("signature").distinct().count() == 15L)
   }
 
+  test("parent-slot FK safety (S9): orphan parents null, in-batch and landed parents kept") {
+    val src = tmpDir("src"); val tables = tmpDir("tables"); val ckpt = tmpDir("ckpt")
+    writeSlots(src, Seq(5L, 6L)) // 5's parent (4) absent -> null; 6's parent (5) in batch
+    StreamingPipeline.start(spark, src, tables, ckpt, finalityLag = 0L).awaitTermination()
+    writeSlots(src, Seq(7L)) // second batch: parent 6 already landed
+    StreamingPipeline.start(spark, src, tables, ckpt, finalityLag = 0L).awaitTermination()
+
+    val parents = spark.read.parquet(s"$tables/blocks")
+      .select("slot", "parent_slot").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(parents(5L).isEmpty)        // orphan: parent 4 never fetched
+    assert(parents(6L).contains(5L))   // same-batch parent
+    assert(parents(7L).contains(6L))   // previously landed parent
+  }
+
   test("re-processing the same slot converges (last write wins)") {
     val src = tmpDir("src"); val tables = tmpDir("tables")
     writeSlots(src, 1L to 3L)
