@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build a scale-tuned SparkSession. The same knobs govern a
+  * local[N] test run and a 1000-executor cluster — only `master` and the
+  * absolute sizes change:
+  *
+  *  - AQE on (default in Spark 4) with skew-join splitting: runtime
+  *    re-planning replaces hand-tuned shuffle partition counts at 100 TB,
+  *    and skewed keys (hot program ids, viral documents) split instead of
+  *    stalling a straggler task.
+  *  - `shuffle.partitions` seeds AQE's coalescing; locally = cores, on a
+  *    cluster ~2-3x total cores.
+  *  - `files.maxPartitionBytes` 128m keeps scan partitions executor-sized
+  *    regardless of how many TB the table holds.
+  *  - UTC session timezone: timestamp semantics identical across engines
+  *    (the DuckDB oracle compares raw values).
+  */
+object GraftSession {
+
+  def build(cores: Int, appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Cores from SPARK_GRAFT_CPUS, defaulting to the target local[32]. */
+  def fromEnv(appName: String = "graft"): SparkSession =
+    build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, appName)
+}

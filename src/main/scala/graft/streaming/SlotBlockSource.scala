@@ -66,7 +66,22 @@ trait SlotRpc extends Serializable {
   def tipSlot(): Option[Long]
   def availableSlots(fromExclusive: Long, toInclusive: Long): Seq[Long]
   def blockJson(slot: Long): Option[String]
+
+  /** S4 — startup connection probe (rpc/mod.rs:41-61, models.rs:73-78):
+    * endpoint + tip blockhash + tip slot + probe time. A readiness check,
+    * not a query operator.
+    */
+  def connectionInfo(endpoint: String): Option[ConnectionInfo] =
+    tipSlot().map { tip =>
+      val blockhash = blockJson(tip)
+        .flatMap("\"blockhash\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_))
+        .map(_.group(1)).getOrElse("")
+      ConnectionInfo(endpoint, blockhash, tip, System.currentTimeMillis() / 1000L)
+    }
 }
+
+final case class ConnectionInfo(
+    endpoint: String, latestBlockhash: String, currentSlot: Long, timestampSecs: Long)
 
 /** Reads `<slot>.json` files from a local/DFS-visible directory. */
 final class FileSlotRpc(dir: String) extends SlotRpc {

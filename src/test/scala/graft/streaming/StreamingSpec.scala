@@ -95,6 +95,14 @@ class StreamingSpec extends SparkTestBase {
     assert(parents(7L).contains(6L))   // previously landed parent
   }
 
+  test("connection probe returns tip slot + blockhash (S4)") {
+    val src = tmpDir("src")
+    writeSlots(src, Seq(41L, 42L))
+    val info = new FileSlotRpc(src).connectionInfo(src)
+    assert(info.exists(i => i.currentSlot == 42L && i.latestBlockhash == "hash42"))
+    assert(new FileSlotRpc(tmpDir("empty")).connectionInfo("x").isEmpty)
+  }
+
   test("re-processing the same slot converges (last write wins)") {
     val src = tmpDir("src"); val tables = tmpDir("tables")
     writeSlots(src, 1L to 3L)
