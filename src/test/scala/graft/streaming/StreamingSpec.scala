@@ -95,6 +95,48 @@ class StreamingSpec extends SparkTestBase {
     assert(parents(7L).contains(6L))   // previously landed parent
   }
 
+  test("run stats from streaming progress (A3)") {
+    val src = tmpDir("src"); val tables = tmpDir("tables"); val ckpt = tmpDir("ckpt")
+    writeSlots(src, 1L to 8L)
+    val q = StreamingPipeline.start(
+      spark, src, tables, ckpt, finalityLag = 0L, maxSlotsPerTrigger = Some(4L))
+    q.awaitTermination()
+    val stats = graft.etl.RunStats.fromQuery(q)
+      .copy(totalTransactions = spark.read.parquet(s"$tables/transactions").count())
+    assert(stats.blocksAttempted == 8L)
+    assert(stats.successRate == 100.0)
+    assert(stats.totalTransactions == 8L)
+    assert(stats.elapsedSecs > 0.0)
+    assert(stats.topErrors.isEmpty)
+  }
+
+  test("file-streamed events: windowed counts match the batch plan (ST1+ST6)") {
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    def fixTs(df: org.apache.spark.sql.DataFrame) =
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else df
+
+    // The file source streams a directory of files landing over time.
+    val evDir = tmpDir("events")
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(evDir, "part-0.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = fixTs(spark.readStream.schema(schema).parquet(evDir))
+    val q = StreamingPipeline.windowedCounts(stream, "ts", "event_type", "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("ev_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("ev_stream")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = StreamingPipeline.windowedCounts(
+      fixTs(spark.read.parquet(s"$sf/events.parquet")), "ts", "event_type", "1 hour", "0 seconds")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("connection probe returns tip slot + blockhash (S4)") {
     val src = tmpDir("src")
     writeSlots(src, Seq(41L, 42L))
