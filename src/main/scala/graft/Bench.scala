@@ -21,7 +21,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // BASELINE.md's headline regime, measured end-to-end on this engine:
+    // 10 blocks x 1,200 txs through parse+classify+enrich+upsert-write.
+    val (txs, etlSecs, txPerS) =
+      try graft.bench.EtlBench.run(spark)
+      catch { case e: Throwable => System.err.println(s"[bench] etl failed: ${e.getMessage}"); (0L, 0.0, 0.0) }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""etl_baseline_comparable":{"blocks":10,"transactions":$txs,"secs":$etlSecs,"tx_per_s":$txPerS,""" +
+      s""""reference_tx_per_s":"200-300 (README.md:366, 12000 txs in 20-25s)"}}""")
     spark.stop()
   }
 }
