@@ -131,16 +131,29 @@ object Dedup {
   /** Exact n-gram (shingle) Jaccard pairs >= threshold, via inverted index:
     * explode distinct shingles -> self-join on shingle -> count intersections
     * -> Jaccard from |A|,|B|,|A∩B|.
+    *
+    * `maxDocFreq` is the scale knob: the self-join is quadratic in each
+    * shingle's document frequency, so at corpus scale ultra-common shingles
+    * (boilerplate, stopword runs) dominate cost while contributing almost no
+    * discrimination. Capping df bounds every join bucket at maxDocFreq² —
+    * the standard inverted-index skew guard. None (default) keeps the exact
+    * oracle-checkable semantics.
     */
   def jaccardShinglePairs(
       docs: DataFrame, shingleN: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Int] = None,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs.select(
       col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val sizes = sh.select(col("id"), size(col("shingles")).cast("long").as("n_sh"))
-    val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val invAll = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val inv = maxDocFreq.fold(invAll) { cap =>
+      val df = invAll.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap).select("shingle")
+      invAll.join(df, "shingle")
+    }
     val common = inv.as("x").join(inv.as("y"), Seq("shingle"))
       .filter(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -246,6 +246,23 @@ object RelationalExtended {
              |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
              |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
              |       count(*) FILTER (WHERE event_type = 'error') AS error
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q23 — VariantType: Spark 4's JSONB analog (SURVEY §1.2). props parses
+    // once into a variant; typed extraction happens at query time — the
+    // open-schema path, vs q9's string-functions path.
+    Q(
+      "q23_variant_json",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+          .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+          .orderBy("k_mod"),
+      Some("""SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
+             |       count(*) AS n,
+             |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

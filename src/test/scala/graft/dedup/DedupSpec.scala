@@ -76,4 +76,14 @@ class DedupSpec extends SparkTestBase {
     assert(injectedScores.filter(col("n_a") >= 40)
       .agg(min("jaccard")).head.getDouble(0) > 0.9)
   }
+
+  test("jaccard maxDocFreq cap: high cap is exact, low cap only prunes") {
+    def pairs(cap: Option[Int]) =
+      Dedup.jaccardShinglePairs(corpus, threshold = 0.5, maxDocFreq = cap)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(None)
+    assert(pairs(Some(1000000)) == exact) // cap above any real df: no change
+    val capped = pairs(Some(2))
+    assert(capped.subsetOf(exact)) // the cap can only drop candidate evidence
+  }
 }
