@@ -204,6 +204,37 @@ object TrainingData {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T5 — winnowing (rolling-hash) fingerprints: count + span per doc.
+    // xxhash64-based, so no DuckDB oracle; overlap guarantees pinned in
+    // TextFunctionsSpec.
+    Q(
+      "t5_winnowing",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            TextFunctions.winnowingFingerprints(col("text")).as("fps"))
+          .select(
+            col("doc_id"),
+            size(col("fps")).cast("long").as("n_fingerprints"))
+          .orderBy("doc_id")),
+
+    // ------------------------------------------------------------------
+    // T6 — BPE-ish token counts: the same ASCII subword regex evaluated by
+    // Spark and DuckDB.
+    Q(
+      "t6_bpe_tokens",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(TextFunctions.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+             |       CAST(len(regexp_extract_all(text, '${TextFunctions.bpePattern}')) AS BIGINT) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // E1 — brute-force cosine top-k ANN baseline: broadcast 8 query vectors,
     // one corpus pass, double-precision dot products matching DuckDB's
     // list_dot_product element order exactly.
@@ -305,6 +336,18 @@ object TrainingData {
       Some("""SELECT doc_id,
              |       CAST(octet_length(encode(text)) AS BIGINT) AS media_len,
              |       sha256(text) AS media_sha256
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // M2 — the mapPartitions decode path end-to-end: binary media ->
+    // (deterministic stub) decoded dimensions + features. Rows-only: the
+    // stub's output is pinned by MultimodalSpec, not a SQL oracle.
+    Q(
+      "m2_image_decode_stub",
+      (s, dir) =>
+        Multimodal.decodeImageStub(s, Multimodal.withMedia(Tables.documents(s, dir)))
+          .toDF()
+          .select("doc_id", "byte_len", "width", "height")
+          .orderBy("doc_id"))
   )
 }

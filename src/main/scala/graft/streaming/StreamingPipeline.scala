@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.etl.{EtlPipeline, Extract, Load}
 
@@ -119,4 +119,60 @@ object StreamingPipeline {
       lateness: String,
       keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keys)
+
+  // -------------------------------------------------------------------
+  // Custom state: gap-based sessionization via flatMapGroupsWithState —
+  // the operator shape windowed aggregation can't express (session bounds
+  // depend on the data, not the clock grid).
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class UserSession(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Sessions close after `gapSecs` of inactivity, finalized by event-time
+    * timeout when the watermark passes session_end + gap — so state is
+    * bounded and every session is emitted exactly once (append mode).
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapSecs: Long,
+      lateness: String = "10 seconds"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSecs * 1000L
+    def toTs(ms: Long) = new java.sql.Timestamp(ms)
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, _, state) if state.hasTimedOut =>
+          val s = state.get
+          state.remove()
+          Iterator.single(UserSession(user, toTs(s.start), toTs(s.last), s.n))
+        case (user, evs, state) =>
+          val times = evs.map(_.ts.getTime).toSeq.sorted
+          val closed = Seq.newBuilder[UserSession]
+          var cur = state.getOption
+          times.foreach { t =>
+            cur = cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+              case Some(s) =>
+                closed += UserSession(user, toTs(s.start), toTs(s.last), s.n)
+                Some(SessionState(t, t, 1))
+              case None => Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.last + gapMs)
+          }
+          closed.result().iterator
+      }
+  }
 }

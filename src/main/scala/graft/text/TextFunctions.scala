@@ -33,6 +33,32 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Rolling-hash winnowing fingerprints (the MOSS scheme): hash every
+    * k-gram, keep the minimum hash of each sliding window of w hashes,
+    * dedup. Guarantees any shared run of >= k+w-1 tokens between two
+    * documents yields a shared fingerprint, at ~1/w the density of full
+    * shingling — the sub-document overlap detector for corpus-scale
+    * plagiarism/quote mining.
+    */
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val hashes = transform(shingles(text, k), sh => xxhash64(sh))
+    when(size(hashes) >= w,
+      array_distinct(transform(
+        sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + 1, lit(w))))))
+      .when(size(hashes) > 0, array(array_min(hashes)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** BPE-ish subword-boundary tokens: GPT-2-style pattern (space-prefixed
+    * letter runs, digit runs, punctuation runs) restricted to ASCII so the
+    * same regex means the same thing in Spark (Java regex) and DuckDB (RE2).
+    */
+  val bpePattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
   // -----------------------------------------------------------------------
   // Language ID: tiny per-language stopword lists; prediction = priority-
   // ordered argmax of hit counts (deterministic tie-break en>es>fr>de>zh).

@@ -184,6 +184,34 @@ class StreamingSpec extends SparkTestBase {
     assert(!rows.exists { case (w, u, n) => w == t(0) && u == "u1" && n != 2L })
   }
 
+  test("sessionization: gap-based sessions via flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamingPipeline.sessionize(
+      mem.toDS().map { case (u, ts) => StreamingPipeline.SessionEvent(u, ts) },
+      gapSecs = 300L) // 5-minute gap
+    val q = sessions.toDF().writeStream.format("memory").queryName("sess")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // user 1: burst at 10:00-10:02, then again at 10:20 (new session).
+    mem.addData((1L, t(0)), (1L, t(1)), (1L, t(2)))
+    q.processAllAvailable()
+    mem.addData((1L, t(20)), (2L, t(21)))
+    q.processAllAvailable() // closes user 1's first session on arrival
+    mem.addData((2L, t(50)))
+    q.processAllAvailable() // watermark passes 10:25 -> timeouts fire
+    q.stop()
+
+    val got = spark.table("sess")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(got.contains((1L, t(0), t(2), 3L)))   // closed by the gap
+    assert(got.contains((1L, t(20), t(20), 1L))) // closed by event-time timeout
+    assert(got.contains((2L, t(21), t(21), 1L)))
+  }
+
   test("dropDuplicatesWithinWatermark bounds dedup state (ST6)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

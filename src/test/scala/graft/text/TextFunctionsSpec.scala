@@ -57,6 +57,33 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(est > 0.75 && est <= 1.0, s"est=$est")
   }
 
+  test("winnowing: shared long runs yield shared fingerprints; short/empty safe") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val overlap = (21 to 60).map(i => s"w$i").mkString(" ") + " extra tail words here"
+    val unrelated = (1 to 60).map(i => s"z$i").mkString(" ")
+    val rows = Seq(
+      ("a", base), ("b", overlap), ("c", unrelated),
+      ("d", "one two three four five six"), // 2 shingles < window: min survives
+      ("e", "tiny doc"))                    // shorter than k: no k-grams at all
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.winnowingFingerprints(col("text")).as("fps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    // a and b share a 40-token run >= k+w-1: guaranteed common fingerprint
+    assert(rows("a").intersect(rows("b")).nonEmpty)
+    assert(rows("a").intersect(rows("c")).isEmpty)
+    assert(rows("d").size == 1)
+    assert(rows("e").isEmpty)
+  }
+
+  test("bpe tokens: subword boundaries on letters/digits/punctuation") {
+    import spark.implicits._
+    val got = Seq("abc123 def, gh9!").toDF("text")
+      .select(TextFunctions.bpeTokens(col("text")).as("t"))
+      .head.getSeq[String](0).toSeq
+    assert(got == Seq("abc", "123", " def", ",", " gh", "9", "!"))
+  }
+
   test("simhash: identical docs hamming 0, near docs small, different docs large") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val near = (1 to 57).map(i => s"w$i").mkString(" ")
