@@ -17,9 +17,16 @@ object Similarity {
 
   /** Double-precision dot product, sequential over the array — the same
     * element order DuckDB's list_dot_product uses, so results are
-    * bit-identical and oracle-checkable.
+    * bit-identical and oracle-checkable. Backed by the native codegen
+    * [[graft.functions.DotProduct]] expression; [[dotHof]] is the
+    * bit-equivalent higher-order-function form kept as the cross-check
+    * (HOF lambdas evaluate interpreted — too slow for the pair-join loop).
     */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftnative.DotProduct(a, b)
+
+  /** The zip_with/aggregate formulation dot() is verified against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
       lit(0.0),

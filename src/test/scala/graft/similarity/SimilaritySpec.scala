@@ -22,6 +22,26 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("native codegen dot product is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    val both = emb.as("x").crossJoin(emb.limit(3).as("y"))
+      .select(
+        Similarity.dot(col("x.embedding"), col("y.embedding")).as("native"),
+        Similarity.dotHof(col("x.embedding"), col("y.embedding")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // double planes x float vectors (mixed element types) also agree
+    val planes = Similarity.randomPlanes(2, 64)
+    val mixed = emb.select(
+      Similarity.dot(col("embedding"), typedLit(planes.head.toArray)).as("native"),
+      Similarity.dotHof(col("embedding"), typedLit(planes.head.toArray)).as("hof"))
+    assert(mixed.filter(col("native") =!= col("hof")).count() == 0)
+    // null array -> null, not a crash
+    val nullRow = Seq((Some(Array(1.0f, 2.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d")).head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("brute-force top-k: k rows per query, ranks dense, self excluded") {
     val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 4), emb, k = 5).cache()
     assert(out.count() == 4 * 5)
