@@ -46,6 +46,27 @@ object Load {
       .drop("__known_slot")
   }
 
+  /** The reference's 19 B-tree indexes re-expressed as physical layout
+    * (SURVEY §3/§4): partition directories give partition *pruning* on the
+    * filter column (the index's selectivity), sorting within partitions
+    * gives parquet min/max page skipping on the sort keys (the index's
+    * ordered scan). E.g. transactions partitioned by `transaction_type`,
+    * sorted by `(block_slot, signature)` serves the by-type, by-slot and
+    * by-signature indexes of migrations ...0002...sql:36-41.
+    */
+  def writeIndexed(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String]): Unit =
+    df
+      .repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
   /** S8 — atomic batch write: stage to a temp dir then swap, so a failed job
     * never leaves a half-written table (the parquet analog of the
     * reference's single wrapping DB transaction, load.rs:162/286).

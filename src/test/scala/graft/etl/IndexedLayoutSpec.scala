@@ -1,0 +1,38 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class IndexedLayoutSpec extends SparkTestBase {
+
+  test("writeIndexed: partition pruning kicks in on the partition column") {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => (i.toLong, s"sig$i", Seq("A", "B", "C", "D")(i % 4)))
+      .toDF("block_slot", "signature", "transaction_type")
+    val path = Files.createTempDirectory("graft-indexed").toString + "/transactions"
+    Load.writeIndexed(rows, path, Seq("transaction_type"), Seq("block_slot", "signature"))
+
+    // one directory per partition value
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("transaction_type=A", "transaction_type=B",
+      "transaction_type=C", "transaction_type=D"))
+
+    val q = spark.read.parquet(path).filter(col("transaction_type") === "B")
+    assert(q.count() == 500L)
+    val plan = q.queryExecution.executedPlan.toString
+    // the filter is satisfied by pruning partitions, not scanning + filtering
+    assert(plan.contains("PartitionFilters") && plan.contains("transaction_type"),
+      s"no partition pruning in plan:\n$plan")
+  }
+
+  test("dot_product registered as SQL function (extensions path)") {
+    graft.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head.getDouble(0)
+    assert(got == 32.0)
+  }
+}
