@@ -41,9 +41,12 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, k: Int = 32, shingleN: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val exploded = docs.select(
-      col(idCol).as("id"),
-      explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN))).as("shingle"))
+    val exploded = docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(
+        col("id"),
+        explode(array_distinct(TextFunctions.shinglesFromTokens(col("toks"), shingleN)))
+          .as("shingle"))
     val aggs = (0 until k).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
     exploded
       .groupBy("id")
@@ -143,9 +146,11 @@ object Dedup {
       docs: DataFrame, shingleN: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Int] = None,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("shingles"))
+    val sh = docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(
+        col("id"),
+        array_distinct(TextFunctions.shinglesFromTokens(col("toks"), shingleN)).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val sizes = sh.select(col("id"), size(col("shingles")).cast("long").as("n_sh"))
     val invAll = sh.select(col("id"), explode(col("shingles")).as("shingle"))

@@ -17,15 +17,21 @@ object TextFunctions {
   /** Regex word tokens — the BPE-ish token-count denominator. */
   def regexTokens(text: Column): Column = regexp_extract_all(text, lit("\\w+"), lit(0))
 
-  /** n-word shingles, preserving order; empty for docs shorter than n. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
+  /** n-word shingles over an already-materialized token array. Prefer this
+    * over [[shingles]] when tokens are a column: every `slice`/`size`
+    * reference then reads the bound array instead of re-running the split
+    * (the expression tree re-evaluates a subexpression per reference — ~n
+    * splits per row otherwise).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
       transform(
-        sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** n-word shingles, preserving order; empty for docs shorter than n. */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 
   /** Document fingerprint: md5 over the sorted distinct vocabulary — robust
     * to word order, the cheap "bag-of-words identical" dedup key.
