@@ -131,6 +131,21 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Winnowing (rolling-hash) fingerprints per document, with each layer —
+    * tokens, shingles, k-gram hashes — materialized as a column so the
+    * window-min step reads bound arrays instead of re-deriving the whole
+    * chain per window (the expression-inline form is O(windows x build) per
+    * row; this is O(windows x w)).
+    */
+  def winnowingFingerprints(
+      docs: DataFrame, k: Int = 5, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), TextFunctions.shinglesFromTokens(col("toks"), k).as("sh"))
+      .select(col("id"), transform(col("sh"), x => xxhash64(x)).as("hashes"))
+      .select(col("id"), TextFunctions.winnowFromHashes(col("hashes"), w).as("fps"))
+
   /** Exact n-gram (shingle) Jaccard pairs >= threshold, via inverted index:
     * explode distinct shingles -> self-join on shingle -> count intersections
     * -> Jaccard from |A|,|B|,|A∩B|.

@@ -210,12 +210,9 @@ object TrainingData {
     Q(
       "t5_winnowing",
       (s, dir) =>
-        Tables.documents(s, dir)
+        Dedup.winnowingFingerprints(Tables.documents(s, dir))
           .select(
-            col("doc_id"),
-            TextFunctions.winnowingFingerprints(col("text")).as("fps"))
-          .select(
-            col("doc_id"),
+            col("id").as("doc_id"),
             size(col("fps")).cast("long").as("n_fingerprints"))
           .orderBy("doc_id")),
 

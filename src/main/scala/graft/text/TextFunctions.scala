@@ -46,15 +46,22 @@ object TextFunctions {
     * shingling — the sub-document overlap detector for corpus-scale
     * plagiarism/quote mining.
     */
-  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
-    val hashes = transform(shingles(text, k), sh => xxhash64(sh))
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    winnowFromHashes(transform(shingles(text, k), sh => xxhash64(sh)), w)
+
+  /** The window-min step over an already-materialized hash array. In a hot
+    * path, bind `hashes` to a real column first (see
+    * [[graft.dedup.Dedup.winnowingFingerprints]]): as an inline
+    * subexpression it would be re-evaluated once per window reference —
+    * O(windows x hash-build) per row, measured 100x slower at sf0.1.
+    */
+  def winnowFromHashes(hashes: Column, w: Int): Column =
     when(size(hashes) >= w,
       array_distinct(transform(
         sequence(lit(0), size(hashes) - w),
         i => array_min(slice(hashes, i + 1, lit(w))))))
       .when(size(hashes) > 0, array(array_min(hashes)))
       .otherwise(array().cast("array<bigint>"))
-  }
 
   /** BPE-ish subword-boundary tokens: GPT-2-style pattern (space-prefixed
     * letter runs, digit runs, punctuation runs) restricted to ASCII so the

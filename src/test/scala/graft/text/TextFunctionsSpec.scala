@@ -76,6 +76,20 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(rows("e").isEmpty)
   }
 
+  test("staged winnowing (Dedup) equals the inline expression form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (2L, "one two three four five six"),
+      (3L, "x")).toDF("doc_id", "text")
+    val inline = docs
+      .select(col("doc_id"), graft.text.TextFunctions.winnowingFingerprints(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val staged = graft.dedup.Dedup.winnowingFingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(inline == staged)
+  }
+
   test("bpe tokens: subword boundaries on letters/digits/punctuation") {
     import spark.implicits._
     val got = Seq("abc123 def, gh9!").toDF("text")
