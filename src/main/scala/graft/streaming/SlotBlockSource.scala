@@ -195,10 +195,13 @@ class SlotBlockMicroBatchStream(
     val from = start.asInstanceOf[SlotOffset].slot
     val to = end.asInstanceOf[SlotOffset].slot
     val slots = rpc.availableSlots(from, to)
-    // One partition per slot keeps replay deterministic and maps 1:1 onto the
-    // reference's per-slot fetch; at production scale slots are cheap units
-    // (~1 block each) and Spark schedules them across executors.
-    slots.map(s => SlotInputPartition(s, dir): InputPartition).toArray
+    // Deterministically chunk slots so a large backfill doesn't schedule one
+    // task per block: cap at 256 partitions per micro-batch, >=1 slot each.
+    // Contiguous chunks keep each task's reads sequential.
+    val chunkSize = math.max(1, math.ceil(slots.size / 256.0).toInt)
+    slots.grouped(chunkSize)
+      .map(chunk => SlotInputPartition(chunk.toArray, dir): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new SlotPartitionReaderFactory
@@ -208,19 +211,20 @@ class SlotBlockMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-case class SlotInputPartition(slot: Long, dir: String) extends InputPartition
+case class SlotInputPartition(slots: Array[Long], dir: String) extends InputPartition
 
 class SlotPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SlotInputPartition]
     new PartitionReader[InternalRow] {
-      private val lines: Iterator[String] =
-        new FileSlotRpc(p.dir).blockJson(p.slot).iterator
-          .flatMap(_.split('\n')).filter(_.nonEmpty)
-      private var current: String = _
-      override def next(): Boolean = { val has = lines.hasNext; if (has) current = lines.next(); has }
+      private val rpc = new FileSlotRpc(p.dir)
+      private val rows: Iterator[(Long, String)] = p.slots.iterator.flatMap { slot =>
+        rpc.blockJson(slot).iterator.flatMap(_.split('\n')).filter(_.nonEmpty).map(slot -> _)
+      }
+      private var current: (Long, String) = _
+      override def next(): Boolean = { val has = rows.hasNext; if (has) current = rows.next(); has }
       override def get(): InternalRow =
-        InternalRow(p.slot, UTF8String.fromString(current))
+        InternalRow(current._1, UTF8String.fromString(current._2))
       override def close(): Unit = ()
     }
   }
