@@ -62,4 +62,28 @@ object Multimodal {
   def frameSampleIndices(nFrames: org.apache.spark.sql.Column, everyK: Int): org.apache.spark.sql.Column =
     when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(everyK)))
       .otherwise(array().cast("array<bigint>"))
+
+  final case class ResizedImage(
+      doc_id: Long, width: Int, height: Int, out_width: Int, out_height: Int)
+
+  /** STUB resize over decoded images: aspect-preserving fit into a bounding
+    * box — the dimension arithmetic is real (it is what a pipeline plans
+    * partition sizes and output schemas from); only the pixel resample is
+    * the `???` swap point. Same mapPartitions batch shape as the decoder.
+    */
+  def resizeStub(
+      spark: SparkSession, decoded: Dataset[DecodedImage],
+      maxW: Int, maxH: Int): Dataset[ResizedImage] = {
+    import spark.implicits._
+    decoded.mapPartitions { rows =>
+      rows.map { d =>
+        val scale = math.min(1.0, math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
+        // ??? real pixel resample goes here; the stub carries dimensions only
+        ResizedImage(
+          d.doc_id, d.width, d.height,
+          math.max(1, math.round(d.width * scale).toInt),
+          math.max(1, math.round(d.height * scale).toInt))
+      }
+    }
+  }
 }

@@ -34,6 +34,21 @@ class MultimodalSpec extends SparkTestBase {
       again.map(r => (r.doc_id, r.width, r.height)).toSeq)
   }
 
+  test("resizeStub: aspect-preserving fit, never upscales, never zero") {
+    val decoded = Multimodal.decodeImageStub(spark, Multimodal.withMedia(docs.limit(100)))
+    val resized = Multimodal.resizeStub(spark, decoded, maxW = 128, maxH = 96).collect()
+    assert(resized.length == 100)
+    resized.foreach { r =>
+      assert(r.out_width <= 128 && r.out_height <= 96)
+      assert(r.out_width >= 1 && r.out_height >= 1)
+      assert(r.out_width <= r.width && r.out_height <= r.height) // no upscale
+      // aspect ratio preserved within rounding
+      val inRatio = r.width.toDouble / r.height
+      val outRatio = r.out_width.toDouble / r.out_height
+      assert(math.abs(inRatio - outRatio) / inRatio < 0.05)
+    }
+  }
+
   test("frameSampleIndices: every k-th frame, empty for zero frames") {
     import spark.implicits._
     val got = Seq(10L, 0L).toDF("n")
