@@ -27,7 +27,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Emit every oracle under BOTH the bare query name and the parquet
+    // filename: the driver keys its results by output filename
+    // ("<name>.parquet"), so a name-only map misses every lookup and the
+    // round records err:"no_oracle" for all queries (round-1 failure mode).
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

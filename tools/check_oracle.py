@@ -40,6 +40,10 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
+    # oracle_sql.json carries each oracle under both "<name>" and
+    # "<name>.parquet" (the driver looks up by output filename); check each
+    # query once, via the bare-name key.
+    oracles = {k: v for k, v in oracles.items() if not k.endswith(".parquet")}
     for name, sql in sorted(oracles.items()):
         try:
             got = con.execute(
