@@ -25,9 +25,14 @@ object EtlPipeline {
 
     val txBase = Extract.transactions(parsedBlocks)
 
-    // C1 + C3 + C4/C5/P9: classification, label, transfer details — one select.
-    val details = Parsers.transferDetails(col("instructions"))
+    // C1 + C3 + C4/C5/P9: classification, label, transfer details. The
+    // first-transfer array scan is staged as a real column so the details
+    // struct's ~6 references don't each re-run the filter (the
+    // expression-staging rule; CollapseProject won't inline a
+    // multi-referenced projection, so the staging survives optimization).
+    val details = Parsers.transferDetailsFromFirst(col("__first_transfer"))
     val enriched = txBase
+      .withColumn("__first_transfer", Parsers.firstTransfer(col("instructions")))
       .withColumn("transaction_type", Classify.transactionType(col("program_ids")))
       .withColumn("transaction_label", Classify.label(col("transaction_type"), col("program_ids")))
       .withColumn("amount", details.getField("amount"))
@@ -74,6 +79,8 @@ object EtlPipeline {
       count_if(col("success")).as("successful_transactions"),
       count_if(!col("success")).as("failed_transactions"),
       sum(col("fee")).as("total_fees"),
+      // F5 — lamports -> SOL for display (extract.rs:300: fees as SOL).
+      (sum(col("fee")) / lit(1e9)).as("total_fees_sol"),
       count_if(col("transaction_type") === Classify.TypeSolTransfer).as("sol_transfers"),
       count_if(col("transaction_type") === Classify.TypeSplTokenTransfer).as("spl_token_transfers"),
       count_if(col("transaction_type") === Classify.TypeDexSwap).as("dex_swaps"),

@@ -99,15 +99,21 @@ object Extract {
         col("signature").as("transaction_signature"),
         col("tx.message.accountKeys").as("keys"),
         posexplode(col("instructions")).as(Seq("instruction_index", "i")))
-      .select(
-        col("transaction_signature"),
-        col("instruction_index"),
+      // program_id is resolved once across the three encodings, then feeds
+      // BOTH the column and the registry name lookup — so compiled
+      // (programIdIndex) and name-encoded instructions still get a
+      // program_name when the registry knows the resolved id.
+      .withColumn(
+        "program_id",
         coalesce(
           col("i.programId"),
           col("i.program"),
-          get(col("keys"), col("i.programIdIndex")).getField("pubkey"))
-          .as("program_id"),
-        element_at(ProgramRegistry.nameMap, col("i.programId")).as("program_name"),
+          get(col("keys"), col("i.programIdIndex")).getField("pubkey")))
+      .select(
+        col("transaction_signature"),
+        col("instruction_index"),
+        col("program_id"),
+        element_at(ProgramRegistry.nameMap, col("program_id")).as("program_name"),
         col("i.parsed.type").as("instruction_type"),
         col("i.accounts").as("accounts"),
         col("i.data").as("data_hex"),

@@ -62,9 +62,22 @@ object Parsers {
     * transaction has no parseable transfer. token_address is null for SOL
     * transfers and "unknown" for token transfers without a mint
     * (parsers/token.rs:52).
+    *
+    * PERF: `firstTransfer` appears ~6 times in this tree (null check, amount
+    * branches, mint, source, destination) and Catalyst re-evaluates the
+    * array filter per reference — the expression-staging pitfall. Callers on
+    * a hot path should materialize `firstTransfer` as a real column once and
+    * derive the struct from it via [[transferDetailsFromFirst]] (what
+    * EtlPipeline does); this single-Column form is kept for contexts where
+    * staging a column isn't possible and as the equivalence baseline.
     */
-  def transferDetails(instructions: Column): Column = {
-    val first = firstTransfer(instructions)
+  def transferDetails(instructions: Column): Column =
+    transferDetailsFromFirst(firstTransfer(instructions))
+
+  /** [[transferDetails]] over an already-materialized first-transfer column:
+    * evaluates the instruction-array scan once per row instead of ~6 times.
+    */
+  def transferDetailsFromFirst(first: Column): Column = {
     val isSys = isSystemTransfer(first)
     val amount = when(isSys, info(first).getField("lamports")).otherwise(tokenAmount(first))
     val mint = when(isSys, lit(null).cast("string"))

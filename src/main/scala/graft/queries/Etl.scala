@@ -87,6 +87,115 @@ object Etl {
              |) AS t(slot, blockhash, parent_slot, block_time_utc, block_height)
              |ORDER BY slot""".stripMargin)),
 
+    // ------------------------------------------------------------------
+    // The `instructions` table (migrations ...0003) — one row per
+    // instruction across all three encodings; program_name resolves from
+    // the COALESCED id, so compiled instructions are named too.
+    Q(
+      "etl_instructions_golden",
+      (s, _) =>
+        goldenResult(s).instructions
+          .select(
+            col("transaction_signature"),
+            col("instruction_index").cast("long").as("instruction_index"),
+            col("program_id"),
+            col("program_name"),
+            col("instruction_type"),
+            col("accounts"),
+            col("data_hex"),
+            col("data_decoded"))
+          .orderBy("transaction_signature", "instruction_index"),
+      Some("""SELECT transaction_signature,
+             |       CAST(instruction_index AS BIGINT) AS instruction_index,
+             |       program_id, program_name, instruction_type,
+             |       CAST(accounts AS VARCHAR[]) AS accounts, data_hex, data_decoded
+             |FROM (VALUES
+             |  ('sig_b2_sol', 0, '11111111111111111111111111111111', 'System Program', 'transfer', NULL, NULL, '{"lamports":777,"source":"b2src","destination":"b2dst"}'),
+             |  ('sig_checked', 0, 'TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA', 'Token Program', 'transferChecked', NULL, NULL, '{"source":"srcC","destination":"dstC","tokenAmount":{"amount":"5000","decimals":6}}'),
+             |  ('sig_compiled', 0, 'JUP6LkbZbjS1jKKwapdHNy74zcZ3tLUZoi5QNyVTaV4', 'Jupiter Aggregator v6', NULL, ['feePayer9','acc2'], 'compileddata', NULL),
+             |  ('sig_dex', 0, 'JUP6LkbZbjS1jKKwapdHNy74zcZ3tLUZoi5QNyVTaV4', 'Jupiter Aggregator v6', NULL, ['trader','pool1'], 'swapdata', NULL),
+             |  ('sig_dex', 1, 'TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA', 'Token Program', 'transfer', NULL, NULL, '{"source":"pool1","destination":"pool2","amount":"500","mint":"So11111111111111111111111111111111111111112"}'),
+             |  ('sig_failed', 0, '11111111111111111111111111111111', 'System Program', 'transfer', NULL, NULL, '{"lamports":42,"source":"failsrc","destination":"faildst"}'),
+             |  ('sig_nft', 0, 'metaqbxxUerdq28cj1RbAWkYQm3ybzjb6a8bt518x1s', 'Metaplex Token Metadata', NULL, ['minter','nftacc'], 'mintdata', NULL),
+             |  ('sig_prog', 0, '11111111111111111111111111111111', 'System Program', 'createAccount', NULL, NULL, '{"lamports":2039280,"source":"payer"}'),
+             |  ('sig_prog', 1, 'MemoSq4gqABAXKb96qnH8TysNcWxMyWCqXgDLGmfcHr', 'Memo Program', NULL, [], 'memodata', NULL),
+             |  ('sig_sol', 0, '11111111111111111111111111111111', 'System Program', 'transfer', NULL, NULL, '{"lamports":1000,"source":"FY27src","destination":"HFqUdst"}'),
+             |  ('sig_token', 0, 'TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA', 'Token Program', 'transfer', NULL, NULL, '{"source":"srcTok","destination":"dstTok","amount":"1000000","mint":"EPjFWdd5AufqSSqeM2qN1xzybapC8G4wEGGkZwyTDt1v","authority":"authAcc"}'),
+             |  ('sig_unknown', 0, 'Unknown1111111111111111111111111111111111111', NULL, NULL, [], 'xx', NULL)
+             |) AS t(transaction_signature, instruction_index, program_id, program_name,
+             |       instruction_type, accounts, data_hex, data_decoded)
+             |ORDER BY transaction_signature, instruction_index""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // The `accounts` activity rollup (migrations ...0004): per-address
+    // first/last seen + signer/writable counts over the goldens.
+    Q(
+      "etl_accounts_golden",
+      (s, _) =>
+        goldenResult(s).accounts
+          .select(
+            col("address"),
+            col("first_seen_slot"),
+            col("last_seen_slot"),
+            date_format(col("first_seen_time"), "yyyy-MM-dd HH:mm:ss").as("first_seen_utc"),
+            date_format(col("last_seen_time"), "yyyy-MM-dd HH:mm:ss").as("last_seen_utc"),
+            col("transaction_count"),
+            col("as_signer_count"),
+            col("as_writable_count"))
+          .orderBy("address"),
+      Some("""SELECT address,
+             |       CAST(first_seen_slot AS BIGINT) AS first_seen_slot,
+             |       CAST(last_seen_slot AS BIGINT) AS last_seen_slot,
+             |       first_seen_utc, last_seen_utc,
+             |       CAST(transaction_count AS BIGINT) AS transaction_count,
+             |       CAST(as_signer_count AS BIGINT) AS as_signer_count,
+             |       CAST(as_writable_count AS BIGINT) AS as_writable_count
+             |FROM (VALUES
+             |  ('FY27src', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 1, 1),
+             |  ('HFqUdst', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 0, 1),
+             |  ('JUP6LkbZbjS1jKKwapdHNy74zcZ3tLUZoi5QNyVTaV4', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 0, 0),
+             |  ('acc2', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 0, 1),
+             |  ('auth2', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 1, 1),
+             |  ('authAcc', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 1, 1),
+             |  ('b2dst', 1001, 1001, '2023-11-14 22:13:21', '2023-11-14 22:13:21', 1, 0, 1),
+             |  ('b2src', 1001, 1001, '2023-11-14 22:13:21', '2023-11-14 22:13:21', 1, 1, 1),
+             |  ('dstC', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 0, 0),
+             |  ('dstTok', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 0, 0),
+             |  ('faildst', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 0, 1),
+             |  ('failsrc', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 1, 1),
+             |  ('feePayer9', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 1, 1),
+             |  ('minter', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 1, 1),
+             |  ('newacc', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 0, 1),
+             |  ('nftacc', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 0, 1),
+             |  ('payer', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 1, 1),
+             |  ('pool1', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 0, 1),
+             |  ('pool2', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 0, 0),
+             |  ('someacc', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 1, 1),
+             |  ('srcC', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 0, 1),
+             |  ('srcTok', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 0, 1),
+             |  ('trader', 1000, 1000, '2023-11-14 22:13:20', '2023-11-14 22:13:20', 1, 1, 1)
+             |) AS t(address, first_seen_slot, last_seen_slot, first_seen_utc, last_seen_utc,
+             |       transaction_count, as_signer_count, as_writable_count)
+             |ORDER BY address""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // A1 — the extraction-stats rollup (extract.rs:38-52, 244-272) incl.
+    // F5 lamports->SOL (extract.rs:300). Single-row aggregate.
+    Q(
+      "etl_extraction_stats_golden",
+      (s, _) => EtlPipeline.extractionStats(goldenResult(s).transactions),
+      Some("""SELECT CAST(10 AS BIGINT) AS total_transactions,
+             |       CAST(9 AS BIGINT) AS successful_transactions,
+             |       CAST(1 AS BIGINT) AS failed_transactions,
+             |       CAST(55000 AS BIGINT) AS total_fees,
+             |       CAST(55000 AS DOUBLE) / 1e9 AS total_fees_sol,
+             |       CAST(3 AS BIGINT) AS sol_transfers,
+             |       CAST(2 AS BIGINT) AS spl_token_transfers,
+             |       CAST(2 AS BIGINT) AS dex_swaps,
+             |       CAST(1 AS BIGINT) AS nft_operations,
+             |       CAST(1 AS BIGINT) AS program_interactions,
+             |       CAST(1 AS BIGINT) AS unknown_transactions""".stripMargin)),
+
     Q(
       "etl_type_histogram_golden",
       (s, _) =>

@@ -35,42 +35,62 @@ object StreamingPipeline {
     startSlot.fold(withMax)(s => withMax.option("startSlot", s.toString)).load()
   }
 
+  /** Slots per landed partition directory. At ~2.5 blocks/s (Solana slot
+    * cadence) one bucket is ~a week of chain; a micro-batch touches 1-2
+    * buckets, so the per-batch upsert cost is O(bucket), not O(table).
+    */
+  val DefaultBucketSize = 1000000L
+
   /** One micro-batch upsert: raw JSON lines -> blocks + transactions tables
     * under `tablesDir`, keyed last-write-wins on slot / signature. Only the
     * two tables the reference's loader writes (SURVEY §1.1 asymmetry).
     * `batchId` is the version stamp: monotonically increasing per
     * micro-batch, so a replayed batch deterministically supersedes itself.
+    *
+    * Both tables are laid out as slot-range partitions (`slot_bucket`) and
+    * upserted incrementally: only partitions the batch touches are read,
+    * deduped and swapped (`Load.upsertPartitioned`) — the whole-table
+    * rewrite a naive union+window would do grinds to a halt once the landed
+    * table dwarfs the batch. Transactions bucket by `block_slot`, so a
+    * replayed signature (same block, same slot) always collides with its
+    * prior version inside one bucket.
     */
-  def upsertBatch(batch: DataFrame, batchId: Long, tablesDir: String): Unit = {
+  def upsertBatch(
+      batch: DataFrame,
+      batchId: Long,
+      tablesDir: String,
+      bucketSize: Long = DefaultBucketSize): Unit = {
     val spark = batch.sparkSession
     val parsed = Extract.parseBlocks(batch.select("value")).cache()
     try {
       val r = EtlPipeline.run(spark, parsed)
+      val blocksPath = s"$tablesDir/blocks"
+      def bucketOf(c: org.apache.spark.sql.Column) = floor(c / bucketSize).cast("long")
       // S9/J2: parent_slot survives only when the parent block is already
       // landed or arrives in this batch (load.rs:172-182 FK-safety probe).
-      val blocksPath = s"$tablesDir/blocks"
+      // The probe scan is partition-pruned to the buckets the incoming
+      // parents could live in — never a full pass over the landed table.
+      val parentBuckets: Seq[Long] = r.blocks
+        .filter(col("parent_slot").isNotNull)
+        .select(bucketOf(col("parent_slot")).as("b")).distinct()
+        .collect().map(_.getLong(0)).toSeq
       val existingSlots =
-        if (new java.io.File(blocksPath).exists()) spark.read.parquet(blocksPath).select("slot")
+        if (new java.io.File(blocksPath).exists() && parentBuckets.nonEmpty)
+          spark.read.parquet(blocksPath)
+            .withColumn("slot_bucket", col("slot_bucket").cast("long"))
+            .filter(col("slot_bucket").isin(parentBuckets: _*))
+            .select("slot")
         else r.blocks.select("slot").limit(0)
       val blocks = Load.resolveParentSlots(r.blocks, existingSlots)
-      upsertTable(spark, blocks, blocksPath, Seq("slot"), batchId)
-      upsertTable(spark, r.transactions, s"$tablesDir/transactions", Seq("signature"), batchId)
+        .withColumn("slot_bucket", bucketOf(col("slot")))
+        .withColumn("__version", lit(batchId))
+      Load.upsertPartitioned(blocks, blocksPath, Seq("slot"), "__version", "slot_bucket")
+      val txs = r.transactions
+        .withColumn("slot_bucket", bucketOf(col("block_slot")))
+        .withColumn("__version", lit(batchId))
+      Load.upsertPartitioned(
+        txs, s"$tablesDir/transactions", Seq("signature"), "__version", "slot_bucket")
     } finally parsed.unpersist()
-  }
-
-  private def upsertTable(
-      spark: SparkSession,
-      incoming: DataFrame,
-      path: String,
-      keys: Seq[String],
-      batchId: Long): Unit = {
-    val versioned = incoming.withColumn("__version", lit(batchId))
-    val merged =
-      if (new java.io.File(path).exists())
-        Load.upsert(spark.read.parquet(path), versioned, keys, "__version")
-      else
-        Load.upsert(versioned.limit(0), versioned, keys, "__version")
-    Load.writeAtomic(merged, path)
   }
 
   /** Start the end-to-end streaming ETL with checkpoint recovery. */
@@ -82,11 +102,12 @@ object StreamingPipeline {
       finalityLag: Long = 20L,
       maxSlotsPerTrigger: Option[Long] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      startSlot: Option[Long] = None): StreamingQuery =
+      startSlot: Option[Long] = None,
+      bucketSize: Long = DefaultBucketSize): StreamingQuery =
     readBlockStream(spark, blocksDir, finalityLag, maxSlotsPerTrigger, startSlot)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((batch: DataFrame, id: Long) => upsertBatch(batch, id, tablesDir))
+      .foreachBatch((batch: DataFrame, id: Long) => upsertBatch(batch, id, tablesDir, bucketSize))
       .trigger(trigger)
       .start()
 

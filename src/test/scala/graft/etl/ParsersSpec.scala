@@ -76,4 +76,19 @@ class ParsersSpec extends SparkTestBase {
       .select(Parsers.transferDetails(col("instructions")).as("d")).head
     assert(d.getStruct(0).getAs[Long]("amount") == 7L) // the system transfer, not createAccount/token
   }
+
+  test("staged first-transfer column equals the single-expression form") {
+    // The hot path (EtlPipeline) materializes firstTransfer as a column and
+    // derives the details struct from it; semantics must match the
+    // one-Column transferDetails tree exactly, including the all-null case.
+    val parsed = Extract.parseBlocks(graft.queries.Etl.goldenLines(spark))
+    val txs = Extract.transactions(parsed)
+    val single = txs.select(col("signature"),
+      Parsers.transferDetails(col("instructions")).as("d"))
+    val staged = txs
+      .withColumn("__first", Parsers.firstTransfer(col("instructions")))
+      .select(col("signature"), Parsers.transferDetailsFromFirst(col("__first")).as("d"))
+    assert(single.collect().toSet == staged.collect().toSet)
+    assert(single.count() == 10L)
+  }
 }

@@ -95,6 +95,54 @@ class StreamingSpec extends SparkTestBase {
     assert(parents(7L).contains(6L))   // previously landed parent
   }
 
+  test("incremental upsert touches only the batch's slot-range partitions") {
+    import scala.jdk.CollectionConverters._
+    def partitionFiles(tables: String): Map[String, (Long, String)] =
+      Files.walk(Paths.get(tables)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map { p =>
+          val bytes = Files.readAllBytes(p)
+          val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          p.toString -> (Files.size(p), md.map("%02x".format(_)).mkString)
+        }.toMap
+
+    val src = tmpDir("src"); val tables = tmpDir("tables"); val ckpt = tmpDir("ckpt")
+    // bucketSize=4: slots 1-10 land in buckets 0 (1-3), 1 (4-7), 2 (8-10).
+    writeSlots(src, 1L to 10L)
+    StreamingPipeline.start(spark, src, tables, ckpt, finalityLag = 0L, bucketSize = 4L)
+      .awaitTermination()
+    val before = partitionFiles(tables)
+    assert(before.keys.exists(_.contains("slot_bucket=0")))
+    assert(before.keys.exists(_.contains("slot_bucket=2")))
+
+    // Second batch: slots 11 (bucket 2) and 12 (bucket 3) — buckets 0 and 1
+    // of BOTH tables must not be rewritten (files byte-identical), bucket 2
+    // must be, bucket 3 is new.
+    writeSlots(src, Seq(11L, 12L))
+    StreamingPipeline.start(spark, src, tables, ckpt, finalityLag = 0L, bucketSize = 4L)
+      .awaitTermination()
+    val after = partitionFiles(tables)
+
+    def bucketOf(path: String): Option[String] =
+      "slot_bucket=(\\d+)".r.findFirstMatchIn(path).map(_.group(1))
+    val untouchedBefore = before.filter { case (p, _) => bucketOf(p).exists(b => b == "0" || b == "1") }
+    assert(untouchedBefore.nonEmpty)
+    untouchedBefore.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig), s"untouched partition file rewritten: $p")
+    }
+    // Touched bucket 2 was rewritten (old file gone or content changed).
+    val touchedBefore = before.keys.filter(bucketOf(_).contains("2"))
+    assert(touchedBefore.nonEmpty)
+    assert(touchedBefore.forall(p => !after.contains(p) || after(p) != before(p)))
+    // New bucket 3 exists and all 12 slots are present exactly once.
+    assert(after.keys.exists(_.contains("slot_bucket=3")))
+    val blocks = spark.read.parquet(s"$tables/blocks")
+    assert(blocks.count() == 12L)
+    assert(blocks.select("slot").distinct().count() == 12L)
+    val txs = spark.read.parquet(s"$tables/transactions")
+    assert(txs.select("signature").distinct().count() == 12L)
+  }
+
   test("run stats from streaming progress (A3)") {
     val src = tmpDir("src"); val tables = tmpDir("tables"); val ckpt = tmpDir("ckpt")
     writeSlots(src, 1L to 8L)
