@@ -12,10 +12,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.fromEnv("graft-bench")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    def execute(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+    // Untimed warmup pass: first executions pay ~6s of JVM/codegen/classload
+    // warmup that would otherwise land on arbitrary queries and make
+    // per-query numbers useless for regression tracking (measured: q6 6.74s
+    // cold vs 1.05s warm — round-1 verdict finding #4).
+    SparkEntry.queries.foreach { case (name, fn) => execute(name, fn) }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      execute(name, fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
