@@ -36,6 +36,34 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Exact per-query top-k over a candidate set with columns
+    * (query_id, neighbor_id, cosine [, extra...]), ordered cosine desc then
+    * neighbor_id asc — as a bounded-heap aggregation, NOT a row_number
+    * window: the window form funnels every candidate of a query into a
+    * single task; [[org.apache.spark.sql.graftnative.TopK]] caps the
+    * shuffle at k rows per mapper per query and the final merge at
+    * k * mappers. The sort key is (-cosine, neighbor_id): double negation
+    * is bit-exact, so results hash-match the window form (pinned by the e1
+    * oracle and SimilaritySpec).
+    */
+  private def topKPerQuery(cand: DataFrame, k: Int, extra: Seq[String] = Nil): DataFrame = {
+    val item = struct(
+      negate(col("cosine")).as("neg_cosine") +:
+        col("neighbor_id").as("neighbor_id") +:
+        extra.map(col): _*)
+    cand
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graftnative.TopK.collectTopK(item, k, reverse = true).as("__top"))
+      .select(col("query_id"), posexplode(array_sort(col("__top"))).as(Seq("__pos", "__item")))
+      .select(
+        Seq(
+          col("query_id"),
+          (col("__pos") + 1).cast("long").as("rank"),
+          col("__item.neighbor_id").as("neighbor_id"),
+          negate(col("__item.neg_cosine")).as("cosine")) ++
+          extra.map(e => col(s"__item.$e").as(e)): _*)
+  }
+
   /** Exact top-k neighbors for each query vector (brute force).
     * queries/corpus: (idCol, vecCol). Excludes self-matches.
     */
@@ -49,13 +77,10 @@ object Similarity {
       col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.crossJoin(broadcast(q))
+    val cand = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    topKPerQuery(cand, k)
   }
 
   /** Deterministic random hyperplanes (fixed seed) for LSH bucketing. */
@@ -83,12 +108,10 @@ object Similarity {
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"),
       lshBucket(col(vecCol), planes).as("bucket"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("bucket"))
+    val cand = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKPerQuery(cand, k, extra = Seq("bucket"))
       .select("query_id", "rank", "neighbor_id", "cosine", "bucket")
   }
 
@@ -112,9 +135,17 @@ object Similarity {
     val picked = corpus.select(col(idCol).as("cid_src"), col(vecCol).as("centroid_vec"))
       .orderBy(xxhash64(col("cid_src")), col("cid_src"))
       .limit(nCentroids)
+    // Dense ids 0..C-1 without a global window (whose "no partition
+    // defined" WARN would drown real single-partition regressions; a
+    // constant partition key gets folded away by EliminateWindowPartitions):
+    // C rows fit one partition by construction, so a single-partition sort +
+    // monotonically_increasing_id (= row order within partition 0) is the
+    // same deterministic numbering.
     picked
+      .coalesce(1)
+      .sortWithinPartitions(col("cid_src"))
       .select(
-        (row_number().over(Window.orderBy(col("cid_src"))) - 1).as("centroid_id"),
+        monotonically_increasing_id().cast("int").as("centroid_id"),
         col("centroid_vec"))
   }
 
@@ -160,13 +191,10 @@ object Similarity {
     val cand = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
       .join(assignments.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand.join(broadcast(probes), Seq("centroid_id"))
+    val scored = cand.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    topKPerQuery(scored, k)
   }
 
   /** Embedding near-duplicate pairs via LSH blocking: exact/near copies land
