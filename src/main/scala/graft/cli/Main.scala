@@ -49,9 +49,17 @@ object Main {
     val rpc = new FileSlotRpc(blocksDir)
     val tip = rpc.tipSlot().getOrElse(sys.error(s"no <slot>.json blocks found under $blocksDir"))
 
-    // main.rs:90-98 range resolution against the tip.
+    // main.rs:90-98 range resolution against the tip: an explicit
+    // --end-slot/--num-blocks is honored verbatim (the reference never
+    // clamps it); only the DEFAULT end is tip - lag.
     val start = cfg.startSlot.getOrElse(math.max(tip - 30, 0L))
-    val end = math.min(cfg.calculateEndSlot(start), tip - finalityLag)
+    val end =
+      if (cfg.endSlot.isDefined || cfg.numBlocks.isDefined) cfg.calculateEndSlot(start)
+      else tip - finalityLag
+    if (end > tip - finalityLag)
+      System.err.println(
+        s"warning: end slot $end is past the finality horizon ${tip - finalityLag}; " +
+          "those slots are processed as they become available")
     println(s"Processing slots [$start, $end] (tip $tip, finality lag $finalityLag)")
 
     // Batch run: one AvailableNow drain of the requested range, upserted
@@ -59,7 +67,7 @@ object Main {
     // idempotent per micro-batch instead of per DB transaction).
     StreamingPipeline.start(
       spark, blocksDir, tablesDir, s"$tablesDir/_checkpoint",
-      finalityLag = tip - end, // offer exactly [.., end]
+      finalityLag = math.max(tip - end, 0L), // offer exactly [.., end]
       maxSlotsPerTrigger = Some(cfg.batchSize.toLong),
       trigger = Trigger.AvailableNow(),
       startSlot = Some(start)

@@ -67,21 +67,32 @@ trait SlotRpc extends Serializable {
   def availableSlots(fromExclusive: Long, toInclusive: Long): Seq[Long]
   def blockJson(slot: Long): Option[String]
 
+  /** The node software version (rpc/mod.rs:57-61 `get_version` — the
+    * reference's connectivity check). File-backed sources report a static
+    * descriptor; a live JSON-RPC client returns the node's `solana-core`.
+    */
+  def serverVersion(): String = "file-backed"
+
   /** S4 — startup connection probe (rpc/mod.rs:41-61, models.rs:73-78):
-    * endpoint + tip blockhash + tip slot + probe time. A readiness check,
-    * not a query operator.
+    * endpoint + node version + tip blockhash + tip slot + probe time. A
+    * readiness check, not a query operator.
     */
   def connectionInfo(endpoint: String): Option[ConnectionInfo] =
     tipSlot().map { tip =>
       val blockhash = blockJson(tip)
         .flatMap("\"blockhash\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_))
         .map(_.group(1)).getOrElse("")
-      ConnectionInfo(endpoint, blockhash, tip, System.currentTimeMillis() / 1000L)
+      ConnectionInfo(
+        endpoint, serverVersion(), blockhash, tip, System.currentTimeMillis() / 1000L)
     }
 }
 
 final case class ConnectionInfo(
-    endpoint: String, latestBlockhash: String, currentSlot: Long, timestampSecs: Long)
+    endpoint: String,
+    version: String,
+    latestBlockhash: String,
+    currentSlot: Long,
+    timestampSecs: Long)
 
 /** Reads `<slot>.json` files from a local/DFS-visible directory. */
 final class FileSlotRpc(dir: String) extends SlotRpc {

@@ -21,7 +21,9 @@ import org.apache.spark.sql.types._
   * widen to double individually and accumulate left-to-right, so results are
   * bit-identical to the HOF form (and to DuckDB's list_dot_product order) —
   * the e1 oracle hash-compares on this. Vector elements are assumed
-  * non-null (embedding columns); a null array yields null.
+  * non-null (embedding columns); a null array yields null, and so does a
+  * length mismatch (zip_with null-pads the shorter side and the null
+  * propagates through the sum — the HOF form returns null, so this must).
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
@@ -32,13 +34,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Nullable regardless of children: mismatched lengths yield null.
+  override def nullable: Boolean = true
+
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var s = 0.0
@@ -60,12 +66,16 @@ case class DotProduct(left: Expression, right: Expression)
       val xv = CodeGenerator.getValue(a, elemType(left), i)
       val yv = CodeGenerator.getValue(b, elemType(right), i)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += ((double)($xv)) * ((double)($yv));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $sum += ((double)($xv)) * ((double)($yv));
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

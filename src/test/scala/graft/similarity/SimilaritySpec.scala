@@ -40,6 +40,16 @@ class SimilaritySpec extends SparkTestBase {
       .toDF("a", "b")
       .select(Similarity.dot(col("a"), col("b")).as("d")).head
     assert(nullRow.isNullAt(0))
+    // mismatched lengths -> null on BOTH forms (zip_with null-pads the
+    // shorter side; null propagates through the sum), so the documented
+    // dot/dotHof equivalence holds off the happy path too.
+    val mismatch = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(
+        Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .head
+    assert(mismatch.isNullAt(0) && mismatch.isNullAt(1))
   }
 
   test("brute-force top-k: k rows per query, ranks dense, self excluded") {

@@ -190,6 +190,7 @@ class StreamingSpec extends SparkTestBase {
     writeSlots(src, Seq(41L, 42L))
     val info = new FileSlotRpc(src).connectionInfo(src)
     assert(info.exists(i => i.currentSlot == 42L && i.latestBlockhash == "hash42"))
+    assert(info.exists(_.version.nonEmpty)) // S4: get_version parity (rpc/mod.rs:57-61)
     assert(new FileSlotRpc(tmpDir("empty")).connectionInfo("x").isEmpty)
   }
 

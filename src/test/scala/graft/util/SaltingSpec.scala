@@ -32,4 +32,17 @@ class SaltingSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)))).sorted.toSeq
     assert(out == Seq(("a", 1, Some("x")), ("b", 2, Some("y")), ("nomatch", 3, None)))
   }
+
+  test("right-preserving join types are rejected (replication would duplicate them)") {
+    import spark.implicits._
+    val left = Seq(("a", 1)).toDF("k", "v")
+    val right = Seq(("a", "x"), ("orphan", "y")).toDF("k", "name")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer"))
+      intercept[IllegalArgumentException] {
+        Salting.saltedJoin(left, right, Seq("k"), numSalts = 4, joinType = jt)
+      }
+    // left_anti still works (left-preserving).
+    val anti = Salting.saltedJoin(left, right, Seq("k"), numSalts = 4, joinType = "left_anti")
+    assert(anti.count() == 0)
+  }
 }
