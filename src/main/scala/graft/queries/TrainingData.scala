@@ -119,6 +119,44 @@ object TrainingData {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // D5 — the CORPUS-SCALE entry point for shingle Jaccard: identical to
+    // d4 but with the document-frequency cap engaged (df <= 100), bounding
+    // every inverted-index join bucket at cap² pairs. Ultra-common shingles
+    // (boilerplate) are dropped from the index; per-doc sizes stay uncapped,
+    // so reported jaccard is a lower bound of the exact value. This is the
+    // variant to run on a full corpus; d4 (uncapped) is the
+    // oracle/verification path. Oracle mirrors the cap in SQL.
+    Q(
+      "d5_jaccard_shingle_capped",
+      (s, dir) =>
+        Dedup.jaccardShinglePairs(
+          docsWithNearDups(
+            Tables.documents(s, dir).select("doc_id", "text")
+              .filter(col("doc_id") % 10 === 0)),
+          threshold = 0.5,
+          maxDocFreq = Some(100))
+          .orderBy("id_a", "id_b"),
+      Some(s"""$sqlNearDupCte,
+             |sh AS (SELECT doc_id,
+             |              unnest(list_distinct(list_transform(
+             |                range(len(string_split(text,' ')) - 2),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' ')))) AS shingle
+             |       FROM docs WHERE len(string_split(text,' ')) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+             |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+             |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+             |common AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+             |           FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             |           GROUP BY 1, 2)
+             |SELECT id_a, id_b, n_common, a.n_sh AS n_a, b.n_sh AS n_b,
+             |       CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) AS jaccard
+             |FROM common
+             |JOIN sizes a ON a.doc_id = id_a
+             |JOIN sizes b ON b.doc_id = id_b
+             |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T1 — heuristic language ID histogram (stopword-hit argmax).
     Q(
       "t1_lang_id",

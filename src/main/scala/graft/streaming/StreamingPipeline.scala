@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.etl.{EtlPipeline, Extract, Load}
+import graft.etl.{EtlPipeline, Extract, Load, MergeSink, PartitionedParquetMergeSink}
 
 /** The streaming ETL (SURVEY §2.8, §3 entry point 2): what the reference's
   * `--continuous` mode stubs out (`src/main.rs:144-147` logs the slot window
@@ -81,15 +81,17 @@ object StreamingPipeline {
             .filter(col("slot_bucket").isin(parentBuckets: _*))
             .select("slot")
         else r.blocks.select("slot").limit(0)
+      // The sink seam (MergeSink): parquet here; a database target swaps in
+      // a JdbcMergeSink without touching the pipeline.
+      val sink: MergeSink = new PartitionedParquetMergeSink(tablesDir)
       val blocks = Load.resolveParentSlots(r.blocks, existingSlots)
         .withColumn("slot_bucket", bucketOf(col("slot")))
         .withColumn("__version", lit(batchId))
-      Load.upsertPartitioned(blocks, blocksPath, Seq("slot"), "__version", "slot_bucket")
+      sink.merge(blocks, "blocks", Seq("slot"))
       val txs = r.transactions
         .withColumn("slot_bucket", bucketOf(col("block_slot")))
         .withColumn("__version", lit(batchId))
-      Load.upsertPartitioned(
-        txs, s"$tablesDir/transactions", Seq("signature"), "__version", "slot_bucket")
+      sink.merge(txs, "transactions", Seq("signature"))
     } finally parsed.unpersist()
   }
 
