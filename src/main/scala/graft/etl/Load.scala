@@ -103,7 +103,7 @@ object Load {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     val existing =
-      if (fs.exists(root))
+      if (hasPartitions(fs, root, bucketCol))
         spark.read.parquet(path)
           // partition discovery types the bucket dir value as int; normalize
           .withColumn(bucketCol, col(bucketCol).cast("long"))
@@ -129,6 +129,24 @@ object Load {
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Does `root` hold at least one `bucketCol=` partition directory? A bare
+    * or empty root (e.g. a crash between mkdirs and the first partition
+    * swap) must read as "no table yet", not as an unreadable parquet dir —
+    * the streaming replay then recreates it.
+    */
+  def hasPartitions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      bucketCol: String): Boolean =
+    fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith(s"$bucketCol="))
+
+  def hasPartitions(
+      spark: org.apache.spark.sql.SparkSession, path: String, bucketCol: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    hasPartitions(root.getFileSystem(spark.sparkContext.hadoopConfiguration), root, bucketCol)
   }
 
   /** S8 — atomic batch write: stage to a temp dir then swap, so a failed job

@@ -75,7 +75,7 @@ object StreamingPipeline {
         .select(bucketOf(col("parent_slot")).as("b")).distinct()
         .collect().map(_.getLong(0)).toSeq
       val existingSlots =
-        if (new java.io.File(blocksPath).exists() && parentBuckets.nonEmpty)
+        if (Load.hasPartitions(spark, blocksPath, "slot_bucket") && parentBuckets.nonEmpty)
           spark.read.parquet(blocksPath)
             .withColumn("slot_bucket", col("slot_bucket").cast("long"))
             .filter(col("slot_bucket").isin(parentBuckets: _*))

@@ -35,7 +35,11 @@ object Tables {
     * the same truncation DuckDB applies — so oracle comparisons line up.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Session-global by necessity (the parquet reader consults the session
+    // conf, not a per-read option) but set only when missing, so shared
+    // sessions aren't silently reconfigured on every call.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
