@@ -42,6 +42,29 @@ class LoadSpec extends SparkTestBase {
     assert(got.getLong(1) == 999L)
   }
 
+  test("upsertPartitioned's existing-slice read is partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
+    def batch(version: Long, slots: Long*) =
+      slots.map(s => (s, s"v$version")).toDF("slot", "v")
+        .withColumn("slot_bucket", floor(col("slot") / 10).cast("long"))
+        .withColumn("__version", lit(version))
+    Load.upsertPartitioned(batch(0L, 1L, 11L, 21L), dir, Seq("slot"), "__version", "slot_bucket")
+    // The scan feeding a second batch's merge must carry a PartitionFilters
+    // entry on slot_bucket (pruning, not a full-table read). Assert on the
+    // physical plan of the same pruned read the merge performs.
+    val pruned = spark.read.parquet(dir)
+      .withColumn("slot_bucket", col("slot_bucket").cast("long"))
+      .filter(col("slot_bucket").isin(Seq(1L): _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("slot_bucket"))
+    assert(pruned.count() == 1) // only bucket 1's row is read
+    // And the merge itself converges: second batch only touches bucket 1.
+    Load.upsertPartitioned(batch(1L, 12L), dir, Seq("slot"), "__version", "slot_bucket")
+    val got = spark.read.parquet(dir).select("slot", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "v0"), (11L, "v0"), (21L, "v0"), (12L, "v1")))
+  }
+
   test("writeAtomic stages then swaps, and re-run overwrites cleanly (S8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-load").toString + "/blocks"
     Load.writeAtomic(Seq((1L, "a")).toDF("slot", "v"), dir)
