@@ -383,6 +383,26 @@ object TrainingData {
         Multimodal.decodeImageStub(s, Multimodal.withMedia(Tables.documents(s, dir)))
           .toDF()
           .select("doc_id", "byte_len", "width", "height")
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ------------------------------------------------------------------
+    // M3 — video frame-sampling plan, oracle-checked: every 4th frame index
+    // as a pure expression over a synthetic frame count (len(text) mod 100
+    // stands in for a real duration column). sequence(0, n-1, k) == DuckDB
+    // range(0, n, k) for n >= 0, including the empty n=0 case.
+    Q(
+      "m3_frame_sampling",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), (length(col("text")) % 100).cast("long").as("n_frames"))
+          .select(
+            col("doc_id"), col("n_frames"),
+            Multimodal.frameSampleIndices(col("n_frames"), 4).as("frame_idx"))
+          .withColumn("n_sampled", size(col("frame_idx")).cast("long"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(length(text) % 100 AS BIGINT) AS n_frames,
+             |       CAST(range(0, length(text) % 100, 4) AS BIGINT[]) AS frame_idx,
+             |       CAST(len(range(0, length(text) % 100, 4)) AS BIGINT) AS n_sampled
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
