@@ -149,6 +149,29 @@ object Load {
     hasPartitions(root.getFileSystem(spark.sparkContext.hadoopConfiguration), root, bucketCol)
   }
 
+  /** Bucketed + sorted catalog table: the co-located-join layout. Both
+    * sides of a repeated equi-join (transactions ⋈ blocks on slot,
+    * instructions ⋈ transactions on signature) written with the same bucket
+    * count on the join key join WITHOUT an Exchange — the shuffle happens
+    * once at write time instead of once per query, which at 100 TB is the
+    * difference between a layout decision and a per-query network pass.
+    * (Spec: BucketedJoinSpec asserts the exchange-free plan.)
+    */
+  def writeBucketedTable(
+      df: DataFrame,
+      tableName: String,
+      bucketKeys: Seq[String],
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketKeys.head, bucketKeys.tail: _*)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(tableName)
+  }
+
   /** S8 — atomic batch write: stage to a temp dir then swap, so a failed job
     * never leaves a half-written table (the parquet analog of the
     * reference's single wrapping DB transaction, load.rs:162/286).
