@@ -52,6 +52,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(mismatch.isNullAt(0) && mismatch.isNullAt(1))
   }
 
+  test("aggregate top-k equals the row_number window formulation it replaced") {
+    import org.apache.spark.sql.expressions.Window
+    // The window form is the spec; the shipped CollectTopK aggregation must
+    // reproduce it row-for-row (rank, neighbor, bit-identical cosine).
+    val queries = emb.limit(7)
+    val k = 4
+    val agg = Similarity.bruteForceTopK(queries, emb, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+      Similarity.norm(col("embedding")).as("q_norm"))
+    val c = emb.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
+      Similarity.norm(col("embedding")).as("c_norm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val windowed = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(agg == windowed)
+    assert(agg.size == 7 * k)
+  }
+
   test("brute-force top-k: k rows per query, ranks dense, self excluded") {
     val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 4), emb, k = 5).cache()
     assert(out.count() == 4 * 5)
