@@ -88,19 +88,20 @@ object Dedup {
     * collide on several segments are deduped after the hamming filter.
     */
   /** SimHash bit vectors computed the distributed way (same rationale as
-    * [[minhashSignatures]]): explode tokens, one parity vote per (token,
-    * bit), re-aggregate with map-side-combined sums. Bit b is set when
-    * strictly more than half the tokens hash odd under seed b — identical
-    * semantics to [[TextFunctions.simhashBitVector]].
+    * [[minhashSignatures]]): explode tokens, hash each ONCE, one vote per
+    * bit of that 64-bit hash, re-aggregate with map-side-combined sums. Bit
+    * b is set when strictly more than half the tokens have bit b set in
+    * their hash — identical semantics to
+    * [[TextFunctions.simhashBitVector]] (DedupSpec cross-checks the two).
     */
   def simhashBitVectors(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bits = TextFunctions.SimhashBits
-    val exploded = docs.select(
-      col(idCol).as("id"),
-      explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val exploded = docs
+      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
     val aggs = (0 until bits).map(b =>
-      sum(pmod(xxhash64(col("w"), lit(b)), lit(2))).as(s"v$b")) :+ count(lit(1)).as("n")
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"v$b")) :+ count(lit(1)).as("n")
     exploded
       .groupBy("id")
       .agg(aggs.head, aggs.tail: _*)

@@ -145,13 +145,20 @@ object TextFunctions {
   // 16-bit prefix bucket for blocked pair generation.
   val SimhashBits = 64
 
+  /** Bit b votes 1 when strictly more than half the tokens have bit b set
+    * in their (single) 64-bit token hash — one xxhash64 per token yields all
+    * 64 pseudo-random bits, instead of re-hashing per bit (64x the hash
+    * work for no extra entropy). The distributed form
+    * (graft.dedup.Dedup.simhashBitVectors) derives bits identically;
+    * DedupSpec pins the equivalence via the blocked-join recall check.
+    */
   def simhashBitVector(text: Column): Column = {
     val t = tokens(text)
-    transform(
-      sequence(lit(0), lit(SimhashBits - 1)),
-      b => when(
-        size(filter(t, w => pmod(xxhash64(w, b), lit(2)) === 1)) * 2 > size(t), 1)
-        .otherwise(0))
+    val hs = transform(t, w => xxhash64(w))
+    array((0 until SimhashBits).map { b =>
+      when(size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1)) * 2 > size(t), 1)
+        .otherwise(0)
+    }: _*)
   }
 
   /** Pack the first `bits` simhash bits into an int — the blocking key. */
