@@ -47,7 +47,13 @@ object Dedup {
         col("id"),
         explode(array_distinct(TextFunctions.shinglesFromTokens(col("toks"), shingleN)))
           .as("shingle"))
-    val aggs = (0 until k).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
+      // Hash the variable-length shingle string to a long ONCE; the k seeded
+      // minhash functions then hash 8 fixed bytes each instead of re-walking
+      // the string k times. (Long arithmetic mixes like h1 + s*h2 are out:
+      // ANSI mode makes the intended wraparound throw.) The
+      // estimate-vs-exact-Jaccard property is pinned by DedupSpec.
+      .select(col("id"), xxhash64(col("shingle")).as("h1"))
+    val aggs = (0 until k).map(s => min(xxhash64(col("h1"), lit(s))).as(s"h$s"))
     exploded
       .groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
