@@ -141,6 +141,12 @@ class StreamingSpec extends SparkTestBase {
     assert(blocks.select("slot").distinct().count() == 12L)
     val txs = spark.read.parquet(s"$tables/transactions")
     assert(txs.select("signature").distinct().count() == 12L)
+    // Cross-bucket parents resolve: slot 12 (bucket 3) keeps parent 11
+    // (bucket 2, same batch); slot 11 (bucket 2) keeps landed parent 10 —
+    // the pruned probe scans the PARENT's bucket, not the incoming slot's.
+    val parents = blocks.filter("slot >= 11").select("slot", "parent_slot")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(parents == Map(11L -> 10L, 12L -> 11L))
   }
 
   test("run stats from streaming progress (A3)") {
