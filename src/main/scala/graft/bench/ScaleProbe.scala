@@ -1,0 +1,55 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.tables.Tables
+
+/** Scale probe: run the shuffle-heavy operators at Nx the sf corpus (id-
+  * offset unions — dup-heavy on purpose, the worst case for banded/blocked
+  * joins) and print per-op seconds at 1x and Nx. A healthy operator scales
+  * ~linearly in input; superlinear growth here is the local canary for the
+  * 100 TB cliff. Usage: runMain graft.bench.ScaleProbe [sfDir] [N]
+  */
+object ScaleProbe {
+
+  private def replicate(docs: DataFrame, copies: Int, idCol: String): DataFrame =
+    (0 until copies)
+      .map(i => docs.withColumn(idCol, col(idCol) + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+
+  private def time(label: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = f
+    println(f"[scaleprobe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val n = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark: SparkSession = GraftSession.fromEnv("graft-scaleprobe")
+
+    val docs1 = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val docsN = replicate(docs1, n, "doc_id")
+    val emb1 = Tables.embeddings(spark, sfDir)
+    val embN = replicate(emb1, n, "vec_id")
+    val planes = Similarity.randomPlanes(12, emb1.select("embedding").head.getSeq[Float](0).size)
+
+    for ((label, d) <- Seq("1x" -> docs1, s"${n}x" -> docsN)) {
+      time(s"exact_dedup $label")(Dedup.exact(d).count())
+      time(s"minhash_lsh $label")(Dedup.minhashLshPairs(d).count())
+      time(s"simhash $label")(Dedup.simhashPairs(d, maxHamming = 3).count())
+      time(s"jaccard_capped $label")(
+        Dedup.jaccardShinglePairs(d, threshold = 0.5, maxDocFreq = Some(100)).count())
+    }
+    for ((label, e) <- Seq("1x" -> emb1, s"${n}x" -> embN)) {
+      val queries = e.limit(20)
+      time(s"ann_lsh $label")(Similarity.lshTopK(queries, e, planes, k = 5).count())
+      time(s"embedding_neardup $label")(Similarity.nearDupPairs(e, planes, 0.95).count())
+    }
+    spark.stop()
+  }
+}

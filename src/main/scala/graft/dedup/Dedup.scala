@@ -93,11 +93,10 @@ object Dedup {
     * guaranteed recall while never comparing all pairs. Candidates that
     * collide on several segments are deduped after the hamming filter.
     */
-  /** SimHash bit vectors computed the distributed way (same rationale as
+  /** Packed SimHash computed the distributed way (same rationale as
     * [[minhashSignatures]]): explode tokens, hash each ONCE, one vote per
-    * bit of that 64-bit hash, re-aggregate with map-side-combined sums. Bit
-    * b is set when strictly more than half the tokens have bit b set in
-    * their hash — identical semantics to
+    * bit of that 64-bit hash, re-aggregate with map-side-combined sums,
+    * then pack the 64 majority bits into one long — identical semantics to
     * [[TextFunctions.simhashBitVector]] (DedupSpec cross-checks the two).
     */
   def simhashBitVectors(
@@ -112,8 +111,9 @@ object Dedup {
       .groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
-        array((0 until bits).map(b =>
-          when(col(s"v$b") * 2 > col("n"), 1).otherwise(0)): _*).as("bits"))
+        (0 until bits).map(b =>
+          when(col(s"v$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("bits"))
   }
 
   def simhashPairs(

@@ -140,48 +140,58 @@ object TextFunctions {
   }
 
   // -----------------------------------------------------------------------
-  // SimHash: 64 sign bits; bit b votes +1 when xxhash64(token, b) is odd.
-  // Represented as an array of 0/1 ints (hamming = sum of |a-b|), with a
-  // 16-bit prefix bucket for blocked pair generation.
+  // SimHash: 64 sign bits PACKED INTO ONE LONG. Bit b votes 1 when strictly
+  // more than half the tokens have bit b set in their (single) 64-bit token
+  // hash. The packed representation matters at scale: hamming distance is
+  // bit_count(a XOR b) — pure codegen'd integer ops in the pair-join inner
+  // loop — and shuffle rows carry 8 bytes instead of a 64-element array
+  // (the array + HOF-hamming form measured 84s for the 10x dup-heavy
+  // ScaleProbe re-rank; packed longs make the same re-rank integer-cheap).
   val SimhashBits = 64
 
-  /** Bit b votes 1 when strictly more than half the tokens have bit b set
-    * in their (single) 64-bit token hash — one xxhash64 per token yields all
-    * 64 pseudo-random bits, instead of re-hashing per bit (64x the hash
-    * work for no extra entropy). The distributed form
+  /** One xxhash64 per token yields all 64 pseudo-random bits (re-hashing
+    * per bit costs 64x for no extra entropy). The distributed form
     * (graft.dedup.Dedup.simhashBitVectors) derives bits identically;
     * DedupSpec pins the equivalence via the blocked-join recall check.
+    * Disjoint single-bit values combine with OR (never +: ANSI arithmetic
+    * has nothing to check, and bit 63 is the sign bit).
     */
   def simhashBitVector(text: Column): Column = {
     val t = tokens(text)
     val hs = transform(t, w => xxhash64(w))
-    array((0 until SimhashBits).map { b =>
-      when(size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1)) * 2 > size(t), 1)
-        .otherwise(0)
-    }: _*)
+    (0 until SimhashBits).map { b =>
+      when(size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1)) * 2 > size(t),
+        shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
   }
 
-  /** Pack the first `bits` simhash bits into an int — the blocking key. */
-  def simhashPrefix(bitVec: Column, bits: Int): Column =
-    aggregate(slice(bitVec, 1, bits), lit(0), (acc, x) => acc * 2 + x)
+  /** The low `bits` bits of the packed simhash — a single blocking key. */
+  def simhashPrefix(packed: Column, bits: Int): Column = {
+    require(bits > 0 && bits < SimhashBits)
+    packed.bitwiseAND(lit((1L << bits) - 1))
+  }
 
   /** Pigeonhole blocking keys: the 64 bits split into `nBlocks` contiguous
-    * segments, each packed to an int. Any two vectors within hamming
+    * segments, each extracted by shift+mask. Any two vectors within hamming
     * distance `nBlocks - 1` agree exactly on at least one segment, so
     * joining per (segment index, key) has guaranteed recall — unlike a
     * single-prefix block, which misses any pair whose differing bits land
     * in the prefix.
     */
-  def simhashBlockKeys(bitVec: Column, nBlocks: Int): Column = {
+  def simhashBlockKeys(packed: Column, nBlocks: Int): Column = {
     val bounds = (0 to nBlocks).map(i => i * SimhashBits / nBlocks)
     val segs = (0 until nBlocks).map { i =>
       val start = bounds(i)
       val len = bounds(i + 1) - start
-      aggregate(slice(bitVec, start + 1, len), lit(0), (acc, x) => acc * 2 + x)
+      val mask = if (len >= 64) lit(-1L) else lit((1L << len) - 1)
+      shiftright(packed, start).bitwiseAND(mask)
     }
     array(segs: _*)
   }
 
+  /** Hamming distance between two packed simhashes: popcount of the XOR —
+    * whole-stage-codegen integer ops, no per-pair array traversal.
+    */
   def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v)
+    bit_count(a.bitwiseXOR(b))
 }
