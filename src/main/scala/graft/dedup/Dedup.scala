@@ -163,6 +163,11 @@ object Dedup {
     * discrimination. Capping df bounds every join bucket at maxDocFreq² —
     * the standard inverted-index skew guard. None (default) keeps the exact
     * oracle-checkable semantics.
+    *
+    * Duplicate-heavy corpora are the remaining quadratic face (every copy
+    * pair shares EVERY shingle, and copies inflate df without tripping a
+    * per-copy cap): run [[exact]] dedup first and feed this the survivors —
+    * the pipeline order the ScaleProbe numbers assume.
     */
   def jaccardShinglePairs(
       docs: DataFrame, shingleN: Int = 3, threshold: Double = 0.5,
