@@ -312,6 +312,22 @@ object TrainingData {
       }),
 
     // ------------------------------------------------------------------
+    // E2a — multi-probe LSH: the query side also probes every
+    // one-bit-flip bucket (nPlanes+1 buckets per query), lifting recall
+    // without more hash tables or any corpus-side cost. Rows-only;
+    // recall(multi) >= recall(single) pinned in SimilaritySpec.
+    Q(
+      "e6_ann_lsh_multiprobe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val planes = Similarity.randomPlanes(nPlanes = 4, dim = 64)
+        Similarity.lshTopKMultiProbe(emb.filter(col("vec_id") < 8), emb, planes, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id")
+          .orderBy("query_id", "rnk")
+      }),
+
+    // ------------------------------------------------------------------
     // E2b — IVF ANN: the partition-pruned scale path (cells = stored-table
     // partitions at 100 TB; a query touches nProbe/C of the corpus).
     // Approximate: rows-only check; full-probe == brute-force equivalence

@@ -124,6 +124,29 @@ class SimilaritySpec extends SparkTestBase {
     info(f"LSH recall@5 = $recall%.2f (4 planes, 16 buckets)")
   }
 
+  test("multi-probe LSH recall >= single-probe recall, never exceeds brute force") {
+    val planes = Similarity.randomPlanes(4, 64)
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val single = recallOf(Similarity.lshTopK(queries, emb, planes, k = 5))
+    val multi = recallOf(Similarity.lshTopKMultiProbe(queries, emb, planes, k = 5))
+    assert(multi >= single, s"multi=$multi < single=$single")
+    assert(multi <= 1.0 + 1e-9)
+    // rank structure intact: <= k dense ranks per query
+    val mp = Similarity.lshTopKMultiProbe(queries, emb, planes, k = 5)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("maxr"))
+      .collect()
+    mp.foreach(r => assert(r.getLong(1) <= 5 && r.getLong(2) == r.getLong(1)))
+    info(f"LSH recall@5: single=$single%.2f multi-probe=$multi%.2f (4 planes)")
+  }
+
   test("IVF with full probe degrades to exact brute force") {
     val queries = emb.filter(col("vec_id") < 4)
     val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
