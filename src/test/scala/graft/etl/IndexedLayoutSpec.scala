@@ -35,4 +35,20 @@ class IndexedLayoutSpec extends SparkTestBase {
       .head.getDouble(0)
     assert(got == 32.0)
   }
+
+  test("text SQL surface registered via extensions (lang_id, simhash64, ...)") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT lang_id('the quick brown fox and the lazy dog') AS lang,
+        |       token_count('a b c') AS n,
+        |       hamming64(simhash64('aa bb cc dd'), simhash64('aa bb cc dd')) AS h_same,
+        |       hamming64(simhash64('aa bb cc dd'), simhash64('xx yy zz ww')) AS h_diff,
+        |       text_fingerprint('abc') = text_fingerprint('abc') AS fp_eq
+        |""".stripMargin).head
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 3L)
+    assert(r.getInt(2) == 0)
+    assert(r.getInt(3) > 0)
+    assert(r.getBoolean(4))
+  }
 }
