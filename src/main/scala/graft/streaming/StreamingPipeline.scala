@@ -55,11 +55,22 @@ object StreamingPipeline {
     * replayed signature (same block, same slot) always collides with its
     * prior version inside one bucket.
     */
+  /** Write-amplification note: `eagerDedup = true` (default) rewrites each
+    * touched bucket per batch — O(bucket) writes, right when batches are a
+    * sizable fraction of a bucket (backfill). For tail-following mode
+    * (small batches into a large live bucket) set `eagerDedup = false`:
+    * batches APPEND delta files (O(batch) writes) and buckets compact once
+    * they exceed a file-count threshold; readers take
+    * `Load.readDeduped(spark, path, keys, "__version")` for the LWW view
+    * of not-yet-compacted buckets (StreamingSpec pins the two modes land
+    * identical logical tables).
+    */
   def upsertBatch(
       batch: DataFrame,
       batchId: Long,
       tablesDir: String,
-      bucketSize: Long = DefaultBucketSize): Unit = {
+      bucketSize: Long = DefaultBucketSize,
+      eagerDedup: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val parsed = Extract.parseBlocks(batch.select("value")).cache()
     try {
@@ -83,7 +94,12 @@ object StreamingPipeline {
         else r.blocks.select("slot").limit(0)
       // The sink seam (MergeSink): parquet here; a database target swaps in
       // a JdbcMergeSink without touching the pipeline.
-      val sink: MergeSink = new PartitionedParquetMergeSink(tablesDir)
+      val sink: MergeSink =
+        if (eagerDedup) new PartitionedParquetMergeSink(tablesDir)
+        else new MergeSink {
+          def merge(b: DataFrame, table: String, keys: Seq[String]): Unit =
+            Load.appendPartitioned(b, s"$tablesDir/$table", keys, "__version", "slot_bucket")
+        }
       val blocks = Load.resolveParentSlots(r.blocks, existingSlots)
         .withColumn("slot_bucket", bucketOf(col("slot")))
         .withColumn("__version", lit(batchId))
@@ -105,11 +121,13 @@ object StreamingPipeline {
       maxSlotsPerTrigger: Option[Long] = None,
       trigger: Trigger = Trigger.AvailableNow(),
       startSlot: Option[Long] = None,
-      bucketSize: Long = DefaultBucketSize): StreamingQuery =
+      bucketSize: Long = DefaultBucketSize,
+      eagerDedup: Boolean = true): StreamingQuery =
     readBlockStream(spark, blocksDir, finalityLag, maxSlotsPerTrigger, startSlot)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((batch: DataFrame, id: Long) => upsertBatch(batch, id, tablesDir, bucketSize))
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        upsertBatch(batch, id, tablesDir, bucketSize, eagerDedup))
       .trigger(trigger)
       .start()
 

@@ -65,6 +65,36 @@ class LoadSpec extends SparkTestBase {
     assert(got == Set((1L, "v0"), (11L, "v0"), (21L, "v0"), (12L, "v1")))
   }
 
+  test("appendPartitioned compacts a bucket once past the file threshold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsm").toString + "/t"
+    def batch(version: Long, slots: Long*) =
+      slots.map(s => (s, s"v$version")).toDF("slot", "v")
+        .withColumn("slot_bucket", floor(col("slot") / 10).cast("long"))
+        .withColumn("__version", lit(version))
+    def bucketFiles(b: Long): Int =
+      Option(new java.io.File(s"$dir/slot_bucket=$b").listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    // Three appends of the same key: O(batch) writes, files accumulate...
+    Load.appendPartitioned(batch(0L, 1L), dir, Seq("slot"), "__version", "slot_bucket",
+      compactThreshold = 2)
+    Load.appendPartitioned(batch(1L, 1L), dir, Seq("slot"), "__version", "slot_bucket",
+      compactThreshold = 2)
+    assert(bucketFiles(0L) == 2) // under threshold: pure appends, no rewrite
+    assert(spark.read.parquet(dir).count() == 2) // both versions present raw
+    // ...third append crosses the threshold: the bucket compacts to one
+    // deduped file and the raw read IS the LWW view.
+    Load.appendPartitioned(batch(2L, 1L), dir, Seq("slot"), "__version", "slot_bucket",
+      compactThreshold = 2)
+    assert(bucketFiles(0L) == 1)
+    val rows = spark.read.parquet(dir).select("slot", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "v2")))
+    // readDeduped is stable across compacted and uncompacted states.
+    val dd = Load.readDeduped(spark, dir, Seq("slot"), "__version")
+      .select("slot", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dd == Seq((1L, "v2")))
+  }
+
   test("writeAtomic stages then swaps, and re-run overwrites cleanly (S8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-load").toString + "/blocks"
     Load.writeAtomic(Seq((1L, "a")).toDF("slot", "v"), dir)

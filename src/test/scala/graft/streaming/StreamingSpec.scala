@@ -149,6 +149,33 @@ class StreamingSpec extends SparkTestBase {
     assert(parents == Map(11L -> 10L, 12L -> 11L))
   }
 
+  test("append-mode (LSM) landing: replay piles delta files, readDeduped matches eager mode") {
+    import graft.etl.Load
+    val src = tmpDir("src"); val tablesE = tmpDir("tE"); val tablesA = tmpDir("tA")
+    writeSlots(src, 1L to 10L)
+    StreamingPipeline.start(spark, src, tablesE, tmpDir("cE"), finalityLag = 0L,
+      bucketSize = 4L).awaitTermination()
+    StreamingPipeline.start(spark, src, tablesA, tmpDir("cA"), finalityLag = 0L,
+      bucketSize = 4L, eagerDedup = false).awaitTermination()
+    // Fresh checkpoint = full replay: append mode lands a second version of
+    // every row as new delta files (no bucket rewrite)...
+    StreamingPipeline.start(spark, src, tablesA, tmpDir("cA2"), finalityLag = 0L,
+      bucketSize = 4L, eagerDedup = false).awaitTermination()
+    val raw = spark.read.parquet(s"$tablesA/blocks")
+    assert(raw.count() == 20L, "replayed rows should coexist as deltas pre-compaction")
+    // ...and the LWW read view converges to exactly the eager-mode table.
+    val dedup = Load.readDeduped(spark, s"$tablesA/blocks", Seq("slot"), "__version")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("slot", "blockhash", "parent_slot", "block_height").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSet
+    assert(dedup.count() == 10L)
+    assert(canon(dedup) == canon(spark.read.parquet(s"$tablesE/blocks")))
+    val txDedup = Load.readDeduped(
+      spark, s"$tablesA/transactions", Seq("signature"), "__version")
+    assert(txDedup.count() == 10L)
+  }
+
   test("run stats from streaming progress (A3)") {
     val src = tmpDir("src"); val tables = tmpDir("tables"); val ckpt = tmpDir("ckpt")
     writeSlots(src, 1L to 8L)
