@@ -48,6 +48,10 @@ object ScaleProbe {
     for ((label, e) <- Seq("1x" -> emb1, s"${n}x" -> embN)) {
       val queries = e.limit(20)
       time(s"ann_lsh $label")(Similarity.lshTopK(queries, e, planes, k = 5).count())
+      time(s"ann_lsh_multiprobe $label")(
+        Similarity.lshTopKMultiProbe(queries, e, planes, k = 5).count())
+      time(s"ann_ivf $label")(
+        Similarity.ivfTopK(queries, e, nCentroids = 32, nProbe = 4, k = 5).count())
       time(s"embedding_neardup $label")(Similarity.nearDupPairs(e, planes, 0.95).count())
     }
     spark.stop()
