@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSession
   *    cluster ~2-3x total cores.
   *  - `files.maxPartitionBytes` 128m keeps scan partitions executor-sized
   *    regardless of how many TB the table holds.
+  *  - zstd parquet compression: ~30% smaller files than snappy at
+  *    comparable scan speed — at 100 TB that is tens of TB of storage and
+  *    shuffle-read network off the bill.
   *  - UTC session timezone: timestamp semantics identical across engines
   *    (the DuckDB oracle compares raw values).
   */
@@ -28,6 +31,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "134217728")
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
