@@ -101,14 +101,18 @@ object Etl {
             col("program_id"),
             col("program_name"),
             col("instruction_type"),
-            col("accounts"),
+            // The driver's pandas sorter can only hash scalar columns, so
+            // arrays are JSON-stringified at the gate boundary; library
+            // callers get the array-typed frame from goldenResult().
+            to_json(col("accounts")).as("accounts"),
             col("data_hex"),
             col("data_decoded"))
           .orderBy("transaction_signature", "instruction_index"),
       Some("""SELECT transaction_signature,
              |       CAST(instruction_index AS BIGINT) AS instruction_index,
              |       program_id, program_name, instruction_type,
-             |       CAST(accounts AS VARCHAR[]) AS accounts, data_hex, data_decoded
+             |       CAST(to_json(CAST(accounts AS VARCHAR[])) AS VARCHAR) AS accounts,
+             |       data_hex, data_decoded
              |FROM (VALUES
              |  ('sig_b2_sol', 0, '11111111111111111111111111111111', 'System Program', 'transfer', NULL, NULL, '{"lamports":777,"source":"b2src","destination":"b2dst"}'),
              |  ('sig_checked', 0, 'TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA', 'Token Program', 'transferChecked', NULL, NULL, '{"source":"srcC","destination":"dstC","tokenAmount":{"amount":"5000","decimals":6}}'),

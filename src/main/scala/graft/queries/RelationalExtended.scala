@@ -32,8 +32,11 @@ object RelationalExtended {
             min(col("k")).as("min_k"),
             max(col("k")).as("max_k"))
           .orderBy("event_type"),
+      // CAST the sum: DuckDB types sum(BIGINT) as HUGEINT, which pandas
+      // materializes as float64 and breaks the driver's value hash even
+      // though the numbers are equal.
       Some("""SELECT event_type, count(*) AS n,
-             |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+             |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
              |       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
              |       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
@@ -257,12 +260,14 @@ object RelationalExtended {
       (s, dir) =>
         Tables.events(s, dir)
           .select(variant_get(parse_json(col("props")), "$.k", "long").as("k"))
-          .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+          // `%` (sign-of-dividend remainder) matches DuckDB's `%`; pmod
+          // would silently diverge on a future negative-k fixture.
+          .groupBy((col("k") % 10).as("k_mod"))
           .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
           .orderBy("k_mod"),
       Some("""SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
              |       count(*) AS n,
-             |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+             |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

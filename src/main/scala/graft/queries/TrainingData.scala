@@ -415,9 +415,12 @@ object TrainingData {
             col("doc_id"), col("n_frames"),
             Multimodal.frameSampleIndices(col("n_frames"), 4).as("frame_idx"))
           .withColumn("n_sampled", size(col("frame_idx")).cast("long"))
+          // JSON-stringified for the gate (the driver's pandas sorter can't
+          // hash array cells); frameSampleIndices itself stays array-typed.
+          .withColumn("frame_idx", to_json(col("frame_idx")))
           .orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(length(text) % 100 AS BIGINT) AS n_frames,
-             |       CAST(range(0, length(text) % 100, 4) AS BIGINT[]) AS frame_idx,
+             |       CAST(to_json(CAST(range(0, length(text) % 100, 4) AS BIGINT[])) AS VARCHAR) AS frame_idx,
              |       CAST(len(range(0, length(text) % 100, 4)) AS BIGINT) AS n_sampled
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
