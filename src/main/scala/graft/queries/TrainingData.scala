@@ -48,6 +48,24 @@ object TrainingData {
       |       WHERE doc_id % 20 = 0 AND len(string_split(text,' ')) > 3),
       |docs AS (SELECT * FROM base UNION ALL SELECT * FROM nd)""".stripMargin
 
+  /** Five embedded fixture docs for the hash-math goldens (d2/d3/t5
+    * goldens below). Expected outputs are computed by an independent
+    * pure-Python XXH64 implementation (tools/gen_hash_goldens.py, from the
+    * public xxHash spec) and pinned as VALUES — so the oracle verifies
+    * Spark's seeded hash chains, not just row counts. Docs 4/5 pin the
+    * short-doc edge branches (no shingles / fewer hashes than the window).
+    */
+  private def hashFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy cat today",
+      3L -> "pack my box with five dozen liquor jugs right now",
+      4L -> "tiny doc",
+      5L -> "alpha beta gamma delta epsilon zeta")
+      .toDF("doc_id", "text")
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // D1 — exact dedup: hash-groupBy, min-id survivor. The md5 group key
@@ -87,6 +105,64 @@ object TrainingData {
               .filter(col("doc_id") % 10 === 0)),
           maxHamming = 3)
           .orderBy("id_a", "id_b")),
+
+    // ------------------------------------------------------------------
+    // D2g — MinHash hash-math golden: signatures (k=8, 3-shingles) and LSH
+    // band hashes over the embedded fixture, hash-matched against VALUES
+    // computed by the independent XXH64 in tools/gen_hash_goldens.py. This
+    // pins the seeded chain xxhash64(xxhash64(shingle), s) and the band
+    // hash of the comma-joined signature slice. Doc 4 (< 3 tokens) must
+    // drop out. Arrays ride as JSON strings for the gate.
+    Q(
+      "d2_minhash_golden",
+      (s, _) =>
+        Dedup.minhashSignatures(hashFixture(s), k = 8, shingleN = 3)
+          .select(
+            col("id"),
+            to_json(col("sig")).as("sig_json"),
+            to_json(TextFunctions.minhashBands(col("sig"), 8, 4)).as("bands_json"))
+          .orderBy("id"),
+      Some("""SELECT CAST(id AS BIGINT) AS id, sig_json, bands_json FROM (VALUES
+             |  (1, '[-5722436853456277108,-8779152658124852842,-9159784625113025089,-6330060534990010533,-7844675635917701622,-7762890447744112800,-5713229304298846584,-7595342899530728689]', '[5845708411474845856,2598408902397914548,-5310964474313304870,7411894791099551886]'),
+             |  (2, '[-5722436853456277108,-8779152658124852842,-9159784625113025089,-6330060534990010533,-8018409560228242863,-7762890447744112800,-5713229304298846584,-7595342899530728689]', '[5845708411474845856,2598408902397914548,2000472716717822425,7411894791099551886]'),
+             |  (3, '[-8330213648873054453,-1829663586017008892,-6440732246003405742,-6084483870821430751,-8096148774800344097,-9145557883759399433,-6084004006066958659,-8778390777746486578]', '[6000162756353158341,-5125548641590374585,-4307417239369832702,109029642189615079]'),
+             |  (5, '[-1157160001859682027,-8818747605353479591,-6648525033903990123,-6300043121517588627,-5166828443251538397,-6418954844749698154,-3666814946968840702,-7432855428959415272]', '[3654177306207321851,-7140099830347041274,5991080331110633212,1662462556003704603]')
+             |) AS t(id, sig_json, bands_json) ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // D3g — SimHash hash-math golden: packed 64-bit vectors over the
+    // fixture (per-token xxhash64 bit votes, majority pack), pinned the
+    // same way. hamming(1,2)=3 on these values — the near-dup pair the
+    // blocked join must find (pinned in QueriesSpec).
+    Q(
+      "d3_simhash_golden",
+      (s, _) =>
+        Dedup.simhashBitVectors(hashFixture(s)).orderBy("id"),
+      Some("""SELECT CAST(id AS BIGINT) AS id, CAST(bits AS BIGINT) AS bits FROM (VALUES
+             |  (1, -7573889218870796078),
+             |  (2, -7573326268934217518),
+             |  (3, 2513367623438746246),
+             |  (4, 941252330795565794),
+             |  (5, -4534980957525890039)
+             |) AS t(id, bits) ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T5g — winnowing hash-math golden: rolling-hash fingerprints (k=5,
+    // w=4) over the fixture, pinned as JSON arrays. Doc 4 pins the
+    // no-shingles []; doc 5 pins the 0 < hashes < w single-min branch.
+    Q(
+      "t5_winnow_golden",
+      (s, _) =>
+        Dedup.winnowingFingerprints(hashFixture(s), k = 5, w = 4)
+          .select(col("id"), to_json(col("fps")).as("fps_json"))
+          .orderBy("id"),
+      Some("""SELECT CAST(id AS BIGINT) AS id, fps_json FROM (VALUES
+             |  (1, '[-5711067284744493187,-5253639980244416542]'),
+             |  (2, '[-5711067284744493187,-5253639980244416542,-9058875451568432476]'),
+             |  (3, '[-8305626617152642327]'),
+             |  (4, '[]'),
+             |  (5, '[939315736638357669]')
+             |) AS t(id, fps_json) ORDER BY id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // D4 — exact shingle-set Jaccard pairs via inverted-index join, with a

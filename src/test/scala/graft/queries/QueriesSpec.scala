@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
+import graft.dedup.Dedup
 
 /** Pins the gate-boundary conventions the driver's DuckDB compare relies
   * on: C-style `%` semantics for q23's k_mod (so a future negative-k
@@ -20,6 +21,24 @@ class QueriesSpec extends SparkTestBase {
     // pmod would give 3 for both, which is why q23 must not use pmod.
     assert(rows == Map(-17L -> -7L, -10L -> 0L, -7L -> -7L,
       0L -> 0L, 7L -> 7L, 10L -> 0L, 17L -> 7L))
+  }
+
+  test("hash-golden fixture: near-dup pair survives LSH banding and simhash blocking") {
+    // Same fixture as TrainingData.hashFixture; the d2/d3 goldens pin the
+    // hash values, this pins the end-to-end pair extraction on top of them.
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy cat today",
+      3L -> "pack my box with five dozen liquor jugs right now",
+      4L -> "tiny doc",
+      5L -> "alpha beta gamma delta epsilon zeta")
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashLshPairs(docs, k = 8, bands = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(mh == Seq((1L, 2L, 0.875)))   // 7 of 8 signature slots agree
+    val sh = Dedup.simhashPairs(docs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(sh == Seq((1L, 2L, 3L)))      // hamming(1,2)=3, found via blocks
   }
 
   test("to_json of array columns matches DuckDB to_json rendering") {
