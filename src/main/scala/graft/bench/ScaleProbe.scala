@@ -53,6 +53,16 @@ object ScaleProbe {
       time(s"ann_ivf $label")(
         Similarity.ivfTopK(queries, e, nCentroids = 32, nProbe = 4, k = 5).count())
       time(s"embedding_neardup $label")(Similarity.nearDupPairs(e, planes, 0.95).count())
+      // Hot-bucket guard: the Nx corpus multiplies every bucket's population
+      // by N (replicas are identical vectors), the quadratic worst case for
+      // the uncapped form above; the cap bounds each bucket's join at cap².
+      time(s"neardup_cap64 $label")(
+        Similarity.nearDupPairs(e, planes, 0.95, maxBucket = Some(64)).count())
+      // The 256-bucket ceiling: at 8 planes the Nx corpus crowds every
+      // bucket past the cap and pairs collapse toward zero — the measured
+      // form of "an over-cap bucket means add planes, not raise the cap".
+      time(s"neardup_cap64_8planes $label")(
+        Similarity.nearDupPairs(e, planes.take(8), 0.95, maxBucket = Some(64)).count())
     }
     spark.stop()
   }

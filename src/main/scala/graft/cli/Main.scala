@@ -59,7 +59,7 @@ object Main {
     if (end > tip - finalityLag)
       System.err.println(
         s"warning: end slot $end is past the finality horizon ${tip - finalityLag}; " +
-          "those slots are processed as they become available")
+          "slots beyond the current tip will not be processed by this run — re-run to pick them up")
     println(s"Processing slots [$start, $end] (tip $tip, finality lag $finalityLag)")
 
     // Batch run: one AvailableNow drain of the requested range, upserted

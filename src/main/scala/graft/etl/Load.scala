@@ -79,9 +79,14 @@ object Load {
     * analog of the reference's per-row `ON CONFLICT DO UPDATE`
     * (load.rs:185-204), where each conflict touches one B-tree page, not the
     * relation. Untouched partition directories are never rewritten (their
-    * files stay byte-identical), and a crash mid-swap is healed by the
-    * streaming replay: the checkpoint re-runs the batch and the LWW dedup
-    * converges to the same rows (ST5).
+    * files stay byte-identical). Each touched bucket swaps via old->aside,
+    * staged->live, drop-aside renames (the compactBucket pattern), so the
+    * bucket's prior contents are on disk at every step — a crash mid-swap
+    * leaves either the old or the new directory live (or the old
+    * recoverable from the aside), and checkpoint replay of the batch then
+    * converges via LWW dedup (ST5). A plain delete-then-rename would have
+    * a window where rows absent from the current batch are lost for good,
+    * because replay only re-runs the last micro-batch, not history.
     *
     * `incoming` must already carry `bucketCol` (derivable from the key) and
     * `versionCol`. Requires every duplicate of a key to land in the same
@@ -124,8 +129,15 @@ object Load {
       val src = new org.apache.hadoop.fs.Path(s"$tmp/$bucketCol=$b")
       val dst = new org.apache.hadoop.fs.Path(s"$path/$bucketCol=$b")
       if (fs.exists(src)) {
-        if (fs.exists(dst)) fs.delete(dst, true)
+        // Aside-rename (same pattern as compactBucket): never a moment
+        // where the bucket's prior rows exist nowhere on disk. The aside
+        // sits OUTSIDE the table root so partition discovery never sees it.
+        val aside = new org.apache.hadoop.fs.Path(s"$path.old-$b")
+        if (fs.exists(aside)) fs.delete(aside, true)
+        val hadOld = fs.exists(dst)
+        if (hadOld) fs.rename(dst, aside)
         fs.rename(src, dst)
+        if (hadOld) fs.delete(aside, true)
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -273,7 +285,14 @@ object Load {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(dst)) fs.delete(dst, true)
+    // Aside-rename rather than delete-then-rename: the previous table stays
+    // recoverable at every step even though a batch re-run would anyway
+    // regenerate the full output.
+    val aside = new org.apache.hadoop.fs.Path(path + ".old")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    val hadOld = fs.exists(dst)
+    if (hadOld) fs.rename(dst, aside)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    if (hadOld) fs.delete(aside, true)
   }
 }

@@ -45,6 +45,12 @@ object Similarity {
     * k * mappers. The sort key is (-cosine, neighbor_id): double negation
     * is bit-exact, so results hash-match the window form (pinned by the e1
     * oracle and SimilaritySpec).
+    *
+    * NaN cosines (zero-norm vectors: 0/0) are dropped before ranking. The
+    * window form and the heap would otherwise DISAGREE on them — a
+    * `cosine DESC` window ranks NaN first (Spark orders NaN as largest)
+    * while the heap's neg_cosine key sorts it last — so neither order is
+    * meaningful and zero-norm candidates are excluded outright.
     */
   private def topKPerQuery(cand: DataFrame, k: Int, extra: Seq[String] = Nil): DataFrame = {
     val item = struct(
@@ -52,6 +58,7 @@ object Similarity {
         col("neighbor_id").as("neighbor_id") +:
         extra.map(col): _*)
     cand
+      .filter(!isnan(col("cosine")))
       .groupBy("query_id")
       .agg(org.apache.spark.sql.graftnative.TopK.collectTopK(item, k, reverse = true).as("__top"))
       .select(col("query_id"), posexplode(array_sort(col("__top"))).as(Seq("__pos", "__item")))
@@ -237,13 +244,33 @@ object Similarity {
   /** Embedding near-duplicate pairs via LSH blocking: exact/near copies land
     * in the same bucket (identical vectors always do), so the pair join is
     * bucket-local. `threshold` on true cosine filters the candidates.
+    *
+    * `maxBucket` is the hot-bucket guard (same role as `maxDocFreq` in
+    * [[graft.dedup.Dedup.jaccardShinglePairs]]): the per-bucket self-join
+    * is quadratic in bucket population, so one pathological bucket — many
+    * near-identical embeddings at fixed nPlanes — dominates the whole job.
+    * With a cap, buckets over `maxBucket` members are dropped from the
+    * pair search, bounding every join bucket at cap² pairs; their members
+    * simply report no pairs. None (default) keeps the exact
+    * oracle-checkable semantics.
+    *
+    * Sizing note: nPlanes must grow with corpus size — 8 planes is only
+    * 256 buckets, so EVERY bucket averages N/256 members at corpus scale
+    * and the cap would drop everything. Aim for 2^nPlanes >> N/maxBucket;
+    * an over-cap bucket is the signal to add planes, not raise the cap.
     */
   def nearDupPairs(
       vectors: DataFrame, planes: Seq[Seq[Double]], threshold: Double,
+      maxBucket: Option[Int] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val withBucket = vectors.select(
+    val withBucket0 = vectors.select(
       col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"),
       lshBucket(col(vecCol), planes).as("bucket"))
+    val withBucket = maxBucket.fold(withBucket0) { cap =>
+      val keep = withBucket0.groupBy("bucket").agg(count(lit(1)).as("__pop"))
+        .filter(col("__pop") <= cap).select("bucket")
+      withBucket0.join(keep, "bucket")
+    }
     val a = withBucket.select(
       col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = withBucket.select(

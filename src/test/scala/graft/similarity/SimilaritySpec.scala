@@ -192,4 +192,34 @@ class SimilaritySpec extends SparkTestBase {
       .select("vec_id").collect().map(_.getLong(0)).map(id => (id, id + 1000000L)).toSet
     assert(pairs == injected)
   }
+
+  test("nearDupPairs hot-bucket cap drops exactly the over-populated buckets") {
+    // Plant a hot bucket: 40 extra copies of one vector (identical vectors
+    // always share a bucket) — the pathological shape whose self-join the
+    // cap must bound.
+    val hot = emb.filter(col("vec_id") === 0)
+    val hotCopies = (1 to 40)
+      .map(i => hot.withColumn("vec_id", lit(2000000L + i)))
+      .reduce(_ unionByName _)
+    val corpus = emb.select("vec_id", "embedding")
+      .unionByName(hotCopies.select("vec_id", "embedding"))
+    val planes = Similarity.randomPlanes(8, 64)
+    val cap = 20
+    val pairsOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsOf(Similarity.nearDupPairs(corpus, planes, 0.999))
+    val capped = pairsOf(Similarity.nearDupPairs(corpus, planes, 0.999, maxBucket = Some(cap)))
+    // Exact expected semantics: pairs whose (shared) bucket is over the cap
+    // vanish, everything else survives untouched.
+    val bucketOf = corpus
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val overCap = bucketOf.values.groupBy(identity).collect {
+      case (b, xs) if xs.size > cap => b
+    }.toSet
+    val expected = uncapped.filterNot { case (a, _) => overCap(bucketOf(a)) }
+    assert(overCap.nonEmpty)              // the planted bucket really is hot
+    assert(capped == expected)
+    assert(capped.subsetOf(uncapped))
+  }
 }
