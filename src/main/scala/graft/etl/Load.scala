@@ -181,11 +181,14 @@ object Load {
       .parquet(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    touched.foreach { b =>
+    val overThreshold = touched.filter { b =>
       val dir = new org.apache.hadoop.fs.Path(s"$path/$bucketCol=$b")
-      val nFiles = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
-      if (nFiles > compactThreshold) compactBucket(spark, path, b, keys, versionCol, bucketCol)
+      fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet")) > compactThreshold
     }
+    // All over-threshold buckets compact in ONE Spark job (partition-pruned
+    // read, one output file per bucket), not a per-bucket job loop — the
+    // driver must not serialize O(buckets) jobs at scale.
+    compactBuckets(spark, path, overThreshold, keys, versionCol, bucketCol)
   }
 
   /** Rewrite one bucket with duplicates resolved (LWW on `versionCol`),
@@ -197,27 +200,57 @@ object Load {
       bucket: Long,
       keys: Seq[String],
       versionCol: String,
+      bucketCol: String): Unit =
+    compactBuckets(spark, path, Seq(bucket), keys, versionCol, bucketCol)
+
+  /** Rewrite `buckets` with duplicates resolved (LWW on `versionCol`) in a
+    * single Spark job: one partition-pruned read over exactly those bucket
+    * directories, one shuffle on the bucket id (=> one output file per
+    * bucket), then a per-bucket aside-rename swap. Batching matters at
+    * scale — a micro-batch that trips N buckets over the threshold must
+    * not serialize N driver-side jobs.
+    */
+  def compactBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      buckets: Seq[Long],
+      keys: Seq[String],
+      versionCol: String,
       bucketCol: String): Unit = {
-    val dir = s"$path/$bucketCol=$bucket"
-    val deduped = upsert(
-      spark.read.parquet(dir).limit(0), spark.read.parquet(dir), keys, versionCol)
+    if (buckets.isEmpty) return
+    val slice = spark.read.parquet(path)
+      .withColumn(bucketCol, col(bucketCol).cast("long"))
+      .filter(col(bucketCol).isin(buckets: _*)) // partition-pruned
+    val deduped = upsert(slice.limit(0), slice, keys, versionCol)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     // Stage OUTSIDE the table root: a leftover dir under it would poison
     // partition discovery ("slot_bucket=2.compacting" parses as a value).
-    val tmp = new org.apache.hadoop.fs.Path(s"$path.compact-$bucket")
-    deduped.coalesce(1).sortWithinPartitions(keys.map(col): _*)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // old -> aside, staged -> live, drop aside. A crash between the renames
-    // leaves the bucket recoverable from the aside dir (same exposure as
-    // any rename-swap without a manifest; a table format's commit log is
-    // the production-grade answer).
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    val aside = new org.apache.hadoop.fs.Path(s"$path.old-$bucket")
-    if (fs.exists(aside)) fs.delete(aside, true)
-    fs.rename(dst, aside)
-    fs.rename(tmp, dst)
-    fs.delete(aside, true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compact-staging")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    deduped
+      .repartition(col(bucketCol))
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(bucketCol)
+      .parquet(tmp.toString)
+    // Per bucket: old -> aside, staged -> live, drop aside. A crash between
+    // the renames leaves the bucket recoverable from the aside dir (same
+    // exposure as any rename-swap without a manifest; a table format's
+    // commit log is the production-grade answer).
+    buckets.foreach { b =>
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/$bucketCol=$b")
+      if (fs.exists(src)) {
+        val dst = new org.apache.hadoop.fs.Path(s"$path/$bucketCol=$b")
+        val aside = new org.apache.hadoop.fs.Path(s"$path.old-$b")
+        if (fs.exists(aside)) fs.delete(aside, true)
+        val hadOld = fs.exists(dst)
+        if (hadOld) fs.rename(dst, aside)
+        fs.rename(src, dst)
+        if (hadOld) fs.delete(aside, true)
+      }
+    }
+    fs.delete(tmp, true)
   }
 
   /** The read view over an append-mode table: one row per key, newest

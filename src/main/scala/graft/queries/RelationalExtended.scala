@@ -252,6 +252,93 @@ object RelationalExtended {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Q24 — the LSM append/compact/read-dedup cycle under the oracle gate
+    // (SURVEY §2.1 S6/S7 in append mode): four micro-batches land via
+    // appendPartitioned with compactThreshold=2, so every bucket crosses
+    // the file threshold at least twice and compacts mid-sequence; the
+    // readDeduped view must still be exact last-write-wins. Batches carry
+    // ascending versions; later batches rewrite overlapping key slices.
+    Q(
+      "q24_lsm_append_compact",
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_lsm"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // A quarter of the key space in 4 buckets: the cycle's cost is per
+        // write/compaction JOB, not per row, so a slimmer table exercises
+        // identical semantics at a fraction of the bench time (bulk write
+        // throughput is etl_baseline_comparable's job, not this entry's).
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+          .filter(col("o_orderkey") % 4 === 1)
+          .withColumn("slot_bucket", (col("o_orderkey") % 16).cast("long"))
+        val batches = Seq(
+          o.withColumn("version", lit(1L)),
+          o.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 3)
+            .withColumn("version", lit(2L)),
+          o.filter(col("o_orderkey") % 5 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 5)
+            .withColumn("version", lit(3L)),
+          o.filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 7)
+            .withColumn("version", lit(4L)))
+        batches.foreach(b =>
+          graft.etl.Load.appendPartitioned(
+            b, tmp, Seq("o_orderkey"), "version", "slot_bucket", compactThreshold = 2))
+        graft.etl.Load.readDeduped(s, tmp, Seq("o_orderkey"), "version")
+          .select("o_orderkey", "o_totalprice", "version")
+          .orderBy("o_orderkey")
+      },
+      // LWW expectation in closed form: the highest-version batch touching
+      // each key wins (batch order = version order, so CASE checks %7
+      // first, then %5, then %3).
+      Some("""SELECT o_orderkey,
+             |       o_totalprice * CASE WHEN o_orderkey % 7 = 0 THEN 7
+             |                           WHEN o_orderkey % 5 = 0 THEN 5
+             |                           WHEN o_orderkey % 3 = 0 THEN 3
+             |                           ELSE 1 END AS o_totalprice,
+             |       CAST(CASE WHEN o_orderkey % 7 = 0 THEN 4
+             |                 WHEN o_orderkey % 5 = 0 THEN 3
+             |                 WHEN o_orderkey % 3 = 0 THEN 2
+             |                 ELSE 1 END AS BIGINT) AS version
+             |FROM orders WHERE o_orderkey % 4 = 1 ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q25 — the bucketed-catalog-table join surface under the oracle gate
+    // (SURVEY §4): both sides written via writeBucketedTable (8 buckets on
+    // the join key), read back from the catalog, equi-joined. Correctness
+    // is hash-matched against the plain join; the exchange-free physical
+    // plan is pinned separately by BucketedJoinSpec.
+    Q(
+      "q25_bucketed_join_catalog",
+      (s, dir) => {
+        // The in-memory catalog forgets tables across JVM runs but their
+        // warehouse directories persist; clear both or the second run dies
+        // with LOCATION_ALREADY_EXISTS.
+        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq("gate_b_orders", "gate_b_customer").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+        }
+        graft.etl.Load.writeBucketedTable(
+          Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+          "gate_b_orders", Seq("o_custkey"), 8, Seq("o_custkey"))
+        graft.etl.Load.writeBucketedTable(
+          Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment"),
+          "gate_b_customer", Seq("c_custkey"), 8, Seq("c_custkey"))
+        val ob = s.table("gate_b_orders")
+        val cb = s.table("gate_b_customer")
+        ob.join(cb, ob("o_custkey") === cb("c_custkey"))
+          .select("o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Q23 — VariantType: Spark 4's JSONB analog (SURVEY §1.2). props parses
     // once into a variant; typed extraction happens at query time — the
     // open-schema path, vs q9's string-functions path.
