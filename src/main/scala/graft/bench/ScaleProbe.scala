@@ -53,16 +53,28 @@ object ScaleProbe {
       time(s"ann_ivf $label")(
         Similarity.ivfTopK(queries, e, nCentroids = 32, nProbe = 4, k = 5).count())
       time(s"embedding_neardup $label")(Similarity.nearDupPairs(e, planes, 0.95).count())
-      // Hot-bucket guard: the Nx corpus multiplies every bucket's population
-      // by N (replicas are identical vectors), the quadratic worst case for
-      // the uncapped form above; the cap bounds each bucket's join at cap².
-      time(s"neardup_cap64 $label")(
-        Similarity.nearDupPairs(e, planes, 0.95, maxBucket = Some(64)).count())
-      // The 256-bucket ceiling: at 8 planes the Nx corpus crowds every
-      // bucket past the cap and pairs collapse toward zero — the measured
-      // form of "an over-cap bucket means add planes, not raise the cap".
-      time(s"neardup_cap64_8planes $label")(
-        Similarity.nearDupPairs(e, planes.take(8), 0.95, maxBucket = Some(64)).count())
+    }
+    // Hot-bucket guard probe: one vector duplicated 50x vs 50Nx (identical
+    // vectors always share a bucket) on top of the 1x corpus — the
+    // pathological skew nearDupPairs' maxBucket exists for. The uncapped
+    // pair count is quadratic in the hot bucket's population (N² growth);
+    // the capped form drops the over-cap bucket and stays flat.
+    val hot = emb1.limit(1).select("embedding")
+    def withHot(copies: Int) = emb1.select("vec_id", "embedding").unionByName(
+      hot.crossJoin(spark.range(copies).withColumnRenamed("id", "vec_id"))
+        .select(col("vec_id") + lit(90000000L) as "vec_id", col("embedding")))
+    for ((label, copies) <- Seq("1x" -> 50, s"${n}x" -> 50 * n)) {
+      val skewed = withHot(copies)
+      time(s"neardup_hot_uncapped $label")(
+        Similarity.nearDupPairs(skewed, planes, 0.95).count())
+      time(s"neardup_hot_cap64 $label")(
+        Similarity.nearDupPairs(skewed, planes, 0.95, maxBucket = Some(64)).count())
+      // The bucket-count ceiling at 8 planes (=256 buckets): with fewer
+      // buckets the background corpus itself crowds them, so the cap
+      // starts dropping non-pathological pairs too — the measured form of
+      // "an over-cap bucket means add planes, not raise the cap".
+      time(s"neardup_hot_cap64_8planes $label")(
+        Similarity.nearDupPairs(skewed, planes.take(8), 0.95, maxBucket = Some(64)).count())
     }
     spark.stop()
   }

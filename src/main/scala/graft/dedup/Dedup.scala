@@ -21,7 +21,16 @@ import graft.text.TextFunctions
   */
 object Dedup {
 
-  /** Exact dedup: one survivor (min id) per identical text. */
+  /** Exact dedup: one survivor (min id) per identical text.
+    *
+    * Grouping on md5(text) keeps shuffle rows small; the tradeoff is that
+    * an md5 COLLISION (never observed by chance at any realistic corpus
+    * size, but constructible adversarially — md5 is cryptographically
+    * broken) would merge two distinct documents. If the corpus is
+    * attacker-supplied and that matters, group on (xxhash64(text),
+    * md5(text)) or a 128/256-bit hash instead; parity with the reference
+    * needs only the md5 behavior.
+    */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
       .select(col(idCol), md5(col(textCol)).as("text_hash"))

@@ -66,6 +66,31 @@ object TrainingData {
       .toDF("doc_id", "text")
   }
 
+  /** Eight embedded fixture vectors for the ANN goldens. Every squared
+    * norm is a perfect square (4 or 9), so norms are exact doubles and
+    * each cosine is a single correctly-rounded IEEE division — values
+    * match the independent mirror (tools/gen_ann_goldens.py) bit for bit.
+    */
+  private def annFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      1L -> Array(2.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Array(1.0f, 1.0f, 1.0f, 1.0f),
+      3L -> Array(2.0f, 2.0f, 1.0f, 0.0f),
+      4L -> Array(1.0f, 1.0f, -1.0f, -1.0f),
+      5L -> Array(-2.0f, 0.0f, 0.0f, 0.0f),
+      6L -> Array(2.0f, -1.0f, 2.0f, 0.0f),
+      7L -> Array(0.0f, 0.0f, 2.0f, 0.0f),
+      8L -> Array(1.0f, -2.0f, 2.0f, 0.0f))
+      .toDF("vec_id", "embedding")
+  }
+
+  /** Literal axis hyperplanes (NOT the seeded Gaussian ones): bucket id =
+    * sign bits of the first two coordinates, hand-checkable.
+    */
+  private val annPlanes: Seq[Seq[Double]] =
+    Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // D1 — exact dedup: hash-groupBy, min-id survivor. The md5 group key
@@ -418,6 +443,103 @@ object TrainingData {
           .select("query_id", "rnk", "neighbor_id")
           .orderBy("query_id", "rnk")
       }),
+
+    // ------------------------------------------------------------------
+    // ANN hash-math goldens (e2g/e6g/e5g): the approximate family over a
+    // hand-computable fixture — 4-dim vectors whose squared norms are
+    // perfect squares (cosine = one correctly-rounded IEEE division, so
+    // values are bit-identical across engines) and literal axis
+    // hyperplanes. Expected outputs pinned as VALUES computed by the
+    // independent mirror in tools/gen_ann_goldens.py (IVF's centroid pick
+    // reuses the independent XXH64). Together with the sf-scale rows-only
+    // entries above, the whole ANN surface is now value-verified.
+    Q(
+      "e2_lsh_golden",
+      (s, _) =>
+        Similarity.lshTopK(annFixture(s), annFixture(s), annPlanes, k = 3)
+          .orderBy("query_id", "rank"),
+      Some("""SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+             |       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             |       CAST(cosine AS DOUBLE) AS cosine, CAST(bucket AS INTEGER) AS bucket
+             |FROM (VALUES
+             |  (1, 1, 6, 0.6666666666666666, 1),
+             |  (1, 2, 8, 0.3333333333333333, 1),
+             |  (2, 1, 3, 0.8333333333333334, 3),
+             |  (2, 2, 4, 0.0, 3),
+             |  (3, 1, 2, 0.8333333333333334, 3),
+             |  (3, 2, 4, 0.5, 3),
+             |  (4, 1, 3, 0.5, 3),
+             |  (4, 2, 2, 0.0, 3),
+             |  (5, 1, 7, 0.0, 0),
+             |  (6, 1, 8, 0.8888888888888888, 1),
+             |  (6, 2, 1, 0.6666666666666666, 1),
+             |  (7, 1, 5, 0.0, 0),
+             |  (8, 1, 6, 0.8888888888888888, 1),
+             |  (8, 2, 1, 0.3333333333333333, 1)
+             |) AS t(query_id, rank, neighbor_id, cosine, bucket)
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
+      "e6_multiprobe_golden",
+      (s, _) =>
+        Similarity.lshTopKMultiProbe(annFixture(s), annFixture(s), annPlanes, k = 3)
+          .orderBy("query_id", "rank"),
+      Some("""SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+             |       CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(cosine AS DOUBLE) AS cosine
+             |FROM (VALUES
+             |  (1, 1, 3, 0.6666666666666666),
+             |  (1, 2, 6, 0.6666666666666666),
+             |  (1, 3, 2, 0.5),
+             |  (2, 1, 3, 0.8333333333333334),
+             |  (2, 2, 1, 0.5),
+             |  (2, 3, 6, 0.5),
+             |  (3, 1, 2, 0.8333333333333334),
+             |  (3, 2, 1, 0.6666666666666666),
+             |  (3, 3, 4, 0.5),
+             |  (4, 1, 1, 0.5),
+             |  (4, 2, 3, 0.5),
+             |  (4, 3, 2, 0.0),
+             |  (5, 1, 7, 0.0),
+             |  (5, 2, 8, -0.3333333333333333),
+             |  (5, 3, 6, -0.6666666666666666),
+             |  (6, 1, 8, 0.8888888888888888),
+             |  (6, 2, 1, 0.6666666666666666),
+             |  (6, 3, 7, 0.6666666666666666),
+             |  (7, 1, 6, 0.6666666666666666),
+             |  (7, 2, 8, 0.6666666666666666),
+             |  (7, 3, 1, 0.0),
+             |  (8, 1, 6, 0.8888888888888888),
+             |  (8, 2, 7, 0.6666666666666666),
+             |  (8, 3, 1, 0.3333333333333333)
+             |) AS t(query_id, rank, neighbor_id, cosine)
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
+      "e5_ivf_golden",
+      (s, _) =>
+        Similarity.ivfTopK(annFixture(s), annFixture(s), nCentroids = 3, nProbe = 2, k = 2)
+          .orderBy("query_id", "rank"),
+      Some("""SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+             |       CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(cosine AS DOUBLE) AS cosine
+             |FROM (VALUES
+             |  (1, 1, 3, 0.6666666666666666),
+             |  (1, 2, 2, 0.5),
+             |  (2, 1, 3, 0.8333333333333334),
+             |  (2, 2, 1, 0.5),
+             |  (3, 1, 2, 0.8333333333333334),
+             |  (3, 2, 1, 0.6666666666666666),
+             |  (4, 1, 1, 0.5),
+             |  (4, 2, 3, 0.5),
+             |  (5, 1, 7, 0.0),
+             |  (5, 2, 8, -0.3333333333333333),
+             |  (6, 1, 8, 0.8888888888888888),
+             |  (6, 2, 1, 0.6666666666666666),
+             |  (7, 1, 6, 0.6666666666666666),
+             |  (7, 2, 8, 0.6666666666666666),
+             |  (8, 1, 6, 0.8888888888888888),
+             |  (8, 2, 7, 0.6666666666666666)
+             |) AS t(query_id, rank, neighbor_id, cosine)
+             |ORDER BY query_id, rank""".stripMargin)),
 
     // ------------------------------------------------------------------
     // E3 — embedding table profile: per-label counts and dimensionality.

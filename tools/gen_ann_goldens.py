@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Generate golden VALUES for the ANN family (e2 LSH / e5 IVF / e6
+multi-probe) over a hand-computable fixture.
+
+Fixture design makes floating point a non-issue: 4-dim vectors whose
+squared norm is exactly 4 (norm 2.0, sqrt exact), so every pairwise
+cosine is dot/4 — an exact small-rational double. Literal hyperplanes
+(not the seeded Gaussian ones) make bucket ids sign-of-coordinate.
+
+The only hashing involved is the IVF centroid pick (xxhash64 of the
+vec_id), mirrored via the independent XXH64 in gen_hash_goldens.py.
+
+Usage: python3 tools/gen_ann_goldens.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from gen_hash_goldens import spark_xxh_long  # noqa: E402
+
+# (vec_id, vector) — every squared norm is a PERFECT SQUARE, so norms are
+# exact small doubles (sqrt(4)=2.0, sqrt(9)=3.0) and cosine is a single
+# correctly-rounded IEEE division — bit-identical in the JVM and here.
+FIXTURE = [
+    (1, (2, 0, 0, 0)),
+    (2, (1, 1, 1, 1)),
+    (3, (2, 2, 1, 0)),
+    (4, (1, 1, -1, -1)),
+    (5, (-2, 0, 0, 0)),
+    (6, (2, -1, 2, 0)),
+    (7, (0, 0, 2, 0)),
+    (8, (1, -2, 2, 0)),
+]
+PLANES = [(1, 0, 0, 0), (0, 1, 0, 0)]
+K = 3
+
+
+def dot(a, b):
+    return sum(x * y for x, y in zip(a, b))
+
+
+import math  # noqa: E402
+
+
+def nrm(v):
+    s = dot(v, v)
+    r = math.isqrt(s)
+    assert r * r == s, f"norm² {s} of {v} is not a perfect square"
+    return float(r)
+
+
+for _, v in FIXTURE:
+    nrm(v)
+
+
+def cosine(a, b):
+    return dot(a, b) / (nrm(a) * nrm(b))
+
+
+def bucket(v):
+    return sum((1 << i) for i, p in enumerate(PLANES) if dot(v, p) > 0)
+
+
+def topk(query_id, q_vec, cands, k):
+    """Mirrors topKPerQuery: sort by (-cosine, neighbor_id), take k,
+    dense ranks from 1. cands: [(id, vec)] excluding self already."""
+    scored = sorted(((cosine(q_vec, cv), cid) for cid, cv in cands),
+                    key=lambda t: (-t[0], t[1]))[:k]
+    return [(query_id, r + 1, cid, cos) for r, (cos, cid) in enumerate(scored)]
+
+
+def fmt_rows(rows):
+    return ",\n".join("  |  (%s)" % ", ".join(repr(x) for x in r) for r in rows)
+
+
+def main():
+    print("== fixture (Scala Seq) ==")
+    for i, v in FIXTURE:
+        print(f"  ({i}L, Array({', '.join(str(float(x)) + 'f' for x in v)})),")
+
+    # ---- e2: single-bucket LSH top-k --------------------------------
+    rows = []
+    for qid, qv in FIXTURE:
+        b = bucket(qv)
+        cands = [(cid, cv) for cid, cv in FIXTURE if cid != qid and bucket(cv) == b]
+        rows += [(q, r, n, c, b) for (q, r, n, c) in topk(qid, qv, cands, K)]
+    print("\n== e2_lsh_golden VALUES (query_id, rank, neighbor_id, cosine, bucket) ==")
+    print(fmt_rows(rows))
+
+    # ---- e6: multi-probe (bucket + all one-bit flips) ---------------
+    rows = []
+    for qid, qv in FIXTURE:
+        b0 = bucket(qv)
+        probes = {b0} | {b0 ^ (1 << i) for i in range(len(PLANES))}
+        cands = [(cid, cv) for cid, cv in FIXTURE
+                 if cid != qid and bucket(cv) in probes]
+        rows += topk(qid, qv, cands, K)
+    print("\n== e6_multiprobe_golden VALUES (query_id, rank, neighbor_id, cosine) ==")
+    print(fmt_rows(rows))
+
+    # ---- e5: IVF ----------------------------------------------------
+    n_centroids, n_probe, k_ivf = 3, 2, 2
+    # Centroid pick: the C ids with smallest (xxhash64(id), id); dense
+    # centroid_id 0..C-1 follows cid_src sort order.
+    picked = sorted(FIXTURE, key=lambda t: (spark_xxh_long(t[0], 42), t[0]))[:n_centroids]
+    picked = sorted(picked, key=lambda t: t[0])
+    centroids = [(ci, vid, v) for ci, (vid, v) in enumerate(picked)]
+    print("\n-- IVF centroids (centroid_id <- vec_id):",
+          [(ci, vid) for ci, vid, _ in centroids])
+    # Assignment: argmax cosine; assert no ties so max_by is deterministic.
+    assign = {}
+    for vid, v in FIXTURE:
+        scored = sorted(((cosine(v, cv), ci) for ci, _, cv in centroids),
+                        key=lambda t: (-t[0], t[1]))
+        assert len(scored) < 2 or scored[0][0] != scored[1][0], \
+            f"cosine tie assigning {vid}: {scored} — adjust the fixture"
+        assign[vid] = scored[0][1]
+    print("-- IVF assignment:", assign)
+    rows = []
+    for qid, qv in FIXTURE:
+        probes = [ci for _, ci in sorted(
+            ((cosine(qv, cv), ci) for ci, _, cv in centroids),
+            key=lambda t: (-t[0], t[1]))[:n_probe]]
+        cands = [(cid, cv) for cid, cv in FIXTURE
+                 if cid != qid and assign[cid] in probes]
+        rows += topk(qid, qv, cands, k_ivf)
+    print("\n== e5_ivf_golden VALUES (query_id, rank, neighbor_id, cosine) ==")
+    print(fmt_rows(rows))
+
+
+if __name__ == "__main__":
+    main()
