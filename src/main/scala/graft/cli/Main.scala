@@ -3,7 +3,7 @@ package graft.cli
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{FileSlotRpc, StreamingPipeline}
+import graft.streaming.{FileSlotRpc, RetryingSlotRpc, StreamingPipeline}
 
 /** Entry point mirroring the reference's `main()` flow (SURVEY §3):
   * resolve the slot range against the chain tip (file-backed), run the
@@ -46,7 +46,7 @@ object Main {
 
   def run(spark: SparkSession, cfg: Config, blocksDir: String, tablesDir: String): Unit = {
     val finalityLag = 20L
-    val rpc = new FileSlotRpc(blocksDir)
+    val rpc = new RetryingSlotRpc(new FileSlotRpc(blocksDir))
     val tip = rpc.tipSlot().getOrElse(sys.error(s"no <slot>.json blocks found under $blocksDir"))
 
     // main.rs:90-98 range resolution against the tip: an explicit

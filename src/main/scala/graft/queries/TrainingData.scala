@@ -600,6 +600,56 @@ object TrainingData {
           .orderBy("doc_id")),
 
     // ------------------------------------------------------------------
+    // M2g/M4g — the multimodal stub pipeline pinned end to end over the
+    // five-doc fixture: decode (Arrays.hashCode-derived dimensions +
+    // float32 features, each emitted as its exact double) and the
+    // aspect-fit resize arithmetic. VALUES computed by the independent
+    // mirror in tools/gen_multimodal_goldens.py, so the mapPartitions/
+    // Encoder contract is value-verified even though the pixel work is a
+    // documented stub. m2 at sf-scale stays rows-only (stub by env).
+    Q(
+      "m2_decode_golden",
+      (s, _) =>
+        Multimodal.decodeImageStub(s, Multimodal.withMedia(hashFixture(s))).toDF()
+          .select(
+            Seq(col("doc_id"), col("byte_len"), col("width"), col("height")) ++
+              (0 until 8).map(i => get(col("features"), lit(i)).cast("double").as(s"f$i")): _*)
+          .orderBy("doc_id"),
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(byte_len AS BIGINT) AS byte_len,
+             |       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+             |       CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+             |       CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+             |       CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+             |       CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+             |FROM (VALUES
+             |  (1, 49, 179, 438, 0.9789999723434448, 0.48899999260902405, 0.6589999794960022, 0.24400000274181366, 0.9950000047683716, 0.8289999961853027, 0.13899999856948853, 0.621999979019165),
+             |  (2, 49, 461, 454, 0.19699999690055847, 0.5989999771118164, 0.39899998903274536, 0.30000001192092896, 0.4399999976158142, 0.20000000298023224, 0.8859999775886536, 0.6499999761581421),
+             |  (3, 49, 454, 229, 0.5820000171661377, 0.29100000858306885, 0.1940000057220459, 0.14499999582767487, 0.11599999666213989, 0.09700000286102295, 0.9399999976158142, 0.07199999690055847),
+             |  (4, 8, 345, 233, 0.08100000023841858, 0.5400000214576721, 0.6930000185966492, 0.27000001072883606, 0.6159999966621399, 0.8460000157356262, 0.010999999940395355, 0.6349999904632568),
+             |  (5, 35, 476, 387, 0.5799999833106995, 0.7900000214576721, 0.8600000143051147, 0.8949999809265137, 0.9160000085830688, 0.9300000071525574, 0.796999990940094, 0.9470000267028809)
+             |) AS t(doc_id, byte_len, width, height, f0, f1, f2, f3, f4, f5, f6, f7)
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "m4_resize_golden",
+      (s, _) =>
+        Multimodal.resizeStub(
+          s, Multimodal.decodeImageStub(s, Multimodal.withMedia(hashFixture(s))), 96, 96)
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+             |       CAST(out_width AS INTEGER) AS out_width, CAST(out_height AS INTEGER) AS out_height
+             |FROM (VALUES
+             |  (1, 179, 438, 39, 96),
+             |  (2, 461, 454, 96, 95),
+             |  (3, 454, 229, 96, 48),
+             |  (4, 345, 233, 96, 65),
+             |  (5, 476, 387, 96, 78)
+             |) AS t(doc_id, width, height, out_width, out_height)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // M3 — video frame-sampling plan, oracle-checked: every 4th frame index
     // as a pure expression over a synthetic frame count (len(text) mod 100
     // stands in for a real duration column). sequence(0, n-1, k) == DuckDB

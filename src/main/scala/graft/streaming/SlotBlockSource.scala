@@ -94,6 +94,27 @@ final case class ConnectionInfo(
     currentSlot: Long,
     timestampSecs: Long)
 
+/** ST4 — retrying decorator over any [[SlotRpc]]: every call retries
+  * transient (IO) failures with the reference's linear-backoff schedule
+  * (graft.util.Retry; ref src/pipeline.rs:187-243). Wrapping at the RPC
+  * seam keeps the source/pipeline code retry-oblivious, and composes with
+  * Spark task retries + the idempotent sink for non-transient crashes.
+  */
+final class RetryingSlotRpc(
+    inner: SlotRpc,
+    maxRetries: Int = 3,
+    delayMs: Long = 2000L,
+    sleeper: Long => Unit = Thread.sleep) extends SlotRpc {
+  private def retry[T](f: => T): T =
+    graft.util.Retry.withBackoff(maxRetries, delayMs, sleeper = sleeper)(f)
+
+  override def tipSlot(): Option[Long] = retry(inner.tipSlot())
+  override def availableSlots(fromExclusive: Long, toInclusive: Long): Seq[Long] =
+    retry(inner.availableSlots(fromExclusive, toInclusive))
+  override def blockJson(slot: Long): Option[String] = retry(inner.blockJson(slot))
+  override def serverVersion(): String = retry(inner.serverVersion())
+}
+
 /** Reads `<slot>.json` files from a local/DFS-visible directory. */
 final class FileSlotRpc(dir: String) extends SlotRpc {
   private def slotFiles(): Seq[(Long, java.io.File)] = {
@@ -134,7 +155,10 @@ class SlotBlockTable(properties: Map[String, String]) extends Table with Support
         override def readSchema(): StructType = SlotBlockSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new SlotBlockMicroBatchStream(
-            new FileSlotRpc(path),
+            new RetryingSlotRpc(
+              new FileSlotRpc(path),
+              maxRetries = properties.getOrElse("maxretries",
+                properties.getOrElse("maxRetries", "3")).toInt),
             path,
             finalityLag = properties.getOrElse("finalitylag",
               properties.getOrElse("finalityLag", "20")).toLong,
@@ -228,7 +252,7 @@ class SlotPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SlotInputPartition]
     new PartitionReader[InternalRow] {
-      private val rpc = new FileSlotRpc(p.dir)
+      private val rpc = new RetryingSlotRpc(new FileSlotRpc(p.dir))
       private val rows: Iterator[(Long, String)] = p.slots.iterator.flatMap { slot =>
         rpc.blockJson(slot).iterator.flatMap(_.split('\n')).filter(_.nonEmpty).map(slot -> _)
       }
