@@ -102,4 +102,25 @@ class LoadSpec extends SparkTestBase {
     Load.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("slot", "v"), dir)
     assert(spark.read.parquet(dir).count() == 2)
   }
+
+  test("swaps leave no staging/aside debris next to the table") {
+    // The aside-rename dance (upsertPartitioned, compactBuckets,
+    // writeAtomic) stages SIBLING dirs of the table root; after a
+    // successful swap every one of them must be gone, or retries would
+    // resurrect stale data and partition discovery of a parent dir would
+    // see junk.
+    val root = java.nio.file.Files.createTempDirectory("graft-debris")
+    val dir = root.toString + "/t"
+    def batch(version: Long, slots: Long*) =
+      slots.map(s => (s, s"v$version")).toDF("slot", "v")
+        .withColumn("slot_bucket", floor(col("slot") / 10).cast("long"))
+        .withColumn("__version", lit(version))
+    Load.upsertPartitioned(batch(0L, 1L, 11L), dir, Seq("slot"), "__version", "slot_bucket")
+    Load.upsertPartitioned(batch(1L, 1L), dir, Seq("slot"), "__version", "slot_bucket")
+    Load.appendPartitioned(batch(2L, 1L), dir, Seq("slot"), "__version", "slot_bucket",
+      compactThreshold = 1)  // forces a compaction pass too
+    Load.writeAtomic(Seq((9L, "z")).toDF("slot", "v"), root.toString + "/atomic")
+    val siblings = Option(root.toFile.listFiles()).toSeq.flatten.map(_.getName).toSet
+    assert(siblings == Set("t", "atomic"), s"unexpected debris: $siblings")
+  }
 }
