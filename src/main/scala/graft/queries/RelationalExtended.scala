@@ -339,6 +339,71 @@ object RelationalExtended {
              |ORDER BY o_orderkey""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Q26 — exact interpolated percentiles per group (the percentile_cont
+    // analytics the reference delegates to Postgres): Spark `percentile`
+    // and DuckDB `quantile_cont` both sort exactly and linearly
+    // interpolate, so values hash-match without approximation.
+    Q(
+      "q26_percentiles",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+            percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+            percentile(col("o_totalprice"), lit(0.99)).as("p99"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |       quantile_cont(o_totalprice, 0.5) AS p50,
+             |       quantile_cont(o_totalprice, 0.9) AS p90,
+             |       quantile_cont(o_totalprice, 0.99) AS p99
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q27 — batch sessionization (SURVEY §2.8 ST6's semantics under the
+    // oracle gate): a 30-minute inactivity gap starts a new session;
+    // session id = running count of gap boundaries per user. The streaming
+    // path implements the same semantics with flatMapGroupsWithState
+    // (StreamingSpec); this pins the assignment logic against SQL.
+    Q(
+      "q27_sessionize_batch",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("boundary",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx", sum(col("boundary")).over(w))
+          .groupBy("user_id", "session_idx")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("event_id")).as("first_event"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts,
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |b AS (
+             |  SELECT *, CASE WHEN prev_ts IS NULL
+             |                   OR date_diff('second', prev_ts, ts) > 1800
+             |                 THEN 1 ELSE 0 END AS boundary FROM e),
+             |s AS (
+             |  SELECT *, CAST(sum(boundary) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
+             |  FROM b)
+             |SELECT user_id, session_idx, count(*) AS n_events,
+             |       CAST(min(event_id) AS BIGINT) AS first_event,
+             |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Q23 — VariantType: Spark 4's JSONB analog (SURVEY §1.2). props parses
     // once into a variant; typed extraction happens at query time — the
     // open-schema path, vs q9's string-functions path.
