@@ -284,6 +284,72 @@ object TrainingData {
       }),
 
     // ------------------------------------------------------------------
+    // T7 — the composite curation pipeline a training-data user actually
+    // runs, end to end under one oracle: language filter (en) → quality
+    // gates (token count, type-token ratio) → exact dedup of survivors →
+    // surviving docs with their metrics and copy counts. Each stage is
+    // individually oracled (t1/t2/d1); this pins their COMPOSITION — one
+    // scan, filters evaluated before the dedup shuffle, and the metrics
+    // carried THROUGH the group-by (copies share identical text, hence
+    // identical metrics) rather than joined back, which would rescan the
+    // corpus — the difference between one pass and three at 100 TB.
+    Q(
+      "t7_curation_pipeline",
+      (s, dir) => {
+        val scored = docsWithExactDups(s, dir).select(
+          col("doc_id"), col("text"),
+          TextFunctions.langId(col("text")).as("lang"),
+          TextFunctions.nTokens(col("text")).as("n_tokens"),
+          TextFunctions.distinctRatio(col("text")).as("distinct_ratio"))
+        val kept = scored.filter(
+          col("lang") === "en" &&
+            col("n_tokens").between(20, 1000) &&
+            col("distinct_ratio") > 0.3)
+        kept
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(
+            min(col("doc_id")).as("doc_id"),
+            min(col("lang")).as("lang"),
+            min(col("n_tokens")).as("n_tokens"),
+            min(col("distinct_ratio")).as("distinct_ratio"),
+            count(lit(1)).as("n_copies"))
+          .select("doc_id", "lang", "n_tokens", "distinct_ratio", "text_hash", "n_copies")
+          .orderBy("doc_id")
+      },
+      Some {
+        val hitExprs = TextFunctions.stopwords.map { case (lang, ws) =>
+          s"len(list_filter(string_split(text,' '), w -> w IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$lang"
+        }.mkString(",\n       ")
+        val langs = TextFunctions.stopwords.map(_._1)
+        val cases = langs.zipWithIndex.map { case (l, i) =>
+          val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+          s"WHEN ${(s"s_$l > 0" +: later).mkString(" AND ")} THEN '$l'"
+        }.mkString("\n         ")
+        s"""WITH docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+           |hits AS (SELECT doc_id, text,
+           |       $hitExprs FROM docs),
+           |scored AS (SELECT doc_id, text,
+           |         CASE
+           |         $cases
+           |         ELSE 'und' END AS lang,
+           |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+           |         CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+           |           / len(string_split(text,' ')) AS distinct_ratio
+           |         FROM hits),
+           |kept AS (SELECT * FROM scored
+           |         WHERE lang = 'en' AND n_tokens BETWEEN 20 AND 1000
+           |           AND distinct_ratio > 0.3)
+           |SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+           |       CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+           |       min(distinct_ratio) AS distinct_ratio,
+           |       md5(text) AS text_hash, count(*) AS n_copies
+           |FROM kept GROUP BY text ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // T2 — quality-score ratios (length, type-token, avg token length,
     // punctuation, stopword density).
     Q(
