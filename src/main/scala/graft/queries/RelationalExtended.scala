@@ -404,6 +404,29 @@ object RelationalExtended {
              |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Q28 — skew-salted join under the oracle gate: saltedJoin spreads each
+    // left key across 8 salts and replicates the right side per salt, so
+    // no task owns a whole hot key; the result must be IDENTICAL to the
+    // plain equi-join, which is exactly what the oracle states. (AQE skew
+    // splitting is the first line of defense; salting is for keys hot
+    // enough that one split partition still stalls.)
+    Q(
+      "q28_salted_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+        val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+        graft.util.Salting.saltedJoin(li, p, Seq("p_partkey"), numSalts = 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Q23 — VariantType: Spark 4's JSONB analog (SURVEY §1.2). props parses
     // once into a variant; typed extraction happens at query time — the
     // open-schema path, vs q9's string-functions path.
