@@ -44,6 +44,16 @@ object ScaleProbe {
       time(s"simhash $label")(Dedup.simhashPairs(d, maxHamming = 3).count())
       time(s"jaccard_capped $label")(
         Dedup.jaccardShinglePairs(d, threshold = 0.5, maxDocFreq = Some(100)).count())
+      // The documented pipeline order for duplicate-heavy corpora: exact
+      // dedup FIRST, then shingle Jaccard over the survivors. On the 10x
+      // replica corpus this collapses the inverted index back to 1x size —
+      // copies share every shingle, so skipping this step multiplies every
+      // df (and each bucket's quadratic join) by the copy count.
+      time(s"jaccard_dedup_first $label") {
+        val surv = Dedup.exact(d).select("doc_id")
+        Dedup.jaccardShinglePairs(
+          d.join(surv, "doc_id"), threshold = 0.5, maxDocFreq = Some(100)).count()
+      }
     }
     for ((label, e) <- Seq("1x" -> emb1, s"${n}x" -> embN)) {
       val queries = e.limit(20)
