@@ -107,6 +107,7 @@ object Load {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    healInterruptedSwaps(fs, path, bucketCol)
     val existing =
       if (hasPartitions(fs, root, bucketCol))
         spark.read.parquet(path)
@@ -172,6 +173,9 @@ object Load {
       incoming.select(col(bucketCol).cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq.sorted
     if (touched.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    healInterruptedSwaps(fs, path, bucketCol)
     incoming
       .withColumn(bucketCol, col(bucketCol).cast("long"))
       .repartition(col(bucketCol))
@@ -179,8 +183,6 @@ object Load {
       .write.mode(SaveMode.Append)
       .partitionBy(bucketCol)
       .parquet(path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val overThreshold = touched.filter { b =>
       val dir = new org.apache.hadoop.fs.Path(s"$path/$bucketCol=$b")
       fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet")) > compactThreshold
@@ -218,6 +220,10 @@ object Load {
       versionCol: String,
       bucketCol: String): Unit = {
     if (buckets.isEmpty) return
+    healInterruptedSwaps(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, bucketCol)
     val slice = spark.read.parquet(path)
       .withColumn(bucketCol, col(bucketCol).cast("long"))
       .filter(col(bucketCol).isin(buckets: _*)) // partition-pruned
@@ -255,15 +261,52 @@ object Load {
 
   /** The read view over an append-mode table: one row per key, newest
     * version wins — what [[upsertPartitioned]] guarantees physically,
-    * recovered logically over not-yet-compacted buckets.
+    * recovered logically over not-yet-compacted buckets. Heals any
+    * interrupted swap first so a crash mid-rename never reads as silently
+    * missing rows (`bucketCol` identifies the aside dirs; pass the same
+    * value the writers used).
     */
   def readDeduped(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       keys: Seq[String],
-      versionCol: String): DataFrame = {
+      versionCol: String,
+      bucketCol: String = "slot_bucket"): DataFrame = {
+    healInterruptedSwaps(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, bucketCol)
     val raw = spark.read.parquet(path)
     upsert(raw.limit(0), raw, keys, versionCol)
+  }
+
+  /** Crash-recovery for the aside-rename swap: a swap interrupted between
+    * `old -> aside` and `staged -> live` leaves a `<table>.old-<bucket>`
+    * sibling with NO live bucket directory — without healing, the next
+    * partition-pruned read would treat the bucket as empty and a retry
+    * would delete the aside, making the loss permanent. Restore such
+    * asides as the live bucket (the staged data never landed, so the old
+    * rows are the current truth); delete asides whose live directory
+    * exists (the swap completed, the aside is stale). Idempotent, one
+    * directory listing when no debris exists.
+    */
+  def healInterruptedSwaps(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String,
+      bucketCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val parent = root.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val prefix = root.getName + ".old-"
+    fs.listStatus(parent).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(prefix)) {
+        val bucket = name.stripPrefix(prefix)
+        val live = new org.apache.hadoop.fs.Path(root, s"$bucketCol=$bucket")
+        if (fs.exists(live)) fs.delete(st.getPath, true) // swap completed
+        else { fs.mkdirs(root); fs.rename(st.getPath, live) } // swap lost
+      }
+    }
   }
 
   /** Does `root` hold at least one `bucketCol=` partition directory? A bare

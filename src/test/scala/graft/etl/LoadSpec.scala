@@ -103,6 +103,36 @@ class LoadSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("a swap interrupted between renames heals on the next operation") {
+    // Simulate the crash window: old -> aside done, staged -> live never
+    // happened. The bucket's live dir is gone; only the aside survives.
+    val dir = java.nio.file.Files.createTempDirectory("graft-heal").toString + "/t"
+    def batch(version: Long, slots: Long*) =
+      slots.map(s => (s, s"v$version")).toDF("slot", "v")
+        .withColumn("slot_bucket", floor(col("slot") / 10).cast("long"))
+        .withColumn("__version", lit(version))
+    Load.upsertPartitioned(batch(0L, 1L, 11L), dir, Seq("slot"), "__version", "slot_bucket")
+    val live = new java.io.File(s"$dir/slot_bucket=1")
+    val aside = new java.io.File(s"$dir.old-1")
+    assert(live.renameTo(aside)) // the crash
+    // Without healing this read would silently drop slot 11 and an upsert
+    // retry would delete the aside for good. With healing, both recover.
+    val healed = Load.readDeduped(spark, dir, Seq("slot"), "__version")
+      .select("slot").collect().map(_.getLong(0)).toSet
+    assert(healed == Set(1L, 11L))
+    assert(live.isDirectory && !aside.exists())
+    // A completed-swap leftover (live exists AND aside exists) is stale:
+    // healing must drop the aside and keep the live version.
+    val stale = new java.io.File(s"$dir.old-0")
+    assert(new java.io.File(s"$dir/slot_bucket=0").isDirectory)
+    java.nio.file.Files.createDirectory(stale.toPath)
+    Load.upsertPartitioned(batch(1L, 11L), dir, Seq("slot"), "__version", "slot_bucket")
+    assert(!stale.exists())
+    val rows = spark.read.parquet(dir).select("slot", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "v0"), (11L, "v1")))
+  }
+
   test("swaps leave no staging/aside debris next to the table") {
     // The aside-rename dance (upsertPartitioned, compactBuckets,
     // writeAtomic) stages SIBLING dirs of the table root; after a
