@@ -96,11 +96,18 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** LSH bucket id: one sign bit per hyperplane, packed into an int. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+  /** LSH bucket id: one sign bit per hyperplane, packed into an int.
+    * Capped at 31 planes — bit 32 would wrap the Int shift silently.
+    * (2^31 buckets is far past the useful range anyway: probe counts and
+    * per-bucket populations, not id width, are the real design bounds.)
+    */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.nonEmpty && planes.size <= 31,
+      s"lshBucket needs 1..31 planes, got ${planes.size}")
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(vec, typedLit(p.toArray)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Trades recall for a bucket-local join — the 1000-executor path where a

@@ -23,12 +23,14 @@ object TextFunctions {
     * (the expression tree re-evaluates a subexpression per reference — ~n
     * splits per row otherwise).
     */
-  def shinglesFromTokens(toks: Column, n: Int): Column =
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     when(size(toks) >= n,
       transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** n-word shingles, preserving order; empty for docs shorter than n. */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
@@ -55,13 +57,15 @@ object TextFunctions {
     * subexpression it would be re-evaluated once per window reference —
     * O(windows x hash-build) per row, measured 100x slower at sf0.1.
     */
-  def winnowFromHashes(hashes: Column, w: Int): Column =
+  def winnowFromHashes(hashes: Column, w: Int): Column = {
+    require(w >= 1, s"window size must be >= 1, got $w")
     when(size(hashes) >= w,
       array_distinct(transform(
         sequence(lit(0), size(hashes) - w),
         i => array_min(slice(hashes, i + 1, lit(w))))))
       .when(size(hashes) > 0, array(array_min(hashes)))
       .otherwise(array().cast("array<bigint>"))
+  }
 
   /** BPE-ish subword-boundary tokens: GPT-2-style pattern (space-prefixed
     * letter runs, digit runs, punctuation runs) restricted to ASCII so the
@@ -133,6 +137,8 @@ object TextFunctions {
     * k/bands rows; one hash per band. Near-dup docs collide on >=1 band.
     */
   def minhashBands(sig: Column, k: Int, bands: Int): Column = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must divide evenly into bands=$bands — a remainder would be silently dropped")
     val r = k / bands
     transform(
       sequence(lit(0), lit(bands - 1)),
