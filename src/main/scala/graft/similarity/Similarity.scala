@@ -270,9 +270,13 @@ object Similarity {
       vectors: DataFrame, planes: Seq[Seq[Double]], threshold: Double,
       maxBucket: Option[Int] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Persisted: both pair sides (and the cap's population count) consume
+    // this, and each broadcast build side would otherwise recompute the
+    // nPlanes dot products per vector.
     val withBucket0 = vectors.select(
       col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"),
       lshBucket(col(vecCol), planes).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withBucket = maxBucket.fold(withBucket0) { cap =>
       val keep = withBucket0.groupBy("bucket").agg(count(lit(1)).as("__pop"))
         .filter(col("__pop") <= cap).select("bucket")
