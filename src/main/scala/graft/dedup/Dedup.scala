@@ -208,6 +208,7 @@ object Dedup {
         col("id"),
         array_distinct(TextFunctions.shinglesFromTokens(col("toks"), shingleN)).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("id"), size(col("shingles")).cast("long").as("n_sh"))
     val invAll = sh.select(col("id"), explode(col("shingles")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -224,7 +224,11 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, nCentroids: Int, nProbe: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Persisted: the C-row centroid table is consumed by the assignment
+    // pass and the probe ranking, and its pick is itself a corpus scan
+    // (TakeOrdered) that must not run once per consumer.
     val centroids = ivfCentroids(corpus, nCentroids, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assignments = ivfAssign(corpus, centroids, idCol, vecCol)
 
     val q = queries.select(
