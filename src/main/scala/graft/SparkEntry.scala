@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Etl, Q, Relational, RelationalExtended, Sql, TrainingData}
+import graft.queries.{CurationQueries, Etl, Q, Relational, RelationalExtended, Sql, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All registered capability queries, in declaration order. */
   def allQueries: Seq[Q] =
-    Relational.all ++ RelationalExtended.all ++ Sql.all ++ Etl.all ++ TrainingData.all
+    Relational.all ++ RelationalExtended.all ++ Sql.all ++ Etl.all ++
+      TrainingData.all ++ CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

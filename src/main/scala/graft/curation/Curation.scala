@@ -1,0 +1,174 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingestion and tokenization: deterministic sampling (plain + per-source
+  * mixture weighting), sequence packing (concat-and-chunk layout), eval-set
+  * decontamination, and repetition signals. All pure DataFrame declarations —
+  * Catalyst sees every filter and the parquet scan prunes accordingly.
+  *
+  * Determinism is the design center: every sampling decision is a hash of
+  * the row's identity, never `rand()`. At 100 TB a sample must be stable
+  * across reruns, retries, and repartitioning — a task that retries with
+  * `rand()` silently changes the corpus; a hash never does. It also gives
+  * free coordinated sampling: the same (id, salt) keeps or drops a row in
+  * every derived dataset.
+  */
+object Curation {
+
+  /** Deterministic bucket in [0, buckets): an md5-derived integer of the
+    * salted id. md5 (not xxhash64) so the DuckDB oracle can compute the
+    * identical value; 8 hex chars = 32 bits of hash, far more than any
+    * realistic bucket count needs. The tiny modulo bias (2^32 % buckets
+    * residue) shifts bucket probabilities by < 1e-7 — irrelevant for
+    * sampling; use a power-of-two bucket count if exactness ever matters.
+    */
+  def hashBucket(id: Column, buckets: Int, salt: String): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+  }
+
+  /** Keep ~keepPct% of rows, decided per-row by [[hashBucket]]. */
+  def hashSample(df: DataFrame, idCol: String, keepPct: Int, salt: String): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, s"keepPct out of range: $keepPct")
+    df.filter(hashBucket(col(idCol), 100, salt) < keepPct)
+  }
+
+  /** Mixture weighting: down-sample each source to its configured rate
+    * (0.0..1.0 fraction kept), the "20% web, 40% code, …" recipe step.
+    * Rates resolve through a map literal — a broadcast-free constant in the
+    * plan — and the keep decision is the same deterministic hash as
+    * [[hashSample]] at 1/10000 resolution. Sources absent from `rates` are
+    * dropped (rate 0). Rates are truncated to the 1/10000 grid at
+    * construction so engines compare integers, never floats.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      salt: String): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0,1]")
+    val thresholds: Map[String, Int] = rates.map { case (k, v) => k -> (v * 10000).toInt }
+    val thr = coalesce(
+      element_at(typedLit(thresholds), col(sourceCol)), lit(0))
+    df.filter(hashBucket(col(idCol), 10000, salt) < thr)
+  }
+
+  /** Concat-and-chunk sequence packing — the standard LLM pre-training
+    * layout: documents within a shard are concatenated in a deterministic
+    * order and the token stream is cut every `seqLen` tokens. This computes
+    * each document's placement (global start offset, first/last sequence
+    * index, offset within the first sequence) as one window cumsum per
+    * shard — no driver loop, no state.
+    *
+    * Parallelism = number of shards: the window partitions by `shardCol`,
+    * so shards pack independently exactly like per-worker packing in a
+    * streaming tokenizer. Shard by file/source/bucket at 100 TB — never
+    * pack a whole corpus as one global window (one partition would own
+    * every row).
+    */
+  def packSequences(
+      df: DataFrame,
+      shardCol: String,
+      orderCol: String,
+      nTokensCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("start_tok", coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .withColumn("first_seq", floor(col("start_tok") / seqLen))
+      .withColumn("tok_offset", col("start_tok") % seqLen)
+      .withColumn("end_seq",
+        floor((col("start_tok") + col(nTokensCol) - 1) / seqLen))
+  }
+
+  /** Benchmark decontamination: flag every corpus document sharing at least
+    * one n-token shingle with the eval set. The eval side is distinct
+    * shingles only — small by nature (benchmarks are thousands of docs, not
+    * billions) — and broadcast, so the corpus is touched in a single
+    * scan + broadcast-semi-join; the corpus-side explode never shuffles
+    * document text, only (id, shingle-hit) pairs for the distinct.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    def shingleRows(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ TextFunctions.tokens(col(textCol)).as("__toks"): _*)
+        .select(cols :+ explode(array_distinct(
+          TextFunctions.shinglesFromTokens(col("__toks"), n))).as("shingle"): _*)
+    val evalShingles = shingleRows(eval).distinct()
+    val contaminated = shingleRows(corpus, col(idCol))
+      .join(broadcast(evalShingles), "shingle")
+      .select(idCol).distinct()
+      .withColumn("__hit", lit(true))
+    corpus
+      .join(contaminated, Seq(idCol), "left_outer")
+      .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
+      .drop("__hit")
+  }
+
+  /** Gopher-style repetition signals per document over word n-grams:
+    * total/distinct n-gram counts, duplicate fraction (1 - distinct/total)
+    * and top-gram fraction (most frequent n-gram's share). High values flag
+    * boilerplate and degenerate repetition.
+    *
+    * Shape at scale: explode + two map-side-combined aggregations — rows
+    * crossing the shuffle are (id, gram) pre-counts, not text, and the
+    * per-doc rollup is linear. The tempting all-array form
+    * (`array_max(transform(distinct, g -> count(...)))`) is O(len²) per doc
+    * in an interpreted lambda — the exact staging pitfall measured 100x
+    * slower elsewhere in this repo.
+    */
+  def repetitionSignals(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("gram"))
+    grams
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("__n")).as("top_gram_count"))
+      .withColumn("dup_gram_frac",
+        lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"))
+      .withColumn("top_gram_frac",
+        col("top_gram_count").cast("double") / col("n_grams"))
+  }
+
+  // -------------------------------------------------------------------
+  // PII scrubbing: ASCII-only patterns chosen to mean the same thing in
+  // Java regex (Spark) and RE2 (DuckDB oracle). Order matters: emails are
+  // scrubbed first (their local parts may contain phone-shaped digit runs),
+  // then IPs (dot-separated digit runs), then bare phone numbers.
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipPattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern: String = "\\b\\d{3}[- ]\\d{4}\\b"
+
+  /** Mask emails, IPv4 addresses, and US-style short phone numbers. Pure
+    * codegen'd regexp_replace chain — one projection over the corpus scan.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipPattern, "<IP>"),
+      phonePattern, "<PHONE>")
+}

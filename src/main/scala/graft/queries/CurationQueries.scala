@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.curation.Curation
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.tables.Tables
+import graft.text.TextFunctions
+
+/** Round-4 surface: the two join operators Spark lacks as primitives
+  * (backward as-of, interval containment) re-expressed Spark-first with
+  * DuckDB's native forms as oracles, plus the corpus-curation stage of a
+  * training-data pipeline (deterministic sampling, mixture weighting,
+  * sequence packing, decontamination, repetition signals, PII scrubbing) —
+  * every entry value-verified against an exact SQL oracle.
+  */
+object CurationQueries {
+
+  /** Per-source keep rates for the mixture query: src<i> keeps (i%5)*25%
+    * — includes 0% (drop a source entirely) and 100% (keep all) endpoints.
+    */
+  private val mixtureRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 5) * 0.25).toMap
+
+  private val SeqLen = 2048
+  private val MicrosPer17h = 17L * 3600 * 1000000
+  private val Micros90m = 90L * 60 * 1000000
+  private val BaseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Q29 — backward as-of join: every purchase event annotated with the
+    // user's most recent click at-or-before it. One shuffle on user_id,
+    // union + ordered scan (see AsOfJoin scaladoc); the oracle is DuckDB's
+    // native ASOF LEFT JOIN. Clicks are pre-aggregated per (user, ts) so
+    // "the" as-of row is well-defined in both engines.
+    Q(
+      "q29_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("value").as("purchase_value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max(col("value")).as("click_value"))
+        AsOfJoin.backward(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          valueCols = Seq("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
+             |           FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts, max(value) AS click_value
+             |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.ts, p.purchase_value, c.click_value
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q30 — interval containment join: events matched to the maintenance
+    // windows (90 min every 17 h from 2024-01-01) containing them. The
+    // Spark plan is a bucketed EQUI-join (bucket width = window length, so
+    // each window lands in <= 2 buckets and each event in exactly 1) — a
+    // raw inequality join would plan as BroadcastNestedLoopJoin and go
+    // O(events x windows). DuckDB's inequality join is the oracle.
+    Q(
+      "q30_range_join",
+      (s, dir) => {
+        val points = Tables.events(s, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        val windows = s.range(40).select(
+          col("id").as("w"),
+          (lit(BaseUs) + col("id") * MicrosPer17h).as("start_us"))
+          .withColumn("end_us", col("start_us") + Micros90m)
+        RangeJoin.bucketed(points, windows,
+          pointCol = "ts_us", startCol = "start_us", endCol = "end_us",
+          bucketWidth = Micros90m)
+          .select("event_id", "w", "ts_us")
+          .orderBy("event_id", "w")
+      },
+      Some(s"""WITH win AS (
+             |  SELECT w, $BaseUs + w * $MicrosPer17h AS start_us,
+             |         $BaseUs + w * $MicrosPer17h + $Micros90m AS end_us
+             |  FROM (SELECT unnest(range(0, 40)) AS w)),
+             |e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events)
+             |SELECT e.event_id, win.w, e.ts_us
+             |FROM e JOIN win ON win.start_us <= e.ts_us AND e.ts_us < win.end_us
+             |ORDER BY event_id, w""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C1 — deterministic hash sampling: ~10% of documents kept by md5
+    // bucket of the salted id. Stable across reruns/retries/partitioning
+    // (rand() is not); md5 so the oracle computes the identical bucket.
+    Q(
+      "c1_hash_sample",
+      (s, dir) =>
+        Curation.hashSample(Tables.documents(s, dir), "doc_id", keepPct = 10, salt = "s1")
+          .select(col("doc_id"),
+            Curation.hashBucket(col("doc_id"), 100, "s1").as("bucket"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, bucket FROM (
+             |  SELECT doc_id,
+             |         CAST(CAST('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS BIGINT) AS bucket
+             |  FROM documents)
+             |WHERE bucket < 10 ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C2 — mixture weighting: each source down-sampled to its recipe rate
+    // (0/25/50/75/100% across src0..src19), decided by the same
+    // deterministic hash at 1/10000 resolution. Thresholds are integers on
+    // both sides — no float comparison anywhere.
+    Q(
+      "c2_mixture_sample",
+      (s, dir) =>
+        Curation.mixtureSample(Tables.documents(s, dir),
+          sourceCol = "source", idCol = "doc_id",
+          rates = mixtureRates, salt = "mix")
+          .select("doc_id", "source")
+          .orderBy("doc_id"),
+      Some {
+        val cases = mixtureRates.toSeq.sortBy(_._1).map { case (src, rate) =>
+          s"WHEN '$src' THEN ${(rate * 10000).toInt}"
+        }.mkString("\n           ")
+        s"""SELECT doc_id, source FROM (
+           |  SELECT doc_id, source,
+           |         CAST(CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS BIGINT) AS bucket,
+           |         CASE source
+           |           $cases
+           |           ELSE 0 END AS thr
+           |  FROM documents)
+           |WHERE bucket < thr ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // C3 — concat-and-chunk sequence packing: every document's placement in
+    // the fixed-length token stream of its shard (= source), as one window
+    // cumsum per shard. The layout step between curation and tokenization.
+    Q(
+      "c3_pack_sequences",
+      (s, dir) =>
+        Curation.packSequences(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"),
+              TextFunctions.nTokens(col("text")).as("n_tokens")),
+          shardCol = "source", orderCol = "doc_id",
+          nTokensCol = "n_tokens", seqLen = SeqLen)
+          .select("doc_id", "source", "n_tokens", "start_tok",
+            "first_seq", "tok_offset", "end_seq")
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+             |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |           FROM documents),
+             |p AS (SELECT doc_id, source, n_tokens,
+             |             CAST(COALESCE(SUM(n_tokens) OVER (
+             |               PARTITION BY source ORDER BY doc_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+             |      FROM t)
+             |SELECT doc_id, source, n_tokens, start_tok,
+             |       CAST(floor(start_tok / $SeqLen) AS BIGINT) AS first_seq,
+             |       start_tok % $SeqLen AS tok_offset,
+             |       CAST(floor((start_tok + n_tokens - 1) / $SeqLen) AS BIGINT) AS end_seq
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C4 — eval-set decontamination: flag every corpus doc sharing an
+    // 8-token shingle with the eval set (doc_id % 97 == 0). The natural
+    // corpus has no cross-doc 8-grams at these SFs, so contaminated copies
+    // are injected (every 50th doc + the first 8 tokens of eval doc 0) the
+    // same way the near-dup queries inject their scenario. Eval shingles
+    // broadcast; the corpus is scanned once.
+    Q(
+      "c4_decontaminate",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val probe = d.filter(col("doc_id") === 0)
+          .select(concat_ws(" ",
+            slice(TextFunctions.tokens(col("text")), 1, 8)).as("__probe"))
+        val injected = d.filter(col("doc_id") % 50 === 0 && col("doc_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" "), col("__probe")).as("text"))
+        val corpus = d.unionByName(injected)
+        val eval = d.filter(col("doc_id") % 97 === 0)
+        Curation.decontaminate(corpus, eval, n = 8)
+          .select("doc_id", "contaminated")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+             |probe AS (SELECT array_to_string((string_split(text, ' '))[1:8], ' ') AS p
+             |          FROM d WHERE doc_id = 0),
+             |inj AS (SELECT doc_id + 1000000 AS doc_id,
+             |               text || ' ' || (SELECT p FROM probe) AS text
+             |        FROM d WHERE doc_id % 50 = 0 AND doc_id <> 0),
+             |corpus AS (SELECT * FROM d UNION ALL SELECT * FROM inj),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |         range(len(string_split(text, ' ')) - 7),
+             |         i -> array_to_string((string_split(text, ' '))[i+1:i+8], ' ')))) AS shingle
+             |       FROM corpus WHERE len(string_split(text, ' ')) >= 8),
+             |ev AS (SELECT DISTINCT shingle FROM sh
+             |       WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+             |hit AS (SELECT DISTINCT doc_id FROM sh
+             |        WHERE shingle IN (SELECT shingle FROM ev))
+             |SELECT c.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
+             |FROM corpus c LEFT JOIN hit ON c.doc_id = hit.doc_id
+             |ORDER BY c.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T8 — Gopher-style repetition signals over word bigrams: duplicate
+    // fraction and top-gram share per document. Explode + two map-side-
+    // combined aggregations; only (id, gram) pre-counts cross the shuffle.
+    Q(
+      "t8_repetition_signals",
+      (s, dir) =>
+        Curation.repetitionSignals(Tables.documents(s, dir), n = 2)
+          .select("doc_id", "n_grams", "n_distinct_grams", "top_gram_count",
+            "dup_gram_frac", "top_gram_frac")
+          .orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id, unnest(list_transform(
+             |         range(len(string_split(text, ' ')) - 1),
+             |         i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))) AS gram
+             |       FROM documents WHERE len(string_split(text, ' ')) >= 2),
+             |pc AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+             |sig AS (SELECT doc_id,
+             |               CAST(sum(n) AS BIGINT) AS n_grams,
+             |               count(*) AS n_distinct_grams,
+             |               CAST(max(n) AS BIGINT) AS top_gram_count
+             |        FROM pc GROUP BY 1)
+             |SELECT doc_id, n_grams, n_distinct_grams, top_gram_count,
+             |       CAST(1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams AS DOUBLE) AS dup_gram_frac,
+             |       CAST(top_gram_count AS DOUBLE) / n_grams AS top_gram_frac
+             |FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T9 — PII scrubbing: emails, IPv4s, and phone-shaped digit runs masked
+    // by a codegen'd regexp_replace chain. The corpus text carries no PII,
+    // so each row synthesizes a deterministic contact line from its id;
+    // both engines scrub the identical string with the identical patterns.
+    Q(
+      "t9_pii_scrub",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat(
+              substring(col("text"), 1, 40),
+              lit(" contact user"), col("doc_id"),
+              lit("@example.com or 555-01"),
+              lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+              lit(" ip 10.0."), col("doc_id") % 256, lit(".1 end")).as("raw"))
+          .select(col("doc_id"), Curation.scrubPii(col("raw")).as("scrubbed"))
+          .orderBy("doc_id"),
+      Some(s"""WITH synth AS (SELECT doc_id,
+             |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+             |    || '@example.com or 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+             |    || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 end' AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |       regexp_replace(regexp_replace(regexp_replace(raw,
+             |         '${Curation.emailPattern}', '<EMAIL>', 'g'),
+             |         '${Curation.ipPattern}', '<IP>', 'g'),
+             |         '${Curation.phonePattern}', '<PHONE>', 'g') AS scrubbed
+             |FROM synth ORDER BY doc_id""".stripMargin))
+  )
+}

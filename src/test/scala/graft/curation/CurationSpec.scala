@@ -1,0 +1,99 @@
+package graft.curation
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CurationSpec extends SparkTestBase {
+
+  test("hashSample is deterministic, partition-independent, and ~proportional") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val once = Curation.hashSample(ids, "id", 10, "salt").as[Long].collect().sorted.toSeq
+    val again = Curation.hashSample(ids.repartition(7), "id", 10, "salt")
+      .as[Long].collect().sorted.toSeq
+    assert(once == again)
+    // md5 buckets are uniform: 10% +- a generous band
+    assert(once.size > 120 && once.size < 280, s"got ${once.size} of 2000")
+    // a different salt decorrelates the sample
+    val other = Curation.hashSample(ids, "id", 10, "other").as[Long].collect().toSet
+    assert(other != once.toSet)
+  }
+
+  test("mixtureSample honors 0% (drop) and 100% (keep-all) endpoints") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val out = Curation.mixtureSample(df, "src", "id",
+      Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5), "m")
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("src0"))
+    assert(bySrc("src1") == 100L)
+    assert(bySrc.getOrElse("src2", 0L) > 20L && bySrc("src2") < 80L)
+    // sources missing from the rates map are dropped, not kept
+    val unmapped = Curation.mixtureSample(df, "src", "id", Map("src1" -> 1.0), "m")
+    assert(unmapped.select("src").distinct().as[String].collect().toSeq == Seq("src1"))
+  }
+
+  test("packSequences lays out each shard contiguously from offset 0") {
+    import spark.implicits._
+    val docs = Seq(
+      // shard a: 100 + 30 + 90 tokens, seqLen 64
+      (1L, "a", 100L), (2L, "a", 30L), (3L, "a", 90L),
+      // shard b packs independently
+      (10L, "b", 64L), (11L, "b", 1L))
+      .toDF("id", "shard", "n")
+    val out = Curation.packSequences(docs, "shard", "id", "n", seqLen = 64)
+      .select("id", "start_tok", "first_seq", "tok_offset", "end_seq")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0L, 0L, 0L, 1L)))    // spans seqs 0..1
+    assert(out(2L) == ((2L, 100L, 1L, 36L, 2L))) // starts mid-seq 1, ends in 2
+    assert(out(3L) == ((3L, 130L, 2L, 2L, 3L)))
+    assert(out(10L) == ((10L, 0L, 0L, 0L, 0L)))  // exactly one full seq
+    assert(out(11L) == ((11L, 64L, 1L, 0L, 1L))) // next doc starts seq 1 cleanly
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"),
+      (3L, "x y alpha beta gamma z"), // shares the eval 3-gram mid-document
+      (4L, "short doc"))              // too short to shingle at n=3
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, eval, n = 3)
+      .select("doc_id", "contaminated")
+      .as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
+  test("repetitionSignals matches hand-computed bigram stats") {
+    import spark.implicits._
+    // "a b a b c": bigrams = [a b, b a, a b, b c] -> 4 total, 3 distinct,
+    // top count 2
+    val df = Seq((1L, "a b a b c"), (2L, "w x y z")).toDF("doc_id", "text")
+    val out = Curation.repetitionSignals(df)
+      .select("doc_id", "n_grams", "n_distinct_grams", "top_gram_count",
+        "dup_gram_frac", "top_gram_frac")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 3L, 2L, 0.25, 0.5)))
+    assert(out(2L) == ((2L, 3L, 3L, 1L, 0.0, 1.0 / 3.0)))
+  }
+
+  test("scrubPii masks emails, IPs, and phones without touching clean text") {
+    import spark.implicits._
+    val df = Seq(
+      "reach me at jane.doe+spam@mail.example.org thanks",
+      "server 192.168.0.1 and backup 10.0.255.254 up",
+      "call 555-0199 or 555 0123 today",
+      "v1.2.3 released, sum=123.45, no pii here")
+      .toDF("t")
+    val out = df.select(Curation.scrubPii(col("t")).as("s")).as[String].collect().toSeq
+    assert(out == Seq(
+      "reach me at <EMAIL> thanks",
+      "server <IP> and backup <IP> up",
+      "call <PHONE> or <PHONE> today",
+      "v1.2.3 released, sum=123.45, no pii here"))
+  }
+}
