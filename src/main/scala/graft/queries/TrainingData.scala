@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{ClusterCollapse, Dedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
@@ -256,6 +256,49 @@ object TrainingData {
              |JOIN sizes b ON b.doc_id = id_b
              |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // D6 — near-dup cluster collapse: the d4 pair set reduced to connected
+    // components with a min-id survivor per cluster — the "which rows do I
+    // drop" step after any pair generator. Spark side is alternating
+    // large-star/small-star label propagation (O(log n) rounds, never a
+    // driver-side union-find); the oracle computes the same components via
+    // DuckDB's recursive transitive closure over the identical pair set.
+    Q(
+      "d6_neardup_clusters",
+      (s, dir) => {
+        val docs = docsWithNearDups(
+          Tables.documents(s, dir).select("doc_id", "text")
+            .filter(col("doc_id") % 10 === 0))
+        val pairs = Dedup.jaccardShinglePairs(docs, threshold = 0.5)
+        ClusterCollapse.collapse(docs, pairs).orderBy("doc_id")
+      },
+      Some(s"""${sqlNearDupCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |sh AS (SELECT doc_id,
+             |              unnest(list_distinct(list_transform(
+             |                range(len(string_split(text,' ')) - 2),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' ')))) AS shingle
+             |       FROM docs WHERE len(string_split(text,' ')) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+             |common AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+             |           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             |           GROUP BY 1, 2),
+             |pr AS (SELECT id_a, id_b FROM common
+             |       JOIN sizes a ON a.doc_id = id_a
+             |       JOIN sizes b ON b.doc_id = id_b
+             |       WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.5),
+             |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+             |          UNION SELECT id_b, id_a FROM pr),
+             |reach AS (SELECT u, v FROM edges
+             |          UNION
+             |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+             |          WHERE e.v <> r.u),
+             |comp AS (SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+             |SELECT d.doc_id,
+             |       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             |       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_survivor
+             |FROM docs d LEFT JOIN comp c ON c.id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T1 — heuristic language ID histogram (stopword-hit argmax).
