@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.dedup.Dedup
+import graft.dedup.{ClusterCollapse, Dedup}
 import graft.similarity.Similarity
 import graft.tables.Tables
 
@@ -64,6 +64,29 @@ object ScaleProbe {
         Similarity.ivfTopK(queries, e, nCentroids = 32, nProbe = 4, k = 5).count())
       time(s"embedding_neardup $label")(Similarity.nearDupPairs(e, planes, 0.95).count())
     }
+    // Cluster-collapse worst case: one chain-shaped component (the
+    // adversarial diameter for label propagation — naive min-propagation
+    // needs length-1 rounds). Healthy = time ~linear in edges and ROUNDS
+    // growing only logarithmically from 1x to Nx (log2(10x) adds ~3-4).
+    for ((label, len) <- Seq("1x" -> 100000L, s"${n}x" -> 100000L * n)) {
+      val chain = spark.range(1, len)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      time(s"cc_chain $label") {
+        val (labels, rounds) = ClusterCollapse.connectedComponentsWithRounds(chain)
+        val cnt = labels.count()
+        println(f"[scaleprobe]   cc_chain $label rounds=$rounds (len=$len)")
+        cnt
+      }
+    }
+    // Cluster collapse over a real pair generator's output at 1x vs Nx
+    // (dup-heavy replica corpus -> dense components).
+    for ((label, d) <- Seq("1x" -> docs1, s"${n}x" -> docsN)) {
+      time(s"cc_minhash_collapse $label") {
+        val pairs = Dedup.minhashLshPairs(d)
+        ClusterCollapse.collapse(d, pairs).filter(!col("is_survivor")).count()
+      }
+    }
+
     // Hot-bucket guard probe: one vector duplicated 50x vs 50Nx (identical
     // vectors always share a bucket) on top of the 1x corpus — the
     // pathological skew nearDupPairs' maxBucket exists for. The uncapped

@@ -58,6 +58,94 @@ object CurationQueries {
              |ORDER BY p.event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Q29b — as-of with tolerance (max staleness): clicks older than 24h
+    // null out. The as-of match is the nearest predecessor by definition,
+    // so a post-filter on the matched row is exact in both engines; the
+    // fixture's spread (683 of 1838 matches within 24h at sf0.01)
+    // exercises both branches.
+    Q(
+      "q29b_asof_tolerance",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("value").as("purchase_value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max(col("value")).as("click_value"))
+        AsOfJoin.backward(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          valueCols = Seq("click_value"),
+          tolerance = Some(24L * 3600 * 1000000))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
+             |           FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts, max(value) AS click_value
+             |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+             |       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000
+             |            THEN c.click_value END AS click_value
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q29c — forward as-of: each purchase annotated with the user's NEXT
+    // click at-or-after it (same union-scan shape, time order reversed).
+    // DuckDB's ASOF with <= is the oracle.
+    Q(
+      "q29c_asof_forward",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("value").as("purchase_value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max(col("value")).as("click_value"))
+        AsOfJoin.forward(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          valueCols = Seq("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
+             |           FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts, max(value) AS click_value
+             |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.ts, p.purchase_value, c.click_value
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q29d — q29 with hot-key hardening engaged (weekly time buckets):
+    // per-(user, bucket) windows + a per-bucket carry table, so one user's
+    // full history never serializes into a single task. Same oracle as
+    // q29 — bucketing must be result-invisible.
+    Q(
+      "q29d_asof_bucketed",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("value").as("purchase_value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max(col("value")).as("click_value"))
+        AsOfJoin.backward(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          valueCols = Seq("click_value"),
+          timeBucket = Some(7L * 24 * 3600 * 1000000))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
+             |           FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts, max(value) AS click_value
+             |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.ts, p.purchase_value, c.click_value
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Q30 — interval containment join: events matched to the maintenance
     // windows (90 min every 17 h from 2024-01-01) containing them. The
     // Spark plan is a bucketed EQUI-join (bucket width = window length, so

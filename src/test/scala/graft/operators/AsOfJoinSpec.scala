@@ -73,6 +73,66 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(a.size == 200)
   }
 
+  test("forward: each left row gets the earliest right row at or after it") {
+    import spark.implicits._
+    val left = Seq(("a", 5L), ("a", 14L), ("a", 25L), ("b", 7L)).toDF("k", "t")
+    val right = Seq(("a", 10L, "r10"), ("a", 20L, "r20"), ("b", 3L, "rb")).toDF("k", "t", "v")
+    val out = AsOfJoin.forward(left, right, Seq("k"), "t", "t", Seq("v"))
+    assert(collectPairs(out) == Seq(
+      ("a", 5L, Some("r10")),
+      ("a", 14L, Some("r20")),
+      ("a", 25L, None), // after every right row
+      ("b", 7L, None)))
+  }
+
+  test("forward: a right row at exactly the left timestamp matches (<= semantics)") {
+    import spark.implicits._
+    val left = Seq(("a", 10L)).toDF("k", "t")
+    val right = Seq(("a", 10L, "same"), ("a", 11L, "later")).toDF("k", "t", "v")
+    val out = AsOfJoin.forward(left, right, Seq("k"), "t", "t", Seq("v"))
+    assert(collectPairs(out) == Seq(("a", 10L, Some("same"))))
+  }
+
+  test("tolerance nulls out matches staler than the budget, keeps the rest") {
+    import spark.implicits._
+    val left = Seq(("a", 5L), ("a", 14L), ("a", 25L)).toDF("k", "t")
+    val right = Seq(("a", 10L, "r10"), ("a", 20L, "r20")).toDF("k", "t", "v")
+    // backward distances: t=14 -> 4 from r10; t=25 -> 5 from r20.
+    val out4 = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"),
+      tolerance = Some(4L))
+    assert(collectPairs(out4) == Seq(
+      ("a", 5L, None), ("a", 14L, Some("r10")), ("a", 25L, None)))
+    // forward distances: t=5 -> 5 to r10; t=14 -> 6 to r20.
+    val fwd5 = AsOfJoin.forward(left, right, Seq("k"), "t", "t", Seq("v"),
+      tolerance = Some(5L))
+    assert(collectPairs(fwd5) == Seq(
+      ("a", 5L, Some("r10")), ("a", 14L, None), ("a", 25L, None)))
+  }
+
+  test("timeBucket partitioning reproduces the unbucketed result exactly") {
+    import spark.implicits._
+    val left = (1 to 200)
+      .map(i => (s"k${i % 7}", (i * 37 % 101).toLong, i)).toDF("k", "t", "lv")
+    val right = (1 to 80)
+      .map(i => (s"k${i % 7}", (i * 53 % 97).toLong, s"v$i"))
+      .toDF("k", "t", "rv")
+      .groupBy("k", "t").agg(max("rv").as("rv"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("k", "t", "lv", "rv").collect()
+        .map(r => Seq(r.getString(0), r.getLong(1), r.getInt(2), Option(r.getString(3)))
+          .mkString("|")).sorted.toSeq
+    for (direction <- Seq(false, true); width <- Seq(1L, 7L, 50L, 1000L)) {
+      val run = if (direction)
+        (b: Option[Long]) => AsOfJoin.forward(left, right, Seq("k"), "t", "t", Seq("rv"),
+          tolerance = Some(30L), timeBucket = b)
+      else
+        (b: Option[Long]) => AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("rv"),
+          tolerance = Some(30L), timeBucket = b)
+      assert(canon(run(Some(width))) == canon(run(None)),
+        s"bucketed (width=$width, forward=$direction) diverged from unbucketed")
+    }
+  }
+
   test("plan shuffles once on the key — no join node at all") {
     import spark.implicits._
     val left = Seq(("a", 5L)).toDF("k", "t")
