@@ -90,28 +90,74 @@ object Curation {
         floor((col("start_tok") + col(nTokensCol) - 1) / seqLen))
   }
 
+  /** The tokenizer-facing form of [[packSequences]]: one row per
+    * (sequence, document) slice — `seq_id` (per shard), with
+    * `[tok_start, tok_end)` the half-open token range the document
+    * occupies inside that sequence. A document spanning sequences emits
+    * one row per covered sequence: offset..seqLen in its first, 0..seqLen
+    * in full middle sequences, 0..remainder in its last. Zero-token
+    * documents occupy no slice and are dropped.
+    *
+    * Shape at scale: the placement cumsum (one window per shard) followed
+    * by a generator explode — output rows ≈ docs + total_tokens/seqLen,
+    * each derived locally from its placement row. No extra shuffle beyond
+    * [[packSequences]]'s.
+    */
+  def packedSequences(
+      df: DataFrame,
+      shardCol: String,
+      orderCol: String,
+      nTokensCol: String,
+      seqLen: Int): DataFrame =
+    packSequences(df, shardCol, orderCol, nTokensCol, seqLen)
+      .filter(col(nTokensCol) > 0)
+      .withColumn("seq_id", explode(sequence(col("first_seq"), col("end_seq"))))
+      .withColumn("tok_start",
+        when(col("seq_id") === col("first_seq"), col("tok_offset")).otherwise(lit(0L)))
+      .withColumn("tok_end",
+        when(col("seq_id") === col("end_seq"),
+          (col("start_tok") + col(nTokensCol) - 1) % seqLen + 1)
+          .otherwise(lit(seqLen.toLong)))
+
   /** Benchmark decontamination: flag every corpus document sharing at least
-    * one n-token shingle with the eval set. The eval side is distinct
-    * shingles only — small by nature (benchmarks are thousands of docs, not
-    * billions) — and broadcast, so the corpus is touched in a single
-    * scan + broadcast-semi-join; the corpus-side explode never shuffles
-    * document text, only (id, shingle-hit) pairs for the distinct.
+    * one n-token shingle with the eval set. With `broadcastEval = true`
+    * (the default, right whenever the eval side is an actual benchmark —
+    * thousands of docs, not billions) the distinct eval shingles broadcast
+    * and the corpus is touched in a single scan + broadcast-semi-join.
+    *
+    * `broadcastEval = false` is the scale guard for an eval side too big
+    * to broadcast (e.g. decontaminating against another corpus): both
+    * sides reduce to `xxhash64(shingle)` and meet in a shuffled LEFT SEMI
+    * join — corpus document TEXT still never shuffles, only (id, 8-byte
+    * hash) pairs do. A 64-bit hash collision could flag a clean document
+    * (conservative direction, ~n_corpus·n_eval/2^64 expected — negligible
+    * below trillions of distinct shingles); the broadcast path compares
+    * exact strings and has no such caveat.
     */
   def decontaminate(
       corpus: DataFrame,
       eval: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      n: Int = 8): DataFrame = {
+      n: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
     def shingleRows(df: DataFrame, cols: Column*): DataFrame =
       df.select(cols :+ TextFunctions.tokens(col(textCol)).as("__toks"): _*)
         .select(cols :+ explode(array_distinct(
           TextFunctions.shinglesFromTokens(col("__toks"), n))).as("shingle"): _*)
-    val evalShingles = shingleRows(eval).distinct()
-    val contaminated = shingleRows(corpus, col(idCol))
-      .join(broadcast(evalShingles), "shingle")
-      .select(idCol).distinct()
-      .withColumn("__hit", lit(true))
+    val hits =
+      if (broadcastEval) {
+        val evalShingles = shingleRows(eval).distinct()
+        shingleRows(corpus, col(idCol))
+          .join(broadcast(evalShingles), "shingle")
+      } else {
+        val evalHashes = shingleRows(eval)
+          .select(xxhash64(col("shingle")).as("__h")).distinct()
+        shingleRows(corpus, col(idCol))
+          .select(col(idCol), xxhash64(col("shingle")).as("__h"))
+          .join(evalHashes, Seq("__h"), "left_semi")
+      }
+    val contaminated = hits.select(idCol).distinct().withColumn("__hit", lit(true))
     corpus
       .join(contaminated, Seq(idCol), "left_outer")
       .withColumn("contaminated", coalesce(col("__hit"), lit(false)))

@@ -53,4 +53,58 @@ object RangeJoin {
       .filter(col(startCol) <= col(pointCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-interval overlap join: pair every left interval
+    * [leftStart, leftEnd) with every right interval [rightStart, rightEnd)
+    * it overlaps (half-open semantics: touching endpoints do NOT overlap),
+    * optionally also matching equi-keys — "which maintenance windows
+    * intersected which outages".
+    *
+    * Same equi-join trick as [[bucketed]], with BOTH sides exploded to
+    * their covered buckets. Because two overlapping intervals can now
+    * share several buckets, each candidate pair would surface once per
+    * shared bucket — instead of a dedup shuffle, OWNERSHIP makes emission
+    * unique for free: a pair is kept only in the bucket containing
+    * `greatest(leftStart, rightStart)`. That instant lies inside both
+    * intervals whenever they overlap (each side's start is <= it, and it
+    * is < both ends), so exactly one of the shared buckets owns the pair.
+    *
+    * Cost model matches [[bucketed]] with replication on both sides:
+    * ceil(length / bucketWidth) + 1 copies each — pick `bucketWidth` near
+    * the typical interval length. At 100 TB the bucket column co-partitions
+    * both sides; no row ever meets a row from a distant time range.
+    */
+  def overlap(
+      left: DataFrame,
+      right: DataFrame,
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      bucketWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val collisions = left.columns.toSet
+      .intersect(right.columns.toSet)
+      .diff(keys.toSet)
+    require(collisions.isEmpty, s"ambiguous non-key columns on both sides: $collisions")
+    // Empty intervals ([s, s) and worse) are dropped up front: they
+    // overlap nothing by definition, but the pairwise predicate alone
+    // would not reject them (rStart < lStart < rEnd passes), and
+    // `sequence` silently counts DOWN for an inverted range.
+    def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) > col(s))
+        .withColumn(
+          "__bucket",
+          explode(sequence(
+            floor(col(s) / bucketWidth),
+            floor((col(e) - 1) / bucketWidth))))
+    val l = explodeBuckets(left, leftStart, leftEnd)
+    val r = explodeBuckets(right, rightStart, rightEnd)
+    l.join(r, keys :+ "__bucket")
+      .filter(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
+      .filter(col("__bucket") ===
+        floor(greatest(col(leftStart), col(rightStart)) / bucketWidth))
+      .drop("__bucket")
+  }
 }

@@ -25,6 +25,7 @@ object CurationQueries {
   private val SeqLen = 2048
   private val MicrosPer17h = 17L * 3600 * 1000000
   private val Micros90m = 90L * 60 * 1000000
+  private val Micros30m = 30L * 60 * 1000000
   private val BaseUs = 1704067200000000L // 2024-01-01T00:00:00Z
 
   val all: Seq[Q] = Seq(
@@ -177,6 +178,41 @@ object CurationQueries {
              |ORDER BY event_id, w""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Q31 — interval-interval overlap join: 30-minute activity intervals
+    // (one per event) against the q30 maintenance windows. BOTH sides
+    // explode to 90-min buckets; a pair is emitted only in the bucket
+    // owning greatest(start_a, start_b), so multi-bucket overlaps never
+    // duplicate and no dedup shuffle is needed. DuckDB's inequality join
+    // is the oracle.
+    Q(
+      "q31_overlap_join",
+      (s, dir) => {
+        val activity = Tables.events(s, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("start_us"))
+          .withColumn("end_us", col("start_us") + Micros30m)
+        val windows = s.range(40).select(
+          col("id").as("w"),
+          (lit(BaseUs) + col("id") * MicrosPer17h).as("w_start_us"))
+          .withColumn("w_end_us", col("w_start_us") + Micros90m)
+        RangeJoin.overlap(activity, windows,
+          leftStart = "start_us", leftEnd = "end_us",
+          rightStart = "w_start_us", rightEnd = "w_end_us",
+          bucketWidth = Micros90m)
+          .select("event_id", "w", "start_us")
+          .orderBy("event_id", "w")
+      },
+      Some(s"""WITH win AS (
+             |  SELECT w, $BaseUs + w * $MicrosPer17h AS w_start_us,
+             |         $BaseUs + w * $MicrosPer17h + $Micros90m AS w_end_us
+             |  FROM (SELECT unnest(range(0, 40)) AS w)),
+             |e AS (SELECT event_id, epoch_us(ts) AS start_us,
+             |             epoch_us(ts) + $Micros30m AS end_us
+             |      FROM events)
+             |SELECT e.event_id, win.w, e.start_us
+             |FROM e JOIN win ON e.start_us < win.w_end_us AND win.w_start_us < e.end_us
+             |ORDER BY event_id, w""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // C1 — deterministic hash sampling: ~10% of documents kept by md5
     // bucket of the salted id. Stable across reruns/retries/partitioning
     // (rand() is not); md5 so the oracle computes the identical bucket.
@@ -251,6 +287,43 @@ object CurationQueries {
              |FROM p ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // C5 — the tokenizer-facing contract: every document exploded across
+    // the sequences it occupies, with the half-open [tok_start, tok_end)
+    // slice per sequence. Oracle = the c3 placement SQL + a range() unnest.
+    Q(
+      "c5_packed_sequences",
+      (s, dir) =>
+        Curation.packedSequences(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"),
+              TextFunctions.nTokens(col("text")).as("n_tokens")),
+          shardCol = "source", orderCol = "doc_id",
+          nTokensCol = "n_tokens", seqLen = SeqLen)
+          .select("doc_id", "source", "seq_id", "tok_start", "tok_end")
+          .orderBy("doc_id", "seq_id"),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+             |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |           FROM documents),
+             |p AS (SELECT doc_id, source, n_tokens,
+             |             CAST(COALESCE(SUM(n_tokens) OVER (
+             |               PARTITION BY source ORDER BY doc_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+             |      FROM t),
+             |q AS (SELECT doc_id, source, n_tokens, start_tok,
+             |             CAST(floor(start_tok / $SeqLen) AS BIGINT) AS first_seq,
+             |             start_tok % $SeqLen AS tok_offset,
+             |             CAST(floor((start_tok + n_tokens - 1) / $SeqLen) AS BIGINT) AS end_seq
+             |      FROM p WHERE n_tokens > 0),
+             |u AS (SELECT doc_id, source, n_tokens, start_tok, first_seq, tok_offset, end_seq,
+             |             unnest(range(first_seq, end_seq + 1)) AS seq_id
+             |      FROM q)
+             |SELECT doc_id, source, seq_id,
+             |       CASE WHEN seq_id = first_seq THEN tok_offset ELSE 0 END AS tok_start,
+             |       CASE WHEN seq_id = end_seq THEN (start_tok + n_tokens - 1) % $SeqLen + 1
+             |            ELSE $SeqLen END AS tok_end
+             |FROM u ORDER BY doc_id, seq_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // C4 — eval-set decontamination: flag every corpus doc sharing an
     // 8-token shingle with the eval set (doc_id % 97 == 0). The natural
     // corpus has no cross-doc 8-grams at these SFs, so contaminated copies
@@ -259,22 +332,48 @@ object CurationQueries {
     // broadcast; the corpus is scanned once.
     Q(
       "c4_decontaminate",
-      (s, dir) => {
-        val d = Tables.documents(s, dir).select("doc_id", "text")
-        val probe = d.filter(col("doc_id") === 0)
-          .select(concat_ws(" ",
-            slice(TextFunctions.tokens(col("text")), 1, 8)).as("__probe"))
-        val injected = d.filter(col("doc_id") % 50 === 0 && col("doc_id") =!= 0)
-          .crossJoin(broadcast(probe))
-          .select((col("doc_id") + 1000000L).as("doc_id"),
-            concat(col("text"), lit(" "), col("__probe")).as("text"))
-        val corpus = d.unionByName(injected)
-        val eval = d.filter(col("doc_id") % 97 === 0)
-        Curation.decontaminate(corpus, eval, n = 8)
-          .select("doc_id", "contaminated")
-          .orderBy("doc_id")
-      },
-      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+      (s, dir) => decontaminateScenario(s, dir, broadcastEval = true),
+      Some(decontaminateOracle)),
+
+    // ------------------------------------------------------------------
+    // C4b — same scenario through the SHUFFLE fallback (broadcastEval =
+    // false): both sides reduced to xxhash64(shingle) and met in a
+    // shuffled semi-join — the path for an eval side too big to
+    // broadcast. Same oracle as c4: the fallback must be
+    // result-invisible.
+    Q(
+      "c4b_decontaminate_shuffle",
+      (s, dir) => decontaminateScenario(s, dir, broadcastEval = false),
+      Some(decontaminateOracle))
+  ) ++ tailQueries
+
+  /** The shared c4/c4b scenario: the natural corpus has no cross-doc
+    * 8-grams at these SFs, so contaminated copies are injected (every 50th
+    * doc + the first 8 tokens of eval doc 0), same style as the near-dup
+    * queries' injection.
+    */
+  private def decontaminateScenario(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      broadcastEval: Boolean): org.apache.spark.sql.DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val probe = d.filter(col("doc_id") === 0)
+      .select(concat_ws(" ",
+        slice(TextFunctions.tokens(col("text")), 1, 8)).as("__probe"))
+    val injected = d.filter(col("doc_id") % 50 === 0 && col("doc_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("__probe")).as("text"))
+    val corpus = d.unionByName(injected)
+    val eval = d.filter(col("doc_id") % 97 === 0)
+    Curation.decontaminate(corpus, eval, n = 8, broadcastEval = broadcastEval)
+      .select("doc_id", "contaminated")
+      .orderBy("doc_id")
+  }
+
+  // lazy: referenced by `all`, which initializes first in declaration order
+  // — a strict val here would still be null at capture time.
+  private lazy val decontaminateOracle =
+    """WITH d AS (SELECT doc_id, text FROM documents),
              |probe AS (SELECT array_to_string((string_split(text, ' '))[1:8], ' ') AS p
              |          FROM d WHERE doc_id = 0),
              |inj AS (SELECT doc_id + 1000000 AS doc_id,
@@ -291,8 +390,9 @@ object CurationQueries {
              |        WHERE shingle IN (SELECT shingle FROM ev))
              |SELECT c.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
              |FROM corpus c LEFT JOIN hit ON c.doc_id = hit.doc_id
-             |ORDER BY c.doc_id""".stripMargin)),
+             |ORDER BY c.doc_id""".stripMargin
 
+  private lazy val tailQueries: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // T8 — Gopher-style repetition signals over word bigrams: duplicate
     // fraction and top-gram share per document. Explode + two map-side-

@@ -1,0 +1,48 @@
+package graft.bench
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** The PlanAudit lint as a GATE: any future query that plans a cartesian
+  * product — or a broadcast nested-loop join that is not on the accounted
+  * whitelist — fails `sbt test` instead of waiting for a bench regression.
+  * Plans are BUILT, not executed (the handful of setup-writing queries do
+  * run their tiny sf0.001 side effects).
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  /** Intended BNLJs, each with a bounded broadcast side:
+    *  - q7 / etl_type_histogram: a ONE-ROW grand-total crossJoin;
+    *  - e1: the broadcast ANN query set (brute-force baseline by design);
+    *  - e5 (+golden): the broadcast centroid table (C rows) for IVF
+    *    assignment and probe ranking;
+    *  - c4/c4b: the ONE-ROW injected probe in the fixture scenario.
+    */
+  private val accountedBnlj = Set(
+    "q7_histogram_pct",
+    "etl_type_histogram_golden",
+    "e1_ann_bruteforce",
+    "e5_ann_ivf",
+    "e5_ivf_golden",
+    "c4_decontaminate",
+    "c4b_decontaminate_shuffle")
+
+  test("no registered query plans a cartesian or an unaccounted nested-loop join") {
+    val sfDir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.allQueries.flatMap { q =>
+      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        Some(s"${q.name}: CartesianProduct")
+      else if (plan.contains("BroadcastNestedLoopJoin") && !accountedBnlj(q.name))
+        Some(s"${q.name}: BroadcastNestedLoopJoin not on the accounted whitelist")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"scale-killer plan shapes found:\n${offenders.mkString("\n")}")
+  }
+
+  test("whitelist carries no dead entries") {
+    val names = SparkEntry.allQueries.map(_.name).toSet
+    val dead = accountedBnlj.diff(names)
+    assert(dead.isEmpty, s"whitelisted queries no longer registered: $dead")
+  }
+}

@@ -81,6 +81,48 @@ class CurationSpec extends SparkTestBase {
     assert(out(2L) == ((2L, 3L, 3L, 1L, 0.0, 1.0 / 3.0)))
   }
 
+  test("packedSequences slices cover each doc exactly, half-open per sequence") {
+    import spark.implicits._
+    // seqLen 10; shard A: docs of 4, 10, 9 tokens -> boundaries at 4, 14, 23.
+    val docs = Seq(
+      ("A", 1L, 4L), ("A", 2L, 10L), ("A", 3L, 9L),
+      ("B", 7L, 25L), // spans three sequences on its own
+      ("B", 8L, 0L)) // zero tokens: no slice
+      .toDF("shard", "doc_id", "n")
+    val out = Curation.packedSequences(docs, "shard", "doc_id", "n", seqLen = 10)
+      .select("shard", "doc_id", "seq_id", "tok_start", "tok_end")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(out == Seq(
+      ("A", 1L, 0L, 0L, 4L),
+      ("A", 2L, 0L, 4L, 10L), ("A", 2L, 1L, 0L, 4L),
+      ("A", 3L, 1L, 4L, 10L), ("A", 3L, 2L, 0L, 3L),
+      ("B", 7L, 0L, 0L, 10L), ("B", 7L, 1L, 0L, 10L), ("B", 7L, 2L, 0L, 5L)))
+    // Every doc's slices sum back to its token count.
+    val sums = out.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(s => s._5 - s._4).sum).toMap
+    assert(sums == Map(("A", 1L) -> 4L, ("A", 2L) -> 10L, ("A", 3L) -> 9L, ("B", 7L) -> 25L))
+  }
+
+  test("decontaminate shuffle fallback matches the broadcast path") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "beta gamma delta iota"),
+      (4L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "beta gamma delta")).toDF("doc_id", "text")
+    def run(bc: Boolean): Seq[(Long, Boolean)] =
+      Curation.decontaminate(corpus, eval, n = 3, broadcastEval = bc)
+        .select("doc_id", "contaminated").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val broadcastPath = run(true)
+    assert(broadcastPath == Seq(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    assert(run(false) == broadcastPath)
+  }
+
   test("scrubPii masks emails, IPs, and phones without touching clean text") {
     import spark.implicits._
     val df = Seq(

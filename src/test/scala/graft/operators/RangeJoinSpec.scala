@@ -55,6 +55,62 @@ class RangeJoinSpec extends SparkTestBase {
       s"range join fell back to a scale-killer plan:\n$plan")
   }
 
+  test("overlap equals the naive inequality join and emits each pair once") {
+    import spark.implicits._
+    // Deterministic mix of widths/alignments, both sides spanning multiple
+    // 50-wide buckets — the case where ownership must prevent duplicates.
+    val a = (0 until 40)
+      .map(i => (s"a$i", (i * 37 % 300).toLong, (i * 37 % 300 + 1 + i * 13 % 160).toLong))
+      .toDF("aname", "as", "ae")
+    val b = (0 until 40)
+      .map(i => (s"b$i", (i * 53 % 310).toLong, (i * 53 % 310 + 1 + i * 11 % 140).toLong))
+      .toDF("bname", "bs", "be")
+    val naive = a.crossJoin(b)
+      .filter(col("as") < col("be") && col("bs") < col("ae"))
+      .select("aname", "bname")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    for (width <- Seq(10L, 50L, 500L)) {
+      val ours = RangeJoin.overlap(a, b, "as", "ae", "bs", "be", bucketWidth = width)
+        .select("aname", "bname")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(ours == naive, s"width=$width diverged (or duplicated pairs)")
+    }
+    assert(naive.nonEmpty && naive.size < 1600)
+  }
+
+  test("overlap half-open semantics: touching intervals do not match, empty never match") {
+    import spark.implicits._
+    val a = Seq(("a1", 0L, 10L), ("empty", 20L, 20L)).toDF("aname", "as", "ae")
+    val b = Seq(("touch", 10L, 15L), ("inside", 5L, 6L), ("covers20", 15L, 30L))
+      .toDF("bname", "bs", "be")
+    val out = RangeJoin.overlap(a, b, "as", "ae", "bs", "be", bucketWidth = 8L)
+      .select("aname", "bname")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    // [0,10) meets [5,6) only; [10,15) touches but half-open excludes it;
+    // the empty [20,20) matches nothing even though [15,30) covers t=20.
+    assert(out == Seq(("a1", "inside")))
+  }
+
+  test("overlap with equi-keys restricts matches to the same key") {
+    import spark.implicits._
+    val a = Seq(("k1", 0L, 10L), ("k2", 0L, 10L)).toDF("k", "as", "ae")
+    val b = Seq(("k1", 5L, 15L)).toDF("k", "bs", "be")
+    val out = RangeJoin.overlap(a, b, "as", "ae", "bs", "be",
+      bucketWidth = 10L, keys = Seq("k"))
+      .select("k").as[String].collect().toSeq
+    assert(out == Seq("k1"))
+  }
+
+  test("overlap plans as an equi-join on the bucket, never a nested-loop/cartesian") {
+    import spark.implicits._
+    val a = Seq(("a1", 0L, 10L)).toDF("aname", "as", "ae")
+    val b = Seq(("b1", 5L, 15L)).toDF("bname", "bs", "be")
+    val plan = RangeJoin.overlap(a, b, "as", "ae", "bs", "be", bucketWidth = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join fell back to a scale-killer plan:\n$plan")
+  }
+
   test("colliding non-key columns are rejected") {
     import spark.implicits._
     val points = Seq((1L, "x")).toDF("t", "name")
