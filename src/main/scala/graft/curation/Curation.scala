@@ -90,6 +90,41 @@ object Curation {
         floor((col("start_tok") + col(nTokensCol) - 1) / seqLen))
   }
 
+  /** Stratified sampling with EXACT per-group quotas: the `nPerGroup`
+    * documents of each group with the smallest md5-of-salted-id — the
+    * "exactly 1,000 docs per source for the eval slice" step, where
+    * [[mixtureSample]]'s proportional keep is not enough. Deterministic
+    * like every sampler here (rerun/retry/partition-stable), and the same
+    * (salt, id) ordering ranks consistently across derived datasets.
+    *
+    * Shape at scale: a bounded-heap top-k AGGREGATE per group (the ANN
+    * top-k expression), not a `row_number` window — the window form
+    * funnels each group's full membership into one task, while the heap
+    * caps shuffle traffic at nPerGroup rows per mapper per group. Returns
+    * (group, id, rk) with rk = 1..nPerGroup in hash order; callers join
+    * back by id for full rows.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      nPerGroup: Int,
+      salt: String): DataFrame = {
+    require(nPerGroup > 0, s"nPerGroup must be positive, got $nPerGroup")
+    val item = struct(
+      md5(concat(lit(salt), col(idCol).cast("string"))).as("h"),
+      col(idCol).as("id"))
+    df.select(col(groupCol), item.as("__item"))
+      .groupBy(groupCol)
+      .agg(org.apache.spark.sql.graftnative.TopK
+        .collectTopK(col("__item"), nPerGroup, reverse = true).as("__top"))
+      .select(col(groupCol), posexplode(array_sort(col("__top"))).as(Seq("__pos", "__it")))
+      .select(
+        col(groupCol),
+        col("__it.id").as(idCol),
+        (col("__pos") + 1).cast("long").as("rk"))
+  }
+
   /** The tokenizer-facing form of [[packSequences]]: one row per
     * (sequence, document) slice — `seq_id` (per shard), with
     * `[tok_start, tok_end)` the half-open token range the document

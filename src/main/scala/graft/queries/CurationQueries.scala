@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.curation.Curation
 import graft.operators.{AsOfJoin, RangeJoin}
 import graft.tables.Tables
-import graft.text.TextFunctions
+import graft.text.{TextFunctions, TfIdf}
 
 /** Round-4 surface: the two join operators Spark lacks as primitives
   * (backward as-of, interval containment) re-expressed Spark-first with
@@ -393,6 +393,52 @@ object CurationQueries {
              |ORDER BY c.doc_id""".stripMargin
 
   private lazy val tailQueries: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // C6 — stratified sampling with exact per-group quotas: the 5
+    // hash-smallest docs per source, ranked. Bounded-heap top-k aggregate
+    // per group (never a row_number window over the whole group); DuckDB's
+    // row_number over the same md5 order is the oracle.
+    Q(
+      "c6_stratified_sample",
+      (s, dir) =>
+        Curation.stratifiedSample(Tables.documents(s, dir),
+          groupCol = "source", idCol = "doc_id", nPerGroup = 5, salt = "st")
+          .orderBy("source", "rk"),
+      Some("""SELECT source, doc_id, rk FROM (
+             |  SELECT source, doc_id,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY md5('st' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 5 ORDER BY source, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T10 — TF-IDF top terms per document (rational idf N/df: identical
+    // top-k and ordering to the log form for fixed N, but bit-exact across
+    // engines — ln() differs in the last ulp between libms). Top-3 per
+    // doc, ties broken by term; DuckDB computes the identical division.
+    Q(
+      "t10_tfidf_top_terms",
+      (s, dir) =>
+        TfIdf.topTerms(Tables.documents(s, dir), k = 3)
+          .orderBy("doc_id", "rk"),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |    FROM documents) GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, term, tf.tf, df.df,
+             |         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+             |  FROM tf JOIN df USING (term) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT doc_id, term, tf, df, score,
+             |         row_number() OVER (PARTITION BY doc_id
+             |           ORDER BY score DESC, term) AS rk
+             |  FROM scored)
+             |SELECT doc_id, rk, term, tf, df, score
+             |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     // ------------------------------------------------------------------
     // T8 — Gopher-style repetition signals over word bigrams: duplicate
     // fraction and top-gram share per document. Explode + two map-side-

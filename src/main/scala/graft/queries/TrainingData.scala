@@ -301,6 +301,27 @@ object TrainingData {
              |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // D6g — collapse composed with the hash-seeded pair generator: cluster
+    // the embedded fixture via minhashLshPairs (k=8/bands=4 — the exact
+    // config whose signatures d2_minhash_golden pins by independent
+    // mirror). Docs 1/2 differ by one word -> est_jaccard 7/8, one
+    // cluster; 3 and 5 are singletons; 4 is too short to fingerprint and
+    // must still surface as its own surviving cluster.
+    Q(
+      "d6_collapse_golden",
+      (s, _) => {
+        val docs = hashFixture(s)
+        val pairs = Dedup.minhashLshPairs(docs, k = 8, bands = 4)
+        ClusterCollapse.collapse(docs, pairs).orderBy("doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |       CAST(cluster_id AS BIGINT) AS cluster_id, is_survivor
+             |FROM (VALUES
+             |  (1, 1, true), (2, 1, false), (3, 3, true),
+             |  (4, 4, true), (5, 5, true)
+             |) AS t(doc_id, cluster_id, is_survivor) ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T1 — heuristic language ID histogram (stopword-hit argmax).
     Q(
       "t1_lang_id",

@@ -24,7 +24,9 @@ class PlanAuditSpec extends SparkTestBase {
     "e5_ann_ivf",
     "e5_ivf_golden",
     "c4_decontaminate",
-    "c4b_decontaminate_shuffle")
+    "c4b_decontaminate_shuffle",
+    // one-row corpus-count side of the tf*N/df scoring join
+    "t10_tfidf_top_terms")
 
   test("no registered query plans a cartesian or an unaccounted nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"

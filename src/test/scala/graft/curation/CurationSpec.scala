@@ -123,6 +123,42 @@ class CurationSpec extends SparkTestBase {
     assert(run(false) == broadcastPath)
   }
 
+  test("stratifiedSample takes exact quotas per group, deterministically") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (s"g${i % 3}", i)).toDF("grp", "doc_id")
+    val out = Curation.stratifiedSample(docs, "grp", "doc_id", nPerGroup = 4, salt = "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // Exact quota per group, ranks 1..4, stable across reruns.
+    assert(out.groupBy(_._1).view.mapValues(_.length).toMap ==
+      Map("g0" -> 4, "g1" -> 4, "g2" -> 4))
+    assert(out.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L)))
+    val rerun = Curation.stratifiedSample(docs.repartition(7), "grp", "doc_id", 4, "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq == rerun.sorted.toSeq)
+    // A group smaller than the quota yields all its members.
+    val small = Seq(("g9", 1L), ("g9", 2L)).toDF("grp", "doc_id")
+    assert(Curation.stratifiedSample(small, "grp", "doc_id", 5, "s").count() == 2)
+  }
+
+  test("tfidf top terms rank rare terms above common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog sat"),
+      (3L, "the bird flew"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TfIdf.topTerms(docs, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // Unique terms (df=1, score 3.0) outrank "sat" (df=2, 1.5) and "the"
+    // (df=3, 1.0); ties among uniques break alphabetically.
+    assert(out == Seq(
+      (1L, 1L, "cat", 1L, 1L), (1L, 2L, "sat", 1L, 2L),
+      (2L, 1L, "dog", 1L, 1L), (2L, 2L, "sat", 1L, 2L),
+      (3L, 1L, "bird", 1L, 1L), (3L, 2L, "flew", 1L, 1L)))
+  }
+
   test("scrubPii masks emails, IPs, and phones without touching clean text") {
     import spark.implicits._
     val df = Seq(
