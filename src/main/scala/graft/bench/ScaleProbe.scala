@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftSession
 import graft.dedup.{ClusterCollapse, Dedup}
+import graft.operators.AsOfJoin
 import graft.similarity.Similarity
 import graft.tables.Tables
 
@@ -85,6 +86,30 @@ object ScaleProbe {
         val pairs = Dedup.minhashLshPairs(d)
         ClusterCollapse.collapse(d, pairs).filter(!col("is_survivor")).count()
       }
+    }
+
+    // As-of hot key: ONE key owns the entire history — the straggler case
+    // timeBucket exists for. Unbucketed, the key's full event stream sorts
+    // in a single task regardless of cluster size; bucketed splits it into
+    // ~40 per-(key, bucket) tasks plus a 40-row carry table. Healthy =
+    // bucketed times growing ~linearly and beating unbucketed at 10x.
+    // (agg on the carried value, not count(*): pruning must not delete the
+    // window being measured.)
+    for ((label, rows) <- Seq("1x" -> 200000L, s"${n}x" -> 200000L * n)) {
+      val span = rows * 3
+      val left = spark.range(rows).select(
+        lit("hot").as("k"), (col("id") * 7 % span).as("t"), col("id").as("lv"))
+      val right = spark.range(rows)
+        .select(lit("hot").as("k"), (col("id") * 13 % span).as("t"))
+        .dropDuplicates("k", "t") // as-of contract: unique per (key, ts)
+        .withColumn("rv", col("t") * 2)
+      time(s"asof_hotkey_1task $label")(
+        AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("rv"))
+          .agg(count(col("rv"))).head.getLong(0))
+      time(s"asof_hotkey_bucketed $label")(
+        AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("rv"),
+          timeBucket = Some(span / 40))
+          .agg(count(col("rv"))).head.getLong(0))
     }
 
     // Hot-bucket guard probe: one vector duplicated 50x vs 50Nx (identical
