@@ -703,6 +703,35 @@ object TrainingData {
              |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY id_a, id_b""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // E7 — cluster collapse over the EMBEDDING pair family (the third
+    // pair generator after jaccard/d6 and minhash/d6g): e4's scenario
+    // reduced to clusters + survivors. e4's oracle proves the pair set is
+    // exactly the injected copies, so the component structure has a
+    // closed form: each copied vector pairs with its original (survivor =
+    // the original), everything else is a surviving singleton.
+    Q(
+      "e7_embedding_collapse",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val corpus = emb.unionByName(
+          emb.filter(col("vec_id") % 25 === 0)
+            .withColumn("vec_id", col("vec_id") + 1000000L))
+        val planes = Similarity.randomPlanes(nPlanes = 8, dim = 64)
+        val pairs = Similarity.nearDupPairs(corpus, planes, threshold = 0.999)
+        ClusterCollapse.collapse(corpus, pairs, idCol = "vec_id")
+          .orderBy("vec_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT vec_id FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id % 25 = 0)
+             |SELECT vec_id,
+             |       CASE WHEN vec_id >= 1000000 THEN vec_id - 1000000
+             |            ELSE vec_id END AS cluster_id,
+             |       vec_id < 1000000 AS is_survivor
+             |FROM corpus ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // M1 — multimodal binary plumbing: opaque bytes + typed metadata
     // (length, sha256). Decode itself is the stubbed mapPartitions path
     // (MultimodalSpec); the metadata projection is oracle-checked.
