@@ -109,11 +109,16 @@ object ClusterCollapse {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
+      val prev = edges
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = checksum(next)
       edges = next
       rounds += 1
-      converged = nextSig == sig
+      // The fingerprint is probabilistic; a collision would stop early
+      // with wrong components. Backstop: the ONE round where fingerprints
+      // first agree pays an exact set-equality check (same count already
+      // verified, so one anti-join direction suffices).
+      converged = nextSig == sig && next.except(prev).isEmpty
       sig = nextSig
     }
     if (!converged)

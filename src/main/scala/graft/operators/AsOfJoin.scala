@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, TimestampType}
 
 /** As-of join: for every left row (key, ts) attach the nearest right row
   * with the same key at-or-before it (backward — "state at event time":
@@ -103,9 +103,18 @@ object AsOfJoin {
 
     // Timestamps order identically as their microsecond epoch, and a
     // numeric __tsn is what bucketing and tolerance arithmetic need.
-    def num(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-      case TimestampType => unix_micros(col(c))
-      case _ => col(c).cast("long")
+    // Fractional time columns (double/decimal) are rejected outright: the
+    // long cast truncates, so 5.9 would become visible to a backward join
+    // at 5.5 — a silent semantics change rather than a precision loss.
+    def num(df: DataFrame, c: String): Column = {
+      val dt: DataType = df.schema(c).dataType
+      dt match {
+        case TimestampType => unix_micros(col(c))
+        case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+        case other => throw new IllegalArgumentException(
+          s"as-of ts column '$c' must be timestamp or integral, got $other; " +
+            "scale fractional time to integer units (e.g. epoch micros) first")
+      }
     }
     // Right rows get side 0 so that at equal timestamps the right row
     // sorts before the left and is visible to it (>= / <= tie semantics).

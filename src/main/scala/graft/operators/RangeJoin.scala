@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Interval containment join: pair every point row (ts) with every interval
   * row whose [start, end) contains it, optionally also matching equi-keys.
@@ -24,6 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Both operators work in INTEGER time units (epoch micros, slots, …):
+    * the `(end - 1) / bucketWidth` explode bound and the
+    * `greatest(starts) / bucketWidth` ownership filter are exact only for
+    * integral bounds — with doubles, a start in (end-1, end) can land in a
+    * bucket neither side exploded to and silently drop an overlapping
+    * pair. Enforced at the schema level; scale fractional time first.
+    */
+  private def requireIntegral(df: DataFrame, cols: String*): Unit =
+    cols.foreach { c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"range-join column '$c' must be integral (integer time units), got $other")
+      }
+    }
+
   /** All columns from both inputs survive (equi-keys once). Point/interval
     * column names must not collide otherwise.
     */
@@ -36,6 +53,8 @@ object RangeJoin {
       bucketWidth: Long,
       keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    requireIntegral(points, pointCol)
+    requireIntegral(intervals, startCol, endCol)
     val overlap = points.columns.toSet
       .intersect(intervals.columns.toSet)
       .diff(keys.toSet)
@@ -84,6 +103,8 @@ object RangeJoin {
       bucketWidth: Long,
       keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    requireIntegral(left, leftStart, leftEnd)
+    requireIntegral(right, rightStart, rightEnd)
     val collisions = left.columns.toSet
       .intersect(right.columns.toSet)
       .diff(keys.toSet)

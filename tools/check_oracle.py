@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [nameFilter...]
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the sfDir parquet
 tables, sorts columns by name + rows, and compares values exactly.
+
+Pass the same name-prefix filters that were given to graft.Verify to restrict
+the check to the dumped subset. Without filters a missing parquet dump counts
+as a FAIL (Verify swallows per-query exceptions, so a crashed query would
+otherwise vanish silently).
 """
 import json
 import math
@@ -35,6 +40,7 @@ def canon(rows, cols):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    filters = sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -46,9 +52,13 @@ def main():
     # query once, via the bare-name key.
     oracles = {k: v for k, v in oracles.items() if not k.endswith(".parquet")}
     for name, sql in sorted(oracles.items()):
-        # Verify accepts name-prefix filters for fast local iteration; only
-        # check what was actually dumped.
+        if filters and not any(name.startswith(p) for p in filters):
+            continue
         if not os.path.isdir(f"{out_dir}/{name}.parquet"):
+            # In a full run every oracled query must have produced a dump;
+            # Verify catches per-query exceptions, so treat absence as failure.
+            print(f"FAIL {name}: no parquet dump (query crashed in Verify?)")
+            n_fail += 1
             continue
         try:
             got = con.execute(
