@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.dedup.{ClusterCollapse, Dedup}
+import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.operators.AsOfJoin
 import graft.similarity.Similarity
 import graft.tables.Tables
@@ -45,6 +45,13 @@ object ScaleProbe {
       time(s"simhash $label")(Dedup.simhashPairs(d, maxHamming = 3).count())
       time(s"jaccard_capped $label")(
         Dedup.jaccardShinglePairs(d, threshold = 0.5, maxDocFreq = Some(100)).count())
+      // Span dedup on the replicated corpus is the boilerplate-heavy worst
+      // case by construction: every span's corpus frequency multiplies by
+      // the copy count. Healthy = ~linear (the frequency rollup is a
+      // map-side-combined groupBy on 128-bit hashes; hot spans are an AQE-
+      // splittable join, not a window).
+      time(s"span_stats $label")(SpanDedup.spanStats(d).count())
+      time(s"span_scrub $label")(SpanDedup.scrub(d).count())
       // The documented pipeline order for duplicate-heavy corpora: exact
       // dedup FIRST, then shingle Jaccard over the survivors. On the 10x
       // replica corpus this collapses the inverted index back to 1x size —

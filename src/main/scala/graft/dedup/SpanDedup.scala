@@ -1,0 +1,108 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Span-level (paragraph-level) exact dedup: finds boilerplate repeated
+  * INSIDE otherwise-distinct documents — headers, license blocks,
+  * navigation chrome — which document-granular dedup (exact or MinHash)
+  * under-flags because the documents differ overall. The reference's analog
+  * is its exact-key collapse (src/etl/load.rs:239-279); this is the
+  * within-document generalization every corpus pipeline runs before
+  * training.
+  *
+  * A "span" is a fixed run of `span` consecutive tokens (documents here are
+  * flat word streams with no paragraph delimiters; on corpora with real
+  * paragraph breaks, split on the delimiter first and feed each paragraph
+  * as its own doc). Each document splits into ceil(n/span) non-overlapping
+  * chunks; a chunk is "duplicated" when its exact text occurs at least
+  * `minCount` times corpus-wide.
+  *
+  * Scale shape (the whole point): explode -> md5 -> groupBy -> join back —
+  * the same inverted-index skeleton as [[Dedup.exact]] and the repetition
+  * signals. Span TEXT never shuffles in the stats path: spans reduce to
+  * their 128-bit md5 immediately after the (map-side, shuffle-free)
+  * explode, so the frequency shuffle moves (hash, count) rows, not
+  * paragraphs. The frequency table's hot keys (a license block repeated a
+  * billion times) meet the span table in an equi-join AQE can skew-split —
+  * never a window over the hash, whose hot partition could not be split.
+  */
+object SpanDedup {
+
+  /** (id, pos, sp): every document exploded to its 0-based span chunks.
+    * Null/empty documents produce no rows — the guard is load-bearing
+    * twice over: `split("", " ")` yields `[""]`, which would mint a
+    * phantom empty span, and `sequence` counts DOWN from an inverted
+    * range.
+    */
+  def spans(
+      docs: DataFrame, span: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(span >= 1, s"span width must be >= 1, got $span")
+    docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(
+        col("id"),
+        posexplode(
+          transform(
+            sequence(lit(0L), floor((size(col("w")) - 1) / lit(span))),
+            i => array_join(slice(col("w"), (i * span + 1).cast("int"), lit(span)), " ")))
+          .as(Seq("pos", "sp")))
+  }
+
+  /** Per-document duplication profile: (doc_id, n_spans, n_duplicated,
+    * dup_frac) where n_duplicated counts this document's spans whose exact
+    * text appears >= `minCount` times across the corpus (occurrences
+    * include the document's own). dup_frac near 1.0 = the document IS
+    * boilerplate; a moderate dup_frac with distinct remainder = chrome
+    * around real content — the rows [[scrub]] cleans rather than drops.
+    */
+  def spanStats(
+      docs: DataFrame, span: Int = 10, minCount: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = spans(docs, span, idCol, textCol)
+      .select(col("id"), md5(col("sp")).as("h"))
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("span_df"))
+    sh.join(freq, "h")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("span_df") >= minCount, 1L).otherwise(0L)).as("n_duplicated"))
+      .withColumn("dup_frac", col("n_duplicated").cast("double") / col("n_spans"))
+  }
+
+  /** Boilerplate excision: (doc_id, text) with every span whose corpus
+    * frequency exceeds `maxCount` removed and the survivors rejoined in
+    * order. Documents that were entirely boilerplate (or empty) come back
+    * with an empty string — the row survives so callers can tell "scrubbed
+    * to nothing" from "missing".
+    *
+    * This is the one path where span text must shuffle (reassembly groups a
+    * document's surviving spans); it travels once, in span-sized pieces,
+    * after the hot spans — by construction the highest-volume ones — were
+    * anti-joined away.
+    */
+  def scrub(
+      docs: DataFrame, span: Int = 10, maxCount: Long = 1L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = spans(docs, span, idCol, textCol)
+      .withColumn("h", md5(col("sp")))
+    val hot = sp.groupBy("h").agg(count(lit(1)).as("span_df"))
+      .filter(col("span_df") > maxCount)
+      .select("h")
+    val kept = sp.join(hot, Seq("h"), "left_anti")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("sp")))),
+            x => x.getField("sp")),
+          " ").as(textCol))
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+}

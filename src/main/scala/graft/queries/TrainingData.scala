@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{ClusterCollapse, Dedup}
+import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
@@ -47,6 +47,44 @@ object TrainingData {
       |       FROM documents
       |       WHERE doc_id % 20 = 0 AND len(string_split(text,' ')) > 3),
       |docs AS (SELECT * FROM base UNION ALL SELECT * FROM nd)""".stripMargin
+
+  /** 10-word boilerplate lines injected into the corpus for the span-dedup
+    * fixture: every 5th doc gets the header prepended, every 7th the footer
+    * appended — repeated chrome INSIDE otherwise-distinct documents, the
+    * case document-granular dedup misses. Width matches the d7 span so the
+    * header aligns to span 0 of every doc carrying it; the footer lands in
+    * the trailing partial chunk and only aligns when the doc length
+    * cooperates — deliberately, because misaligned boilerplate is the
+    * realistic hard case and the stats must simply report what repeats.
+    */
+  private val BoilerHeader = "terms of service apply to all content on this site"
+  private val BoilerFooter = "all rights reserved contact us for more information here today"
+
+  private def docsWithBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(lit(BoilerHeader + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + BoilerFooter)))
+          .otherwise(col("text")).as("text"))
+
+  /** Shared CTE chain for the d7 oracles: the boilerplate fixture + each
+    * doc exploded to its 0-based fixed 10-token span chunks.
+    */
+  private val sqlSpanCte =
+    s"""WITH hdr AS (SELECT doc_id,
+       |              CASE WHEN doc_id % 5 = 0 THEN '$BoilerHeader ' || text ELSE text END AS text
+       |            FROM documents),
+       |docs AS (SELECT doc_id,
+       |              CASE WHEN doc_id % 7 = 0 THEN text || ' $BoilerFooter' ELSE text END AS text
+       |         FROM hdr),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+       |spans AS (SELECT doc_id, i AS pos,
+       |                 array_to_string(w[i*10+1 : i*10+10], ' ') AS sp
+       |          FROM (SELECT doc_id, w, unnest(range((len(w) + 9) // 10)) AS i FROM toks))""".stripMargin
 
   /** Five embedded fixture docs for the hash-math goldens (d2/d3/t5
     * goldens below). Expected outputs are computed by an independent
@@ -320,6 +358,44 @@ object TrainingData {
              |  (1, 1, true), (2, 1, false), (3, 3, true),
              |  (4, 4, true), (5, 5, true)
              |) AS t(doc_id, cluster_id, is_survivor) ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // D7 — span-level exact dedup: per-document duplication profile over
+    // fixed 10-token chunks of the boilerplate-injected corpus. Catches
+    // repeated chrome INSIDE otherwise-distinct documents; span text never
+    // shuffles (md5 reduction before the frequency groupBy).
+    Q(
+      "d7_span_stats",
+      (s, dir) =>
+        SpanDedup.spanStats(docsWithBoilerplate(s, dir), span = 10, minCount = 2L)
+          .orderBy("doc_id"),
+      Some(s"""$sqlSpanCte,
+             |freq AS (SELECT sp, count(*) AS span_df FROM spans GROUP BY sp)
+             |SELECT s.doc_id,
+             |       CAST(count(*) AS BIGINT) AS n_spans,
+             |       CAST(sum(CASE WHEN f.span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated,
+             |       CAST(sum(CASE WHEN f.span_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+             |FROM spans s JOIN freq f USING (sp)
+             |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // D7b — boilerplate excision: the same span frequencies, but spans seen
+    // more than once corpus-wide are cut and each document's survivors
+    // rejoined in order. Fully-boilerplate docs come back as '' so callers
+    // can tell "scrubbed to nothing" from "missing".
+    Q(
+      "d7b_span_scrub",
+      (s, dir) =>
+        SpanDedup.scrub(docsWithBoilerplate(s, dir), span = 10, maxCount = 1L)
+          .orderBy("doc_id"),
+      Some(s"""$sqlSpanCte,
+             |hot AS (SELECT sp FROM spans GROUP BY sp HAVING count(*) > 1),
+             |kept AS (SELECT doc_id, string_agg(sp, ' ' ORDER BY pos) AS text
+             |         FROM spans WHERE sp NOT IN (SELECT sp FROM hot)
+             |         GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(k.text, '') AS text
+             |FROM docs d LEFT JOIN kept k USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T1 — heuristic language ID histogram (stopword-hit argmax).
