@@ -61,6 +61,67 @@ object Curation {
     df.filter(hashBucket(col(idCol), 10000, salt) < thr)
   }
 
+  /** Token-budget mixture with EPOCHS: [[mixtureSample]] generalized to
+    * rates above 1.0 — the "up-weight high-quality sources" recipe step,
+    * where a source sampled at 2.3 epochs emits each row 2 times plus a
+    * deterministic 30% chance of a third. Every row comes back with an
+    * `epoch` column (0..reps-1) so downstream packing/shuffling can keep
+    * the repeats apart; rate <= 1.0 degenerates to [[mixtureSample]] with
+    * epoch 0. Same md5 grid as every sampler here: rerun/retry/partition
+    * stable, and the fractional keep set at rate 2.3 is EXACTLY the keep
+    * set of rate 0.3 — coordinated across recipe revisions.
+    *
+    * Scale shape: one scan, a generator explode bounded by ceil(rate) per
+    * row, no shuffle at all — the explode multiplies rows in place and the
+    * downstream writer's partitioning deals with volume.
+    */
+  def mixtureSampleEpochs(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      salt: String): DataFrame = {
+    require(rates.values.forall(_ >= 0.0), "rates must be >= 0")
+    // One integer per source on the 1/10000 grid: whole epochs = tot/10000,
+    // fractional keep threshold = tot%10000 — engines compare integers.
+    val totals: Map[String, Int] = rates.map { case (k, v) => k -> (v * 10000).toInt }
+    val tot = coalesce(element_at(typedLit(totals), col(sourceCol)), lit(0))
+    val reps = (floor(tot / 10000) +
+      when(hashBucket(col(idCol), 10000, salt) < tot % 10000, 1L).otherwise(0L))
+      .cast("long")
+    df.withColumn("__reps", reps)
+      .filter(col("__reps") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__reps") - 1)))
+      .drop("__reps")
+  }
+
+  /** Deterministic global training-order shuffle: every row keyed by
+    * `shuffle_key` = md5(salt || id) — a uniform, reproducible total order
+    * with no `rand()` anywhere — and assigned the output shard owning its
+    * key range (`shard` = the key's first 32 bits scaled to nShards, so
+    * shards are CONTIGUOUS slices of the global order: reading shard files
+    * in index order replays the exact shuffled sequence). The returned
+    * frame is range-partitioned and sorted by the key, i.e. ready for a
+    * partitioned write; re-running at any parallelism reproduces the same
+    * order and the same shard assignment.
+    */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: String,
+      salt: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val keyed = df.withColumn("shuffle_key",
+      md5(concat(lit(salt), col(idCol).cast("string"))))
+    // first 8 hex chars = top 32 bits; v * nShards / 2^32 is exact in a
+    // double (numerator < 2^53), so floor is the true range index.
+    val v = conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long")
+    keyed
+      .withColumn("shard", floor(v * nShards / lit(4294967296L)).cast("int"))
+      .repartitionByRange(nShards, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+  }
+
   /** Concat-and-chunk sequence packing — the standard LLM pre-training
     * layout: documents within a shard are concatenated in a deterministic
     * order and the token stream is cut every `seqLen` tokens. This computes
@@ -197,6 +258,47 @@ object Curation {
       .join(contaminated, Seq(idCol), "left_outer")
       .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
       .drop("__hit")
+  }
+
+  /** Span-granular decontamination: instead of [[decontaminate]]'s per-doc
+    * flag, report WHICH token spans overlap the eval set — one row
+    * (doc_id, pos) per contaminated n-token shingle, pos = the shingle's
+    * 0-based token offset — so callers can excise `[pos, pos+n)` windows
+    * rather than drop whole documents (dropping loses the clean majority
+    * of a long doc that merely quotes one benchmark question).
+    *
+    * Both [[decontaminate]] paths exist here with the same tradeoff:
+    * broadcast exact-string match for real benchmark-sized eval sets, the
+    * hashed shuffled semi-join for corpus-sized ones. Only (id, pos,
+    * 8-byte hash) rows ever shuffle — never text.
+    */
+  def contaminatedSpans(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
+    val posShingles = corpus
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(TextFunctions.shinglesFromTokens(col("__toks"), n))
+          .as(Seq("pos", "shingle")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("shingle"))
+    val evalShingles = eval
+      .select(TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(explode(array_distinct(
+        TextFunctions.shinglesFromTokens(col("__toks"), n))).as("shingle"))
+    if (broadcastEval)
+      posShingles
+        .join(broadcast(evalShingles.distinct()), Seq("shingle"), "left_semi")
+        .select(idCol, "pos")
+    else
+      posShingles
+        .select(col(idCol), col("pos"), xxhash64(col("shingle")).as("__h"))
+        .join(evalShingles.select(xxhash64(col("shingle")).as("__h")).distinct(),
+          Seq("__h"), "left_semi")
+        .select(idCol, "pos")
   }
 
   /** Gopher-style repetition signals per document over word n-grams:

@@ -355,16 +355,7 @@ object CurationQueries {
   private def decontaminateScenario(
       s: org.apache.spark.sql.SparkSession, dir: String,
       broadcastEval: Boolean): org.apache.spark.sql.DataFrame = {
-    val d = Tables.documents(s, dir).select("doc_id", "text")
-    val probe = d.filter(col("doc_id") === 0)
-      .select(concat_ws(" ",
-        slice(TextFunctions.tokens(col("text")), 1, 8)).as("__probe"))
-    val injected = d.filter(col("doc_id") % 50 === 0 && col("doc_id") =!= 0)
-      .crossJoin(broadcast(probe))
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" "), col("__probe")).as("text"))
-    val corpus = d.unionByName(injected)
-    val eval = d.filter(col("doc_id") % 97 === 0)
+    val (corpus, eval) = decontaminateInputs(s, dir)
     Curation.decontaminate(corpus, eval, n = 8, broadcastEval = broadcastEval)
       .select("doc_id", "contaminated")
       .orderBy("doc_id")
@@ -493,6 +484,112 @@ object CurationQueries {
              |         '${Curation.emailPattern}', '<EMAIL>', 'g'),
              |         '${Curation.ipPattern}', '<IP>', 'g'),
              |         '${Curation.phonePattern}', '<PHONE>', 'g') AS scrubbed
-             |FROM synth ORDER BY doc_id""".stripMargin))
+             |FROM synth ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C7 — token-budget mixture with epochs: rates above 1.0 up-weight a
+    // source by emitting whole-epoch repeats plus a deterministic
+    // fractional keep (2.8 = twice + an 80% third copy), each repeat
+    // tagged with its epoch index. One scan + a bounded generator explode,
+    // no shuffle; DuckDB computes identical repetition counts from the
+    // same md5 grid.
+    Q(
+      "c7_mixture_epochs",
+      (s, dir) =>
+        Curation.mixtureSampleEpochs(Tables.documents(s, dir),
+          sourceCol = "source", idCol = "doc_id",
+          rates = epochRates, salt = "ep")
+          .select("doc_id", "source", "epoch")
+          .orderBy("doc_id", "epoch"),
+      Some {
+        val cases = epochRates.toSeq.sortBy(_._1).map { case (src, rate) =>
+          s"WHEN '$src' THEN ${(rate * 10000).toInt}"
+        }.mkString("\n           ")
+        s"""SELECT doc_id, source, epoch FROM (
+           |  SELECT doc_id, source, unnest(range(reps)) AS epoch FROM (
+           |    SELECT doc_id, source,
+           |           (tot // 10000)
+           |             + CASE WHEN CAST(CAST('0x' || substr(md5('ep' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS BIGINT) < tot % 10000
+           |                    THEN 1 ELSE 0 END AS reps
+           |    FROM (SELECT doc_id, source,
+           |                 CASE source
+           |           $cases
+           |           ELSE 0 END AS tot
+           |          FROM documents)
+           |    ) WHERE reps > 0)
+           |ORDER BY doc_id, epoch""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // C8 — deterministic corpus shuffle: the global training-order step
+    // after curation. shuffle_key = md5(salt || id) defines a reproducible
+    // total order; shard = the key's top 32 bits scaled to the shard
+    // count, so shards are contiguous slices of that order and reading
+    // them in index order replays the exact shuffled sequence.
+    Q(
+      "c8_corpus_shuffle",
+      (s, dir) =>
+        Curation.deterministicShuffle(Tables.documents(s, dir),
+          idCol = "doc_id", salt = "sh", nShards = 8)
+          .select("doc_id", "shuffle_key", "shard")
+          .orderBy("shuffle_key"),
+      Some("""SELECT doc_id, shuffle_key,
+             |       CAST(floor(CAST(CAST('0x' || substr(shuffle_key, 1, 8) AS BIGINT) * 8 AS DOUBLE) / 4294967296) AS INTEGER) AS shard
+             |FROM (SELECT doc_id, md5('sh' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+             |      FROM documents)
+             |ORDER BY shuffle_key""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C4c — span-granular decontamination: which n-token windows of which
+    // corpus docs overlap the eval set — the excision listing (drop
+    // [pos, pos+8) instead of the whole document). Same injected scenario
+    // as c4; every injected doc must surface its probe's position.
+    Q(
+      "c4c_contaminated_spans",
+      (s, dir) => {
+        val (corpus, eval) = decontaminateInputs(s, dir)
+        Curation.contaminatedSpans(corpus, eval, n = 8)
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+             |probe AS (SELECT array_to_string((string_split(text, ' '))[1:8], ' ') AS p
+             |          FROM d WHERE doc_id = 0),
+             |inj AS (SELECT doc_id + 1000000 AS doc_id,
+             |               text || ' ' || (SELECT p FROM probe) AS text
+             |        FROM d WHERE doc_id % 50 = 0 AND doc_id <> 0),
+             |corpus AS (SELECT * FROM d UNION ALL SELECT * FROM inj),
+             |sh AS (SELECT doc_id, i AS pos,
+             |              array_to_string(w[i+1:i+8], ' ') AS shingle
+             |       FROM (SELECT doc_id, string_split(text, ' ') AS w,
+             |                    unnest(range(len(string_split(text, ' ')) - 7)) AS i
+             |             FROM corpus WHERE len(string_split(text, ' ')) >= 8)),
+             |ev AS (SELECT DISTINCT shingle FROM sh
+             |       JOIN (SELECT doc_id FROM d WHERE doc_id % 97 = 0) e USING (doc_id)),
+             |hits AS (SELECT doc_id, pos FROM sh
+             |         WHERE shingle IN (SELECT shingle FROM ev))
+             |SELECT doc_id, pos FROM hits ORDER BY doc_id, pos""".stripMargin))
   )
+
+  /** src<i> repeats (i%8)*0.4 epochs — covers drop (0), fractional (<1),
+    * exactly-once-ish, and multi-epoch (up to 2.8) regimes.
+    */
+  private lazy val epochRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 8) * 0.4).toMap
+
+  /** The c4/c4b/c4c injected corpus and its eval side, shared so the span
+    * listing provably agrees with the per-doc flag scenario.
+    */
+  private def decontaminateInputs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val probe = d.filter(col("doc_id") === 0)
+      .select(concat_ws(" ",
+        slice(TextFunctions.tokens(col("text")), 1, 8)).as("__probe"))
+    val injected = d.filter(col("doc_id") % 50 === 0 && col("doc_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("__probe")).as("text"))
+    (d.unionByName(injected), d.filter(col("doc_id") % 97 === 0))
+  }
 }

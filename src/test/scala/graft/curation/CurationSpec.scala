@@ -159,6 +159,62 @@ class CurationSpec extends SparkTestBase {
       (3L, 1L, "bird", 1L, 1L), (3L, 2L, "flew", 1L, 1L)))
   }
 
+  test("mixtureSampleEpochs repeats whole epochs and keeps the fractional set coordinated") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val rates = Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 2.0, "src3" -> 2.5)
+    val out = Curation.mixtureSampleEpochs(df, "src", "id", rates, "e")
+      .select("id", "src", "epoch").as[(Long, String, Long)].collect().toSeq
+    val bySrc = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!bySrc.contains("src0"))
+    assert(bySrc("src1") == 100) // exactly once, epoch 0
+    assert(out.filter(_._2 == "src1").forall(_._3 == 0L))
+    assert(bySrc("src2") == 200) // exactly twice, epochs 0 and 1
+    assert(bySrc("src3") > 220 && bySrc("src3") < 280, s"src3: ${bySrc("src3")}")
+    // per-id epochs are contiguous 0..reps-1
+    val byId = out.groupBy(t => (t._1, t._2)).values
+    assert(byId.forall(rows => rows.map(_._3).sorted == (0L until rows.size.toLong)))
+    // rate 2.5's fractional third copy is EXACTLY rate 0.5's keep set
+    val frac = Curation.mixtureSample(
+      df.filter($"src" === "src3"), "src", "id", Map("src3" -> 0.5), "e")
+      .select("id").as[Long].collect().toSet
+    val third = out.filter(t => t._2 == "src3" && t._3 == 2L).map(_._1).toSet
+    assert(third == frac)
+  }
+
+  test("deterministicShuffle orders reproducibly with contiguous shards") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val a = Curation.deterministicShuffle(df, "id", "s", 4)
+      .select("id", "shuffle_key", "shard")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val b = Curation.deterministicShuffle(df.repartition(13), "id", "s", 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(a.sortBy(_._2).toSeq == b.sortBy(_._2).toSeq)
+    // shards slice the key order contiguously: max key of shard i < min of i+1
+    val byShard = a.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byShard.keySet == Set(0, 1, 2, 3))
+    for (i <- 0 until 3)
+      assert(byShard(i).max < byShard(i + 1).min)
+    // ~uniform occupancy (md5 top bits are uniform)
+    assert(byShard.values.forall(ks => ks.size > 150 && ks.size < 350))
+  }
+
+  test("contaminatedSpans reports the exact overlapping window positions, both paths") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h"), // eval 3-gram "c d e" at pos 2
+      (2L, "x y z c d e x y"), // same 3-gram at pos 3
+      (3L, "p q r s t u v w")) // clean
+      .toDF("doc_id", "text")
+    val eval = Seq("c d e q q q").toDF("text")
+    for (bc <- Seq(true, false)) {
+      val got = Curation.contaminatedSpans(corpus, eval, n = 3, broadcastEval = bc)
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L), (2L, 3L)), s"broadcastEval=$bc")
+    }
+  }
+
   test("scrubPii masks emails, IPs, and phones without touching clean text") {
     import spark.implicits._
     val df = Seq(
