@@ -26,6 +26,9 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     val n = f
     println(f"[scaleprobe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    // Each probe op is its own scope — the 10x replicas would otherwise
+    // stack cached intermediates across the whole run.
+    graft.util.CacheScope.releaseAll()
   }
 
   def main(args: Array[String]): Unit = {
@@ -70,6 +73,11 @@ object ScaleProbe {
         Similarity.lshTopKMultiProbe(queries, e, planes, k = 5).count())
       time(s"ann_ivf $label")(
         Similarity.ivfTopK(queries, e, nCentroids = 32, nProbe = 4, k = 5).count())
+      // Lloyd training cost is iters broadcast passes over the corpus;
+      // healthy = ~linear in input per iteration (the update shuffles only
+      // (cell, d partial sums) rows, never vectors).
+      time(s"kmeans_train3 $label")(
+        Similarity.kmeansCentroids(e, nCentroids = 32, iters = 3).count())
       time(s"embedding_neardup $label")(Similarity.nearDupPairs(e, planes, 0.95).count())
     }
     // Cluster-collapse worst case: one chain-shaped component (the

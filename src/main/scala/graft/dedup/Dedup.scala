@@ -84,8 +84,8 @@ object Dedup {
     // fires on BroadcastExchange subtrees), measured ~4x the sig cost per
     // query. Sigs are (id, k longs) — tiny next to the corpus — so
     // MEMORY_AND_DISK is safe; Spark evicts LRU in long sessions.
-    val sigs = minhashSignatures(docs, k, shingleN, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.util.CacheScope.persist(
+      minhashSignatures(docs, k, shingleN, idCol, textCol))
     val banded = sigs.select(
       col("id"),
       posexplode(TextFunctions.minhashBands(col("sig"), k, bands)).as(Seq("band", "band_hash")))
@@ -143,8 +143,8 @@ object Dedup {
     val nBlocks = maxHamming + 1
     // Same reuse rationale as minhashLshPairs: one 8-byte vector per doc,
     // three consumers.
-    val sh = simhashBitVectors(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.util.CacheScope.persist(
+      simhashBitVectors(docs, idCol, textCol))
     val blocked = sh.select(
       col("id"),
       posexplode(TextFunctions.simhashBlockKeys(col("bits"), nBlocks)).as(Seq("blk", "blk_key")))
@@ -202,16 +202,15 @@ object Dedup {
     // Persisted for the same broadcast-recompute reason as minhashLshPairs:
     // the index feeds the self-join's both sides, the df cap, and the
     // per-doc sizes — without it the shingle pipeline re-runs per consumer.
-    val sh = docs
+    val sh = graft.util.CacheScope.persist(docs
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .select(
         col("id"),
         array_distinct(TextFunctions.shinglesFromTokens(col("toks"), shingleN)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("shingles")) > 0))
     val sizes = sh.select(col("id"), size(col("shingles")).cast("long").as("n_sh"))
-    val invAll = sh.select(col("id"), explode(col("shingles")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val invAll = graft.util.CacheScope.persist(
+      sh.select(col("id"), explode(col("shingles")).as("shingle")))
     val inv = maxDocFreq.fold(invAll) { cap =>
       val df = invAll.groupBy("shingle").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= cap).select("shingle")

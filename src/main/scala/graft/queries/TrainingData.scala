@@ -577,6 +577,38 @@ object TrainingData {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T11 — text cleaning (HTML strip + control-char normalize + space
+    // collapse + trim): the pre-dedup pass every scraped corpus needs. The
+    // corpus text is already clean, so each row synthesizes a dirty
+    // wrapper (tags, tab, a C0 control char) from its own fields — both
+    // engines build and clean the identical string with identical
+    // patterns, same style as t9.
+    Q(
+      "t11_clean_text",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat(
+              lit("<p id=\""), col("doc_id").cast("string"), lit("\">"),
+              substring(col("text"), 1, 40),
+              lit("</p>\t<br/>  "),
+              substring(col("text"), 5, 20),
+              lit("  end<hr>")).as("raw"))
+          .select(col("doc_id"), TextFunctions.cleanText(col("raw")).as("clean"))
+          .orderBy("doc_id"),
+      Some(s"""WITH synth AS (SELECT doc_id,
+             |    '<p id="' || CAST(doc_id AS VARCHAR) || '">' || substr(text, 1, 40)
+             |    || '</p>' || chr(9) || '<br/>  ' || substr(text, 5, 20)
+             |    || ' ' || chr(1) || ' end<hr>' AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |       trim(regexp_replace(regexp_replace(regexp_replace(raw,
+             |         '${TextFunctions.htmlTagPattern}', ' ', 'g'),
+             |         '${TextFunctions.controlCharPattern}', ' ', 'g'),
+             |         '${TextFunctions.multiSpacePattern}', ' ', 'g')) AS clean
+             |FROM synth ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // E1 — brute-force cosine top-k ANN baseline: broadcast 8 query vectors,
     // one corpus pass, double-precision dot products matching DuckDB's
     // list_dot_product element order exactly.
@@ -649,6 +681,59 @@ object TrainingData {
           .select("query_id", "rnk", "neighbor_id")
           .orderBy("query_id", "rnk")
       }),
+
+    // ------------------------------------------------------------------
+    // E8 — IVF with TRAINED centroids: the e5 pipeline with the sampled
+    // bootstrap refined by two Lloyd rounds (spherical k-means — cosine
+    // assignment, per-dimension mean update, each round one broadcast
+    // corpus pass + a C-row join, centroids checkpointed per round).
+    // Approximate + iterative: rows-only here; the update math is pinned
+    // bit-exactly by e8_kmeans_golden and convergence by SimilaritySpec.
+    Q(
+      "e8_ann_ivf_trained",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb,
+          nCentroids = 16, nProbe = 4, k = 5, trainIters = 2)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id")
+          .orderBy("query_id", "rnk")
+      }),
+
+    // ------------------------------------------------------------------
+    // E8g — one Lloyd iteration over the ANN fixture from literal init
+    // centroids, centroid vectors exploded to (centroid_id, dim, value)
+    // rows. The init is chosen (and the mirror asserts) tie-free, and
+    // every mean coordinate is an exact binary fraction (integer/4), so
+    // the distributed double avg is bit-identical to the independent
+    // mirror in tools/gen_ann_goldens.py regardless of aggregation order.
+    Q(
+      "e8_kmeans_golden",
+      (s, _) => {
+        import s.implicits._
+        val init = Seq(
+          (0, Array(2.0, 0.0, 0.0, 0.0)),
+          (1, Array(1.0, 1.0, 1.0, 1.0))).toDF("centroid_id", "centroid_vec")
+        Similarity.kmeansIterate(annFixture(s), init, iters = 1)
+          .select(col("centroid_id"),
+            posexplode(col("centroid_vec")).as(Seq("dim", "value")))
+          .select(col("centroid_id").cast("long").as("centroid_id"),
+            col("dim").cast("long").as("dim"), col("value"))
+          .orderBy("centroid_id", "dim")
+      },
+      Some("""SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+             |       CAST(dim AS BIGINT) AS dim, CAST(value AS DOUBLE) AS value
+             |FROM (VALUES
+             |  (0, 0, 1.5),
+             |  (0, 1, -0.5),
+             |  (0, 2, 0.75),
+             |  (0, 3, -0.25),
+             |  (1, 0, 0.25),
+             |  (1, 1, 0.75),
+             |  (1, 2, 1.0),
+             |  (1, 3, 0.25)
+             |) AS t(centroid_id, dim, value)
+             |ORDER BY centroid_id, dim""".stripMargin)),
 
     // ------------------------------------------------------------------
     // ANN hash-math goldens (e2g/e6g/e5g): the approximate family over a

@@ -200,6 +200,70 @@ object Similarity {
         col("centroid_vec"))
   }
 
+  /** Lloyd's k-means refinement of an initial centroid set — spherical
+    * k-means: assignment by cosine (consistent with [[ivfAssign]] and the
+    * probe ranking, and scale-invariant in the centroid), update = the
+    * plain per-dimension mean of each cell. `init` is (centroid_id,
+    * centroid_vec); ids survive training, so a cell that goes EMPTY keeps
+    * its previous centroid rather than vanishing (the standard guard —
+    * k stays k).
+    *
+    * Scale shape per iteration: broadcast the C centroids, ONE corpus pass
+    * (assignment argmax is a map-side-combined max_by, the mean is d
+    * map-side-combined avg aggregates — no explode, no window, nothing
+    * shuffles but (cell, d partial sums) rows), then a C-row join. The
+    * centroid table is `localCheckpoint`ed each round: the loop references
+    * it twice per iteration, and lineage would otherwise grow
+    * exponentially — the measured driver-stack-overflow trap of every
+    * iterative DataFrame algorithm in this repo (see
+    * [[graft.dedup.ClusterCollapse]]).
+    *
+    * Assignment ties break toward the LOWER centroid_id (max_by on a
+    * (cos, -centroid_id) struct) so training is deterministic — plain
+    * max_by picks arbitrarily on ties, which would make reruns diverge on
+    * symmetric data.
+    */
+  def kmeansIterate(
+      corpus: DataFrame, init: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val dims = init.select(size(col("centroid_vec"))).head.getInt(0)
+    val c = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+    var cent = init.select(
+      col("centroid_id").cast("int").as("centroid_id"),
+      transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val withNorm = cent.withColumn("c_norm", norm(col("centroid_vec")))
+      val assigned = c.crossJoin(broadcast(withNorm))
+        .withColumn("cos",
+          dot(col("vec"), col("centroid_vec")) / (col("nrm") * col("c_norm")))
+        .groupBy("id")
+        .agg(max_by(
+          struct(col("centroid_id"), col("vec")),
+          struct(col("cos"), negate(col("centroid_id")).cast("int"))).as("__a"))
+        .select(col("__a.centroid_id").as("centroid_id"), col("__a.vec").as("vec"))
+      val means = assigned.groupBy("centroid_id")
+        .agg(array((0 until dims).map(i => avg(get(col("vec"), lit(i)))): _*).as("__new"))
+      cent = cent.join(means, Seq("centroid_id"), "left_outer")
+        .select(
+          col("centroid_id"),
+          coalesce(col("__new"), col("centroid_vec")).as("centroid_vec"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** Trained IVF centroids: the deterministic [[ivfCentroids]] sample as
+    * the k-means++-style bootstrap, refined by `iters` Lloyd rounds.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, nCentroids: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    kmeansIterate(corpus, ivfCentroids(corpus, nCentroids, idCol, vecCol),
+      iters, idCol, vecCol)
+
   /** Assign every corpus vector to its nearest centroid (by cosine):
     * broadcast the C centroids, one corpus pass, `max_by` argmax — no
     * per-vector shuffle beyond the map-side-combined aggregation.
@@ -223,12 +287,17 @@ object Similarity {
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, nCentroids: Int, nProbe: Int, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainIters: Int = 0): DataFrame = {
     // Persisted: the C-row centroid table is consumed by the assignment
     // pass and the probe ranking, and its pick is itself a corpus scan
-    // (TakeOrdered) that must not run once per consumer.
-    val centroids = ivfCentroids(corpus, nCentroids, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (TakeOrdered) that must not run once per consumer. (The trained
+    // variant is already materialized by kmeansIterate's checkpoints.)
+    val centroids =
+      if (trainIters > 0)
+        kmeansCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+      else graft.util.CacheScope.persist(
+        ivfCentroids(corpus, nCentroids, idCol, vecCol))
     val assignments = ivfAssign(corpus, centroids, idCol, vecCol)
 
     val q = queries.select(
@@ -277,10 +346,9 @@ object Similarity {
     // Persisted: both pair sides (and the cap's population count) consume
     // this, and each broadcast build side would otherwise recompute the
     // nPlanes dot products per vector.
-    val withBucket0 = vectors.select(
+    val withBucket0 = graft.util.CacheScope.persist(vectors.select(
       col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lshBucket(col(vecCol), planes).as("bucket")))
     val withBucket = maxBucket.fold(withBucket0) { cap =>
       val keep = withBucket0.groupBy("bucket").agg(count(lit(1)).as("__pop"))
         .filter(col("__pop") <= cap).select("bucket")

@@ -200,4 +200,38 @@ object TextFunctions {
     */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  // -------------------------------------------------------------------
+  // Text cleaning: the pre-dedup normalization pass every scraped corpus
+  // needs. ASCII-only patterns that mean the same thing in Java regex
+  // (Spark) and RE2 (the DuckDB oracle) — same cross-engine discipline as
+  // the PII patterns in graft.curation.Curation.
+
+  /** Anything tag-shaped. Replaced with a SPACE, not deleted: `a<br>b`
+    * must not glue into `ab`.
+    */
+  val htmlTagPattern: String = "<[^>]*>"
+
+  /** C0 control characters + DEL — tab/newline/CR land here too, so they
+    * normalize to spaces before the collapse.
+    */
+  val controlCharPattern: String = "[\\x00-\\x1f\\x7f]"
+
+  /** Runs of 2+ spaces (all other whitespace is already a space). */
+  val multiSpacePattern: String = " {2,}"
+
+  /** Strip HTML tags, normalize control chars to spaces, collapse space
+    * runs, trim. Pure codegen'd regexp_replace chain — one projection over
+    * the corpus scan, the same shape as [[graft.curation.Curation.scrubPii]].
+    * Order is load-bearing: tags first (their innards may contain control
+    * chars), control chars second (so the collapse sees only spaces),
+    * collapse last.
+    */
+  def cleanText(text: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, htmlTagPattern, " "),
+          controlCharPattern, " "),
+        multiSpacePattern, " "))
 }

@@ -36,11 +36,10 @@ object TfIdf {
     // tf feeds both the scoring join and the df rollup — persisted, or the
     // token explode re-runs per consumer (broadcast build sides never
     // reuse exchanges; measured ~4x elsewhere in this repo).
-    val tf = docs
+    val tf = graft.util.CacheScope.persist(docs
       .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("id", "term")
-      .agg(count(lit(1)).as("tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf

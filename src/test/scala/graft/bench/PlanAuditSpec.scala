@@ -13,9 +13,9 @@ class PlanAuditSpec extends SparkTestBase {
   /** Intended BNLJs, each with a bounded broadcast side:
     *  - q7 / etl_type_histogram: a ONE-ROW grand-total crossJoin;
     *  - e1: the broadcast ANN query set (brute-force baseline by design);
-    *  - e5 (+golden): the broadcast centroid table (C rows) for IVF
-    *    assignment and probe ranking;
-    *  - c4/c4b: the ONE-ROW injected probe in the fixture scenario.
+    *  - e5 (+golden) / e8 (+golden): the broadcast centroid table (C rows)
+    *    for IVF assignment, probe ranking, and Lloyd re-assignment;
+    *  - c4/c4b/c4c: the ONE-ROW injected probe in the fixture scenario.
     */
   private val accountedBnlj = Set(
     "q7_histogram_pct",
@@ -23,8 +23,11 @@ class PlanAuditSpec extends SparkTestBase {
     "e1_ann_bruteforce",
     "e5_ann_ivf",
     "e5_ivf_golden",
+    "e8_ann_ivf_trained",
+    "e8_kmeans_golden",
     "c4_decontaminate",
     "c4b_decontaminate_shuffle",
+    "c4c_contaminated_spans",
     // one-row corpus-count side of the tf*N/df scoring join
     "t10_tfidf_top_terms")
 

@@ -222,4 +222,55 @@ class SimilaritySpec extends SparkTestBase {
     assert(capped == expected)
     assert(capped.subsetOf(uncapped))
   }
+
+  test("kmeans recovers two separable direction clusters and is rerun-deterministic") {
+    import spark.implicits._
+    // 30 vectors near +x, 30 near +y (small orthogonal jitter keeps each
+    // cluster strictly closer in cosine to its own axis).
+    val vecs = ((0 until 30).map(i => (i.toLong, Array(10.0f, (i % 5).toFloat, 0f, 0f))) ++
+      (30 until 60).map(i => (i.toLong, Array((i % 5).toFloat, 10.0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val init = Seq(
+      (0, Array(1.0, 0.0, 0.0, 0.0)),
+      (1, Array(0.0, 1.0, 0.0, 0.0))).toDF("centroid_id", "centroid_vec")
+    val trained = Similarity.kmeansIterate(vecs, init, iters = 3)
+    val got = trained.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // Cell 0's mean must point dominantly +x, cell 1's +y.
+    assert(got(0)(0) > 5.0 && got(0)(1) < 3.0)
+    assert(got(1)(1) > 5.0 && got(1)(0) < 3.0)
+    // Exact per-dimension means of the cluster members.
+    assert(got(0)(0) === 10.0 && got(0)(1) === 2.0)
+    assert(got(1)(1) === 10.0 && got(1)(0) === 2.0)
+    // Rerun at different parallelism: identical output (integer sums are
+    // order-exact, ties broken deterministically).
+    val again = Similarity.kmeansIterate(vecs.repartition(7), init, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(again === got)
+  }
+
+  test("kmeans keeps an empty cell's previous centroid instead of dropping it") {
+    import spark.implicits._
+    val vecs = (0 until 10).map(i => (i.toLong, Array(10.0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val init = Seq(
+      (0, Array(1.0, 0.0, 0.0, 0.0)),
+      (1, Array(0.0, 0.0, 0.0, 1.0))) // nothing will choose this cell
+      .toDF("centroid_id", "centroid_vec")
+    val trained = Similarity.kmeansIterate(vecs, init, iters = 2)
+    val got = trained.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet === Set(0, 1)) // k stays k
+    assert(got(0) === Seq(10.0, 0.0, 0.0, 0.0))
+    assert(got(1) === Seq(0.0, 0.0, 0.0, 1.0)) // survived untouched
+  }
+
+  test("trained IVF stays a valid top-k: full probe still equals brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val trained = Similarity.ivfTopK(queries, emb,
+      nCentroids = 8, nProbe = 8, k = 3, trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(trained === brute)
+  }
 }

@@ -111,4 +111,17 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(r.getInt(0) == 0)
     assert(r.getInt(1) < r.getInt(2), s"near=${r.getInt(1)} far=${r.getInt(2)}")
   }
+
+  test("cleanText strips tags, normalizes controls, collapses spaces, trims") {
+    def clean(s: String): String =
+      one(s, TextFunctions.cleanText(col("text"))).getString(0)
+    assert(clean("""<div class="x">hello</div> world""") === "hello world")
+    assert(clean("a<br>b") === "a b")          // tag becomes a space, no gluing
+    assert(clean("a\tb\r\ncd") === "a b c d")
+    assert(clean("  lots   of    space  ") === "lots of space")
+    assert(clean("<p><b>all</b></p>") === "all")
+    assert(clean("no markup here") === "no markup here")
+    assert(clean("<unclosed") === "<unclosed") // not a complete tag: kept
+    assert(clean("") === "")
+  }
 }

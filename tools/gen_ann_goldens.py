@@ -127,6 +127,28 @@ def main():
     print("\n== e5_ivf_golden VALUES (query_id, rank, neighbor_id, cosine) ==")
     print(fmt_rows(rows))
 
+    # ---- e8: one Lloyd iteration (spherical k-means) ----------------
+    # Init centroids chosen so no fixture vector ties between cells
+    # (asserted) and every mean coordinate is an integer/4 — an exact
+    # binary fraction, so the Spark double avg is bit-identical to this
+    # mirror REGARDLESS of partial-aggregation order.
+    kmeans_init = [(0, (2, 0, 0, 0)), (1, (1, 1, 1, 1))]
+    cells = {ci: [] for ci, _ in kmeans_init}
+    for vid, v in FIXTURE:
+        scored = sorted(((cosine(v, cv), ci) for ci, cv in kmeans_init),
+                        key=lambda t: (-t[0], t[1]))
+        assert scored[0][0] != scored[1][0], \
+            f"cosine tie assigning {vid}: {scored} — adjust kmeans_init"
+        cells[scored[0][1]].append(v)
+    print("\n-- kmeans cells:", {ci: len(vs) for ci, vs in cells.items()})
+    rows = []
+    for ci, vs in sorted(cells.items()):
+        for d in range(4):
+            s = sum(v[d] for v in vs)
+            rows.append((ci, d, s / len(vs)))
+    print("== e8_kmeans_golden VALUES (centroid_id, dim, value) ==")
+    print(fmt_rows(rows))
+
 
 if __name__ == "__main__":
     main()
