@@ -260,6 +260,70 @@ object Curation {
       .drop("__hit")
   }
 
+  /** [[decontaminate]] for eval sides too big to broadcast as rows but
+    * fine as a SKETCH — the regime between c4's broadcast (eval = a real
+    * benchmark, thousands of docs) and c4b's full shuffled semi-join
+    * (eval = another corpus): build a bloom filter over the distinct eval
+    * shingle hashes, prefilter the corpus's (id, hash) pairs MAP-SIDE
+    * against the sketch bytes, and exact-confirm only the survivors with
+    * the c4b semi-join. Bloom filters have no false negatives, so the
+    * prefilter keeps every true hit and the confirmation join removes
+    * every false positive — the result is identical to [[decontaminate]]
+    * (broadcastEval = false) by construction, which is why the driver
+    * gate runs it against c4's exact oracle.
+    *
+    * Shape at scale: the build's partial buffers are bitmaps merged by
+    * OR — a one-row binary result, no build-side row broadcast; the probe
+    * is a codegen'd predicate against a literal, so the dominant cost
+    * (scanning 100 TB of corpus shingles) stays an exchange-free map
+    * stage and only the ~fpp-sized candidate set pays the confirm
+    * shuffle. `fpp` trades sketch bytes against candidate volume, never
+    * correctness.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
+    def hashRows(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ TextFunctions.tokens(col(textCol)).as("__toks"): _*)
+        .select(cols :+ explode(array_distinct(
+          TextFunctions.shinglesFromTokens(col("__toks"), n))).as("shingle"): _*)
+        .select(cols :+ xxhash64(col("shingle")).as("__h"): _*)
+    // Distinct hash set persisted: it feeds BOTH the sketch build and the
+    // confirmation semi-join (broadcast/agg build sides never reuse
+    // exchanges — the measured ~4x recompute elsewhere in this repo).
+    val evalHashes = graft.util.CacheScope.persist(hashRows(eval).distinct())
+    // Standard sizing: bits = -n ln(p) / ln(2)^2, kept under Spark's
+    // 67,108,864-bit runtime-filter cap so no config override is needed.
+    val numBits = math.min(
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
+      1L << 26)
+    val sketch = evalHashes
+      .agg(org.apache.spark.sql.graftnative.BloomSketch
+        .bloomAgg(col("__h"), expectedItems, numBits).as("__bf"))
+      .head.getAs[Array[Byte]](0)
+    // Empty eval side: the aggregate yields NULL — nothing can be
+    // contaminated.
+    if (sketch == null)
+      return corpus.withColumn("contaminated", lit(false))
+    val candidates = hashRows(corpus, col(idCol))
+      .filter(org.apache.spark.sql.graftnative.BloomSketch
+        .mightContain(sketch, col("__h")))
+    val contaminated = candidates
+      .join(evalHashes, Seq("__h"), "left_semi")
+      .select(idCol).distinct().withColumn("__hit", lit(true))
+    corpus
+      .join(contaminated, Seq(idCol), "left_outer")
+      .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
+      .drop("__hit")
+  }
+
   /** Span-granular decontamination: instead of [[decontaminate]]'s per-doc
     * flag, report WHICH token spans overlap the eval set — one row
     * (doc_id, pos) per contaminated n-token shingle, pos = the shingle's

@@ -344,6 +344,22 @@ object CurationQueries {
     Q(
       "c4b_decontaminate_shuffle",
       (s, dir) => decontaminateScenario(s, dir, broadcastEval = false),
+      Some(decontaminateOracle)),
+
+    // ------------------------------------------------------------------
+    // C4d — bloom-sketch decontamination: the regime between c4
+    // (broadcast rows) and c4b (full shuffled semi-join) — eval hashes
+    // broadcast as a SKETCH, corpus prefiltered map-side, survivors
+    // exact-confirmed. No false negatives + confirm join ⇒ result
+    // identical to c4/c4b, so the same exact oracle gates it.
+    Q(
+      "c4d_decontaminate_bloom",
+      (s, dir) => {
+        val (corpus, eval) = decontaminateInputs(s, dir)
+        Curation.decontaminateBloom(corpus, eval, n = 8)
+          .select("doc_id", "contaminated")
+          .orderBy("doc_id")
+      },
       Some(decontaminateOracle))
   ) ++ tailQueries
 

@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkTestBase {
     "c4_decontaminate",
     "c4b_decontaminate_shuffle",
     "c4c_contaminated_spans",
+    "c4d_decontaminate_bloom",
     // one-row corpus-count side of the tf*N/df scoring join
     "t10_tfidf_top_terms")
 

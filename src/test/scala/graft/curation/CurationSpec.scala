@@ -121,6 +121,42 @@ class CurationSpec extends SparkTestBase {
     val broadcastPath = run(true)
     assert(broadcastPath == Seq(1L -> true, 2L -> false, 3L -> true, 4L -> false))
     assert(run(false) == broadcastPath)
+    // The bloom-prefilter path is result-identical by construction (no
+    // false negatives + exact confirm join) — even at an absurd fpp,
+    // where nearly everything survives the prefilter.
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Curation.decontaminateBloom(corpus, eval, n = 3, fpp = fpp)
+        .select("doc_id", "contaminated").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      assert(bloom == broadcastPath, s"fpp=$fpp")
+    }
+  }
+
+  test("decontaminateBloom: empty eval side contaminates nothing") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val eval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Curation.decontaminateBloom(corpus, eval, n = 3)
+      .select("doc_id", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(out == Seq(1L -> false))
+  }
+
+  test("bloom sketch: members always hit, non-members mostly miss at the built fpp") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftnative.BloomSketch
+    val members = (0L until 1000L).toDF("h")
+    val sketch = members
+      .agg(BloomSketch.bloomAgg(col("h"), 1000L, 16384L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    // No false negatives — the property decontaminateBloom's correctness
+    // rests on.
+    assert(members.filter(BloomSketch.mightContain(sketch, col("h"))).count() == 1000L)
+    // False positives bounded: 16384 bits for 1000 items ⇒ fpp ≈ 0.5%;
+    // allow a generous 5% band.
+    val fp = (100000L until 110000L).toDF("h")
+      .filter(BloomSketch.mightContain(sketch, col("h"))).count()
+    assert(fp < 500L, s"false-positive count $fp of 10000")
   }
 
   test("stratifiedSample takes exact quotas per group, deterministically") {
