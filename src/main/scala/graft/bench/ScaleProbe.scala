@@ -78,6 +78,11 @@ object ScaleProbe {
       // (cell, d partial sums) rows, never vectors).
       time(s"kmeans_train3 $label")(
         Similarity.kmeansCentroids(e, nCentroids = 32, iters = 3).count())
+      // PQ = m codebook trainings + encode (m narrow rows/vector against
+      // a broadcast codebook) + ADC — healthy is ~linear: the corpus only
+      // ever appears as subvector projections and (id, code) pairs.
+      time(s"pq_topk $label")(
+        Similarity.pqTopK(queries, e, m = 4, ksub = 16, k = 5, trainIters = 2).count())
       time(s"embedding_neardup $label")(Similarity.nearDupPairs(e, planes, 0.95).count())
     }
     // Cluster-collapse worst case: one chain-shaped component (the

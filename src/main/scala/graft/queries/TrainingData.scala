@@ -736,6 +736,77 @@ object TrainingData {
              |ORDER BY centroid_id, dim""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // E9 — product quantization ANN: m=4 L2 codebooks over the 64-dim
+    // embeddings (16 dims/subspace), 2 Lloyd rounds, ADC top-k. Rows-only
+    // (trained + approximate); the encode/ADC math is pinned bit-exactly
+    // by e9_pq_golden and the recall floor by SimilaritySpec.
+    Q(
+      "e9_ann_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.pqTopK(emb.filter(col("vec_id") < 8), emb,
+          m = 4, ksub = 16, k = 5, trainIters = 2)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id")
+          .orderBy("query_id", "rnk")
+      }),
+
+    // ------------------------------------------------------------------
+    // E9g — PQ encode + ADC over the ANN fixture with an EXPLICIT m=2
+    // codebook (tie-free argmins, asserted by the mirror). Bit-exact by
+    // construction: integer partial dots, m=2 ⇒ the partial sum is one
+    // commutative IEEE addition, true norms are exact small doubles, and
+    // the score is a single division — the independent mirror in
+    // tools/gen_ann_goldens.py computes identical doubles.
+    Q(
+      "e9_pq_golden",
+      (s, _) => {
+        import s.implicits._
+        val cb = Seq(
+          (0, 0, Array(2.0, 0.0)), (0, 1, Array(1.0, 1.0)),
+          (0, 2, Array(1.0, -2.0)), (0, 3, Array(-2.0, 0.0)),
+          (1, 0, Array(0.0, -1.0)), (1, 1, Array(1.0, 2.0)),
+          (1, 2, Array(2.0, 0.0)), (1, 3, Array(-1.0, -1.0)))
+          .toDF("subspace", "code", "centroid_vec")
+        val fx = annFixture(s)
+        Similarity.pqTopKEncoded(fx, Similarity.pqEncode(fx, cb), cb, k = 3)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""SELECT CAST(query_id AS BIGINT) AS query_id,
+             |       CAST(rnk AS BIGINT) AS rnk,
+             |       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             |       CAST(cosine AS DOUBLE) AS cosine
+             |FROM (VALUES
+             |  (1, 1, 6, 0.6666666666666666),
+             |  (1, 2, 2, 0.5),
+             |  (1, 3, 4, 0.5),
+             |  (2, 1, 7, 1.0),
+             |  (2, 2, 3, 0.6666666666666666),
+             |  (2, 3, 6, 0.6666666666666666),
+             |  (3, 1, 7, 1.0),
+             |  (3, 2, 2, 0.8333333333333334),
+             |  (3, 3, 1, 0.6666666666666666),
+             |  (4, 1, 1, 0.75),
+             |  (4, 2, 3, 0.0),
+             |  (4, 3, 6, 0.0),
+             |  (5, 1, 3, -0.3333333333333333),
+             |  (5, 2, 8, -0.3333333333333333),
+             |  (5, 3, 2, -0.5),
+             |  (6, 1, 8, 0.8888888888888888),
+             |  (6, 2, 7, 0.8333333333333334),
+             |  (6, 3, 1, 0.6666666666666666),
+             |  (7, 1, 3, 0.6666666666666666),
+             |  (7, 2, 6, 0.6666666666666666),
+             |  (7, 3, 8, 0.6666666666666666),
+             |  (8, 1, 6, 0.6666666666666666),
+             |  (8, 2, 7, 0.5),
+             |  (8, 3, 1, 0.3333333333333333)
+             |) AS t(query_id, rnk, neighbor_id, cosine)
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // ANN hash-math goldens (e2g/e6g/e5g): the approximate family over a
     // hand-computable fixture — 4-dim vectors whose squared norms are
     // perfect squares (cosine = one correctly-rounded IEEE division, so

@@ -200,10 +200,11 @@ object Similarity {
         col("centroid_vec"))
   }
 
-  /** Lloyd's k-means refinement of an initial centroid set — spherical
-    * k-means: assignment by cosine (consistent with [[ivfAssign]] and the
-    * probe ranking, and scale-invariant in the centroid), update = the
-    * plain per-dimension mean of each cell. `init` is (centroid_id,
+  /** Lloyd's k-means refinement of an initial centroid set. Assignment is
+    * by `metric`: "cosine" (spherical k-means — consistent with
+    * [[ivfAssign]] and the probe ranking, scale-invariant in the centroid)
+    * or "l2" (what PQ subspace codebooks need); update = the plain
+    * per-dimension mean of each cell either way. `init` is (centroid_id,
     * centroid_vec); ids survive training, so a cell that goes EMPTY keeps
     * its previous centroid rather than vanishing (the standard guard —
     * k stays k).
@@ -225,8 +226,11 @@ object Similarity {
     */
   def kmeansIterate(
       corpus: DataFrame, init: DataFrame, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metric: String = "cosine"): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(metric == "cosine" || metric == "l2",
+      s"metric must be cosine or l2, got $metric")
     val dims = init.select(size(col("centroid_vec"))).head.getInt(0)
     val c = corpus.select(
       col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
@@ -235,14 +239,23 @@ object Similarity {
       transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
-      val withNorm = cent.withColumn("c_norm", norm(col("centroid_vec")))
+      val withNorm = cent
+        .withColumn("c_norm", norm(col("centroid_vec")))
+        .withColumn("c_cc", dot(col("centroid_vec"), col("centroid_vec")))
+      // Both argmax keys are a monotone transform of the true objective:
+      // cosine directly; for L2, argmin ‖x−c‖² = argmax 2x·c − c·c (the
+      // x·x term is constant per row and drops out — no sqrt, and exact
+      // integer arithmetic on integer-valued fixtures).
+      val key =
+        if (metric == "cosine")
+          dot(col("vec"), col("centroid_vec")) / (col("nrm") * col("c_norm"))
+        else lit(2.0) * dot(col("vec"), col("centroid_vec")) - col("c_cc")
       val assigned = c.crossJoin(broadcast(withNorm))
-        .withColumn("cos",
-          dot(col("vec"), col("centroid_vec")) / (col("nrm") * col("c_norm")))
+        .withColumn("__key", key)
         .groupBy("id")
         .agg(max_by(
           struct(col("centroid_id"), col("vec")),
-          struct(col("cos"), negate(col("centroid_id")).cast("int"))).as("__a"))
+          struct(col("__key"), negate(col("centroid_id")).cast("int"))).as("__a"))
         .select(col("__a.centroid_id").as("centroid_id"), col("__a.vec").as("vec"))
       val means = assigned.groupBy("centroid_id")
         .agg(array((0 until dims).map(i => avg(get(col("vec"), lit(i)))): _*).as("__new"))
@@ -263,6 +276,129 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     kmeansIterate(corpus, ivfCentroids(corpus, nCentroids, idCol, vecCol),
       iters, idCol, vecCol)
+
+  // -------------------------------------------------------------------
+  // Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011): split each d-dim vector into m
+  // subvectors, learn a ksub-centroid L2 codebook per subspace, store each
+  // corpus vector as m small codes (+ its true norm). At 100 TB this is
+  // THE memory lever — 64 float dims (256 B) become m=4 codes (4 B) and
+  // the scan reads codes, not vectors. Search is asymmetric distance
+  // computation (ADC): per query, precompute dot(q_subvec, centroid) for
+  // every (subspace, code) — an m·ksub table, broadcast — and a corpus
+  // row's approximate dot is the sum of its m table lookups; dividing by
+  // the STORED true norm and the query norm gives approximate cosine.
+
+  /** Train the PQ codebook: (subspace, code, centroid_vec) with
+    * `code` in 0..ksub-1 per subspace. Deterministic bootstrap
+    * ([[ivfCentroids]] on the subvector projection) refined by `iters`
+    * L2 Lloyd rounds; m sequential trainings, each checkpointed by
+    * [[kmeansIterate]] (m is 2..16 — the loop is over SUBSPACES, never
+    * data).
+    */
+  def pqCodebook(
+      corpus: DataFrame, m: Int, ksub: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    (0 until m).map { j =>
+      val sub = corpus.select(
+        col(idCol), slice(col(vecCol), j * dsub + 1, dsub).as(vecCol))
+      kmeansIterate(sub, ivfCentroids(sub, ksub, idCol, vecCol),
+        iters, idCol, vecCol, metric = "l2")
+        .select(lit(j).as("subspace"), col("centroid_id").as("code"),
+          col("centroid_vec"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Encode the corpus against a codebook: (id, codes array<int>, nrm) —
+    * codes[j] = the L2-nearest subspace-j centroid, nrm = the TRUE vector
+    * norm kept for cosine denominators (norms don't survive quantization;
+    * storing 8 exact bytes beats reconstructing a wrong one).
+    *
+    * Shape at scale: subvectors explode to m narrow rows per vector, meet
+    * the broadcast codebook in an equi-join on subspace, and two
+    * map-side-combined aggregations (argmin per (id, subspace), then the
+    * m-element code collect per id) — only (id, code) pairs ever shuffle,
+    * never vectors. Ties break toward the lower code, mirroring
+    * [[kmeansIterate]], so encoding is rerun-deterministic.
+    */
+  def pqEncode(
+      corpus: DataFrame, codebook: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebook.agg(max(col("subspace"))).head.getInt(0) + 1
+    val dsub = codebook.select(size(col("centroid_vec"))).head.getInt(0)
+    val cb = codebook.select(col("subspace"), col("code"), col("centroid_vec"),
+      dot(col("centroid_vec"), col("centroid_vec")).as("__cc"))
+    val subRows = corpus.select(
+      col(idCol).as("id"), norm(col(vecCol)).as("nrm"),
+      posexplode(array((0 until m).map(j =>
+        slice(col(vecCol), j * dsub + 1, dsub)): _*)).as(Seq("subspace", "subvec")))
+    subRows.join(broadcast(cb), Seq("subspace"))
+      .withColumn("__key",
+        lit(2.0) * dot(col("subvec"), col("centroid_vec")) - col("__cc"))
+      .groupBy("id", "subspace")
+      .agg(
+        max_by(col("code"),
+          struct(col("__key"), negate(col("code")).cast("int"))).as("code"),
+        first(col("nrm")).as("nrm"))
+      .groupBy("id")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("subspace"), col("code")))),
+          s => s.getField("code")).as("codes"),
+        first(col("nrm")).as("nrm"))
+  }
+
+  /** ADC top-k over a pre-encoded corpus: broadcast the per-query distance
+    * table (nq·m·ksub rows — KBs), equi-join the exploded corpus codes,
+    * and sum the m partials per (query, neighbor) map-side. The scan cost
+    * is m narrow rows per corpus vector; nothing wider than
+    * (query, id, double) crosses the shuffle.
+    */
+  def pqTopKEncoded(
+      queries: DataFrame, encoded: DataFrame, codebook: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebook.agg(max(col("subspace"))).head.getInt(0) + 1
+    val dsub = codebook.select(size(col("centroid_vec"))).head.getInt(0)
+    val adc = queries.select(
+      col(idCol).as("query_id"), norm(col(vecCol)).as("q_norm"),
+      posexplode(array((0 until m).map(j =>
+        slice(col(vecCol), j * dsub + 1, dsub)): _*)).as(Seq("subspace", "q_subvec")))
+      .join(codebook, Seq("subspace"))
+      .select(col("query_id"), col("q_norm"), col("subspace"), col("code"),
+        dot(col("q_subvec"), col("centroid_vec")).as("partial"))
+    val corpusCodes = encoded.select(
+      col("id").as("neighbor_id"), col("nrm"),
+      posexplode(col("codes")).as(Seq("subspace", "code")))
+    val scored = corpusCodes
+      .join(broadcast(adc), Seq("subspace", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(
+        sum(col("partial")).as("__dot"),
+        first(col("nrm")).as("nrm"),
+        first(col("q_norm")).as("q_norm"))
+      .withColumn("cosine", col("__dot") / (col("q_norm") * col("nrm")))
+    topKPerQuery(scored, k)
+  }
+
+  /** End-to-end PQ search: train, encode, ADC — approximate top-k by
+    * (quantized) cosine.
+    */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      m: Int, ksub: Int, k: Int, trainIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // The codebook feeds three consumers (encode join, ADC table, and the
+    // two m/dsub lookups); kmeansIterate's checkpoints back the union's
+    // branches but the union plan itself would re-run per consumer.
+    val codebook = graft.util.CacheScope.persist(
+      pqCodebook(corpus, m, ksub, trainIters, idCol, vecCol))
+    pqTopKEncoded(queries, pqEncode(corpus, codebook, idCol, vecCol),
+      codebook, k, idCol, vecCol)
+  }
 
   /** Assign every corpus vector to its nearest centroid (by cosine):
     * broadcast the C centroids, one corpus pass, `max_by` argmax — no

@@ -25,6 +25,9 @@ class PlanAuditSpec extends SparkTestBase {
     "e5_ivf_golden",
     "e8_ann_ivf_trained",
     "e8_kmeans_golden",
+    // Lloyd re-assignment inside codebook training (same broadcast
+    // C-row side); the PQ encode/ADC joins themselves are equi-joins.
+    "e9_ann_pq",
     "c4_decontaminate",
     "c4b_decontaminate_shuffle",
     "c4c_contaminated_spans",

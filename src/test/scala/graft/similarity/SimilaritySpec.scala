@@ -264,6 +264,53 @@ class SimilaritySpec extends SparkTestBase {
     assert(got(1) === Seq(0.0, 0.0, 0.0, 1.0)) // survived untouched
   }
 
+  test("pq: exact reconstruction — corpus at centroid combos matches brute force") {
+    import spark.implicits._
+    val cb = Seq(
+      (0, 0, Array(1.0, 0.0)), (0, 1, Array(0.0, 1.0)),
+      (1, 0, Array(1.0, 0.0)), (1, 1, Array(0.0, 1.0)))
+      .toDF("subspace", "code", "centroid_vec")
+    // Every vector is an exact concatenation of one centroid per
+    // subspace, so quantization loses nothing and ADC must reproduce the
+    // exact cosines (integer dots are association-exact; the norm product
+    // uses the same doubles in both paths).
+    val vecs = Seq(
+      (1L, Array(1.0f, 0f, 1f, 0f)),
+      (2L, Array(1.0f, 0f, 0f, 1f)),
+      (3L, Array(0.0f, 1f, 1f, 0f)),
+      (4L, Array(0.0f, 1f, 0f, 1f))).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val pq = rows(Similarity.pqTopKEncoded(vecs, Similarity.pqEncode(vecs, cb), cb, k = 2))
+    val brute = rows(Similarity.bruteForceTopK(vecs, vecs, k = 2))
+    assert(pq === brute)
+  }
+
+  test("pq encoding is deterministic and repartition-stable") {
+    import spark.implicits._
+    val cb = Seq(
+      (0, 0, Array(2.0, 0.0)), (0, 1, Array(1.0, 1.0)),
+      (1, 0, Array(0.0, -1.0)), (1, 1, Array(2.0, 0.0)))
+      .toDF("subspace", "code", "centroid_vec")
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array((i % 3).toFloat, (i % 5).toFloat, (i % 7).toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(df, cb).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc(vecs) === enc(vecs.repartition(7)))
+  }
+
+  test("pq end-to-end returns k rows per query without self-matches") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val out = Similarity.pqTopK(queries, emb, m = 4, ksub = 16, k = 5, trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 25)
+    assert(out.groupBy(_._1).forall { case (_, rs) => rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L) })
+    assert(out.forall { case (q, _, n) => q != n })
+  }
+
   test("trained IVF stays a valid top-k: full probe still equals brute force") {
     val queries = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(queries, emb, k = 3)

@@ -149,6 +149,47 @@ def main():
     print("== e8_kmeans_golden VALUES (centroid_id, dim, value) ==")
     print(fmt_rows(rows))
 
+    # ---- e9: product quantization — encode + ADC top-k ---------------
+    # Explicit m=2/dsub=2 codebook chosen so every subspace argmin is
+    # tie-free (asserted). Scores stay bit-exact: integer partial dots,
+    # m=2 so the partial sum is ONE commutative IEEE addition, true norms
+    # are exact small doubles, and the final division is a single IEEE op.
+    pq_cb = [
+        [(2, 0), (1, 1), (1, -2), (-2, 0)],   # subspace 0 (dims 0-1)
+        [(0, -1), (1, 2), (2, 0), (-1, -1)],  # subspace 1 (dims 2-3)
+    ]
+
+    def pq_code(v):
+        codes = []
+        for j, cents in enumerate(pq_cb):
+            sub = v[2 * j:2 * j + 2]
+            # argmax of 2·x·c − c·c  ≡  argmin ‖x−c‖²; ties toward lower code
+            keyed = sorted(
+                ((2 * dot(sub, c) - dot(c, c), -ci) for ci, c in enumerate(cents)),
+                reverse=True)
+            assert keyed[0][0] != keyed[1][0], \
+                f"L2 tie encoding {v} subspace {j}: {keyed} — adjust pq_cb"
+            codes.append(-keyed[0][1])
+        return codes
+
+    enc = {vid: pq_code(v) for vid, v in FIXTURE}
+    print("\n-- pq codes:", enc)
+    rows = []
+    for qid, qv in FIXTURE:
+        cand = []
+        for nid, nv in FIXTURE:
+            if nid == qid:
+                continue
+            approx_dot = sum(
+                float(dot(qv[2 * j:2 * j + 2], pq_cb[j][enc[nid][j]]))
+                for j in range(2))
+            cand.append((approx_dot / (nrm(qv) * nrm(nv)), nid))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (score, nid) in enumerate(cand[:K], start=1):
+            rows.append((qid, rk, nid, score))
+    print("== e9_pq_golden VALUES (query_id, rnk, neighbor_id, cosine) ==")
+    print(fmt_rows(rows))
+
 
 if __name__ == "__main__":
     main()
