@@ -365,6 +365,74 @@ object Curation {
         .select(idCol, "pos")
   }
 
+  /** Token-budget trimming: keep each source's documents in deterministic
+    * md5(salt||id) order until the source's token budget is spent — the
+    * "cap web at 300B tokens" recipe step, the budget-shaped dual of
+    * [[mixtureSample]]'s rate. A document is kept iff the running token
+    * total up to AND INCLUDING it fits the budget (greedy prefix of the
+    * hash order); reruns, retries, and repartitioning keep the identical
+    * prefix.
+    *
+    * Shape at scale — the naive form is a window over `partition by
+    * source order by hash`, which funnels each source's entire membership
+    * through ONE task. Instead the order key's own first byte splits each
+    * source into 256 ranges (the bucket is a PREFIX of the order key, so
+    * ordering by (bucket, hash) IS ordering by hash): per-(source, bucket)
+    * token totals roll up in one small aggregate, their running offsets
+    * are a window over at most 256 rows per source, and each bucket then
+    * cumsums its own members independently with its offset added —
+    * per-task work is 1/256 of a source, and the result is exactly the
+    * single-window answer.
+    */
+  def tokenBudgetTrim(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      nTokensCol: String,
+      budget: Long,
+      salt: String): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val keyed = df
+      .withColumn("order_key", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("__b", conv(substring(col("order_key"), 1, 2), 16, 10).cast("int"))
+    val offW = Window.partitionBy(sourceCol).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed
+      .groupBy(col(sourceCol), col("__b"))
+      .agg(sum(col(nTokensCol)).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(offW), lit(0L)))
+      .drop("__bt")
+    val cumW = Window.partitionBy(col(sourceCol), col("__b")).orderBy("order_key")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .join(broadcast(offsets), Seq(sourceCol, "__b"))
+      .withColumn("cum_tokens", col("__off") + sum(col(nTokensCol)).over(cumW))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__b", "__off")
+  }
+
+  /** Per-source quality floor: keep documents whose score reaches their
+    * source's q-quantile — "drop the worst quartile of every source",
+    * which a single global cutoff gets wrong when sources have different
+    * score distributions (a global floor empties the noisiest source and
+    * keeps junk from the cleanest). Thresholds are one tiny aggregate
+    * (one row per source) broadcast back over the corpus scan; the filter
+    * is map-side. Interpolated `percentile` keeps the threshold exactly
+    * mirrorable (the q26 pattern).
+    */
+  def qualityFloor(
+      df: DataFrame,
+      sourceCol: String,
+      scoreCol: String,
+      q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+    val thresholds = df
+      .groupBy(sourceCol)
+      .agg(percentile(col(scoreCol), lit(q)).as("source_threshold"))
+    df.join(broadcast(thresholds), Seq(sourceCol))
+      .filter(col(scoreCol) >= col("source_threshold"))
+  }
+
   /** Gopher-style repetition signals per document over word n-grams:
     * total/distinct n-gram counts, duplicate fraction (1 - distinct/total)
     * and top-gram fraction (most frequent n-gram's share). High values flag

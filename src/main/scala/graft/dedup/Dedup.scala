@@ -38,6 +38,38 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(idCol, "text_hash", "n_copies")
 
+  /** Incremental exact dedup — the daily-crawl shape: a new BATCH arrives
+    * and must be deduplicated both against the already-ingested HISTORY
+    * and within itself, without ever rescanning history text. Survivors
+    * are batch documents whose text hash has no history occurrence, one
+    * per hash (min id), i.e. exactly the rows [[exact]] over
+    * history-union-batch would newly admit.
+    *
+    * Shape at scale: both sides reduce to (id, md5) projections before
+    * anything shuffles — history text is never read past its hash column
+    * (store the hash at ingest and the scan prunes to one column), batch
+    * text never shuffles at all. The anti-join and the min-id election
+    * both key on the hash, so AQE plans them off the same statistics; no
+    * broadcast assumption on either side (history is the BIG side here —
+    * the opposite regime from a dimension join).
+    */
+  def incrementalExact(
+      batch: DataFrame,
+      history: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val batchHashed = batch
+      .select(col(idCol), md5(col(textCol)).as("text_hash"))
+    val historyHashes = history
+      .select(md5(col(textCol)).as("text_hash"))
+      .distinct()
+    batchHashed
+      .join(historyHashes, Seq("text_hash"), "left_anti")
+      .groupBy("text_hash")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_batch_copies"))
+      .select(idCol, "text_hash", "n_batch_copies")
+  }
+
   /** MinHash signatures computed the distributed way: explode shingles, hash
     * each once per seed, re-aggregate with `min` — map-side partial
     * aggregation makes the shuffle one (id, k longs) row per doc. A single

@@ -583,7 +583,61 @@ object CurationQueries {
              |       JOIN (SELECT doc_id FROM d WHERE doc_id % 97 = 0) e USING (doc_id)),
              |hits AS (SELECT doc_id, pos FROM sh
              |         WHERE shingle IN (SELECT shingle FROM ev))
-             |SELECT doc_id, pos FROM hits ORDER BY doc_id, pos""".stripMargin))
+             |SELECT doc_id, pos FROM hits ORDER BY doc_id, pos""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C9 — token-budget trimming: each source keeps its md5-ordered
+    // document prefix until 1,000 tokens are spent. The bucketed
+    // two-phase cumsum (bucket = the order key's own first byte) must be
+    // row-identical to the oracle's single global window per source.
+    Q(
+      "c9_token_budget",
+      (s, dir) =>
+        Curation.tokenBudgetTrim(
+          Tables.documents(s, dir)
+            .select(col("source"), col("doc_id"),
+              TextFunctions.nTokens(col("text")).as("n_tokens")),
+          sourceCol = "source", idCol = "doc_id",
+          nTokensCol = "n_tokens", budget = 1000L, salt = "tb")
+          .select("source", "doc_id", "order_key", "n_tokens", "cum_tokens")
+          .orderBy("source", "order_key"),
+      Some("""WITH d AS (SELECT source, doc_id,
+             |                  md5('tb' || CAST(doc_id AS VARCHAR)) AS order_key,
+             |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |           FROM documents),
+             |c AS (SELECT source, doc_id, order_key, n_tokens,
+             |             sum(n_tokens) OVER (PARTITION BY source ORDER BY order_key
+             |                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |      FROM d)
+             |SELECT source, doc_id, order_key, n_tokens, cum_tokens
+             |FROM c WHERE cum_tokens <= 1000
+             |ORDER BY source, order_key""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C10 — per-source quality floor: drop each source's worst quartile by
+    // type-token ratio. Per-source thresholds (tiny aggregate, broadcast
+    // back) rather than one global cutoff; interpolated percentile matches
+    // DuckDB's quantile_cont exactly (the q26 pattern).
+    Q(
+      "c10_quality_floor",
+      (s, dir) =>
+        Curation.qualityFloor(
+          Tables.documents(s, dir)
+            .select(col("source"), col("doc_id"),
+              TextFunctions.distinctRatio(col("text")).as("distinct_ratio")),
+          sourceCol = "source", scoreCol = "distinct_ratio", q = 0.25)
+          .select("source", "doc_id", "distinct_ratio", "source_threshold")
+          .orderBy("source", "doc_id"),
+      Some("""WITH sc AS (SELECT source, doc_id,
+             |                   CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             |                     / len(string_split(text,' ')) AS distinct_ratio
+             |            FROM documents),
+             |thr AS (SELECT source, quantile_cont(distinct_ratio, 0.25) AS source_threshold
+             |        FROM sc GROUP BY 1)
+             |SELECT sc.source, sc.doc_id, sc.distinct_ratio, thr.source_threshold
+             |FROM sc JOIN thr USING (source)
+             |WHERE sc.distinct_ratio >= thr.source_threshold
+             |ORDER BY sc.source, sc.doc_id""".stripMargin))
   )
 
   /** src<i> repeats (i%8)*0.4 epochs — covers drop (0), fractional (<1),

@@ -7,7 +7,7 @@ import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
-import graft.text.TextFunctions
+import graft.text.{HeavyHitters, TextFunctions}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, exact shingle-Jaccard,
@@ -398,6 +398,32 @@ object TrainingData {
              |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // D9 — incremental exact dedup, the daily-crawl shape: the batch
+    // (every 5th doc, plus every 7th doc re-keyed +100000 to manufacture
+    // cross- and within-batch duplicates) dedups against history (the
+    // rest) by text hash — history text never rescanned past its hash,
+    // batch text never shuffles.
+    Q(
+      "d9_incremental_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val history = d.filter(col("doc_id") % 5 =!= 0)
+        val batch = d.filter(col("doc_id") % 5 === 0)
+          .unionAll(d.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        Dedup.incrementalExact(batch, history).orderBy("doc_id")
+      },
+      Some("""WITH history AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+             |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+             |          UNION ALL
+             |          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+             |hh AS (SELECT DISTINCT md5(text) AS text_hash FROM history),
+             |bh AS (SELECT doc_id, md5(text) AS text_hash FROM batch)
+             |SELECT min(doc_id) AS doc_id, text_hash, count(*) AS n_batch_copies
+             |FROM bh WHERE text_hash NOT IN (SELECT text_hash FROM hh)
+             |GROUP BY text_hash ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T1 — heuristic language ID histogram (stopword-hit argmax).
     Q(
       "t1_lang_id",
@@ -575,6 +601,23 @@ object TrainingData {
       Some(s"""SELECT doc_id,
              |       CAST(len(regexp_extract_all(text, '${TextFunctions.bpePattern}')) AS BIGINT) AS n_bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T12 — heavy-hitter bigrams: exact corpus-frequency >= 20, computed
+    // through the count-min prefilter + exact-confirm composition (no
+    // false negatives: estimates never undercount). The oracle is the
+    // plain occurrence count — the sketch must be result-invisible.
+    Q(
+      "t12_heavy_hitters",
+      (s, dir) =>
+        HeavyHitters.ngrams(Tables.documents(s, dir), n = 2, minCount = 20L)
+          .orderBy("gram"),
+      Some("""WITH g AS (SELECT unnest(list_transform(
+             |         range(len(string_split(text, ' ')) - 1),
+             |         i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))) AS gram
+             |       FROM documents WHERE len(string_split(text, ' ')) >= 2)
+             |SELECT gram, CAST(count(*) AS BIGINT) AS freq
+             |FROM g GROUP BY 1 HAVING count(*) >= 20 ORDER BY gram""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T11 — text cleaning (HTML strip + control-char normalize + space

@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.CmsSketch
+
+/** Corpus-frequency heavy hitters over word n-grams — the "which exact
+  * phrases saturate this crawl" question behind boilerplate lists, spam
+  * signatures, and stop-phrase tables. Result is EXACT: every n-gram whose
+  * total occurrence count across the corpus is >= `minCount`, with its
+  * count.
+  *
+  * Shape at scale (the reason this is not just `groupBy(gram).count()`):
+  * n-gram frequency is Zipfian — at 100 TB the overwhelming majority of
+  * distinct n-grams occur a handful of times, and a direct count shuffles
+  * that entire long tail only to discard it. Instead:
+  *
+  *   pass 1: build a count-min sketch over `xxhash64(gram)` — partial
+  *     counter matrices merged by elementwise add, one binary row out, the
+  *     scan itself exchange-free;
+  *   pass 2: re-derive the grams (re-scanning text is the scale-correct
+  *     choice — persisting an exploded 100 TB gram stream is not a thing)
+  *     and drop MAP-SIDE every gram whose estimate is < minCount. Count-min
+  *     estimates never undercount (collisions only add), so no true heavy
+  *     hitter is lost; only the ~eps·N-bounded candidate set pays the
+  *     exact-count shuffle, and the final HAVING removes the sketch's
+  *     overestimates. Identical to the exact result by construction —
+  *     which is why the driver gates it against the plain DuckDB
+  *     occurrence-count oracle.
+  *
+  * A 64-bit gram-hash collision could promote a rare gram into the
+  * candidate set (conservative direction — the exact confirm then sees its
+  * true count); it cannot evict a heavy hitter.
+  */
+object HeavyHitters {
+
+  def ngrams(
+      df: DataFrame,
+      textCol: String = "text",
+      n: Int = 2,
+      minCount: Long = 100,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(minCount > 0, s"minCount must be positive, got $minCount")
+    def grams(frame: DataFrame): DataFrame = frame
+      .select(TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("gram"))
+    val sketch = grams(df)
+      .agg(CmsSketch.cmsAgg(xxhash64(col("gram")), eps, confidence, seed).as("__cms"))
+      .head.getAs[Array[Byte]](0)
+    val out = grams(df)
+    // Empty corpus: the aggregate yields NULL — no gram can qualify.
+    val candidates =
+      if (sketch == null) out.filter(lit(false))
+      else out.filter(CmsSketch.estimate(sketch, xxhash64(col("gram"))) >= minCount)
+    candidates
+      .groupBy("gram")
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+  }
+}

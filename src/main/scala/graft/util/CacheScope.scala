@@ -36,13 +36,15 @@ object CacheScope {
     df
   }
 
-  /** Unpersist every registered intermediate (non-blocking). Safe to call
-    * at any time; in-flight jobs recompute from lineage.
+  /** Unpersist every registered intermediate (non-blocking by default —
+    * in-flight jobs recompute from lineage; pass `blocking = true` when a
+    * caller needs `getPersistentRDDs` to reflect the release immediately,
+    * e.g. a spec establishing a baseline).
     */
-  def releaseAll(): Unit = {
+  def releaseAll(blocking: Boolean = false): Unit = {
     var df = live.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      df.unpersist(blocking)
       df = live.poll()
     }
   }

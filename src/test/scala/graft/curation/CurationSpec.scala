@@ -251,6 +251,52 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("tokenBudgetTrim equals the single-window form and is repartition-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 400L).map(i => (i, s"src${i % 3}", 10L + i % 7))
+      .toDF("id", "src", "n_toks")
+    val got = Curation.tokenBudgetTrim(df, "src", "id", "n_toks", budget = 500L, salt = "b")
+      .select("src", "id", "cum_tokens").as[(String, Long, Long)].collect().toSet
+    // Naive single-window reference: one cumsum per source over the same order.
+    val w = Window.partitionBy("src")
+      .orderBy(md5(concat(lit("b"), col("id").cast("string"))))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("cum_tokens", sum("n_toks").over(w))
+      .filter(col("cum_tokens") <= 500L)
+      .select("src", "id", "cum_tokens").as[(String, Long, Long)].collect().toSet
+    assert(got == ref)
+    assert(got.nonEmpty && got.size < 400)
+    val again = Curation
+      .tokenBudgetTrim(df.repartition(13), "src", "id", "n_toks", 500L, "b")
+      .select("src", "id", "cum_tokens").as[(String, Long, Long)].collect().toSet
+    assert(again == got)
+    // Zero budget keeps nothing; huge budget keeps everything.
+    assert(Curation.tokenBudgetTrim(df, "src", "id", "n_toks", 0L, "b").count() == 0L)
+    assert(Curation.tokenBudgetTrim(df, "src", "id", "n_toks", 1L << 40, "b").count() == 400L)
+  }
+
+  test("qualityFloor drops below-quantile rows per source, not globally") {
+    import spark.implicits._
+    // src0 scores 0..99, src1 scores 1000..1099: a global p25 would keep all
+    // of src1 and cut only src0; the per-source floor cuts ~25% of EACH.
+    val df = (0 until 200).map { i =>
+      val src = s"src${i % 2}"
+      val score = (i / 2) + (if (i % 2 == 1) 1000 else 0)
+      (i.toLong, src, score.toDouble)
+    }.toDF("id", "src", "score")
+    val out = Curation.qualityFloor(df, "src", "score", 0.25)
+    val by = out.groupBy("src").agg(count(lit(1)), min("score"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // percentile(0.25) over 0..99 = 24.75 -> keeps scores >= 24.75 (75 rows)
+    assert(by("src0") == (75L, 25.0))
+    assert(by("src1") == (75L, 1025.0))
+    // Every kept row carries its source's threshold.
+    val thr = out.select("src", "source_threshold").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(thr == Map("src0" -> 24.75, "src1" -> 1024.75))
+  }
+
   test("scrubPii masks emails, IPs, and phones without touching clean text") {
     import spark.implicits._
     val df = Seq(

@@ -77,6 +77,28 @@ class DedupSpec extends SparkTestBase {
       .agg(min("jaccard")).head.getDouble(0) > 0.9)
   }
 
+  test("incrementalExact: drops history dups, elects min-id within batch") {
+    import spark.implicits._
+    val history = Seq(
+      10L -> "already ingested text",
+      11L -> "another known document").toDF("doc_id", "text")
+    val batch = Seq(
+      20L -> "already ingested text", // exact history dup -> dropped
+      21L -> "genuinely new content", // new, unique -> survives
+      22L -> "repeated inside batch", // new, duplicated in-batch
+      23L -> "repeated inside batch", // -> min id 22 survives, copies=2
+      24L -> "another known document" // history dup -> dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, history)
+      .select("doc_id", "n_batch_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set(21L -> 1L, 22L -> 2L))
+    // Equivalent to: rows exact() over history++batch admits with a batch id.
+    val unioned = Dedup.exact(history.unionByName(batch))
+      .filter(col("doc_id") >= 20L)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(unioned.map(_._1) == got.map(_._1))
+  }
+
   test("jaccard maxDocFreq cap: high cap is exact, low cap only prunes") {
     def pairs(cap: Option[Int]) =
       Dedup.jaccardShinglePairs(corpus, threshold = 0.5, maxDocFreq = cap)

@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.CmsSketch
+
+import graft.SparkTestBase
+
+class HeavyHittersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    1L -> "the cat sat on the mat and the cat ran",
+    2L -> "the cat sat on a log while the dog ran",
+    3L -> "a completely different sentence with unique words only").toDF("doc_id", "text")
+
+  private def exactCounts = corpus
+    .select(explode(TextFunctions.shingles(col("text"), 2)).as("gram"))
+    .groupBy("gram").agg(count(lit(1)).as("freq"))
+
+  test("count-min estimates never undercount (one-sided error)") {
+    val grams = corpus.select(explode(TextFunctions.shingles(col("text"), 2)).as("gram"))
+    // Deliberately tiny sketch (eps=0.5 -> 4 counters) to force collisions.
+    val sketch = grams
+      .agg(CmsSketch.cmsAgg(xxhash64(col("gram")), eps = 0.5, confidence = 0.9, seed = 7))
+      .head.getAs[Array[Byte]](0)
+    val bad = grams.groupBy("gram").agg(count(lit(1)).as("true_freq"))
+      .withColumn("est", CmsSketch.estimate(sketch, xxhash64(col("gram"))))
+      .filter(col("est") < col("true_freq"))
+    assert(bad.count() == 0L)
+  }
+
+  test("heavy hitters equal the exact count even with a collision-heavy sketch") {
+    for (eps <- Seq(1e-4, 0.5)) {
+      val got = HeavyHitters.ngrams(corpus, n = 2, minCount = 2L, eps = eps)
+        .as[(String, Long)].collect().toSet
+      val want = exactCounts.filter(col("freq") >= 2)
+        .as[(String, Long)].collect().toSet
+      assert(got == want, s"eps=$eps")
+      assert(want.contains("the cat" -> 3L))
+    }
+  }
+
+  test("minCount=1 returns every distinct gram; empty corpus returns nothing") {
+    val all = HeavyHitters.ngrams(corpus, n = 2, minCount = 1L)
+    assert(all.count() == exactCounts.count())
+    val empty = corpus.filter(lit(false))
+    assert(HeavyHitters.ngrams(empty, n = 2, minCount = 1L).count() == 0L)
+  }
+}

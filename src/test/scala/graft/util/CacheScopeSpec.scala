@@ -13,13 +13,13 @@ class CacheScopeSpec extends SparkTestBase {
     3L -> "pack my box with five dozen liquor jugs").toDF("doc_id", "text")
 
   test("operator persists are registered and releaseAll leaves no cached RDDs") {
-    CacheScope.releaseAll() // clean slate (other suites share the session)
+    CacheScope.releaseAll(blocking = true) // clean slate (other suites share the session)
     val before = spark.sparkContext.getPersistentRDDs.size
     Dedup.minhashLshPairs(docs, k = 8, bands = 4).count()
     TfIdf.topTerms(docs, k = 2).count()
     assert(CacheScope.liveCount >= 2) // sigs + tf at minimum
     assert(spark.sparkContext.getPersistentRDDs.size > before)
-    CacheScope.releaseAll()
+    CacheScope.releaseAll(blocking = true)
     assert(CacheScope.liveCount === 0)
     assert(spark.sparkContext.getPersistentRDDs.size <= before)
   }
