@@ -411,6 +411,33 @@ object Curation {
       .drop("__b", "__off")
   }
 
+  /** Contiguous global positions 0..N-1 in deterministic md5(salt||id)
+    * order — the scalable replacement for the three broken ways to number
+    * a corpus: `monotonically_increasing_id` (non-contiguous),
+    * `zipWithIndex` (an RDD round-trip that drops the columnar plan), and
+    * `row_number` over a global window (every row through ONE task). Same
+    * trick as [[tokenBudgetTrim]]: the order key's first byte is its own
+    * range index, so 256 per-bucket counts roll up in one small
+    * aggregate, bucket offsets are a window over at most 256 rows, and
+    * each bucket numbers its members independently — identical to the
+    * global-window answer, at 1/256 the per-task funnel.
+    */
+  def globalPositions(df: DataFrame, idCol: String, salt: String): DataFrame = {
+    val keyed = df
+      .withColumn("order_key", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("__b", conv(substring(col("order_key"), 1, 2), 16, 10).cast("int"))
+    val offW = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed
+      .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+      .drop("__n")
+    val rnW = Window.partitionBy(col("__b")).orderBy("order_key")
+    keyed
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("pos", col("__off") + row_number().over(rnW) - 1)
+      .drop("__b", "__off")
+  }
+
   /** Per-source quality floor: keep documents whose score reaches their
     * source's q-quantile — "drop the worst quartile of every source",
     * which a single global cutoff gets wrong when sources have different

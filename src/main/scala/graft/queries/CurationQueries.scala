@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.curation.Curation
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, RangeJoin, ZOrder}
 import graft.tables.Tables
 import graft.text.{TextFunctions, TfIdf}
 
@@ -637,7 +637,63 @@ object CurationQueries {
              |SELECT sc.source, sc.doc_id, sc.distinct_ratio, thr.source_threshold
              |FROM sc JOIN thr USING (source)
              |WHERE sc.distinct_ratio >= thr.source_threshold
-             |ORDER BY sc.source, sc.doc_id""".stripMargin))
+             |ORDER BY sc.source, sc.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C11 — contiguous global positions in deterministic hash order: the
+    // scalable zipWithIndex. The bucketed two-phase numbering must equal
+    // the oracle's single global row_number exactly.
+    Q(
+      "c11_global_positions",
+      (s, dir) =>
+        Curation.globalPositions(
+          Tables.documents(s, dir).select("doc_id"), idCol = "doc_id", salt = "gp")
+          .select("doc_id", "order_key", "pos")
+          .orderBy("pos"),
+      Some("""SELECT doc_id, order_key,
+             |       row_number() OVER (ORDER BY order_key) - 1 AS pos
+             |FROM (SELECT doc_id, md5('gp' || CAST(doc_id AS VARCHAR)) AS order_key
+             |      FROM documents)
+             |ORDER BY pos""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q32 — Z-order layout: lineitem clustered by the Morton interleave of
+    // (l_partkey, l_suppkey), sharded on fixed z-domain slices. Every bit
+    // of the interleave and every shard boundary is recomputed by the
+    // oracle — the layout is deterministic arithmetic, not sampled ranges.
+    Q(
+      "q32_zorder_layout",
+      (s, dir) =>
+        ZOrder.layout(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          xCol = "l_partkey", yCol = "l_suppkey", nShards = 16)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "zval", "zshard")
+          .orderBy("zval", "l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       ${ZOrder.zvalueSql("l_partkey", "l_suppkey")} AS zval,
+             |       CAST(floor(CAST(${ZOrder.zvalueSql("l_partkey", "l_suppkey")} AS DOUBLE)
+             |                  * 16 / 4294967296) AS INTEGER) AS zshard
+             |FROM lineitem
+             |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T13 — per-source distinct-token counts, exact vs HLL sketch: the
+    // sketch path is the 100 TB answer (mergeable one-row-per-source
+    // state, no distinct shuffle); the exact column here sizes its error.
+    // Sketch internals are engine-specific: rows-only entry, accuracy and
+    // merge semantics pinned by SketchesSpec.
+    Q(
+      "t13_distinct_tokens_hll",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy("source")
+          .agg(
+            count_distinct(col("tok")).as("n_exact"),
+            hll_sketch_estimate(hll_sketch_agg(col("tok"), lit(12))).as("n_hll"))
+          .orderBy("source"))
   )
 
   /** src<i> repeats (i%8)*0.4 epochs — covers drop (0), fractional (<1),
