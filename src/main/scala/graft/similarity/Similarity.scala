@@ -228,41 +228,76 @@ object Similarity {
       corpus: DataFrame, init: DataFrame, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       metric: String = "cosine"): DataFrame = {
+    val data = corpus.select(
+      lit(0).as("gid"),
+      col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+    kmeansCore(data, init.select(lit(0).as("gid"), col("centroid_id"),
+      col("centroid_vec")), iters, metric)
+      .drop("gid")
+  }
+
+  /** The Lloyd loop itself, generalized to MANY independent k-means
+    * problems trained in the same jobs — `gid` keys the problem (a PQ
+    * subspace; a constant for plain [[kmeansIterate]]). Per iteration:
+    * broadcast all problems' centroids, ONE pass over `data` (the
+    * assignment argmax is a map-side-combined max_by per (gid, id), the
+    * mean d map-side-combined avgs per (gid, centroid)), then a
+    * centroids-sized join. Batching problems into shared passes is the
+    * whole point — m subspace codebooks cost the same corpus scans as
+    * one.
+    *
+    * `data` columns: (gid, id, vec, nrm); `init`: (gid, centroid_id,
+    * centroid_vec). Both argmax keys are a monotone transform of the true
+    * objective: cosine directly; for L2, argmin ‖x−c‖² = argmax 2x·c −
+    * c·c (the x·x term is constant per row and drops out — no sqrt, and
+    * exact integer arithmetic on integer-valued fixtures). Empty cells
+    * keep their previous centroid (left join + coalesce — k stays k).
+    * The centroid table is `localCheckpoint`ed each round: the loop
+    * references it twice per iteration and lineage would otherwise grow
+    * exponentially (the measured driver-stack-overflow trap of every
+    * iterative DataFrame algorithm in this repo, see
+    * [[graft.dedup.ClusterCollapse]]). Assignment ties break toward the
+    * LOWER centroid_id so training is rerun-deterministic.
+    */
+  private def kmeansCore(
+      data: DataFrame, init: DataFrame, iters: Int, metric: String): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(metric == "cosine" || metric == "l2",
       s"metric must be cosine or l2, got $metric")
     val dims = init.select(size(col("centroid_vec"))).head.getInt(0)
-    val c = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+    // The centroid table is tiny (problems × k rows): keep it ONE
+    // partition so each round's eager checkpoint is a single task, and
+    // join the equally-tiny means back by broadcast — the loop's only
+    // scan-sized work should be the data pass itself.
     var cent = init.select(
+      col("gid"),
       col("centroid_id").cast("int").as("centroid_id"),
       transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
+      .coalesce(1)
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val withNorm = cent
         .withColumn("c_norm", norm(col("centroid_vec")))
         .withColumn("c_cc", dot(col("centroid_vec"), col("centroid_vec")))
-      // Both argmax keys are a monotone transform of the true objective:
-      // cosine directly; for L2, argmin ‖x−c‖² = argmax 2x·c − c·c (the
-      // x·x term is constant per row and drops out — no sqrt, and exact
-      // integer arithmetic on integer-valued fixtures).
       val key =
         if (metric == "cosine")
           dot(col("vec"), col("centroid_vec")) / (col("nrm") * col("c_norm"))
         else lit(2.0) * dot(col("vec"), col("centroid_vec")) - col("c_cc")
-      val assigned = c.crossJoin(broadcast(withNorm))
+      val assigned = data.join(broadcast(withNorm), Seq("gid"))
         .withColumn("__key", key)
-        .groupBy("id")
+        .groupBy("gid", "id")
         .agg(max_by(
           struct(col("centroid_id"), col("vec")),
           struct(col("__key"), negate(col("centroid_id")).cast("int"))).as("__a"))
-        .select(col("__a.centroid_id").as("centroid_id"), col("__a.vec").as("vec"))
-      val means = assigned.groupBy("centroid_id")
+        .select(col("gid"),
+          col("__a.centroid_id").as("centroid_id"), col("__a.vec").as("vec"))
+      val means = assigned.groupBy("gid", "centroid_id")
         .agg(array((0 until dims).map(i => avg(get(col("vec"), lit(i)))): _*).as("__new"))
-      cent = cent.join(means, Seq("centroid_id"), "left_outer")
+      cent = cent.join(broadcast(means), Seq("gid", "centroid_id"), "left_outer")
         .select(
-          col("centroid_id"),
+          col("gid"), col("centroid_id"),
           coalesce(col("__new"), col("centroid_vec")).as("centroid_vec"))
+        .coalesce(1)
         .localCheckpoint(true)
     }
     cent
@@ -290,11 +325,16 @@ object Similarity {
   // the STORED true norm and the query norm gives approximate cosine.
 
   /** Train the PQ codebook: (subspace, code, centroid_vec) with
-    * `code` in 0..ksub-1 per subspace. Deterministic bootstrap
-    * ([[ivfCentroids]] on the subvector projection) refined by `iters`
-    * L2 Lloyd rounds; m sequential trainings, each checkpointed by
-    * [[kmeansIterate]] (m is 2..16 — the loop is over SUBSPACES, never
-    * data).
+    * `code` in 0..ksub-1 per subspace. Deterministic bootstrap (the
+    * [[ivfCentroids]] hash-order pick — the SAME ksub ids land in every
+    * subspace since the hash ignores the subspace, numbered by sorted id
+    * exactly as ivfCentroids numbers them) refined by `iters` L2 Lloyd
+    * rounds — all m subspaces JOINTLY via [[kmeansCore]] keyed on the
+    * subspace, so training costs one corpus pass per iteration instead
+    * of m (the sequential-loop form paid m× the scans and m× the job
+    * overhead; at 100 TB the scans are the bill). The exploded subvector
+    * projection feeds every iteration, so it persists for the loop
+    * (released by the session owner's CacheScope contract).
     */
   def pqCodebook(
       corpus: DataFrame, m: Int, ksub: Int, iters: Int,
@@ -302,14 +342,24 @@ object Similarity {
     val dims = corpus.select(size(col(vecCol))).head.getInt(0)
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
-    (0 until m).map { j =>
-      val sub = corpus.select(
-        col(idCol), slice(col(vecCol), j * dsub + 1, dsub).as(vecCol))
-      kmeansIterate(sub, ivfCentroids(sub, ksub, idCol, vecCol),
-        iters, idCol, vecCol, metric = "l2")
-        .select(lit(j).as("subspace"), col("centroid_id").as("code"),
-          col("centroid_vec"))
-    }.reduce(_ unionAll _)
+    val data = graft.util.CacheScope.persist(
+      corpus.select(
+        col(idCol).as("id"),
+        posexplode(array((0 until m).map(j =>
+          slice(col(vecCol), j * dsub + 1, dsub)): _*)).as(Seq("gid", "subvec")))
+        .select(col("gid"), col("id"), col("subvec").as("vec"),
+          norm(col("subvec")).as("nrm")))
+    val picked = corpus.select(col(idCol).as("id"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(ksub)
+      .coalesce(1)
+      .sortWithinPartitions("id")
+      .select(monotonically_increasing_id().cast("int").as("centroid_id"), col("id"))
+    val init = data.join(broadcast(picked), Seq("id"))
+      .select(col("gid"), col("centroid_id"), col("vec").as("centroid_vec"))
+    kmeansCore(data, init, iters, metric = "l2")
+      .select(col("gid").as("subspace"), col("centroid_id").as("code"),
+        col("centroid_vec"))
   }
 
   /** Encode the corpus against a codebook: (id, codes array<int>, nrm) —
@@ -329,6 +379,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val m = codebook.agg(max(col("subspace"))).head.getInt(0) + 1
     val dsub = codebook.select(size(col("centroid_vec"))).head.getInt(0)
+    pqEncodeWith(corpus, codebook, m, dsub, idCol, vecCol)
+  }
+
+  private def pqEncodeWith(
+      corpus: DataFrame, codebook: DataFrame, m: Int, dsub: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val cb = codebook.select(col("subspace"), col("code"), col("centroid_vec"),
       dot(col("centroid_vec"), col("centroid_vec")).as("__cc"))
     val subRows = corpus.select(
@@ -362,6 +418,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val m = codebook.agg(max(col("subspace"))).head.getInt(0) + 1
     val dsub = codebook.select(size(col("centroid_vec"))).head.getInt(0)
+    pqTopKEncodedWith(queries, encoded, codebook, k, m, dsub, idCol, vecCol)
+  }
+
+  private def pqTopKEncodedWith(
+      queries: DataFrame, encoded: DataFrame, codebook: DataFrame, k: Int,
+      m: Int, dsub: Int, idCol: String, vecCol: String): DataFrame = {
     val adc = queries.select(
       col(idCol).as("query_id"), norm(col(vecCol)).as("q_norm"),
       posexplode(array((0 until m).map(j =>
@@ -391,13 +453,17 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       m: Int, ksub: Int, k: Int, trainIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // The codebook feeds three consumers (encode join, ADC table, and the
-    // two m/dsub lookups); kmeansIterate's checkpoints back the union's
-    // branches but the union plan itself would re-run per consumer.
+    // The codebook feeds two joins (encode, ADC table); kmeansCore's
+    // checkpoints back its branches but the plan above them would re-run
+    // per consumer — persist once. m/dsub are known here, so the
+    // downstream stages take them as arguments instead of paying four
+    // driver-blocking metadata jobs to rediscover them.
+    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
     val codebook = graft.util.CacheScope.persist(
       pqCodebook(corpus, m, ksub, trainIters, idCol, vecCol))
-    pqTopKEncoded(queries, pqEncode(corpus, codebook, idCol, vecCol),
-      codebook, k, idCol, vecCol)
+    pqTopKEncodedWith(queries,
+      pqEncodeWith(corpus, codebook, m, dims / m, idCol, vecCol),
+      codebook, k, m, dims / m, idCol, vecCol)
   }
 
   /** Assign every corpus vector to its nearest centroid (by cosine):
