@@ -74,6 +74,62 @@ object SpanDedup {
       .withColumn("dup_frac", col("n_duplicated").cast("double") / col("n_spans"))
   }
 
+  /** Sliding-window duplication profile — the Lee et al. ("Deduplicating
+    * Training Data Makes Language Models Better", 2022) exact-substring
+    * shape, at k-token-window granularity: every k-token SLIDING window
+    * (not [[spanStats]]'s fixed chunks, which miss repeats that straddle a
+    * chunk boundary or sit at a shifted offset) is hashed and counted
+    * corpus-wide; windows occurring >= `minCount` times become intervals
+    * `[pos, pos+k)` and overlapping/adjacent hits coalesce into MAXIMAL
+    * repeated spans via [[graft.operators.IntervalMerge]]. Returns one row
+    * per document: total tokens, raw hot-window count, merged span count,
+    * tokens covered by some repeated span, and the covered fraction — the
+    * excision-ready profile (a doc with coverage 1.0 IS boilerplate; a
+    * doc with one tight span quotes something).
+    *
+    * Scale shape: same skeleton as [[spanStats]] (window text reduces to
+    * md5 before any shuffle; frequencies meet hits in an AQE-splittable
+    * equi-join) plus the islands merge, whose per-key windows parallelize
+    * per document. Sliding windows cost ~k× the rows of fixed chunks —
+    * that is the price of offset-invariance, paid in the cheap exploded
+    * projection, never in shuffled text.
+    */
+  def slidingSpanStats(
+      docs: DataFrame, k: Int = 10, minCount: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"window width must be >= 1, got $k")
+    val base = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), TextFunctions.nTokens(col(textCol)).as("n_tokens"))
+    val wins = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col("id"),
+        posexplode(TextFunctions.shinglesFromTokens(col("w"), k)).as(Seq("pos", "sp")))
+      .select(col("id"), col("pos").cast("long").as("pos"), md5(col("sp")).as("h"))
+    val freq = wins.groupBy("h").agg(count(lit(1)).as("w_df"))
+    val hits = wins.join(freq, "h")
+      .filter(col("w_df") >= minCount)
+      .select(col("id"), col("pos").as("s"), (col("pos") + k).as("e"))
+    val merged = graft.operators.IntervalMerge.merge(hits, Seq("id"), "s", "e")
+    val perDoc = merged.groupBy("id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("covered_tokens"))
+    val hotCounts = hits.groupBy("id").agg(count(lit(1)).as("n_hot_windows"))
+    base
+      .join(hotCounts, Seq("id"), "left_outer")
+      .join(perDoc, Seq("id"), "left_outer")
+      .select(
+        col("id").as(idCol),
+        col("n_tokens"),
+        coalesce(col("n_hot_windows"), lit(0L)).as("n_hot_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("coverage_frac",
+        col("covered_tokens").cast("double") / col("n_tokens"))
+  }
+
   /** Boilerplate excision: (doc_id, text) with every span whose corpus
     * frequency exceeds `maxCount` removed and the survivors rejoined in
     * order. Documents that were entirely boilerplate (or empty) come back

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.curation.Curation
-import graft.operators.{AsOfJoin, RangeJoin, ZOrder}
+import graft.operators.{AsOfJoin, IntervalMerge, RangeJoin, ZOrder}
 import graft.tables.Tables
 import graft.text.{TextFunctions, TfIdf}
 
@@ -677,6 +677,40 @@ object CurationQueries {
              |                  * 16 / 4294967296) AS INTEGER) AS zshard
              |FROM lineitem
              |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q33 — interval coalescing: every event opens a 30-minute activity
+    // window per user; overlapping/adjacent windows merge into maximal
+    // availability spans (the islands scan). The oracle recomputes heads,
+    // islands, and spans with DuckDB window functions.
+    Q(
+      "q33_interval_merge",
+      (s, dir) => {
+        val iv = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("s_us"))
+          .withColumn("e_us", col("s_us") + Micros30m)
+        IntervalMerge.merge(iv, Seq("user_id"), "s_us", "e_us")
+          .select("user_id", "span_start", "span_end", "n_merged")
+          .orderBy("user_id", "span_start")
+      },
+      Some(s"""WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+             |                   epoch_us(ts) + $Micros30m AS e
+             |            FROM events),
+             |h AS (SELECT user_id, s, e,
+             |        CASE WHEN s > coalesce(max(e) OVER (
+             |               PARTITION BY user_id ORDER BY s, e
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |               -9223372036854775808)
+             |             THEN 1 ELSE 0 END AS head
+             |      FROM iv),
+             |i AS (SELECT user_id, s, e, sum(head) OVER (
+             |        PARTITION BY user_id ORDER BY s, e
+             |        ROWS UNBOUNDED PRECEDING) AS island
+             |      FROM h)
+             |SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+             |       count(*) AS n_merged
+             |FROM i GROUP BY user_id, island
+             |ORDER BY user_id, span_start""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T13 — per-source distinct-token counts, exact vs HLL sketch: the

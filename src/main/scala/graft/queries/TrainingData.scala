@@ -398,6 +398,54 @@ object TrainingData {
              |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // D10 — sliding-window exact-substring profile over the same
+    // boilerplate fixture: every repeated 10-token window (offset-
+    // invariant, unlike d7's fixed chunks) coalesced into maximal spans
+    // per doc via the islands merge; the oracle recomputes hits, islands,
+    // and coverage with DuckDB windows.
+    Q(
+      "d10_sliding_spans",
+      (s, dir) =>
+        SpanDedup.slidingSpanStats(docsWithBoilerplate(s, dir), k = 10, minCount = 2L)
+          .orderBy("doc_id"),
+      Some(s"""WITH hdr AS (SELECT doc_id,
+             |              CASE WHEN doc_id % 5 = 0 THEN '$BoilerHeader ' || text ELSE text END AS text
+             |            FROM documents),
+             |docs AS (SELECT doc_id,
+             |              CASE WHEN doc_id % 7 = 0 THEN text || ' $BoilerFooter' ELSE text END AS text
+             |         FROM hdr),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+             |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+             |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |                md5(array_to_string(w[i+1:i+10], ' ')) AS h
+             |         FROM (SELECT doc_id, w, unnest(range(len(w) - 9)) AS i
+             |               FROM toks WHERE len(w) >= 10)),
+             |freq AS (SELECT h, count(*) AS df FROM wins GROUP BY h),
+             |hits AS (SELECT doc_id, pos FROM wins JOIN freq USING (h) WHERE df >= 2),
+             |heads AS (SELECT doc_id, pos,
+             |            CASE WHEN pos > coalesce(max(pos + 10) OVER (
+             |                   PARTITION BY doc_id ORDER BY pos
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |                 THEN 1 ELSE 0 END AS head
+             |          FROM hits),
+             |isl AS (SELECT doc_id, pos, sum(head) OVER (
+             |          PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+             |        FROM heads),
+             |merged AS (SELECT doc_id, island, min(pos) AS sp_s, max(pos) + 10 AS sp_e
+             |           FROM isl GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, count(*) AS n_spans,
+             |               CAST(sum(sp_e - sp_s) AS BIGINT) AS covered
+             |        FROM merged GROUP BY 1),
+             |hh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hot FROM hits GROUP BY 1)
+             |SELECT b.doc_id, b.n_tokens,
+             |       coalesce(hh.n_hot, 0) AS n_hot_windows,
+             |       coalesce(agg.n_spans, 0) AS n_spans,
+             |       coalesce(agg.covered, 0) AS covered_tokens,
+             |       CAST(coalesce(agg.covered, 0) AS DOUBLE) / b.n_tokens AS coverage_frac
+             |FROM base b LEFT JOIN hh USING (doc_id) LEFT JOIN agg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // D9 — incremental exact dedup, the daily-crawl shape: the batch
     // (every 5th doc, plus every 7th doc re-keyed +100000 to manufacture
     // cross- and within-batch duplicates) dedups against history (the
