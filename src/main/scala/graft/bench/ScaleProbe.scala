@@ -3,11 +3,15 @@ package graft.bench
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.GraftSession
+import graft.curation.Curation
 import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.operators.AsOfJoin
 import graft.similarity.Similarity
 import graft.tables.Tables
+import graft.text.{HeavyHitters, TextFunctions}
 
 /** Scale probe: run the shuffle-heavy operators at Nx the sf corpus (id-
   * offset unions — dup-heavy on purpose, the worst case for banded/blocked
@@ -153,6 +157,50 @@ object ScaleProbe {
       // "an over-cap bucket means add planes, not raise the cap".
       time(s"neardup_hot_cap64_8planes $label")(
         Similarity.nearDupPairs(skewed, planes.take(8), 0.95, maxBucket = Some(64)).count())
+    }
+    // Token-budget trim / global numbering: the bucketed two-phase cumsum
+    // vs the naive form (ONE window partition per source — and with one
+    // source, ONE task owns every row regardless of cluster size: the
+    // funnel the first-byte bucketing exists for). Healthy = bucketed
+    // ~linear and beating the single window at Nx.
+    for ((label, rows) <- Seq("1x" -> 1000000L, s"${n}x" -> 1000000L * n)) {
+      val df = spark.range(rows).select(
+        lit("s").as("src"), col("id"), (col("id") % 19 + 1).as("nt"))
+      val budget = rows * 5
+      time(s"budget_trim_bucketed $label")(
+        Curation.tokenBudgetTrim(df, "src", "id", "nt", budget, salt = "p").count())
+      time(s"budget_trim_1window $label") {
+        val w = Window.partitionBy("src")
+          .orderBy(md5(concat(lit("p"), col("id").cast("string"))))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("cum", sum("nt").over(w)).filter(col("cum") <= budget).count()
+      }
+      time(s"global_positions $label")(
+        Curation.globalPositions(df, "id", "p").agg(max(col("pos"))).head.getLong(0) + 1)
+    }
+
+    // Heavy hitters on a Zipf-shaped synthetic (2 unique bigrams per doc +
+    // 3 hot ones corpus-wide — the real-corpus regime the sf tables lack):
+    // the CMS prefilter drops the unique tail MAP-SIDE (candidates ≈ the
+    // 3 hot grams + eps·N false positives vs ~2·rows distinct grams for
+    // the direct groupBy — a ~10^6x shuffle-row reduction at 10x). What
+    // this probe can show is only ~linear scaling of both: a local[N]
+    // shuffle is memory-speed, so the sketch's second scan + per-row
+    // estimates COST more here than the shuffle they avoid — the win is
+    // network shuffle volume on a real cluster, not local seconds.
+    // Healthy = both ~linear, CMS within ~2x of direct locally.
+    for ((label, rows) <- Seq("1x" -> 500000L, s"${n}x" -> 500000L * n)) {
+      val docs = spark.range(rows).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          concat(lit("u"), col("id") * 2), concat(lit("u"), col("id") * 2 + 1),
+          lit("hot alpha hot beta")).as("text"))
+      time(s"heavyhitters_cms $label")(
+        HeavyHitters.ngrams(docs, n = 2, minCount = rows).count())
+      time(s"heavyhitters_direct $label")(
+        docs.select(explode(TextFunctions.shingles(col("text"), 2)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("freq"))
+          .filter(col("freq") >= rows).count())
     }
     spark.stop()
   }

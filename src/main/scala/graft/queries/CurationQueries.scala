@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.curation.Curation
-import graft.operators.{AsOfJoin, IntervalMerge, RangeJoin, ZOrder}
+import graft.operators.{AsOfJoin, IntervalMerge, RangeJoin, TableDiff, ZOrder}
 import graft.tables.Tables
 import graft.text.{TextFunctions, TfIdf}
 
@@ -27,6 +27,52 @@ object CurationQueries {
   private val Micros90m = 90L * 60 * 1000000
   private val Micros30m = 30L * 60 * 1000000
   private val BaseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+
+  /** The q34 reconciliation scenario: "yesterday" is a narrow lineitem
+    * projection; "today" dropped every 97th order's rows, bumped
+    * quantities on every 13th, and appended re-keyed copies of every
+    * 89th — removals, changes, and additions in one diff.
+    */
+  private def diffFixture(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    val cur = li.filter(col("l_orderkey") % 97 =!= 0)
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 13 === 0, col("l_quantity") + 1)
+          .otherwise(col("l_quantity")))
+      .unionByName(li.filter(col("l_orderkey") % 89 === 0)
+        .withColumn("l_orderkey", col("l_orderkey") + 10000000L))
+    (li, cur)
+  }
+
+  private val diffSqlCte =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |            FROM lineitem),
+      |r AS (SELECT l_orderkey, l_linenumber,
+      |             CASE WHEN l_orderkey % 13 = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+      |             l_extendedprice, l_returnflag
+      |      FROM li WHERE l_orderkey % 97 <> 0
+      |      UNION ALL
+      |      SELECT l_orderkey + 10000000, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |      FROM li WHERE l_orderkey % 89 = 0),
+      |j AS (SELECT coalesce(l.l_orderkey, r.l_orderkey) AS l_orderkey,
+      |             coalesce(l.l_linenumber, r.l_linenumber) AS l_linenumber,
+      |             CASE WHEN r.l_orderkey IS NULL THEN 'removed'
+      |                  WHEN l.l_orderkey IS NULL THEN 'added'
+      |                  WHEN l.l_quantity IS NOT DISTINCT FROM r.l_quantity
+      |                   AND l.l_extendedprice IS NOT DISTINCT FROM r.l_extendedprice
+      |                   AND l.l_returnflag IS NOT DISTINCT FROM r.l_returnflag THEN 'unchanged'
+      |                  ELSE 'changed' END AS diff_status,
+      |             CASE WHEN l.l_orderkey IS NULL OR r.l_orderkey IS NULL THEN ''
+      |                  ELSE array_to_string(list_filter([
+      |                     CASE WHEN l.l_quantity IS DISTINCT FROM r.l_quantity THEN 'l_quantity' END,
+      |                     CASE WHEN l.l_extendedprice IS DISTINCT FROM r.l_extendedprice THEN 'l_extendedprice' END,
+      |                     CASE WHEN l.l_returnflag IS DISTINCT FROM r.l_returnflag THEN 'l_returnflag' END],
+      |                     x -> x IS NOT NULL), ',') END AS changed_columns
+      |      FROM li l FULL OUTER JOIN r
+      |        ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber)""".stripMargin
 
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
@@ -711,6 +757,38 @@ object CurationQueries {
              |       count(*) AS n_merged
              |FROM i GROUP BY user_id, island
              |ORDER BY user_id, span_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q34 — table diff: today's run (rows dropped, quantities bumped,
+    // rows appended) reconciled against yesterday's — added/removed/
+    // changed with the differing columns named. DuckDB's FULL OUTER JOIN
+    // with IS DISTINCT FROM recomputes the classification exactly.
+    Q(
+      "q34_table_diff",
+      (s, dir) => {
+        val (old, cur) = diffFixture(s, dir)
+        TableDiff.diff(old, cur, Seq("l_orderkey", "l_linenumber"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some(s"""$diffSqlCte
+             |SELECT l_orderkey, l_linenumber, diff_status, changed_columns
+             |FROM j WHERE diff_status <> 'unchanged'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q34b — the hash form of the same reconciliation: only (keys, 8-byte
+    // payload hash) cross the shuffle, classification must be identical.
+    Q(
+      "q34b_table_diff_hash",
+      (s, dir) => {
+        val (old, cur) = diffFixture(s, dir)
+        TableDiff.hashDiff(old, cur, Seq("l_orderkey", "l_linenumber"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some(s"""$diffSqlCte
+             |SELECT l_orderkey, l_linenumber, diff_status
+             |FROM j WHERE diff_status <> 'unchanged'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T13 — per-source distinct-token counts, exact vs HLL sketch: the

@@ -443,6 +443,58 @@ object RelationalExtended {
       Some("""SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
              |       count(*) AS n,
              |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q35 — cube: all four grouping combinations of (status, priority) in
+    // one pass, with grouping_id disambiguating real NULLs from subtotal
+    // rows (the reason ORDER BY includes it).
+    Q(
+      "q35_cube_grouping_id",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("total"))
+          .orderBy(
+            col("gid"),
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             |       count(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q36 — RANGE-framed rolling window: per user, how many events (and
+    // how much value) the trailing hour holds at each event — a VALUE
+    // range over epoch micros, not a row count, so sparse and dense hours
+    // aggregate correctly. The streaming-free form of a sliding-window
+    // metric; per-user partitions keep it parallel.
+    Q(
+      "q36_rolling_hour",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(-3600000000L + 1, 0)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("value_1h",
+            sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+             |       count(*) OVER w AS n_1h,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin))
   )
 }
