@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.curation.Curation
+import graft.graph.PageRank
 import graft.operators.{AsOfJoin, IntervalMerge, RangeJoin, TableDiff, ZOrder}
 import graft.tables.Tables
 import graft.text.{TextFunctions, TfIdf}
@@ -789,6 +790,30 @@ object CurationQueries {
              |SELECT l_orderkey, l_linenumber, diff_status
              |FROM j WHERE diff_status <> 'unchanged'
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // G1 — fixed-point PageRank, 5 power iterations over a deterministic
+    // 1000-node graph (3 arithmetic out-edges per node, duplicates
+    // dropped). Integer mass units make every rank value bit-identical
+    // across engines; the oracle is the same recurrence as 5 unrolled
+    // CTEs with DuckDB's // floor-divide.
+    Q(
+      "g1_pagerank",
+      (s, dir) => {
+        val nodes = s.range(1000).select(col("id").as("v"))
+        val edges = graft.util.CacheScope.persist(
+          nodes.select(col("v").as("u"), explode(array(
+            (col("v") * 7 + 1) % 1000,
+            (col("v") * 13 + 3) % 1000,
+            (col("v") * 31 + 7) % 1000)).as("t")).distinct())
+        PageRank.run(edges, nodes, iters = 5).orderBy("v")
+      },
+      Some(PageRank.oracleSql(
+        nodesCte = "nodes AS (SELECT unnest(range(1000)) AS v)",
+        edgesCte = """edges AS (SELECT DISTINCT v AS u, t FROM (
+                     |  SELECT v, unnest([(v*7+1)%1000, (v*13+3)%1000, (v*31+7)%1000]) AS t
+                     |  FROM nodes))""".stripMargin,
+        iters = 5))),
 
     // ------------------------------------------------------------------
     // T13 — per-source distinct-token counts, exact vs HLL sketch: the
