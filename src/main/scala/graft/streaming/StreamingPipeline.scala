@@ -151,6 +151,36 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col(keyCol), col("n"))
 
+  /** Stream-stream interval join (ST7): each left event matched to right
+    * events with the same key whose timestamp falls in
+    * `[left_ts - within, left_ts]` — the streaming enrichment shape
+    * (purchase ← clicks that preceded it). BOTH the watermarks and the
+    * explicit time bound are load-bearing: Structured Streaming can only
+    * evict buffered rows once it can prove no future match exists, and it
+    * proves that from watermark + bound — without them state grows
+    * without limit, the 100 TB-stream failure mode. Output columns are
+    * the left row plus the right's timestamp/value columns prefixed
+    * `r_`.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      within: String,
+      lateness: String): DataFrame = {
+    val l = left.withWatermark(tsCol, lateness).alias("l")
+    val r = right.withWatermark(tsCol, lateness).alias("r")
+    val rCols = right.columns.filterNot(_ == key).toSeq
+    l.join(r,
+      expr(s"l.$key = r.$key AND " +
+        s"r.$tsCol >= l.$tsCol - interval $within AND r.$tsCol <= l.$tsCol"),
+      "inner")
+      .select(
+        left.columns.map(c => col(s"l.$c")) ++
+          rCols.map(c => col(s"r.$c").as(s"r_$c")): _*)
+  }
+
   /** Streaming dedup with bounded state: duplicates arriving within the
     * watermark horizon are dropped, state for older keys is evicted.
     */

@@ -294,6 +294,36 @@ class StreamingSpec extends SparkTestBase {
     assert(got.contains((2L, t(21), t(21), 1L)))
   }
 
+  test("stream-stream interval join enriches within the bound, drops beyond it (ST7)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamingPipeline.streamStreamJoin(
+      purchases.toDF().toDF("user_id", "ts", "amount"),
+      clicks.toDF().toDF("user_id", "ts", "page"),
+      key = "user_id", tsCol = "ts", within = "10 minutes", lateness = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // u1: click at 10:00 and 10:03, purchase at 10:05 -> both match.
+    // u2: click at 10:00, purchase at 10:20 -> outside the 10-min bound.
+    clicks.addData((1L, t(0), "home"), (1L, t(3), "item"), (2L, t(0), "home"))
+    purchases.addData((1L, t(5), 9.99))
+    q.processAllAvailable()
+    purchases.addData((2L, t(20), 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ssj")
+      .select($"user_id", $"ts", $"amount", $"r_ts", $"r_page")
+      .as[(Long, Timestamp, Double, Timestamp, String)].collect().toSet
+    assert(got == Set(
+      (1L, t(5), 9.99, t(0), "home"),
+      (1L, t(5), 9.99, t(3), "item")))
+  }
+
   test("dropDuplicatesWithinWatermark bounds dedup state (ST6)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
