@@ -51,9 +51,29 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * The right side must be unique per (key, rightTs) — with duplicates,
   * "the" as-of row is ambiguous in any engine (DuckDB picks one
   * arbitrarily); callers pre-aggregate. Enforced here only by contract,
-  * not a scan, to keep the operator single-pass.
+  * not a scan, to keep the operator single-pass; [[requireRightUnique]]
+  * is the debug-mode scan for suspicious inputs.
   */
 object AsOfJoin {
+
+  /** Debug guard for the uniqueness contract: one aggregation pass over
+    * the right side; throws with up to five offending (key, ts) groups if
+    * any (key, rightTs) occurs more than once. Run it when wiring a new
+    * right source, not per query — the production operator stays
+    * single-pass by design.
+    */
+  def requireRightUnique(right: DataFrame, keys: Seq[String], rightTs: String): Unit = {
+    val offending = right
+      .groupBy((keys :+ rightTs).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .take(5)
+    if (offending.nonEmpty)
+      throw new IllegalStateException(
+        "as-of right side violates the (key, ts) uniqueness contract; " +
+          s"offending groups (first ${offending.length}): " +
+          offending.map(_.toString).mkString(", "))
+  }
 
   /** Nearest right row at-or-before each left row. `valueCols` are the
     * right-side columns carried onto each left row (null when no right row

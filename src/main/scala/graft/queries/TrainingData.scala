@@ -668,6 +668,23 @@ object TrainingData {
              |FROM g GROUP BY 1 HAVING count(*) >= 20 ORDER BY gram""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T14 — frequency-ranked vocabulary: top-200 tokens with contiguous
+    // ids in (count desc, token) order — the tokenizer-vocab init step.
+    // The ordered take keeps the full count table distributed; only the
+    // 200 winners ever share a partition.
+    Q(
+      "t14_vocab",
+      (s, dir) =>
+        HeavyHitters.vocab(Tables.documents(s, dir), size = 200)
+          .orderBy("token_id"),
+      Some("""SELECT row_number() OVER (ORDER BY freq DESC, token) - 1 AS token_id,
+             |       token, freq
+             |FROM (SELECT token, count(*) AS freq
+             |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |      GROUP BY 1)
+             |ORDER BY freq DESC, token LIMIT 200""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T11 — text cleaning (HTML strip + control-char normalize + space
     // collapse + trim): the pre-dedup pass every scraped corpus needs. The
     // corpus text is already clean, so each row synthesizes a dirty

@@ -60,4 +60,25 @@ object HeavyHitters {
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minCount)
   }
+
+  /** Frequency-ranked vocabulary: the top `size` tokens by (count desc,
+    * token asc) with contiguous ids 0..size-1 — the "init the tokenizer
+    * vocab from corpus statistics" step. The global top-V is a
+    * TakeOrdered (size is bounded and small — thousands — so the ordered
+    * take never materializes the full count table on one task); the V
+    * winners then number themselves in one partition, the same
+    * deterministic single-partition trick as the IVF centroid pick.
+    */
+  def vocab(df: DataFrame, textCol: String = "text", size: Int = 32768): DataFrame = {
+    require(size > 0, s"vocab size must be positive, got $size")
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(size)
+      .coalesce(1)
+      .sortWithinPartitions(col("freq").desc, col("token"))
+      .select(
+        monotonically_increasing_id().as("token_id"),
+        col("token"), col("freq"))
+  }
 }

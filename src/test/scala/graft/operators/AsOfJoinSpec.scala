@@ -142,4 +142,15 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"expected a join-free union+window plan:\n$plan")
     assert(plan.contains("Window"))
   }
+
+  test("requireRightUnique passes unique inputs, names duplicate (key, ts) groups") {
+    import spark.implicits._
+    val unique = Seq(("a", 1L, "x"), ("a", 2L, "y"), ("b", 1L, "z")).toDF("k", "t", "v")
+    AsOfJoin.requireRightUnique(unique, Seq("k"), "t") // must not throw
+    val dup = unique.unionAll(Seq(("a", 2L, "y2")).toDF("k", "t", "v"))
+    val e = intercept[IllegalStateException] {
+      AsOfJoin.requireRightUnique(dup, Seq("k"), "t")
+    }
+    assert(e.getMessage.contains("uniqueness contract") && e.getMessage.contains("[a,2,2]"))
+  }
 }

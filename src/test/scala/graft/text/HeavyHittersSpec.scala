@@ -40,6 +40,19 @@ class HeavyHittersSpec extends SparkTestBase {
     }
   }
 
+  test("vocab ranks by (freq desc, token), ids contiguous, ties lexicographic") {
+    val v = HeavyHitters.vocab(corpus, size = 5)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(v.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(v.head._2 == "the" && v.head._3 == 5L) // most frequent token
+    // Non-increasing frequencies; lexicographic within equal counts.
+    assert(v.sliding(2).forall { case Seq(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._2 < b._2); case _ => true })
+    // size above the vocabulary returns everything, still contiguous.
+    val all = HeavyHitters.vocab(corpus, size = 10000).collect()
+    assert(all.map(_.getLong(0)).toSeq == (0L until all.length))
+  }
+
   test("minCount=1 returns every distinct gram; empty corpus returns nothing") {
     val all = HeavyHitters.ngrams(corpus, n = 2, minCount = 1L)
     assert(all.count() == exactCounts.count())
