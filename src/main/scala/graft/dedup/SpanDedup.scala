@@ -94,13 +94,14 @@ object SpanDedup {
     * that is the price of offset-invariance, paid in the cheap exploded
     * projection, never in shuffled text.
     */
-  def slidingSpanStats(
-      docs: DataFrame, k: Int = 10, minCount: Long = 2L,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** (id, s, e): every k-token sliding window whose corpus occurrence
+    * count reaches `minCount`, as a half-open token interval. Shared by
+    * [[slidingSpanStats]] (profile) and [[slidingScrub]] (excision).
+    */
+  private def hotWindowHits(
+      docs: DataFrame, k: Int, minCount: Long,
+      idCol: String, textCol: String): DataFrame = {
     require(k >= 1, s"window width must be >= 1, got $k")
-    val base = docs
-      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(col(idCol).as("id"), TextFunctions.nTokens(col(textCol)).as("n_tokens"))
     val wins = docs
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
@@ -108,9 +109,18 @@ object SpanDedup {
         posexplode(TextFunctions.shinglesFromTokens(col("w"), k)).as(Seq("pos", "sp")))
       .select(col("id"), col("pos").cast("long").as("pos"), md5(col("sp")).as("h"))
     val freq = wins.groupBy("h").agg(count(lit(1)).as("w_df"))
-    val hits = wins.join(freq, "h")
+    wins.join(freq, "h")
       .filter(col("w_df") >= minCount)
       .select(col("id"), col("pos").as("s"), (col("pos") + k).as("e"))
+  }
+
+  def slidingSpanStats(
+      docs: DataFrame, k: Int = 10, minCount: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), TextFunctions.nTokens(col(textCol)).as("n_tokens"))
+    val hits = hotWindowHits(docs, k, minCount, idCol, textCol)
     val merged = graft.operators.IntervalMerge.merge(hits, Seq("id"), "s", "e")
     val perDoc = merged.groupBy("id")
       .agg(
@@ -128,6 +138,43 @@ object SpanDedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
       .withColumn("coverage_frac",
         col("covered_tokens").cast("double") / col("n_tokens"))
+  }
+
+  /** Excision at sliding-window precision: cut exactly the tokens covered
+    * by a maximal repeated span ([[slidingSpanStats]]'s intervals) and
+    * rejoin the survivors in order — where [[scrub]] drops whole fixed
+    * chunks, this removes the repeated run itself, at any offset, and
+    * nothing else. Documents scrubbed to nothing come back as '' (same
+    * contract as [[scrub]]).
+    *
+    * Shape at scale: tokens meet the merged spans in an equi-join on the
+    * doc id with a range residual (per-doc span counts are small, so the
+    * residual filters a short build side); the reassembly shuffle is the
+    * same one [[scrub]] pays, after the hot runs — the volume — are
+    * anti-joined away.
+    */
+  def slidingScrub(
+      docs: DataFrame, k: Int = 10, minCount: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = graft.operators.IntervalMerge.merge(
+      hotWindowHits(docs, k, minCount, idCol, textCol), Seq("id"), "s", "e")
+    val toks = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), posexplode(TextFunctions.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.alias("t").join(spans.alias("sp"),
+      col("t.id") === col("sp.id") &&
+        col("t.pos") >= col("sp.span_start") && col("t.pos") < col("sp.span_end"),
+      "left_anti")
+    val rejoined = kept
+      .groupBy(col("id").as(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as(textCol))
+    docs.select(col(idCol))
+      .join(rejoined, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
   /** Boilerplate excision: (doc_id, text) with every span whose corpus

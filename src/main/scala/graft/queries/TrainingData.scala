@@ -86,6 +86,37 @@ object TrainingData {
        |                 array_to_string(w[i*10+1 : i*10+10], ' ') AS sp
        |          FROM (SELECT doc_id, w, unnest(range((len(w) + 9) // 10)) AS i FROM toks))""".stripMargin
 
+  /** Shared CTE chain for the d10 oracles: boilerplate fixture → sliding
+    * 10-token windows → corpus frequencies → hot-window hits → islands →
+    * maximal merged spans (sp_s, sp_e half-open).
+    */
+  private val sqlSlidingCte =
+    s"""WITH hdr AS (SELECT doc_id,
+       |              CASE WHEN doc_id % 5 = 0 THEN '$BoilerHeader ' || text ELSE text END AS text
+       |            FROM documents),
+       |docs AS (SELECT doc_id,
+       |              CASE WHEN doc_id % 7 = 0 THEN text || ' $BoilerFooter' ELSE text END AS text
+       |         FROM hdr),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+       |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+       |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |                md5(array_to_string(w[i+1:i+10], ' ')) AS h
+       |         FROM (SELECT doc_id, w, unnest(range(len(w) - 9)) AS i
+       |               FROM toks WHERE len(w) >= 10)),
+       |freq AS (SELECT h, count(*) AS df FROM wins GROUP BY h),
+       |hits AS (SELECT doc_id, pos FROM wins JOIN freq USING (h) WHERE df >= 2),
+       |heads AS (SELECT doc_id, pos,
+       |            CASE WHEN pos > coalesce(max(pos + 10) OVER (
+       |                   PARTITION BY doc_id ORDER BY pos
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |                 THEN 1 ELSE 0 END AS head
+       |          FROM hits),
+       |isl AS (SELECT doc_id, pos, sum(head) OVER (
+       |          PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |        FROM heads),
+       |merged AS (SELECT doc_id, island, min(pos) AS sp_s, max(pos) + 10 AS sp_e
+       |           FROM isl GROUP BY 1, 2)""".stripMargin
+
   /** Five embedded fixture docs for the hash-math goldens (d2/d3/t5
     * goldens below). Expected outputs are computed by an independent
     * pure-Python XXH64 implementation (tools/gen_hash_goldens.py, from the
@@ -408,31 +439,7 @@ object TrainingData {
       (s, dir) =>
         SpanDedup.slidingSpanStats(docsWithBoilerplate(s, dir), k = 10, minCount = 2L)
           .orderBy("doc_id"),
-      Some(s"""WITH hdr AS (SELECT doc_id,
-             |              CASE WHEN doc_id % 5 = 0 THEN '$BoilerHeader ' || text ELSE text END AS text
-             |            FROM documents),
-             |docs AS (SELECT doc_id,
-             |              CASE WHEN doc_id % 7 = 0 THEN text || ' $BoilerFooter' ELSE text END AS text
-             |         FROM hdr),
-             |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
-             |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
-             |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-             |                md5(array_to_string(w[i+1:i+10], ' ')) AS h
-             |         FROM (SELECT doc_id, w, unnest(range(len(w) - 9)) AS i
-             |               FROM toks WHERE len(w) >= 10)),
-             |freq AS (SELECT h, count(*) AS df FROM wins GROUP BY h),
-             |hits AS (SELECT doc_id, pos FROM wins JOIN freq USING (h) WHERE df >= 2),
-             |heads AS (SELECT doc_id, pos,
-             |            CASE WHEN pos > coalesce(max(pos + 10) OVER (
-             |                   PARTITION BY doc_id ORDER BY pos
-             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-             |                 THEN 1 ELSE 0 END AS head
-             |          FROM hits),
-             |isl AS (SELECT doc_id, pos, sum(head) OVER (
-             |          PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-             |        FROM heads),
-             |merged AS (SELECT doc_id, island, min(pos) AS sp_s, max(pos) + 10 AS sp_e
-             |           FROM isl GROUP BY 1, 2),
+      Some(s"""$sqlSlidingCte,
              |agg AS (SELECT doc_id, count(*) AS n_spans,
              |               CAST(sum(sp_e - sp_s) AS BIGINT) AS covered
              |        FROM merged GROUP BY 1),
@@ -443,6 +450,29 @@ object TrainingData {
              |       coalesce(agg.covered, 0) AS covered_tokens,
              |       CAST(coalesce(agg.covered, 0) AS DOUBLE) / b.n_tokens AS coverage_frac
              |FROM base b LEFT JOIN hh USING (doc_id) LEFT JOIN agg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // D10b — sliding-window excision: cut exactly the tokens covered by a
+    // maximal repeated span (any offset), rejoin the rest in order —
+    // where d7b drops whole fixed chunks. Fully-scrubbed docs come back
+    // as ''.
+    Q(
+      "d10b_sliding_scrub",
+      (s, dir) =>
+        SpanDedup.slidingScrub(docsWithBoilerplate(s, dir), k = 10, minCount = 2L)
+          .orderBy("doc_id"),
+      Some(s"""$sqlSlidingCte,
+             |toks2 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i+1] AS tok
+             |          FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM toks)),
+             |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks2 t
+             |         WHERE NOT EXISTS (SELECT 1 FROM merged m
+             |                           WHERE m.doc_id = t.doc_id
+             |                             AND t.pos >= m.sp_s AND t.pos < m.sp_e)),
+             |agg2 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+             |         FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(a.text, '') AS text
+             |FROM docs d LEFT JOIN agg2 a USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------

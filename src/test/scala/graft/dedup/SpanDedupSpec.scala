@@ -46,6 +46,28 @@ class SpanDedupSpec extends SparkTestBase {
     assert(got === Map(1L -> "a b c", 2L -> "", 3L -> ""))
   }
 
+  test("slidingScrub cuts exactly the repeated run at any offset, keeps the rest") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"x$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"$shared tail one two three"),
+      (2L, s"lead1 lead2 $shared other words"),
+      (3L, "entirely distinct content with no repeats at all ok")).toDF("doc_id", "text")
+    val got = SpanDedup.slidingScrub(fixture, k = 10, minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // The 12-token shared run is excised wherever it sits; neighbors stay.
+    assert(got(1L) == "tail one two three")
+    assert(got(2L) == "lead1 lead2 other words")
+    assert(got(3L) == "entirely distinct content with no repeats at all ok")
+  }
+
+  test("slidingScrub with a high minCount reconstructs every text verbatim") {
+    val got = SpanDedup.slidingScrub(docs, k = 3, minCount = 100000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === want)
+  }
+
   test("scrub with a high threshold reconstructs every text verbatim") {
     // Round-tripping exactly (including the trailing partial chunk) pins
     // the ordered reassembly: sort by pos, join with single spaces.
