@@ -53,6 +53,46 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(all.map(_.getLong(0)).toSeq == (0L until all.length))
   }
 
+  test("the CMS prefilter cuts shuffle records vs the direct count on a Zipf corpus") {
+    // 20k docs, two unique bigrams each + 3 hot ones corpus-wide: the
+    // direct groupBy must shuffle every distinct gram (~40k records); the
+    // prefiltered path shuffles only hot-gram partials (~3 per map task)
+    // plus the one-row sketch. This pins the operator's actual lever —
+    // shuffle VOLUME — which wall-clock on a local memory shuffle cannot.
+    val docs = spark.range(20000).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        concat(lit("u"), col("id") * 2), concat(lit("u"), col("id") * 2 + 1),
+        lit("hot alpha hot beta")).as("text"))
+    def shuffleRecords(f: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            n.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        // Listener events drain asynchronously; settle on a stable count.
+        var prev = -1L
+        var tries = 0
+        while (n.get != prev && tries < 50) { prev = n.get; Thread.sleep(100); tries += 1 }
+        n.get
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val direct = shuffleRecords {
+      docs.select(explode(TextFunctions.shingles(col("text"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 20000).count()
+    }
+    val cms = shuffleRecords {
+      HeavyHitters.ngrams(docs, n = 2, minCount = 20000L).count()
+    }
+    assert(direct > 20000L, s"direct path should shuffle the long tail, got $direct")
+    assert(cms < direct / 50, s"CMS path must shuffle far fewer records: $cms vs $direct")
+  }
+
   test("minCount=1 returns every distinct gram; empty corpus returns nothing") {
     val all = HeavyHitters.ngrams(corpus, n = 2, minCount = 1L)
     assert(all.count() == exactCounts.count())
