@@ -460,6 +460,30 @@ object Curation {
       .filter(col(scoreCol) >= col("source_threshold"))
   }
 
+  /** Per-source winsorization: clip a numeric column to its source's
+    * [lo, hi] quantile band — the outlier-taming sibling of
+    * [[qualityFloor]] (a floor DROPS rows; winsorizing KEEPS them with
+    * the tail values pinned to the band edge, the standard treatment for
+    * heavy-tailed features like document length before they feed a
+    * scorer). Same shape: one tiny per-source aggregate broadcast back
+    * over the scan, then a map-side greatest/least — no second pass, no
+    * shuffle of the data itself.
+    */
+  def winsorize(
+      df: DataFrame,
+      sourceCol: String,
+      valueCol: String,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val bands = df.groupBy(sourceCol).agg(
+      percentile(col(valueCol), lit(lo)).as("band_lo"),
+      percentile(col(valueCol), lit(hi)).as("band_hi"))
+    df.join(broadcast(bands), Seq(sourceCol))
+      .withColumn(s"${valueCol}_clipped",
+        greatest(col("band_lo"), least(col("band_hi"), col(valueCol))))
+  }
+
   /** Gopher-style repetition signals per document over word n-grams:
     * total/distinct n-gram counts, duplicate fraction (1 - distinct/total)
     * and top-gram fraction (most frequent n-gram's share). High values flag

@@ -792,6 +792,28 @@ object CurationQueries {
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // C14 — per-source winsorization: document lengths clipped to each
+    // source's [p05, p95] band — outliers pinned to the band edge, rows
+    // kept (vs c10's floor, which drops). Interpolated percentile matches
+    // quantile_cont exactly (the q26 pattern).
+    Q(
+      "c14_winsorize",
+      (s, dir) =>
+        Curation.winsorize(
+          Tables.documents(s, dir).select("source", "doc_id", "n_chars"),
+          sourceCol = "source", valueCol = "n_chars", lo = 0.05, hi = 0.95)
+          .select("source", "doc_id", "n_chars", "band_lo", "band_hi", "n_chars_clipped")
+          .orderBy("source", "doc_id"),
+      Some("""WITH bands AS (SELECT source,
+             |                      quantile_cont(n_chars, 0.05) AS band_lo,
+             |                      quantile_cont(n_chars, 0.95) AS band_hi
+             |               FROM documents GROUP BY 1)
+             |SELECT d.source, d.doc_id, d.n_chars, b.band_lo, b.band_hi,
+             |       greatest(b.band_lo, least(b.band_hi, CAST(d.n_chars AS DOUBLE))) AS n_chars_clipped
+             |FROM documents d JOIN bands b USING (source)
+             |ORDER BY d.source, d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // G1 — fixed-point PageRank, 5 power iterations over a deterministic
     // 1000-node graph (3 arithmetic out-edges per node, duplicates
     // dropped). Integer mass units make every rank value bit-identical

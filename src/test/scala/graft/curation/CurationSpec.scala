@@ -297,6 +297,24 @@ class CurationSpec extends SparkTestBase {
     assert(thr == Map("src0" -> 24.75, "src1" -> 1024.75))
   }
 
+  test("winsorize clips to each source's own band, keeps every row") {
+    import spark.implicits._
+    // src0: 0..99 (band [p10,p90] = [9.9, 89.1]); src1 shifted +1000.
+    val df = (0 until 200).map { i =>
+      (i.toLong, s"src${i % 2}", (i / 2 + (if (i % 2 == 1) 1000 else 0)).toDouble)
+    }.toDF("id", "src", "v")
+    val out = Curation.winsorize(df, "src", "v", lo = 0.10, hi = 0.90)
+    assert(out.count() == 200L) // nothing dropped
+    val src0 = out.filter(col("src") === "src0")
+      .select("v", "v_clipped").as[(Double, Double)].collect().toMap
+    assert(math.abs(src0(0.0) - 9.9) < 1e-9) // tails pinned to band
+    assert(math.abs(src0(99.0) - 89.1) < 1e-9)
+    assert(src0(50.0) == 50.0) // interior untouched
+    val src1Min = out.filter(col("src") === "src1").agg(min("v_clipped"))
+      .head.getDouble(0)
+    assert(math.abs(src1Min - 1009.9) < 1e-9) // per-source band, not global
+  }
+
   test("scrubPii masks emails, IPs, and phones without touching clean text") {
     import spark.implicits._
     val df = Seq(
