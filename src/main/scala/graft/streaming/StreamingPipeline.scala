@@ -70,7 +70,8 @@ object StreamingPipeline {
       batchId: Long,
       tablesDir: String,
       bucketSize: Long = DefaultBucketSize,
-      eagerDedup: Boolean = true): Unit = {
+      eagerDedup: Boolean = true,
+      sinkOverride: Option[MergeSink] = None): Unit = {
     val spark = batch.sparkSession
     val parsed = Extract.parseBlocks(batch.select("value")).cache()
     try {
@@ -92,14 +93,17 @@ object StreamingPipeline {
             .filter(col("slot_bucket").isin(parentBuckets: _*))
             .select("slot")
         else r.blocks.select("slot").limit(0)
-      // The sink seam (MergeSink): parquet here; a database target swaps in
-      // a JdbcMergeSink without touching the pipeline.
-      val sink: MergeSink =
+      // The sink seam (MergeSink): parquet by default; pass sinkOverride
+      // to land the same batches in a database target (JdbcMergeSink's
+      // Derby MERGE path is integration-tested; scalar-project first —
+      // JDBC refuses array columns).
+      val sink: MergeSink = sinkOverride.getOrElse {
         if (eagerDedup) new PartitionedParquetMergeSink(tablesDir)
         else new MergeSink {
           def merge(b: DataFrame, table: String, keys: Seq[String]): Unit =
             Load.appendPartitioned(b, s"$tablesDir/$table", keys, "__version", "slot_bucket")
         }
+      }
       val blocks = Load.resolveParentSlots(r.blocks, existingSlots)
         .withColumn("slot_bucket", bucketOf(col("slot")))
         .withColumn("__version", lit(batchId))
@@ -122,12 +126,13 @@ object StreamingPipeline {
       trigger: Trigger = Trigger.AvailableNow(),
       startSlot: Option[Long] = None,
       bucketSize: Long = DefaultBucketSize,
-      eagerDedup: Boolean = true): StreamingQuery =
+      eagerDedup: Boolean = true,
+      sinkOverride: Option[MergeSink] = None): StreamingQuery =
     readBlockStream(spark, blocksDir, finalityLag, maxSlotsPerTrigger, startSlot)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: DataFrame, id: Long) =>
-        upsertBatch(batch, id, tablesDir, bucketSize, eagerDedup))
+        upsertBatch(batch, id, tablesDir, bucketSize, eagerDedup, sinkOverride))
       .trigger(trigger)
       .start()
 

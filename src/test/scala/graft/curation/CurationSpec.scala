@@ -276,6 +276,24 @@ class CurationSpec extends SparkTestBase {
     assert(Curation.tokenBudgetTrim(df, "src", "id", "n_toks", 1L << 40, "b").count() == 400L)
   }
 
+  test("globalPositions equals the single-window row_number, contiguous 0..N-1") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 3000L).toDF("id")
+    val got = Curation.globalPositions(df, "id", "gp")
+      .select("id", "pos").as[(Long, Long)].collect().toSet
+    val ref = df
+      .withColumn("pos",
+        row_number().over(
+          Window.orderBy(md5(concat(lit("gp"), col("id").cast("string"))))).cast("long") - 1)
+      .select("id", "pos").as[(Long, Long)].collect().toSet
+    assert(got == ref)
+    assert(got.map(_._2) == (0L until 3000L).toSet) // contiguous, no gaps
+    val again = Curation.globalPositions(df.repartition(17), "id", "gp")
+      .select("id", "pos").as[(Long, Long)].collect().toSet
+    assert(again == got)
+  }
+
   test("qualityFloor drops below-quantile rows per source, not globally") {
     import spark.implicits._
     // src0 scores 0..99, src1 scores 1000..1099: a global p25 would keep all

@@ -294,6 +294,25 @@ class StreamingSpec extends SparkTestBase {
     assert(got.contains((2L, t(21), t(21), 1L)))
   }
 
+  test("the MergeSink seam: a swapped-in sink receives both tables' stamped batches") {
+    import spark.implicits._
+    val raw = Seq(blockJson(42L), blockJson(43L)).toDF("value")
+    val seen = scala.collection.mutable.Map[String, (Seq[String], Long, Set[Long])]()
+    val recorder = new graft.etl.MergeSink {
+      def merge(b: org.apache.spark.sql.DataFrame, table: String, keys: Seq[String]): Unit =
+        seen.synchronized {
+          seen(table) = (keys, b.count(),
+            b.select("__version").distinct().as[Long].collect().toSet)
+        }
+    }
+    StreamingPipeline.upsertBatch(raw, batchId = 7L, tablesDir = tmpDir("seam"),
+      sinkOverride = Some(recorder))
+    assert(seen.keySet == Set("blocks", "transactions"))
+    assert(seen("blocks")._1 == Seq("slot") && seen("blocks")._2 == 2L)
+    assert(seen("transactions")._1 == Seq("signature") && seen("transactions")._2 == 2L)
+    assert(seen.values.forall(_._3 == Set(7L))) // every row version-stamped
+  }
+
   test("stream-stream interval join enriches within the bound, drops beyond it (ST7)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
