@@ -495,6 +495,40 @@ object RelationalExtended {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q37 — ranking-function family: ntile/percent_rank/cume_dist over a
+    // deterministic total order (spend desc, customer key breaks ties).
+    // percent_rank = (rank-1)/(n-1) and cume_dist = rank/n are single
+    // IEEE divisions of integers — exact in both engines. The global
+    // window runs over the PER-CUSTOMER rollup (cardinality already
+    // reduced by the aggregate), not raw rows — rank-everything over an
+    // unaggregated 100 TB table would need the two-phase numbering trick
+    // (globalPositions) instead.
+    Q(
+      "q37_rank_functions",
+      (s, dir) => {
+        val spend = Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(dsum(col("o_totalprice")).as("spend"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("spend").desc, col("o_custkey"))
+        spend
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH spend AS (SELECT o_custkey,
+             |                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+             |               FROM orders GROUP BY 1)
+             |SELECT o_custkey, spend,
+             |       ntile(4) OVER w AS quartile,
+             |       percent_rank() OVER w AS pct_rank,
+             |       cume_dist() OVER w AS cume
+             |FROM spend
+             |WINDOW w AS (ORDER BY spend DESC, o_custkey)
+             |ORDER BY o_custkey""".stripMargin))
   )
 }
