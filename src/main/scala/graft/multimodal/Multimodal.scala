@@ -63,6 +63,25 @@ object Multimodal {
     when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(everyK)))
       .otherwise(array().cast("array<bigint>"))
 
+  /** Perceptual hash over a decoded feature vector — the aHash recipe
+    * (bit i set iff feature i exceeds the vector's mean), packed into a
+    * long. Identical media always collide; near-identical media (one
+    * perturbed feature) differ in few bits, so the hash feeds either an
+    * exact groupBy (image exact-dedup) or the hamming-blocked near-dup
+    * join the text side already runs on SimHashes. Pure codegen'd
+    * column arithmetic: the mean is a fixed left-associated double sum
+    * (deterministic — mirrored bit-for-bit by the golden generator), the
+    * bits a when/shift chain — no UDF, no extra pass over the media.
+    */
+  def perceptualHash(features: org.apache.spark.sql.Column, dims: Int = 8): org.apache.spark.sql.Column = {
+    require(dims > 0 && dims <= 63, s"dims must be in 1..63, got $dims")
+    val fs = (0 until dims).map(i => get(features, lit(i)).cast("double"))
+    val mean = fs.reduce(_ + _) / dims
+    (0 until dims)
+      .map(i => when(fs(i) > mean, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+  }
+
   final case class ResizedImage(
       doc_id: Long, width: Int, height: Int, out_width: Int, out_height: Int)
 

@@ -1179,6 +1179,36 @@ object TrainingData {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // M5 — perceptual-hash image dedup over the stub-decoded corpus:
+    // aHash per media blob (exact groupBy = image exact-dedup; the hash
+    // also feeds the hamming-blocked near-dup join). Rows-only at sf
+    // scale (the stub's JVM hash is not SQL-expressible); the golden
+    // below pins every hash bit against the independent Python mirror.
+    Q(
+      "m5_phash_clusters",
+      (s, dir) => {
+        val decoded = Multimodal.decodeImageStub(
+          s, Multimodal.withMedia(Tables.documents(s, dir).select("doc_id", "text"))).toDF()
+        decoded
+          .select(col("doc_id"), Multimodal.perceptualHash(col("features")).as("phash"))
+          .groupBy("phash")
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .orderBy("phash")
+      }),
+
+    Q(
+      "m5_phash_golden",
+      (s, _) =>
+        Multimodal.decodeImageStub(s, Multimodal.withMedia(hashFixture(s))).toDF()
+          .select(col("doc_id"), Multimodal.perceptualHash(col("features")).as("phash"))
+          .orderBy("doc_id"),
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(phash AS BIGINT) AS phash
+             |FROM (VALUES
+             |  (1, 181), (2, 194), (3, 65), (4, 182), (5, 188)
+             |) AS t(doc_id, phash)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // M3 — video frame-sampling plan, oracle-checked: every 4th frame index
     // as a pure expression over a synthetic frame count (len(text) mod 100
     // stands in for a real duration column). sequence(0, n-1, k) == DuckDB

@@ -56,4 +56,20 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(_.getSeq[Long](0).toSeq).toSeq
     assert(got == Seq(Seq(0L, 3L, 6L, 9L), Seq.empty))
   }
+
+  test("perceptualHash: identical media collide, bits are exactly above-mean flags") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.9f, 0.1f, 0.1f, 0.1f)), // mean 0.3 -> only bit 0
+      (2L, Array(0.9f, 0.1f, 0.1f, 0.1f)), // identical -> same hash
+      (3L, Array(0.1f, 0.9f, 0.9f, 0.1f))) // bits 1,2
+      .toDF("id", "features")
+    val got = df.select(col("id"), Multimodal.perceptualHash(col("features"), dims = 4))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 6L)
+    // A uniform vector has no above-mean bit: hash 0, not an error.
+    val flat = Seq(Tuple1(Array(0.5f, 0.5f, 0.5f, 0.5f))).toDF("features")
+      .select(Multimodal.perceptualHash(col("features"), dims = 4)).head.getLong(0)
+    assert(flat == 0L)
+  }
 }

@@ -58,6 +58,16 @@ def decode(text: str):
     return len(bs), width, height, feats
 
 
+def phash(feats):
+    """aHash mirror of Multimodal.perceptualHash: left-associated double
+    sum / dims for the mean, bit i set iff feats[i] > mean."""
+    s = 0.0
+    for f in feats:
+        s = s + f
+    mean = s / len(feats)
+    return sum((1 << i) for i, f in enumerate(feats) if f > mean)
+
+
 def resize(w: int, h: int, max_w: int, max_h: int):
     scale = min(1.0, min(max_w / w, max_h / h))
     rnd = lambda x: math.floor(x + 0.5)    # Java Math.round
@@ -75,6 +85,11 @@ def main():
         _, w, h, _ = decode(t)
         ow, oh = resize(w, h, 96, 96)
         print(f"  ({i}, {w}, {h}, {ow}, {oh}),")
+
+    print("\n== m5_phash_golden VALUES (doc_id, phash) ==")
+    for i, t in FIXTURE:
+        _, _, _, feats = decode(t)
+        print(f"  ({i}, {phash(feats)}),")
 
 
 if __name__ == "__main__":
