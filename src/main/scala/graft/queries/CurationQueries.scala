@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.curation.Curation
 import graft.graph.PageRank
+import graft.quality.Expectations
 import graft.operators.{AsOfJoin, IntervalMerge, RangeJoin, TableDiff, ZOrder}
 import graft.tables.Tables
 import graft.text.{TextFunctions, TfIdf}
@@ -812,6 +813,66 @@ object CurationQueries {
              |       greatest(b.band_lo, least(b.band_hi, CAST(d.n_chars AS DOUBLE))) AS n_chars_clipped
              |FROM documents d JOIN bands b USING (source)
              |ORDER BY d.source, d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q38 — data-quality gate: not-null / range / pattern / uniqueness
+    // expectations over an orders variant with injected violations (null
+    // statuses, negated prices, malformed priorities, duplicated keys).
+    // All row-local rules share ONE pass; uniqueness counts excess rows.
+    Q(
+      "q38_quality_gate",
+      (s, dir) => {
+        val base = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        val dirty = base
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 97 === 0, lit(null: String))
+              .otherwise(col("o_orderstatus")))
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 101 === 0, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderpriority",
+            when(col("o_orderkey") % 83 === 0, lit("9-BAD!"))
+              .otherwise(col("o_orderpriority")))
+          .unionByName(base.filter(col("o_orderkey") % 89 === 0))
+        Expectations.check(dirty,
+          notNull = Seq(Expectations.NotNull("o_orderstatus")),
+          inRange = Seq(Expectations.InRange("o_totalprice", 0.0, 999999.0)),
+          matches = Seq(Expectations.Matches("o_orderpriority", "^[1-5]-")),
+          unique = Seq(Expectations.Unique(Seq("o_orderkey"))))
+          .orderBy("rule")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             |                     o_totalprice, o_orderpriority FROM orders),
+             |dirty0 AS (SELECT o_orderkey, o_custkey,
+             |                  CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+             |                  CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+             |                  CASE WHEN o_orderkey % 83 = 0 THEN '9-BAD!' ELSE o_orderpriority END AS o_orderpriority
+             |           FROM base),
+             |dirty AS (SELECT * FROM dirty0
+             |          UNION ALL
+             |          SELECT * FROM base WHERE o_orderkey % 89 = 0)
+             |SELECT 'not_null(o_orderstatus)' AS rule,
+             |       CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL THEN 1 END), 0) AS BIGINT) AS n_violations
+             |FROM dirty
+             |UNION ALL
+             |SELECT 'in_range(o_totalprice, 0.0, 999999.0)',
+             |       CAST(coalesce(sum(CASE WHEN o_totalprice IS NOT NULL
+             |                               AND (o_totalprice < 0.0 OR o_totalprice > 999999.0)
+             |                              THEN 1 END), 0) AS BIGINT)
+             |FROM dirty
+             |UNION ALL
+             |SELECT 'matches(o_orderpriority)',
+             |       CAST(coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL
+             |                               AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+             |                              THEN 1 END), 0) AS BIGINT)
+             |FROM dirty
+             |UNION ALL
+             |SELECT 'unique(o_orderkey)',
+             |       (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+             |        FROM (SELECT o_orderkey, count(*) AS n FROM dirty GROUP BY 1)
+             |        WHERE n > 1)
+             |ORDER BY rule""".stripMargin)),
 
     // ------------------------------------------------------------------
     // G1 — fixed-point PageRank, 5 power iterations over a deterministic
