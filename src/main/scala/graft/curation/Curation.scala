@@ -392,6 +392,33 @@ object Curation {
       budget: Long,
       salt: String): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    tokenBudgetTrimWith(df, sourceCol, idCol, nTokensCol, lit(budget), salt)
+  }
+
+  /** [[tokenBudgetTrim]] with PER-SOURCE budgets — the real recipe shape
+    * ("300B web, 50B code, 5B books"). Budgets resolve through a map
+    * literal exactly like [[mixtureSample]]'s rates; sources absent from
+    * the map keep nothing (budget 0).
+    */
+  def tokenBudgetTrim(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      nTokensCol: String,
+      budgets: Map[String, Long],
+      salt: String): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val budget = coalesce(element_at(typedLit(budgets), col(sourceCol)), lit(0L))
+    tokenBudgetTrimWith(df, sourceCol, idCol, nTokensCol, budget, salt)
+  }
+
+  private def tokenBudgetTrimWith(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      nTokensCol: String,
+      budget: Column,
+      salt: String): DataFrame = {
     val keyed = df
       .withColumn("order_key", md5(concat(lit(salt), col(idCol).cast("string"))))
       .withColumn("__b", conv(substring(col("order_key"), 1, 2), 16, 10).cast("int"))

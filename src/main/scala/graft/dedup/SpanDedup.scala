@@ -102,12 +102,16 @@ object SpanDedup {
       docs: DataFrame, k: Int, minCount: Long,
       idCol: String, textCol: String): DataFrame = {
     require(k >= 1, s"window width must be >= 1, got $k")
-    val wins = docs
+    // The hashed-window projection feeds BOTH the frequency rollup and the
+    // hits join; persist the reduced (id, pos, 128-bit hash) rows — the
+    // minhash-signature precedent — instead of exploding and hashing the
+    // text twice (window text itself is never cached, never shuffled).
+    val wins = graft.util.CacheScope.persist(docs
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
       .select(col("id"),
         posexplode(TextFunctions.shinglesFromTokens(col("w"), k)).as(Seq("pos", "sp")))
-      .select(col("id"), col("pos").cast("long").as("pos"), md5(col("sp")).as("h"))
+      .select(col("id"), col("pos").cast("long").as("pos"), md5(col("sp")).as("h")))
     val freq = wins.groupBy("h").agg(count(lit(1)).as("w_df"))
     wins.join(freq, "h")
       .filter(col("w_df") >= minCount)

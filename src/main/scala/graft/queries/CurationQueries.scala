@@ -24,6 +24,19 @@ object CurationQueries {
   private val mixtureRates: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (i % 5) * 0.25).toMap
 
+  /** Per-source token budgets for c9b: src<i> gets (i%4)*500 tokens —
+    * includes 0 (drop the source) and budgets no source can exhaust.
+    */
+  private val sourceBudgets: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (i % 4) * 500L).toMap
+
+  /** The same map as a SQL CASE, so the oracle can never drift from it. */
+  private val sourceBudgetCase: String =
+    "CASE source " +
+      sourceBudgets.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
+      " ELSE 0 END"
+
   private val SeqLen = 2048
   private val MicrosPer17h = 17L * 3600 * 1000000
   private val Micros90m = 90L * 60 * 1000000
@@ -659,6 +672,34 @@ object CurationQueries {
              |      FROM d)
              |SELECT source, doc_id, order_key, n_tokens, cum_tokens
              |FROM c WHERE cum_tokens <= 1000
+             |ORDER BY source, order_key""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C9b — token budgets per SOURCE (the real recipe shape): src<i> gets
+    // (i%4)*500 tokens — including 0 (source dropped) — via the same
+    // map-literal resolution as the mixture rates. Oracle budgets come
+    // from the identical Scala map rendered as a CASE.
+    Q(
+      "c9b_token_budget_per_source",
+      (s, dir) =>
+        Curation.tokenBudgetTrim(
+          Tables.documents(s, dir)
+            .select(col("source"), col("doc_id"),
+              TextFunctions.nTokens(col("text")).as("n_tokens")),
+          sourceCol = "source", idCol = "doc_id",
+          nTokensCol = "n_tokens", budgets = sourceBudgets, salt = "tb")
+          .select("source", "doc_id", "order_key", "n_tokens", "cum_tokens")
+          .orderBy("source", "order_key"),
+      Some(s"""WITH d AS (SELECT source, doc_id,
+             |                  md5('tb' || CAST(doc_id AS VARCHAR)) AS order_key,
+             |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |           FROM documents),
+             |c AS (SELECT source, doc_id, order_key, n_tokens,
+             |             sum(n_tokens) OVER (PARTITION BY source ORDER BY order_key
+             |                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |      FROM d)
+             |SELECT source, doc_id, order_key, n_tokens, cum_tokens
+             |FROM c WHERE cum_tokens <= $sourceBudgetCase
              |ORDER BY source, order_key""".stripMargin)),
 
     // ------------------------------------------------------------------

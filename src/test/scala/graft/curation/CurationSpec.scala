@@ -276,6 +276,22 @@ class CurationSpec extends SparkTestBase {
     assert(Curation.tokenBudgetTrim(df, "src", "id", "n_toks", 1L << 40, "b").count() == 400L)
   }
 
+  test("per-source token budgets: zero drops, absent drops, each source its own cap") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}", 10L)).toDF("id", "src", "nt")
+    val out = Curation.tokenBudgetTrim(df, "src", "id", "nt",
+      budgets = Map("src0" -> 0L, "src1" -> 200L), salt = "b")
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("src0")) // explicit zero budget
+    assert(!bySrc.contains("src2")) // absent from the map
+    assert(bySrc("src1") == 20L) // 200 tokens / 10 per doc
+    // The kept set is the same deterministic prefix the flat form keeps.
+    val flat = Curation.tokenBudgetTrim(
+      df.filter(col("src") === "src1"), "src", "id", "nt", budget = 200L, salt = "b")
+      .select("id").as[Long].collect().toSet
+    assert(out.filter(col("src") === "src1").select("id").as[Long].collect().toSet == flat)
+  }
+
   test("globalPositions equals the single-window row_number, contiguous 0..N-1") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
