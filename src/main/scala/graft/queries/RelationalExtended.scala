@@ -529,6 +529,35 @@ object RelationalExtended {
              |       cume_dist() OVER w AS cume
              |FROM spend
              |WINDOW w AS (ORDER BY spend DESC, o_custkey)
-             |ORDER BY o_custkey""".stripMargin))
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q39 — unpivot (melt): the four lineitem measures to long form —
+    // the inverse of q20's pivot, Spark's native `unpivot` operator
+    // (UNION-ALL-free single pass; the oracle spells the same melt as
+    // UNION ALL).
+    Q(
+      "q39_unpivot_measures",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 50 === 0)
+          .select("l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "measure", "value")
+          .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+             |SELECT l_orderkey, l_linenumber, measure, value FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM f
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM f
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM f
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM f)
+             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin))
   )
 }

@@ -173,14 +173,20 @@ object StreamingPipeline {
       key: String,
       tsCol: String,
       within: String,
-      lateness: String): DataFrame = {
+      lateness: String,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"stream-stream join supports inner/left_outer here, got $joinType")
     val l = left.withWatermark(tsCol, lateness).alias("l")
     val r = right.withWatermark(tsCol, lateness).alias("r")
     val rCols = right.columns.filterNot(_ == key).toSeq
+    // left_outer: an unmatched left row emits (with nulls) only once the
+    // watermark proves no future right row can match it — correctness and
+    // state eviction from the same bound.
     l.join(r,
       expr(s"l.$key = r.$key AND " +
         s"r.$tsCol >= l.$tsCol - interval $within AND r.$tsCol <= l.$tsCol"),
-      "inner")
+      joinType)
       .select(
         left.columns.map(c => col(s"l.$c")) ++
           rCols.map(c => col(s"r.$c").as(s"r_$c")): _*)

@@ -294,6 +294,38 @@ class StreamingSpec extends SparkTestBase {
     assert(got.contains((2L, t(21), t(21), 1L)))
   }
 
+  test("left-outer stream-stream join emits unmatched rows once the watermark proves it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(h: Int, m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamingPipeline.streamStreamJoin(
+      purchases.toDF().toDF("user_id", "ts", "amount"),
+      clicks.toDF().toDF("user_id", "ts", "page"),
+      key = "user_id", tsCol = "ts", within = "10 minutes", lateness = "5 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // u1 matches; u2's purchase has no click in its window.
+    clicks.addData((1L, t(10, 0), "home"))
+    purchases.addData((1L, t(10, 5), 9.99), (2L, t(10, 5), 5.0))
+    q.processAllAvailable()
+    // Advance both watermarks far past u2's window end before asserting
+    // the null emission (outer results wait for the proof).
+    clicks.addData((9L, t(11, 0), "later"))
+    purchases.addData((9L, t(11, 0), 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ssj_outer")
+      .select($"user_id", $"amount", $"r_page").as[(Long, Double, Option[String])]
+      .collect().toSet
+    assert(got.contains((1L, 9.99, Some("home"))))
+    assert(got.contains((2L, 5.0, None)), s"unmatched left must emit with nulls: $got")
+  }
+
   test("the MergeSink seam: a swapped-in sink receives both tables' stamped batches") {
     import spark.implicits._
     val raw = Seq(blockJson(42L), blockJson(43L)).toDF("value")
