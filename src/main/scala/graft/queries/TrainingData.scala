@@ -715,6 +715,32 @@ object TrainingData {
              |ORDER BY freq DESC, token LIMIT 200""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T15 — corpus-frequency stopword removal: every occurrence of the
+    // top-10 tokens stripped, survivors rejoined in order, '' for docs
+    // scrubbed to nothing — the data-driven stopword list that adapts to
+    // the corpus where a fixed English list cannot.
+    Q(
+      "t15_strip_stopwords",
+      (s, dir) =>
+        HeavyHitters.stripTopTokens(Tables.documents(s, dir), k = 10)
+          .orderBy("doc_id"),
+      Some("""WITH vocab AS (SELECT token FROM (
+             |         SELECT token, count(*) AS freq
+             |         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |         GROUP BY 1 ORDER BY freq DESC, token LIMIT 10)),
+             |toks AS (SELECT doc_id, i AS pos, w[i+1] AS tok
+             |         FROM (SELECT doc_id, string_split(text, ' ') AS w,
+             |                      unnest(range(len(string_split(text, ' ')))) AS i
+             |               FROM documents)),
+             |kept AS (SELECT doc_id, pos, tok FROM toks
+             |         WHERE tok NOT IN (SELECT token FROM vocab)),
+             |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+             |        FROM kept GROUP BY 1)
+             |SELECT d.doc_id, coalesce(a.text, '') AS text
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T11 — text cleaning (HTML strip + control-char normalize + space
     // collapse + trim): the pre-dedup pass every scraped corpus needs. The
     // corpus text is already clean, so each row synthesizes a dirty

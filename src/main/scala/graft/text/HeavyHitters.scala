@@ -61,6 +61,36 @@ object HeavyHitters {
       .filter(col("freq") >= minCount)
   }
 
+  /** Corpus-frequency stopword removal: strip every occurrence of the
+    * corpus's `k` most frequent tokens ([[vocab]]'s head — the data-driven
+    * stopword list, which adapts to the corpus language/domain where a
+    * fixed English list cannot) and rejoin each document's survivors in
+    * order. Documents reduced to nothing come back as '' (the scrub
+    * contract). The k-row list broadcasts; the reassembly grouping is the
+    * only shuffle, paid after the highest-frequency tokens — by
+    * definition the volume — are anti-joined away.
+    */
+  def stripTopTokens(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 100): DataFrame = {
+    val stop = vocab(docs, textCol, k).select("token")
+    val toks = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = toks.join(broadcast(stop), toks("tok") === stop("token"), "left_anti")
+    val rejoined = kept
+      .groupBy(col("id").as(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as(textCol))
+    docs.select(col(idCol))
+      .join(rejoined, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Frequency-ranked vocabulary: the top `size` tokens by (count desc,
     * token asc) with contiguous ids 0..size-1 — the "init the tokenizer
     * vocab from corpus statistics" step. The global top-V is a

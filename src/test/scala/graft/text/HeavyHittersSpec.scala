@@ -93,6 +93,19 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(cms < direct / 50, s"CMS path must shuffle far fewer records: $cms vs $direct")
   }
 
+  test("stripTopTokens removes exactly the top-k tokens, order preserved") {
+    // Top-2 by (freq desc, token): "the" (5), "cat" (3).
+    val got = HeavyHitters.stripTopTokens(corpus, k = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "sat on mat and ran")
+    assert(got(2L) == "sat on a log while dog ran")
+    assert(got(3L) == "a completely different sentence with unique words only")
+    // k covering the whole vocabulary scrubs every doc to ''.
+    val all = HeavyHitters.stripTopTokens(corpus, k = 10000)
+      .as[(Long, String)].collect().toMap
+    assert(all.values.toSet == Set(""))
+  }
+
   test("minCount=1 returns every distinct gram; empty corpus returns nothing") {
     val all = HeavyHitters.ngrams(corpus, n = 2, minCount = 1L)
     assert(all.count() == exactCounts.count())
