@@ -64,6 +64,72 @@ object PageRank {
     ranks
   }
 
+  /** Weighted edges: contribution is proportional to integer edge weight —
+    * `contrib(u→v) = (rank(u) * w) div Σ_u w` — the citation-count /
+    * link-multiplicity form. Same fixed-point guarantees as [[run]]
+    * (products stay far below 2^63 at the default mass and small
+    * weights); `run` is exactly this with every weight 1.
+    */
+  def runWeighted(
+      edges: DataFrame, // (u, t, w): directed edge u -> t with weight w >= 1
+      nodes: DataFrame,
+      iters: Int,
+      totalMass: Long = 1000000000000L,
+      dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
+    val n = nodes.count()
+    require(n > 0, "PageRank needs at least one node")
+    val wsum = edges.groupBy("u").agg(sum(col("w")).as("wsum"))
+    val base = ((dampDen - dampNum) * totalMass / dampDen) / n
+    var ranks = nodes.select(col("v"), lit(totalMass / n).as("rank_fp"))
+      .coalesce(1).localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("v", "u"), "u")
+        .join(wsum, "u")
+        .select(col("t").as("v"), expr("(rank_fp * w) div wsum").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.select(col("v"))
+        .join(contribs, Seq("v"), "left_outer")
+        .select(col("v"),
+          (lit(base) + expr(s"($dampNum * coalesce(in_sum, 0)) div $dampDen"))
+            .as("rank_fp"))
+        .coalesce(1).localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** The DuckDB mirror of [[runWeighted]]: `edgesCte` must define
+    * `edges(u, t, w)`.
+    */
+  def oracleSqlWeighted(
+      nodesCte: String, edgesCte: String, iters: Int,
+      totalMass: Long = 1000000000000L,
+      dampNum: Long = 85,
+      dampDen: Long = 100): String = {
+    val header =
+      s"""WITH $nodesCte,
+         |$edgesCte,
+         |wsum AS (SELECT u, sum(w) AS wsum FROM edges GROUP BY u),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT v, $totalMass // (SELECT n FROM nn) AS rank_fp FROM nodes)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      s"""r${i + 1} AS (
+         |  SELECT nodes.v,
+         |         ((($dampDen - $dampNum) * $totalMass // $dampDen) // (SELECT n FROM nn))
+         |           + ($dampNum * coalesce(s.in_sum, 0)) // $dampDen AS rank_fp
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.t AS v, sum((r$i.rank_fp * e.w) // wsum.wsum) AS in_sum
+         |    FROM edges e JOIN r$i ON e.u = r$i.v JOIN wsum ON e.u = wsum.u
+         |    GROUP BY e.t) s ON nodes.v = s.v)""".stripMargin
+    }.mkString(",\n")
+    s"""$header${if (iters > 0) ",\n" + rounds else ""}
+       |SELECT v, CAST(rank_fp AS BIGINT) AS rank_fp FROM r$iters ORDER BY v""".stripMargin
+  }
+
   /** The DuckDB mirror: the same fixed-point recurrence as `iters` chained
     * CTEs over `edgesCte` (must define `edges(u, t)`) and `nodesCte`
     * (must define `nodes(v)`). `//` is DuckDB's integer floor-divide —

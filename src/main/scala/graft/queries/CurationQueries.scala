@@ -940,6 +940,30 @@ object CurationQueries {
         iters = 5))),
 
     // ------------------------------------------------------------------
+    // G2 — weighted PageRank over the same graph with arithmetic integer
+    // weights (1 + (u+t)%5): contribution proportional to edge weight,
+    // still bit-exact fixed-point.
+    Q(
+      "g2_pagerank_weighted",
+      (s, dir) => {
+        val nodes = s.range(1000).select(col("id").as("v"))
+        val edges = graft.util.CacheScope.persist(
+          nodes.select(col("v").as("u"), explode(array(
+            (col("v") * 7 + 1) % 1000,
+            (col("v") * 13 + 3) % 1000,
+            (col("v") * 31 + 7) % 1000)).as("t")).distinct()
+            .withColumn("w", lit(1L) + (col("u") + col("t")) % 5))
+        PageRank.runWeighted(edges, nodes, iters = 5).orderBy("v")
+      },
+      Some(PageRank.oracleSqlWeighted(
+        nodesCte = "nodes AS (SELECT unnest(range(1000)) AS v)",
+        edgesCte = """edges AS (SELECT u, t, 1 + (u + t) % 5 AS w FROM (
+                     |  SELECT DISTINCT v AS u, t FROM (
+                     |    SELECT v, unnest([(v*7+1)%1000, (v*13+3)%1000, (v*31+7)%1000]) AS t
+                     |    FROM nodes)))""".stripMargin,
+        iters = 5))),
+
+    // ------------------------------------------------------------------
     // T13 — per-source distinct-token counts, exact vs HLL sketch: the
     // sketch path is the 100 TB answer (mergeable one-row-per-source
     // state, no distinct shuffle); the exact column here sizes its error.

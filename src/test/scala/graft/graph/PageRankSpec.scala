@@ -32,6 +32,26 @@ class PageRankSpec extends SparkTestBase {
     assert(total <= mass && total > mass - 5L * (20 + 20 + 20))
   }
 
+  test("weighted with unit weights equals unweighted; heavier edges pull more rank") {
+    val nodes = spark.range(50).select(col("id").as("v"))
+    val edges = nodes.select(col("v").as("u"),
+      explode(array((col("v") * 3 + 1) % 50, (col("v") * 17 + 5) % 50)).as("t"))
+      .distinct()
+    val plain = PageRank.run(edges, nodes, iters = 3)
+      .as[(Long, Long)].collect().toSet
+    val unit = PageRank.runWeighted(edges.withColumn("w", lit(1L)), nodes, iters = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(unit == plain)
+    // Two nodes each split mass between targets a and b; weighting the
+    // a-edges 9:1 must rank a above b (unweighted they tie).
+    val tiny = Seq((1L, 10L, 9L), (1L, 11L, 1L), (2L, 10L, 9L), (2L, 11L, 1L))
+      .toDF("u", "t", "w")
+    val tinyNodes = Seq(1L, 2L, 10L, 11L).toDF("v")
+    val ranks = PageRank.runWeighted(tiny, tinyNodes, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks(10L) > ranks(11L))
+  }
+
   test("is repartition-stable (pure integer arithmetic)") {
     val nodes = spark.range(100).select(col("id").as("v"))
     val edges = nodes.select(col("v").as("u"),
