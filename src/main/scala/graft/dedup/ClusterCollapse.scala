@@ -162,4 +162,35 @@ object ClusterCollapse {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .withColumn("is_survivor", col(idCol) === col("cluster_id"))
   }
+
+  /** [[collapse]] with QUALITY-aware survivor election: per cluster, the
+    * member with the highest `scoreCol` wins (ties break toward the lower
+    * id, keeping elections deterministic) — what real dedup pipelines
+    * want, where min-id keeps an arbitrary copy but "the longest / least
+    * boilerplate / highest-scoring duplicate" should survive. The
+    * election is one map-side-combinable max_by per cluster joined back —
+    * never a per-cluster window funnel. Cluster ids remain the component
+    * minimum (stable labels); only the survivor flag moves.
+    */
+  def collapseBy(
+      docs: DataFrame,
+      pairs: DataFrame,
+      scoreCol: String,
+      idCol: String = "doc_id",
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxRounds: Int = 30): DataFrame = {
+    val labeled = collapse(docs, pairs, idCol, idACol, idBCol, maxRounds)
+      .drop("is_survivor")
+      .join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val winners = labeled
+      .groupBy("cluster_id")
+      .agg(max_by(
+        col(idCol),
+        struct(col(scoreCol), negate(col(idCol)))).as("__winner"))
+    labeled
+      .join(winners, Seq("cluster_id"))
+      .withColumn("is_survivor", col(idCol) === col("__winner"))
+      .select(idCol, "cluster_id", scoreCol, "is_survivor")
+  }
 }

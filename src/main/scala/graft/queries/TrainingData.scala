@@ -429,6 +429,64 @@ object TrainingData {
              |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // D11 — quality-aware survivor election: every 20th doc gains an
+    // AUGMENTED near-dup copy (4 extra words, id +1e6) — min-id election
+    // would keep the original, but electing by length keeps the richer
+    // copy. The oracle recomputes the components recursively and the
+    // winner via row_number over (score desc, id).
+    Q(
+      "d11_quality_collapse",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select("doc_id", "text")
+          .filter(col("doc_id") % 10 === 0)
+        val docs = base
+          .unionByName(base.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" extra trailing words here"))))
+          .withColumn("score", length(col("text")).cast("long"))
+        val pairs = Dedup.jaccardShinglePairs(docs, threshold = 0.5)
+        ClusterCollapse.collapseBy(docs, pairs, scoreCol = "score")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+             |aug AS (SELECT doc_id + 1000000 AS doc_id,
+             |               text || ' extra trailing words here' AS text
+             |        FROM base WHERE doc_id % 20 = 0),
+             |docs AS (SELECT * FROM base UNION ALL SELECT * FROM aug),
+             |sh AS (SELECT doc_id,
+             |              unnest(list_distinct(list_transform(
+             |                range(len(string_split(text,' ')) - 2),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' ')))) AS shingle
+             |       FROM docs WHERE len(string_split(text,' ')) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+             |common AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+             |           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             |           GROUP BY 1, 2),
+             |pr AS (SELECT id_a, id_b FROM common
+             |       JOIN sizes a ON a.doc_id = id_a
+             |       JOIN sizes b ON b.doc_id = id_b
+             |       WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.5),
+             |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+             |          UNION SELECT id_b, id_a FROM pr),
+             |reach AS (SELECT u, v FROM edges
+             |          UNION
+             |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+             |          WHERE e.v <> r.u),
+             |comp AS (SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+             |lab AS (SELECT d.doc_id,
+             |               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             |               CAST(length(d.text) AS BIGINT) AS score
+             |        FROM docs d LEFT JOIN comp c ON c.id = d.doc_id),
+             |win AS (SELECT cluster_id, doc_id AS winner FROM (
+             |          SELECT cluster_id, doc_id,
+             |                 row_number() OVER (PARTITION BY cluster_id
+             |                                    ORDER BY score DESC, doc_id) AS rn
+             |          FROM lab) WHERE rn = 1)
+             |SELECT l.doc_id, l.cluster_id, l.score, l.doc_id = w.winner AS is_survivor
+             |FROM lab l JOIN win w USING (cluster_id)
+             |ORDER BY l.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // D10 — sliding-window exact-substring profile over the same
     // boilerplate fixture: every repeated 10-token window (offset-
     // invariant, unlike d7's fixed chunks) coalesced into maximal spans

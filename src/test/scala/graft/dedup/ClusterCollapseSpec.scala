@@ -71,4 +71,20 @@ class ClusterCollapseSpec extends SparkTestBase {
     // {2,4,6,10} -> 2; {11,12} -> 11; the rest are singletons.
     assert(survivors === Array(1L, 2L, 3L, 5L, 7L, 8L, 9L, 11L))
   }
+
+  test("collapseBy elects the highest score per cluster, min id on ties") {
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L), // cluster {1,2,3}: 2 and 3 tie -> 2
+      (4L, 7L), (5L, 9L), // cluster {4,5}: 5 wins over the min id
+      (6L, 1L)) // singleton survives regardless of score
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = ClusterCollapse.collapseBy(docs, pairs, scoreCol = "score")
+      .select("doc_id", "cluster_id", "is_survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, false), (5L, 4L, true),
+      (6L, 6L, true)))
+  }
 }
