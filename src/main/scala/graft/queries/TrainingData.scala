@@ -773,6 +773,29 @@ object TrainingData {
              |ORDER BY freq DESC, token LIMIT 200""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T16 — suffix normalization (S-stemmer-style): the corpus has no
+    // plural forms, so each row appends a fixed probe suite exercising
+    // every rule (+ the protected us/ss endings and the sequential
+    // rule-2-then-3 interaction on 'echoes'); both engines run the
+    // identical three-pass chain.
+    Q(
+      "t16_sstem",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextFunctions.sStem(concat(col("text"),
+              lit(" queries tables boxes rows bus pass echoes"))).as("stemmed"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       regexp_replace(
+             |         regexp_replace(
+             |           regexp_replace(text || ' queries tables boxes rows bus pass echoes',
+             |             '([a-z]*[^ae\s])ies\b', '\1y', 'g'),
+             |           '([a-z]*[^aeo\s])es\b', '\1e', 'g'),
+             |         '([a-z]*[^us\s])s\b', '\1', 'g') AS stemmed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T15 — corpus-frequency stopword removal: every occurrence of the
     // top-10 tokens stripped, survivors rejoined in order, '' for docs
     // scrubbed to nothing — the data-driven stopword list that adapts to

@@ -234,4 +234,20 @@ object TextFunctions {
           regexp_replace(text, htmlTagPattern, " "),
           controlCharPattern, " "),
         multiSpacePattern, " "))
+
+  /** S-stemmer-style suffix normalizer: three sequential whole-text
+    * regexp passes — `Xies -> Xy` (X not a/e), `Xes -> Xe` (X not
+    * a/e/o), then `Xs -> X` (X not u/s) — collapsing common English
+    * plural variants onto one form before frequency analysis / dedup.
+    * SEQUENTIAL, not else-if (a word rule 2 declines can still lose a
+    * bare trailing s to rule 3): documented semantics both engines
+    * implement identically, patterns chosen to mean the same thing in
+    * Java regex and RE2. Pure codegen'd projection, zero shuffle.
+    */
+  def sStem(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "([a-z]*[^ae\\s])ies\\b", "$1y"),
+        "([a-z]*[^aeo\\s])es\\b", "$1e"),
+      "([a-z]*[^us\\s])s\\b", "$1")
 }

@@ -124,4 +124,18 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(clean("<unclosed") === "<unclosed") // not a complete tag: kept
     assert(clean("") === "")
   }
+
+  test("sStem: plural variants collapse, protected endings survive") {
+    import spark.implicits._
+    def stem(s: String): String =
+      Seq(s).toDF("t").select(TextFunctions.sStem(col("t"))).head.getString(0)
+    assert(stem("queries tables rows") === "query table row")
+    assert(stem("boxes") === "boxe") // es after x: drop only the s
+    assert(stem("bus pass") === "bus pass") // us/ss protected
+    assert(stem("echoes") === "echoe") // rule 2 declines (oes), rule 3 strips s
+    assert(stem("ties dies") === "ty dy") // rule 1 applies to any non-a/e stem
+    // Sequential (not else-if) semantics: rule 1 declines 'aies' (a
+    // before ies) but rule 2 then sees '...ies' as an i-before-es match.
+    assert(stem("aies") === "aie")
+  }
 }
