@@ -36,6 +36,27 @@ class TableDiffSpec extends SparkTestBase {
     assert(hashed == detail)
   }
 
+  test("hashDiff moves a fraction of diff's shuffle bytes on a wide table") {
+    import org.apache.spark.sql.functions._
+    // 20k rows x 8 fat string columns: the detail diff shuffles full row
+    // structs; the hash form ships (key, 8-byte hash). Local wall-clock
+    // cannot show this (memory shuffles are ~free); bytes can.
+    val wide = spark.range(20000).select(
+      col("id") +: (0 until 8).map(i =>
+        concat_ws("-", lit(s"wide_payload_column_$i"), col("id")).as(s"c$i")): _*)
+    val changed = wide.withColumn("c0",
+      when(col("id") % 1000 === 0, lit("CHANGED")).otherwise(col("c0")))
+    val (_, detailBytes) = graft.TestMetrics.shuffleWritten(spark) {
+      TableDiff.diff(wide, changed, Seq("id")).count()
+    }
+    val (_, hashBytes) = graft.TestMetrics.shuffleWritten(spark) {
+      TableDiff.hashDiff(wide, changed, Seq("id")).count()
+    }
+    assert(detailBytes > 0 && hashBytes > 0)
+    assert(hashBytes < detailBytes / 3,
+      s"hash form must ship far fewer bytes: $hashBytes vs $detailBytes")
+  }
+
   test("identical tables diff to nothing; schema mismatch is rejected") {
     assert(TableDiff.diff(old, old, Seq("k")).count() == 0L)
     assert(TableDiff.hashDiff(old, old, Seq("k")).count() == 0L)

@@ -64,23 +64,8 @@ class HeavyHittersSpec extends SparkTestBase {
       concat_ws(" ",
         concat(lit("u"), col("id") * 2), concat(lit("u"), col("id") * 2 + 1),
         lit("hot alpha hot beta")).as("text"))
-    def shuffleRecords(f: => Unit): Long = {
-      val n = new java.util.concurrent.atomic.AtomicLong
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (te.taskMetrics != null)
-            n.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
-      }
-      spark.sparkContext.addSparkListener(l)
-      try {
-        f
-        // Listener events drain asynchronously; settle on a stable count.
-        var prev = -1L
-        var tries = 0
-        while (n.get != prev && tries < 50) { prev = n.get; Thread.sleep(100); tries += 1 }
-        n.get
-      } finally spark.sparkContext.removeSparkListener(l)
-    }
+    def shuffleRecords(f: => Unit): Long =
+      graft.TestMetrics.shuffleWritten(spark)(f)._1
     val direct = shuffleRecords {
       docs.select(explode(TextFunctions.shingles(col("text"), 2)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("freq"))
