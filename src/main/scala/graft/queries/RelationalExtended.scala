@@ -558,6 +558,40 @@ object RelationalExtended {
              |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM f
              |  UNION ALL
              |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM f)
-             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin))
+             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q40 — calendar arithmetic surface: part extraction, month-end,
+    // clamped month addition, day difference. Parts chosen for identical
+    // cross-engine definitions (dayofweek/weekofyear conventions differ
+    // between engines and are deliberately absent).
+    Q(
+      "q40_date_arithmetic",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 20 === 0)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            quarter(col("o_orderdate")).as("q"),
+            month(col("o_orderdate")).as("m"),
+            dayofmonth(col("o_orderdate")).as("d"),
+            dayofyear(col("o_orderdate")).as("doy"),
+            last_day(col("o_orderdate")).as("month_end"),
+            add_months(col("o_orderdate"), 3).as("plus3m"),
+            datediff(lit("2026-01-01").cast("date"), col("o_orderdate"))
+              .cast("long").as("days_to_2026"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |       CAST(date_part('year', o_orderdate) AS INTEGER) AS y,
+             |       CAST(date_part('quarter', o_orderdate) AS INTEGER) AS q,
+             |       CAST(date_part('month', o_orderdate) AS INTEGER) AS m,
+             |       CAST(date_part('day', o_orderdate) AS INTEGER) AS d,
+             |       CAST(date_part('doy', o_orderdate) AS INTEGER) AS doy,
+             |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+             |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS BIGINT) AS days_to_2026
+             |FROM orders WHERE o_orderkey % 20 = 0
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
