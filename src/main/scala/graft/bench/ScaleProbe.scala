@@ -59,6 +59,12 @@ object ScaleProbe {
       // splittable join, not a window).
       time(s"span_stats $label")(SpanDedup.spanStats(d).count())
       time(s"span_scrub $label")(SpanDedup.scrub(d).count())
+      // Sliding windows cost ~k x the fixed chunks' rows, and the replica
+      // corpus multiplies every window's frequency — the boilerplate-heavy
+      // worst case. Healthy = ~linear; the islands merge parallelizes per
+      // doc so hot windows never funnel one task.
+      time(s"sliding_spans $label")(SpanDedup.slidingSpanStats(d).count())
+      time(s"sliding_scrub $label")(SpanDedup.slidingScrub(d).count())
       // The documented pipeline order for duplicate-heavy corpora: exact
       // dedup FIRST, then shingle Jaccard over the survivors. On the 10x
       // replica corpus this collapses the inverted index back to 1x size —
