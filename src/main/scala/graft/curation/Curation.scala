@@ -495,6 +495,12 @@ object Curation {
     * scorer). Same shape: one tiny per-source aggregate broadcast back
     * over the scan, then a map-side greatest/least — no second pass, no
     * shuffle of the data itself.
+    *
+    * Null values: `greatest`/`least` IGNORE nulls (both engines), so a
+    * null value would silently clip to the band's upper edge — filter or
+    * impute nulls first; similarly [[qualityFloor]]'s `>=` drops
+    * null-scored rows (three-valued logic), which is usually wanted but
+    * worth knowing.
     */
   def winsorize(
       df: DataFrame,
