@@ -46,8 +46,11 @@ object PageRank {
     require(n > 0, "PageRank needs at least one node")
     val deg = edges.groupBy("u").agg(count(lit(1)).as("outdeg"))
     val base = ((dampDen - dampNum) * totalMass / dampDen) / n
+    // Ranks are one row per NODE — unlike kmeansCore's bounded centroid
+    // table they must stay partitioned (a coalesce(1) here would funnel
+    // the whole vertex set through one task at cluster scale).
     var ranks = nodes.select(col("v"), lit(totalMass / n).as("rank_fp"))
-      .coalesce(1).localCheckpoint(true)
+      .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val contribs = edges
         .join(ranks.withColumnRenamed("v", "u"), "u")
@@ -59,7 +62,7 @@ object PageRank {
         .select(col("v"),
           (lit(base) + expr(s"($dampNum * coalesce(in_sum, 0)) div $dampDen"))
             .as("rank_fp"))
-        .coalesce(1).localCheckpoint(true)
+        .localCheckpoint(true)
     }
     ranks
   }
@@ -85,7 +88,7 @@ object PageRank {
     val wsum = edges.groupBy("u").agg(sum(col("w")).as("wsum"))
     val base = ((dampDen - dampNum) * totalMass / dampDen) / n
     var ranks = nodes.select(col("v"), lit(totalMass / n).as("rank_fp"))
-      .coalesce(1).localCheckpoint(true)
+      .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val contribs = edges
         .join(ranks.withColumnRenamed("v", "u"), "u")
@@ -97,7 +100,7 @@ object PageRank {
         .select(col("v"),
           (lit(base) + expr(s"($dampNum * coalesce(in_sum, 0)) div $dampDen"))
             .as("rank_fp"))
-        .coalesce(1).localCheckpoint(true)
+        .localCheckpoint(true)
     }
     ranks
   }

@@ -43,8 +43,12 @@ object ZOrder {
     * z-range shard that owns it (shard = zval scaled into nShards equal
     * slices of the 4^bits z-domain — FIXED boundaries, not sampled ones,
     * so assignment is deterministic at any parallelism). The returned
-    * frame is range-partitioned and sorted by zval, ready for a
-    * partitioned write where file k holds exactly z-slice k.
+    * frame is range-partitioned and sorted by zval; write it
+    * `.partitionBy("zshard")` when files must BE the fixed slices
+    * (deterministic layout), or rely on the range partitioning alone for
+    * size-balanced files (its bounds are SAMPLED — balanced, not
+    * reproducible) — either way row order is zval and every file gets a
+    * tight two-dimensional min/max envelope.
     */
   def layout(
       df: DataFrame,
