@@ -13,15 +13,20 @@ class CacheScopeSpec extends SparkTestBase {
     3L -> "pack my box with five dozen liquor jugs").toDF("doc_id", "text")
 
   test("operator persists are registered and releaseAll leaves no cached RDDs") {
-    CacheScope.releaseAll(blocking = true) // clean slate (other suites share the session)
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // Compare only the DELTA of RDD ids: the shared session also holds
+    // other suites' localCheckpoint RDDs, which the ContextCleaner drops
+    // asynchronously — absolute counts race, new-id sets do not (the
+    // operators' persisted frames stay strongly referenced until release).
+    CacheScope.releaseAll(blocking = true)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.minhashLshPairs(docs, k = 8, bands = 4).count()
     TfIdf.topTerms(docs, k = 2).count()
     assert(CacheScope.liveCount >= 2) // sigs + tf at minimum
-    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    def newIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(newIds.nonEmpty)
     CacheScope.releaseAll(blocking = true)
     assert(CacheScope.liveCount === 0)
-    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+    assert(newIds.isEmpty, s"operator persists must be gone, left $newIds")
   }
 
   test("results are identical before and after release (recompute from lineage)") {
