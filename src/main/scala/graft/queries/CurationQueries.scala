@@ -964,6 +964,39 @@ object CurationQueries {
         iters = 5))),
 
     // ------------------------------------------------------------------
+    // Q33b — the strict-overlap mode: exactly-adjacent windows (next
+    // start == prev end) stay separate spans. Same islands oracle with
+    // >= heads instead of >.
+    Q(
+      "q33b_interval_merge_strict",
+      (s, dir) => {
+        val iv = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("s_us"))
+          .withColumn("e_us", col("s_us") + Micros30m)
+        IntervalMerge.merge(iv, Seq("user_id"), "s_us", "e_us", mergeTouching = false)
+          .select("user_id", "span_start", "span_end", "n_merged")
+          .orderBy("user_id", "span_start")
+      },
+      Some(s"""WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+             |                   epoch_us(ts) + $Micros30m AS e
+             |            FROM events),
+             |h AS (SELECT user_id, s, e,
+             |        CASE WHEN s >= coalesce(max(e) OVER (
+             |               PARTITION BY user_id ORDER BY s, e
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |               -9223372036854775808)
+             |             THEN 1 ELSE 0 END AS head
+             |      FROM iv),
+             |i AS (SELECT user_id, s, e, sum(head) OVER (
+             |        PARTITION BY user_id ORDER BY s, e
+             |        ROWS UNBOUNDED PRECEDING) AS island
+             |      FROM h)
+             |SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+             |       count(*) AS n_merged
+             |FROM i GROUP BY user_id, island
+             |ORDER BY user_id, span_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T13 — per-source distinct-token counts, exact vs HLL sketch: the
     // sketch path is the 100 TB answer (mergeable one-row-per-source
     // state, no distinct shuffle); the exact column here sizes its error.
