@@ -796,6 +796,34 @@ object TrainingData {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T17 — tokens to vocab ids (the tokenizer handoff): top-8 vocabulary,
+    // everything else the unk id (-1), sequences JSON-stringified for the
+    // gate (the m3 pattern — the operator returns typed arrays).
+    Q(
+      "t17_token_ids",
+      (s, dir) =>
+        HeavyHitters.tokenIds(Tables.documents(s, dir), vocabSize = 8)
+          .withColumn("token_ids", to_json(col("token_ids")))
+          .orderBy("doc_id"),
+      Some("""WITH vocab AS (SELECT row_number() OVER (ORDER BY freq DESC, token) - 1 AS token_id,
+             |                      token
+             |               FROM (SELECT token, count(*) AS freq
+             |                     FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |                     GROUP BY 1)
+             |               ORDER BY freq DESC, token LIMIT 8),
+             |toks AS (SELECT doc_id, i AS pos, w[i+1] AS tok
+             |         FROM (SELECT doc_id, string_split(text, ' ') AS w,
+             |                      unnest(range(len(string_split(text, ' ')))) AS i
+             |               FROM documents)),
+             |ids AS (SELECT doc_id, pos, CAST(coalesce(v.token_id, -1) AS BIGINT) AS tid
+             |        FROM toks LEFT JOIN vocab v ON toks.tok = v.token),
+             |agg AS (SELECT doc_id, to_json(list(tid ORDER BY pos)) AS token_ids
+             |        FROM ids GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(a.token_ids, '[]') AS token_ids
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T15 — corpus-frequency stopword removal: every occurrence of the
     // top-10 tokens stripped, survivors rejoined in order, '' for docs
     // scrubbed to nothing — the data-driven stopword list that adapts to

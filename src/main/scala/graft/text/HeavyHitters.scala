@@ -91,6 +91,41 @@ object HeavyHitters {
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** The tokenizer handoff: every document as its id sequence under the
+    * corpus [[vocab]] — token i of the text becomes element i of
+    * `token_ids`, out-of-vocabulary tokens become `unkId`. One broadcast
+    * of the V-row vocab against the exploded token stream, then an
+    * in-order re-collect per document; empty docs come back as an empty
+    * array. (Emitted as JSON text by the registered query only because
+    * the driver's hash gate cannot sort array cells — the operator
+    * itself returns the typed array.)
+    */
+  def tokenIds(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vocabSize: Int = 32768,
+      unkId: Long = -1L): DataFrame = {
+    val v = vocab(docs, textCol, vocabSize).select("token", "token_id")
+    val toks = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val mapped = toks
+      .join(broadcast(v), toks("tok") === v("token"), "left_outer")
+      .select(col("id"), col("pos"),
+        coalesce(col("token_id"), lit(unkId)).as("tid"))
+    val seqs = mapped
+      .groupBy(col("id").as(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("tid")))),
+        x => x.getField("tid")).as("token_ids"))
+    docs.select(col(idCol))
+      .join(seqs, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("token_ids"), array().cast("array<bigint>")).as("token_ids"))
+  }
+
   /** Frequency-ranked vocabulary: the top `size` tokens by (count desc,
     * token asc) with contiguous ids 0..size-1 — the "init the tokenizer
     * vocab from corpus statistics" step. The global top-V is a

@@ -91,6 +91,15 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(all.values.toSet == Set(""))
   }
 
+  test("tokenIds maps through the vocab in order, unk for OOV") {
+    // vocab k=2 = {the: 0, cat: 1}; everything else -1, positions kept.
+    val got = HeavyHitters.tokenIds(corpus, vocabSize = 2)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == Seq(0L, 1L, -1L, -1L, 0L, -1L, -1L, 0L, 1L, -1L))
+    assert(got(3L).forall(_ == -1L)) // fully OOV doc
+    assert(got(3L).length == 8)
+  }
+
   test("minCount=1 returns every distinct gram; empty corpus returns nothing") {
     val all = HeavyHitters.ngrams(corpus, n = 2, minCount = 1L)
     assert(all.count() == exactCounts.count())
