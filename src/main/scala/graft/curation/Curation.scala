@@ -186,6 +186,27 @@ object Curation {
         (col("__pos") + 1).cast("long").as("rk"))
   }
 
+  /** Packing-efficiency report: per shard, how many sequences the
+    * concat-and-chunk layout emits and how much of the final sequence is
+    * padding — the "what does this seqLen cost me" number a training
+    * pipeline tunes against. Pure per-shard aggregate arithmetic (no
+    * window, no placement pass): n_seqs = ceil(total/seqLen), padding =
+    * n_seqs·seqLen − total; empty shards never appear (no rows).
+    */
+  def packingStats(
+      df: DataFrame,
+      shardCol: String,
+      nTokensCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    df.groupBy(shardCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col(nTokensCol)).as("total_tokens"))
+      .withColumn("n_seqs", ceil(col("total_tokens").cast("double") / seqLen).cast("long"))
+      .withColumn("pad_tokens", col("n_seqs") * seqLen - col("total_tokens"))
+      .withColumn("pad_frac",
+        col("pad_tokens").cast("double") / (col("n_seqs") * seqLen))
+  }
+
   /** The tokenizer-facing form of [[packSequences]]: one row per
     * (sequence, document) slice — `seq_id` (per shard), with
     * `[tok_start, tok_end)` the half-open token range the document

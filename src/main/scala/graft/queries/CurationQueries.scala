@@ -675,6 +675,29 @@ object CurationQueries {
              |ORDER BY source, order_key""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // C15 — packing efficiency: per shard, sequences emitted and padding
+    // paid by the c3 layout at this seqLen — ceil/multiply arithmetic
+    // identical in both engines.
+    Q(
+      "c15_packing_stats",
+      (s, dir) =>
+        Curation.packingStats(
+          Tables.documents(s, dir)
+            .select(col("source"), TextFunctions.nTokens(col("text")).as("n_tokens")),
+          shardCol = "source", nTokensCol = "n_tokens", seqLen = SeqLen)
+          .orderBy("source"),
+      Some(s"""SELECT source, count(*) AS n_docs,
+             |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |       CAST(ceil(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / $SeqLen) AS BIGINT) AS n_seqs,
+             |       CAST(ceil(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / $SeqLen) AS BIGINT) * $SeqLen
+             |         - CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS pad_tokens,
+             |       CAST(CAST(ceil(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / $SeqLen) AS BIGINT) * $SeqLen
+             |              - sum(len(string_split(text, ' '))) AS DOUBLE)
+             |         / (CAST(ceil(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / $SeqLen) AS BIGINT) * $SeqLen) AS pad_frac
+             |FROM documents GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // C9b — token budgets per SOURCE (the real recipe shape): src<i> gets
     // (i%4)*500 tokens — including 0 (source dropped) — via the same
     // map-literal resolution as the mixture rates. Oracle budgets come

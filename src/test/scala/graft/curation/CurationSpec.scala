@@ -276,6 +276,20 @@ class CurationSpec extends SparkTestBase {
     assert(Curation.tokenBudgetTrim(df, "src", "id", "n_toks", 1L << 40, "b").count() == 400L)
   }
 
+  test("packingStats: exact fills pay zero padding, partial tails are counted") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 100L), ("a", 100L), // total 200 = 2 exact seqs of 100
+      ("b", 150L), ("b", 60L)) // total 210 -> 3 seqs, 90 pad
+      .toDF("shard", "nt")
+    val got = Curation.packingStats(df, "shard", "nt", seqLen = 100)
+      .select("shard", "n_docs", "total_tokens", "n_seqs", "pad_tokens", "pad_frac")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map { case (sh, a, b, c, d, e) => sh -> ((a, b, c, d, e)) }.toMap
+    assert(got("a") == (2L, 200L, 2L, 0L, 0.0))
+    assert(got("b") == (2L, 210L, 3L, 90L, 0.3))
+  }
+
   test("per-source token budgets: zero drops, absent drops, each source its own cap") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (i, s"src${i % 3}", 10L)).toDF("id", "src", "nt")
