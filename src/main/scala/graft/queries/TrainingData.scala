@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.curation.Curation
 import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
@@ -822,6 +823,71 @@ object TrainingData {
              |SELECT d.doc_id, coalesce(a.token_ids, '[]') AS token_ids
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T18 — the composed round-6 pipeline under ONE oracle: stopword
+    // strip -> exact dedup of the stripped texts -> per-source quality
+    // floor -> token-budget trim -> global training positions. Every
+    // stage is individually oracled elsewhere; this entry proves the
+    // determinism COMPOSES (any drift in any stage breaks the final
+    // hash).
+    Q(
+      "t18_curation_pipeline_v2",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        val stripped = HeavyHitters.stripTopTokens(docs, k = 5)
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        val survivors = stripped.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val deduped = stripped.join(survivors, Seq("doc_id"), "left_semi")
+        val scored = deduped.select(
+          col("doc_id"), col("source"),
+          TextFunctions.distinctRatio(col("text")).as("dr"),
+          TextFunctions.nTokens(col("text")).as("n_tokens"))
+        val floored = Curation.qualityFloor(scored, "source", "dr", 0.25)
+        val trimmed = Curation.tokenBudgetTrim(
+          floored.select("source", "doc_id", "n_tokens"),
+          sourceCol = "source", idCol = "doc_id",
+          nTokensCol = "n_tokens", budget = 800L, salt = "fp")
+        Curation.globalPositions(
+          trimmed.select("doc_id", "source", "n_tokens", "cum_tokens"),
+          idCol = "doc_id", salt = "fp2")
+          .select("doc_id", "source", "n_tokens", "cum_tokens", "pos")
+          .orderBy("pos")
+      },
+      Some("""WITH vocab AS (SELECT token FROM (
+             |         SELECT token, count(*) AS freq
+             |         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |         GROUP BY 1 ORDER BY freq DESC, token LIMIT 5)),
+             |toks AS (SELECT doc_id, i AS pos, w[i+1] AS tok
+             |         FROM (SELECT doc_id, string_split(text, ' ') AS w,
+             |                      unnest(range(len(string_split(text, ' ')))) AS i
+             |               FROM documents)),
+             |stripped AS (SELECT d.doc_id, d.source, coalesce(a.text, '') AS text
+             |             FROM documents d LEFT JOIN (
+             |               SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+             |               FROM toks WHERE tok NOT IN (SELECT token FROM vocab)
+             |               GROUP BY doc_id) a USING (doc_id)),
+             |surv AS (SELECT min(doc_id) AS doc_id FROM stripped GROUP BY text),
+             |ded AS (SELECT * FROM stripped WHERE doc_id IN (SELECT doc_id FROM surv)),
+             |sc AS (SELECT doc_id, source,
+             |              CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             |                / len(string_split(text,' ')) AS dr,
+             |              CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+             |       FROM ded),
+             |thr AS (SELECT source, quantile_cont(dr, 0.25) AS t FROM sc GROUP BY 1),
+             |fl AS (SELECT sc.doc_id, sc.source, sc.n_tokens
+             |       FROM sc JOIN thr USING (source) WHERE sc.dr >= thr.t),
+             |cum AS (SELECT doc_id, source, n_tokens,
+             |               sum(n_tokens) OVER (
+             |                 PARTITION BY source
+             |                 ORDER BY md5('fp' || CAST(doc_id AS VARCHAR))
+             |                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |        FROM fl),
+             |tr AS (SELECT * FROM cum WHERE cum_tokens <= 800)
+             |SELECT doc_id, source, n_tokens, cum_tokens,
+             |       row_number() OVER (ORDER BY md5('fp2' || CAST(doc_id AS VARCHAR))) - 1 AS pos
+             |FROM tr ORDER BY pos""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T15 — corpus-frequency stopword removal: every occurrence of the
