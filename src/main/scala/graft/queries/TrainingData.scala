@@ -835,8 +835,11 @@ object TrainingData {
       "t18_curation_pipeline_v2",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
-        val stripped = HeavyHitters.stripTopTokens(docs, k = 5)
-          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        // Three consumers (survivor rollup, semi-join, scoring) would each
+        // re-run the strip; persist the small stripped projection once.
+        val stripped = graft.util.CacheScope.persist(
+          HeavyHitters.stripTopTokens(docs, k = 5)
+            .join(docs.select("doc_id", "source"), Seq("doc_id")))
         val survivors = stripped.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
         val deduped = stripped.join(survivors, Seq("doc_id"), "left_semi")
