@@ -667,8 +667,8 @@ object CurationQueries {
              |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
              |           FROM documents),
              |c AS (SELECT source, doc_id, order_key, n_tokens,
-             |             sum(n_tokens) OVER (PARTITION BY source ORDER BY order_key
-             |                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY order_key
+             |                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
              |      FROM d)
              |SELECT source, doc_id, order_key, n_tokens, cum_tokens
              |FROM c WHERE cum_tokens <= 1000
@@ -718,8 +718,8 @@ object CurationQueries {
              |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
              |           FROM documents),
              |c AS (SELECT source, doc_id, order_key, n_tokens,
-             |             sum(n_tokens) OVER (PARTITION BY source ORDER BY order_key
-             |                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY order_key
+             |                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
              |      FROM d)
              |SELECT source, doc_id, order_key, n_tokens, cum_tokens
              |FROM c WHERE cum_tokens <= $sourceBudgetCase

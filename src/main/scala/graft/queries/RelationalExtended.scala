@@ -99,7 +99,7 @@ object RelationalExtended {
       },
       Some("""SELECT o_orderkey,
              |       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
-             |       CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END AS version
+             |       CAST(CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -524,7 +524,7 @@ object RelationalExtended {
              |                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
              |               FROM orders GROUP BY 1)
              |SELECT o_custkey, spend,
-             |       ntile(4) OVER w AS quartile,
+             |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
              |       percent_rank() OVER w AS pct_rank,
              |       cume_dist() OVER w AS cume
              |FROM spend

@@ -38,6 +38,11 @@ def canon(rows, cols):
     return out
 
 
+def types_of(con, sql):
+    """Column name -> DuckDB type string for an arbitrary SELECT."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     filters = sys.argv[3:]
@@ -74,6 +79,32 @@ def main():
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # Type lint: the driver's hash is TYPE-sensitive (round 6: DuckDB
+        # widened uncast window sum() outputs to HUGEINT and the driver went
+        # red while this string-comparing mimic stayed green). Mirror the
+        # driver by requiring the oracle's DESCRIBE types to equal the Spark
+        # dump's parquet types column-for-column.
+        try:
+            got_t = types_of(
+                con,
+                f"SELECT * FROM read_parquet('{out_dir}/{name}.parquet/*.parquet')")
+            exp_t = types_of(con, sql)
+        except Exception as e:
+            print(f"FAIL {name}: DESCRIBE exception {e}")
+            n_fail += 1
+            continue
+        huge = sorted(c for c, t in exp_t.items()
+                      if t.upper() in ("HUGEINT", "UHUGEINT"))
+        if huge:
+            print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — "
+                  f"CAST the aggregate in the oracle's output list")
+            n_fail += 1
+            continue
+        diff_t = {c: (got_t[c], exp_t[c]) for c in exp_t if got_t[c] != exp_t[c]}
+        if diff_t:
+            print(f"FAIL {name}: type mismatch spark!=oracle: {diff_t}")
             n_fail += 1
             continue
         g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
