@@ -93,6 +93,13 @@ object ScaleProbe {
       // ever appears as subvector projections and (id, code) pairs.
       time(s"pq_topk $label")(
         Similarity.pqTopK(queries, e, m = 4, ksub = 16, k = 5, trainIters = 2).count())
+      // IVF-PQ vs flat PQ: same code budget, but ADC only runs inside the
+      // nProbe probed cells — at scale the probe is a partition-pruned
+      // scan, so healthy is ~linear AND at-or-under flat PQ's time (flat
+      // scores every vector; IVF-PQ scores ~nProbe/nCells of them).
+      time(s"ivfpq_topk $label")(
+        Similarity.ivfPqTopK(queries, e, nCells = 32, nProbe = 4,
+          m = 4, ksub = 16, k = 5, trainIters = 2).count())
       time(s"embedding_neardup $label")(Similarity.nearDupPairs(e, planes, 0.95).count())
     }
     // Cluster-collapse worst case: one chain-shaped component (the

@@ -820,7 +820,7 @@ object TrainingData {
              |        FROM toks LEFT JOIN vocab v ON toks.tok = v.token),
              |agg AS (SELECT doc_id, to_json(list(tid ORDER BY pos)) AS token_ids
              |        FROM ids GROUP BY doc_id)
-             |SELECT d.doc_id, coalesce(a.token_ids, '[]') AS token_ids
+             |SELECT d.doc_id, CAST(coalesce(a.token_ids, '[]') AS VARCHAR) AS token_ids
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
@@ -882,10 +882,10 @@ object TrainingData {
              |fl AS (SELECT sc.doc_id, sc.source, sc.n_tokens
              |       FROM sc JOIN thr USING (source) WHERE sc.dr >= thr.t),
              |cum AS (SELECT doc_id, source, n_tokens,
-             |               sum(n_tokens) OVER (
+             |               CAST(sum(n_tokens) OVER (
              |                 PARTITION BY source
              |                 ORDER BY md5('fp' || CAST(doc_id AS VARCHAR))
-             |                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
              |        FROM fl),
              |tr AS (SELECT * FROM cum WHERE cum_tokens <= 800)
              |SELECT doc_id, source, n_tokens, cum_tokens,
@@ -1145,6 +1145,84 @@ object TrainingData {
              |  (8, 1, 6, 0.6666666666666666),
              |  (8, 2, 7, 0.5),
              |  (8, 3, 1, 0.3333333333333333)
+             |) AS t(query_id, rnk, neighbor_id, cosine)
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // E10 — IVF-PQ, the composed billion-vector layout (Jégou et al. 2011
+    // §V): trained coarse cells, PQ codebooks over the RESIDUALS within
+    // cells, search = probe nProbe cells + ADC over residual codes.
+    // Rows-only (trained + approximate); the assign/residual/encode/ADC
+    // math is pinned bit-exactly by e10_ivfpq_golden.
+    Q(
+      "e10_ann_ivfpq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 8), emb,
+          nCells = 16, nProbe = 4, m = 4, ksub = 16, k = 5, trainIters = 2)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id")
+          .orderBy("query_id", "rnk")
+      }),
+
+    // ------------------------------------------------------------------
+    // E10g — IVF-PQ over the ANN fixture with EXPLICIT coarse centroids
+    // (the tie-free e8 init pair) and an explicit residual codebook
+    // (tie-free L2 argmins, asserted by the mirror), nProbe=1. Bit-exact:
+    // residuals are integer (integer fixture minus integer centroids),
+    // every ADC partial and the exact dot(q, c_cell) term are integers,
+    // m=2 keeps the partial sum one commutative IEEE addition, and the
+    // final score is a single division by exact perfect-square norms —
+    // the independent mirror in tools/gen_ann_goldens.py computes
+    // identical doubles.
+    Q(
+      "e10_ivfpq_golden",
+      (s, _) => {
+        import s.implicits._
+        val coarse = Seq(
+          (0, Array(2.0, 0.0, 0.0, 0.0)),
+          (1, Array(1.0, 1.0, 1.0, 1.0))).toDF("centroid_id", "centroid_vec")
+        val cb = Seq(
+          (0, 0, Array(-3.0, -1.0)), (0, 1, Array(-1.0, -2.0)),
+          (0, 2, Array(-1.0, -1.0)), (0, 3, Array(0.0, -1.0)),
+          (1, 0, Array(-1.0, -1.0)), (1, 1, Array(0.0, -1.0)),
+          (1, 2, Array(0.0, 0.0)), (1, 3, Array(1.0, -1.0)))
+          .toDF("subspace", "code", "centroid_vec")
+        Similarity.ivfPqTopKWith(annFixture(s), annFixture(s), coarse, cb,
+          nProbe = 1, k = 3)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""SELECT CAST(query_id AS BIGINT) AS query_id,
+             |       CAST(rnk AS BIGINT) AS rnk,
+             |       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             |       CAST(cosine AS DOUBLE) AS cosine
+             |FROM (VALUES
+             |  (1, 1, 6, 0.6666666666666666),
+             |  (1, 2, 4, 0.5),
+             |  (1, 3, 8, 0.3333333333333333),
+             |  (2, 1, 7, 0.5),
+             |  (2, 2, 3, 0.3333333333333333),
+             |  (2, 3, 5, -0.5),
+             |  (3, 1, 2, 0.5),
+             |  (3, 2, 7, 0.3333333333333333),
+             |  (3, 3, 5, -0.6666666666666666),
+             |  (4, 1, 1, 0.25),
+             |  (4, 2, 6, 0.16666666666666666),
+             |  (4, 3, 8, -0.16666666666666666),
+             |  (5, 1, 7, 0.0),
+             |  (5, 2, 3, -0.3333333333333333),
+             |  (5, 3, 2, -0.5),
+             |  (6, 1, 1, 0.8333333333333334),
+             |  (6, 2, 8, 0.6666666666666666),
+             |  (6, 3, 4, 0.16666666666666666),
+             |  (7, 1, 2, 0.5),
+             |  (7, 2, 3, 0.3333333333333333),
+             |  (7, 3, 5, 0.0),
+             |  (8, 1, 1, 0.6666666666666666),
+             |  (8, 2, 6, 0.6666666666666666),
+             |  (8, 3, 4, 0.16666666666666666)
              |) AS t(query_id, rnk, neighbor_id, cosine)
              |ORDER BY query_id, rnk""".stripMargin)),
 

@@ -523,6 +523,136 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // -------------------------------------------------------------------
+  // IVF-PQ (Jégou et al. 2011, §V: "non-exhaustive search"): the composed
+  // billion-vector layout. Coarse quantizer = the trained IVF cells;
+  // within each cell, vectors are stored as PQ codes of their RESIDUAL
+  // (x − c_cell) — residuals concentrate near 0, so a ksub-code budget
+  // quantizes them far better than raw vectors. A query probes its nProbe
+  // nearest cells and scores candidates by ADC over the residual codes:
+  //   dot(q, x) ≈ dot(q, c_cell) + Σ_j dot(q_subvec_j, codebook_j[code_j])
+  // where the first term is exact (centroids are broadcast) and the sum
+  // is m table lookups. At 100 TB: cell id = stored-table partition
+  // column (probe = partition-pruned scan, the IVF property), codes not
+  // vectors on disk and across shuffles (the PQ property) — this
+  // composition, not either piece alone, is what makes the layout work.
+
+  /** IVF-PQ search over PRE-TRAINED structure: `centroids` =
+    * (centroid_id, centroid_vec) coarse cells, `codebook` =
+    * (subspace, code, centroid_vec) L2 codebooks over the RESIDUAL space.
+    * Exposed separately from [[ivfPqTopK]] so the golden entry can pin the
+    * assign/residual/encode/ADC math bit-exactly under literal inputs.
+    *
+    * Scale shape: assignment + residual is one broadcast-join corpus pass;
+    * encoding shuffles (id, code) pairs only; the probe fan-out joins the
+    * encoded corpus to a broadcast (query × probed-cell) table, so only
+    * codes inside probed cells are ever scored — m narrow rows per
+    * candidate, every small side broadcast, both aggregations map-side
+    * combined.
+    */
+  def ivfPqTopKWith(
+      queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, nProbe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebook.agg(max(col("subspace"))).head.getInt(0) + 1
+    val dsub = codebook.select(size(col("centroid_vec"))).head.getInt(0)
+
+    // Corpus pass: cell assignment, residual x − c, TRUE norm for the
+    // cosine denominator (residual norms are meaningless for cosine).
+    // Persisted: feeds both codebook-side encoding and the probe join.
+    val cent = centroids.select(
+      col("centroid_id"),
+      transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
+    val assignments = ivfAssign(corpus, cent, idCol, vecCol)
+    val residuals = graft.util.CacheScope.persist(
+      corpus.select(
+        col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("true_nrm"))
+        .join(assignments, "id")
+        .join(broadcast(cent), "centroid_id")
+        .select(col("id"), col("centroid_id"), col("true_nrm"),
+          zip_with(col("vec").cast("array<double>"), col("centroid_vec"),
+            (x, c) => x - c).as("residual")))
+
+    // PQ-encode the residuals; re-attach the cell and the TRUE norm
+    // (pqEncode stores the norm of what it encodes — here the residual,
+    // which we discard).
+    val encoded = pqEncodeWith(residuals, codebook, m, dsub, "id", "residual")
+      .select(col("id").as("neighbor_id"), col("codes"))
+      .join(residuals.select(col("id").as("neighbor_id"),
+        col("centroid_id"), col("true_nrm")), "neighbor_id")
+
+    // Query side: nProbe nearest cells, with the EXACT dot(q, c) kept per
+    // probe — the first ADC term.
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+    val centN = cent.withColumn("c_norm", norm(col("centroid_vec")))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("probe_cos").desc, col("centroid_id").asc)
+    val probes = q.crossJoin(broadcast(centN))
+      .withColumn("probe_cos",
+        dot(col("q_vec"), col("centroid_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("q_norm"), col("centroid_id"),
+        dot(col("q_vec"), col("centroid_vec")).as("q_dot_c"))
+
+    // Per-query ADC table over the residual codebook: m·ksub partial dots
+    // per query, broadcast.
+    val adc = q.select(
+      col("query_id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col("q_vec").cast("array<double>"), j * dsub + 1, dsub)): _*))
+        .as(Seq("subspace", "q_subvec")))
+      .join(codebook, Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        dot(col("q_subvec"), col("centroid_vec")).as("partial"))
+
+    val scored = encoded
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_norm"),
+        col("true_nrm"), col("q_dot_c"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(adc), Seq("query_id", "subspace", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(
+        sum(col("partial")).as("__res_dot"),
+        first(col("q_dot_c")).as("q_dot_c"),
+        first(col("true_nrm")).as("true_nrm"),
+        first(col("q_norm")).as("q_norm"))
+      .withColumn("cosine",
+        (col("q_dot_c") + col("__res_dot")) / (col("q_norm") * col("true_nrm")))
+    topKPerQuery(scored, k)
+  }
+
+  /** End-to-end IVF-PQ: train coarse cells (spherical k-means over the
+    * vectors), train residual codebooks (m joint L2 Lloyd problems over
+    * x − c_cell), then probe + ADC via [[ivfPqTopKWith]].
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      nCells: Int, nProbe: Int, m: Int, ksub: Int, k: Int, trainIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    // Coarse training is materialized by kmeansCore's checkpoints. The
+    // residual projection inside ivfPqTopKWith is persisted there; the
+    // codebook must be trained on the SAME residuals, so compute them here
+    // once and hand the trained pieces to the search path.
+    val centroids = kmeansCentroids(corpus, nCells, trainIters, idCol, vecCol)
+    val assignments = ivfAssign(corpus, centroids, idCol, vecCol)
+    val residuals = graft.util.CacheScope.persist(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .join(assignments, "id")
+        .join(broadcast(centroids), "centroid_id")
+        .select(col("id"),
+          zip_with(col("vec").cast("array<double>"), col("centroid_vec"),
+            (x, c) => x - c).as("residual")))
+    val codebook = graft.util.CacheScope.persist(
+      pqCodebook(residuals, m, ksub, trainIters, idCol = "id", vecCol = "residual"))
+    ivfPqTopKWith(queries, corpus, centroids, codebook, nProbe, k, idCol, vecCol)
+  }
+
   /** Embedding near-duplicate pairs via LSH blocking: exact/near copies land
     * in the same bucket (identical vectors always do), so the pair join is
     * bucket-local. `threshold` on true cosine filters the candidates.

@@ -311,6 +311,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.forall { case (q, _, n) => q != n })
   }
 
+  test("ivf-pq: lossless residual codebook + full probe equals brute force") {
+    import spark.implicits._
+    // One coarse cell, and a residual codebook that contains every residual
+    // subvector exactly — quantization loses nothing, so
+    // approx dot = q·c + q·(v−c) = q·v and IVF-PQ must reproduce brute
+    // force bit-for-bit.
+    val coarse = Seq((0, Array(1.0, 1.0, 1.0, 1.0))).toDF("centroid_id", "centroid_vec")
+    val cb = Seq(
+      (0, 0, Array(0.0, -1.0)), (0, 1, Array(-1.0, 0.0)),
+      (1, 0, Array(0.0, -1.0)), (1, 1, Array(-1.0, 0.0)))
+      .toDF("subspace", "code", "centroid_vec")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0f, 1f, 0f)),
+      (2L, Array(1.0f, 0f, 0f, 1f)),
+      (3L, Array(0.0f, 1f, 1f, 0f)),
+      (4L, Array(0.0f, 1f, 0f, 1f))).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val ivfpq = rows(Similarity.ivfPqTopKWith(vecs, vecs, coarse, cb, nProbe = 1, k = 2))
+    val brute = rows(Similarity.bruteForceTopK(vecs, vecs, k = 2))
+    assert(ivfpq === brute)
+  }
+
+  test("ivf-pq end-to-end: k dense ranks per query, no self, deterministic, nonzero recall") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val run = () => Similarity.ivfPqTopK(queries, emb,
+      nCells = 8, nProbe = 3, m = 4, ksub = 16, k = 5, trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run()
+    assert(a.length == 8 * 5)
+    assert(a.groupBy(_._1).forall { case (_, rs) => rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L) })
+    assert(a.forall { case (q, _, n) => q != n })
+    assert(a.toSet === run().toSet) // trained twice => identical (deterministic Lloyd)
+    val recall = exact.intersect(a.map(t => (t._1, t._3)).toSet).size.toDouble / exact.size
+    assert(recall > 0.0, s"recall=$recall")
+    info(f"IVF-PQ recall@5 = $recall%.2f (8 cells, probe 3, m=4 ksub=16)")
+  }
+
   test("trained IVF stays a valid top-k: full probe still equals brute force") {
     val queries = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(queries, emb, k = 3)

@@ -190,6 +190,90 @@ def main():
     print("== e9_pq_golden VALUES (query_id, rnk, neighbor_id, cosine) ==")
     print(fmt_rows(rows))
 
+    # ---- e10: IVF-PQ — coarse cells + PQ over RESIDUALS + probed ADC --
+    # Coarse centroids = the e8 init pair (assignments proven tie-free
+    # above). Residuals r = v − c_cell are small integers; the residual
+    # codebook is derived from actual residual subvectors (printed below
+    # as the Scala literal), so every L2 argmin is checked tie-free.
+    # approx dot = dot(q, c_cell) + Σ_j dot(q_sub_j, cb_j[code_j]) — all
+    # integer arithmetic until the single final IEEE division by the
+    # exact norms, so the Spark result is bit-identical.
+    coarse = [(0, (2, 0, 0, 0)), (1, (1, 1, 1, 1))]
+
+    def coarse_assign(v):
+        scored = sorted(((cosine(v, cv), ci) for ci, cv in coarse),
+                        key=lambda t: (-t[0], t[1]))
+        assert scored[0][0] != scored[1][0], \
+            f"cosine tie assigning {v}: {scored} — adjust coarse"
+        return scored[0][1]
+
+    cell = {vid: coarse_assign(v) for vid, v in FIXTURE}
+    resid = {vid: tuple(x - c for x, c in zip(v, coarse[cell[vid]][1]))
+             for vid, v in FIXTURE}
+    print("\n-- e10 coarse assignment:", cell)
+    print("-- e10 residuals:", resid)
+
+    # Residual codebook: per subspace, the FIRST (in deterministic
+    # combination order) set of 4 distinct residual subvectors whose L2
+    # argmin is tie-free for every residual — an explicit literal the
+    # Scala entry embeds verbatim.
+    import itertools
+
+    def tie_free(cents, subs):
+        for sub in subs:
+            keyed = sorted((2 * dot(sub, c) - dot(c, c)) for c in cents)
+            if keyed[-1] == keyed[-2]:
+                return False
+        return True
+
+    res_cb = []
+    for j in range(2):
+        subs = [resid[vid][2 * j:2 * j + 2] for vid, _ in FIXTURE]
+        distinct = sorted(set(subs))
+        pick = next(c for c in itertools.combinations(distinct, 4)
+                    if tie_free(list(c), subs))
+        res_cb.append(list(pick))
+    print("-- e10 residual codebook (Scala literal):")
+    for j, cents in enumerate(res_cb):
+        for ci, c in enumerate(cents):
+            print(f"  ({j}, {ci}, Array({float(c[0])}, {float(c[1])})),")
+
+    def res_code(vid):
+        codes = []
+        for j, cents in enumerate(res_cb):
+            sub = resid[vid][2 * j:2 * j + 2]
+            keyed = sorted(
+                ((2 * dot(sub, c) - dot(c, c), -ci) for ci, c in enumerate(cents)),
+                reverse=True)
+            assert keyed[0][0] != keyed[1][0], \
+                f"L2 tie encoding residual of {vid} subspace {j}: {keyed}"
+            codes.append(-keyed[0][1])
+        return codes
+
+    enc10 = {vid: res_code(vid) for vid, v in FIXTURE}
+    print("-- e10 residual codes:", enc10)
+
+    n_probe10, k10 = 1, 3
+    rows = []
+    for qid, qv in FIXTURE:
+        probes = [ci for _, ci in sorted(
+            ((cosine(qv, cv), ci) for ci, cv in coarse),
+            key=lambda t: (-t[0], t[1]))[:n_probe10]]
+        cand = []
+        for nid, nv in FIXTURE:
+            if nid == qid or cell[nid] not in probes:
+                continue
+            q_dot_c = dot(qv, coarse[cell[nid]][1])
+            res_dot = sum(
+                dot(qv[2 * j:2 * j + 2], res_cb[j][enc10[nid][j]])
+                for j in range(2))
+            cand.append((float(q_dot_c + res_dot) / (nrm(qv) * nrm(nv)), nid))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (score, nid) in enumerate(cand[:k10], start=1):
+            rows.append((qid, rk, nid, score))
+    print("== e10_ivfpq_golden VALUES (query_id, rnk, neighbor_id, cosine) ==")
+    print(fmt_rows(rows))
+
 
 if __name__ == "__main__":
     main()
