@@ -8,7 +8,7 @@ import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
-import graft.text.{HeavyHitters, TextFunctions}
+import graft.text.{Bpe, HeavyHitters, TextFunctions}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, exact shingle-Jaccard,
@@ -160,6 +160,13 @@ object TrainingData {
     */
   private val annPlanes: Seq[Seq[Double]] =
     Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+
+  /** t19's literal merge table. Ordered: rule 2 consumes rule 1's output
+    * ("table" -> t+a -> ta+b -> tab), pinning that merges cascade in rank
+    * order rather than apply independently.
+    */
+  private val bpeMerges: Seq[(String, String)] =
+    Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("s", "c"), ("a", "n"))
 
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
@@ -823,6 +830,39 @@ object TrainingData {
              |SELECT d.doc_id, CAST(coalesce(a.token_ids, '[]') AS VARCHAR) AS token_ids
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T19 — merge-based BPE, APPLY path: replay a literal 5-rule merge
+    // table (with a deliberate cascade: t+a -> ta, ta+b -> tab) over every
+    // document. Segmentation runs once per DISTINCT word; docs reassemble
+    // by join. Full oracle: the same sequential passes unrolled as DuckDB
+    // CTEs with the identical leftmost-first overlap parity rule,
+    // generated from the SAME merge list by Bpe.applyBpeOracleSql so
+    // operator and oracle cannot drift.
+    Q(
+      "t19_bpe_apply",
+      (s, dir) =>
+        Bpe.applyBpe(Tables.documents(s, dir), bpeMerges).orderBy("doc_id"),
+      Some(Bpe.applyBpeOracleSql(bpeMerges))),
+
+    // ------------------------------------------------------------------
+    // T19b — BPE, LEARN path: 8 rounds of (weighted overlapping pair
+    // count over the distinct-word state, deterministic argmax, apply),
+    // the ClusterCollapse loop shape with a 1-row driver argmax per
+    // round. FULL oracle: the loop unrolls as CTE rounds whose merge pair
+    // enters each apply pass as scalar subqueries against that round's
+    // argmax row — the oracle replays the data-dependent recursion, it
+    // does not get told the answer.
+    Q(
+      "t19b_bpe_learn",
+      (s, dir) => {
+        import s.implicits._
+        Bpe.learnMerges(Tables.documents(s, dir), nMerges = 8)
+          .map { case (rank, l, r, f) => (rank.toLong, l, r, f) }
+          .toDF("rank", "lhs", "rhs", "pair_freq")
+          .orderBy("rank")
+      },
+      Some(Bpe.learnMergesOracleSql(8))),
 
     // ------------------------------------------------------------------
     // T18 — the composed round-6 pipeline under ONE oracle: stopword

@@ -1,0 +1,257 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Merge-based byte-pair encoding (Sennrich/Haddow/Birch, "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL 2016) — the step a
+  * real training pipeline runs between stopword/stemming cleanup and
+  * sequence packing: learn a ranked table of symbol-pair merges from corpus
+  * statistics, then segment every document into subword units by replaying
+  * the merges in rank order.
+  *
+  * Scale shape (the whole design): BPE is WORD-local, and word frequency is
+  * Zipfian — so both learning and application run over the DISTINCT-word
+  * table (weighted by occurrence count), never over the token stream. At
+  * 100 TB the distinct-word table is orders of magnitude smaller than the
+  * corpus, every window below partitions by (word) — bounded by the longest
+  * word, never by document or corpus size — and the final doc assembly is
+  * one join of occurrences against the per-word segmentation (the
+  * "tokenizer cache" every production BPE implementation keeps, expressed
+  * as a join).
+  *
+  * Merge application is the textbook sequential-pass semantics: for each
+  * merge (left, right) in rank order, replace every LEFTMOST-FIRST
+  * non-overlapping adjacent (left, right) with the concatenated symbol.
+  * The overlap rule ("aaa" + (a,a) -> ["aa","a"]) is computed without any
+  * per-row recursion: within each maximal run of consecutive matches, a
+  * match applies iff its offset from the run start is even — exactly the
+  * alternation a left-to-right scanner produces.
+  */
+object Bpe {
+
+  /** One merge pass over symbol state (word, pos, sym [, passthrough...]):
+    * every leftmost-first non-overlapping adjacent (left, right) becomes
+    * the concatenated symbol; positions renumber densely. All windows
+    * partition by word — task-bounded by word length.
+    */
+  private[text] def applyOne(state: DataFrame, left: String, right: String): DataFrame = {
+    val extra = state.columns.filterNot(Set("word", "pos", "sym")).toSeq
+    val w = Window.partitionBy("word").orderBy("pos")
+    val upTo = Window.partitionBy("word").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = state
+      .withColumn("__m", coalesce(
+        col("sym") === lit(left) && lead(col("sym"), 1).over(w) === lit(right),
+        lit(false)))
+      // Last unmatched position at-or-before this row = the current run's
+      // left boundary (-1 when the run starts the word). Offset parity from
+      // the boundary decides which overlapping matches a left-to-right
+      // scanner would actually take.
+      .withColumn("__b", max(when(!col("__m"), col("pos"))).over(upTo))
+      .withColumn("__apply",
+        col("__m") && (col("pos") - coalesce(col("__b"), lit(-1L))) % 2 === 1)
+    matched
+      .withColumn("__consumed", coalesce(lag(col("__apply"), 1).over(w), lit(false)))
+      .filter(!col("__consumed"))
+      .withColumn("sym", when(col("__apply"), lit(left + right)).otherwise(col("sym")))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select((Seq("word", "pos", "sym") ++ extra).map(col): _*)
+  }
+
+  /** Explode words to (word, pos, sym) character state (any passthrough
+    * columns kept). Empty words carry no state rows.
+    */
+  private def charState(words: DataFrame): DataFrame = {
+    val extra = words.columns.filterNot(_ == "word").toSeq
+    words.filter(length(col("word")) > 0)
+      .select(
+        (col("word") +: extra.map(col)) :+
+          posexplode(split(col("word"), "")).as(Seq("pos", "sym")): _*)
+      .withColumn("pos", col("pos").cast("long"))
+      .select((Seq("word", "pos", "sym") ++ extra).map(col): _*)
+  }
+
+  /** Segment distinct words by replaying `merges` in order: (word, pos,
+    * sym) — the per-word subword sequence.
+    */
+  def segmentWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(charState(words.select("word").distinct())) {
+      case (st, (l, r)) => applyOne(st, l, r)
+    }
+
+  /** Apply a merge table to a corpus: every document as its space-joined
+    * subword sequence (`bpe_text`; '' for null/empty docs — the scrub
+    * contract). Segmentation runs once per DISTINCT word; documents are
+    * assembled by joining occurrences back to the per-word result.
+    */
+  def applyBpe(
+      docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val occ = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("widx", "word")))
+      .filter(length(col("word")) > 0)
+    val segmented = segmentWords(occ.select("word"), merges)
+    val wordBpe = segmented
+      .groupBy("word")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
+          x => x.getField("sym")), " ").as("word_bpe"))
+    val perDoc = occ.join(wordBpe, "word")
+      .groupBy(col("id").as(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("widx"), col("word_bpe")))),
+          x => x.getField("word_bpe")), " ").as("bpe_text"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("bpe_text"), lit("")).as("bpe_text"))
+  }
+
+  /** Learn the top `nMerges` merges from corpus statistics: each round
+    * counts adjacent symbol pairs over the distinct-word state WEIGHTED by
+    * word occurrence (overlapping occurrences count, as in the reference
+    * algorithm), takes the argmax under the deterministic order
+    * (count desc, left asc, right asc), applies it, repeats. Returns
+    * (rank, left, right, pair_freq).
+    *
+    * The loop is the [[graft.dedup.ClusterCollapse]] shape: state is
+    * eagerly `localCheckpoint`ed per round (each round reads the previous
+    * round's output twice — pair count + rewrite — and lineage would
+    * otherwise stack R passes deep), and the per-round argmax is a bounded
+    * 1-row driver collect, like the collapse convergence checksum. Stops
+    * early when no pair occurs twice (merging singletons is meaningless).
+    */
+  def learnMerges(
+      docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): Seq[(Int, String, String, Long)] = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    val words = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var state = charState(words).localCheckpoint(true)
+    val w = Window.partitionBy("word").orderBy("pos")
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val top = state
+        .withColumn("__next", lead(col("sym"), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .groupBy(col("sym").as("l"), col("__next").as("r"))
+        .agg(sum(col("freq")).as("pair_freq"))
+        .filter(col("pair_freq") >= 2)
+        .orderBy(col("pair_freq").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((rank, l, r, f))
+        state = applyOne(state, l, r).localCheckpoint(true)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The unrolled DuckDB mirror of [[learnMerges]]: each round is a CTE
+    * group — weighted pair count (HAVING >= 2), 1-row argmax under
+    * (count desc, left, right), and an apply pass whose merge pair comes in
+    * as SCALAR SUBQUERIES against the argmax row (so the oracle replays the
+    * full data-dependent loop, not a pre-baked merge list). An exhausted
+    * round has an empty t-CTE: the scalar subqueries go NULL, the pass
+    * no-ops, and the round contributes no output row — matching the Scala
+    * early stop exactly.
+    */
+  def learnMergesOracleSql(nMerges: Int): String = {
+    val rounds = (0 until nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
+         |  FROM (SELECT word, freq, sym AS l,
+         |               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r
+         |        FROM s$i)
+         |  WHERE r IS NOT NULL GROUP BY l, r HAVING sum(freq) >= 2),
+         |t$i AS MATERIALIZED (SELECT l, r, pair_freq FROM p$i ORDER BY pair_freq DESC, l, r LIMIT 1),
+         |a$i AS (SELECT word, freq, pos, sym,
+         |       coalesce(sym = (SELECT l FROM t$i)
+         |                AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT r FROM t$i),
+         |                false) AS m
+         |  FROM s$i),
+         |b$i AS (SELECT word, freq, pos, sym, m,
+         |       max(CASE WHEN NOT m THEN pos END) OVER (PARTITION BY word ORDER BY pos
+         |           ROWS UNBOUNDED PRECEDING) AS b
+         |  FROM a$i),
+         |c$i AS (SELECT word, freq, pos,
+         |       CASE WHEN m AND (pos - coalesce(b, -1)) % 2 = 1
+         |            THEN (SELECT l || r FROM t$i) ELSE sym END AS sym,
+         |       coalesce(lag(m AND (pos - coalesce(b, -1)) % 2 = 1)
+         |                OVER (PARTITION BY word ORDER BY pos), false) AS consumed
+         |  FROM b$i),
+         |s${i + 1} AS MATERIALIZED (SELECT word, freq,
+         |       CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS BIGINT) AS pos, sym
+         |  FROM c$i WHERE NOT consumed)""".stripMargin
+    }
+    val ranks = (0 until nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, pair_freq FROM t$i")
+    s"""WITH wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents WHERE text IS NOT NULL AND len(text) > 0)
+       |  WHERE len(word) > 0 GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT word, freq, CAST(i AS BIGINT) AS pos, cs[i+1] AS sym
+       |       FROM (SELECT word, freq, string_split(word, '') AS cs,
+       |                    unnest(range(len(string_split(word, '')))) AS i
+       |             FROM wf)),
+       |${rounds.mkString(",\n")}
+       |${ranks.mkString("\nUNION ALL\n")}
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** The unrolled DuckDB mirror of [[applyBpe]] for a literal merge table —
+    * one CTE group per merge pass, the same boundary/parity overlap rule.
+    * Embedded next to the query registration so oracle and operator can't
+    * drift silently.
+    */
+  def applyBpeOracleSql(merges: Seq[(String, String)]): String = {
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    val passes = merges.zipWithIndex.map { case ((l, r), i) =>
+      s"""m${i}_a AS (SELECT word, pos, sym,
+         |       coalesce(sym = ${q(l)} AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = ${q(r)}, false) AS m
+         |  FROM s$i),
+         |m${i}_b AS (SELECT word, pos, sym, m,
+         |       max(CASE WHEN NOT m THEN pos END) OVER (PARTITION BY word ORDER BY pos
+         |           ROWS UNBOUNDED PRECEDING) AS b
+         |  FROM m${i}_a),
+         |m${i}_c AS (SELECT word, pos,
+         |       CASE WHEN m AND (pos - coalesce(b, -1)) % 2 = 1 THEN ${q(l + r)} ELSE sym END AS sym,
+         |       coalesce(lag(m AND (pos - coalesce(b, -1)) % 2 = 1)
+         |                OVER (PARTITION BY word ORDER BY pos), false) AS consumed
+         |  FROM m${i}_b),
+         |s${i + 1} AS (SELECT word,
+         |       CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS BIGINT) AS pos, sym
+         |  FROM m${i}_c WHERE NOT consumed)""".stripMargin
+    }
+    val n = merges.size
+    s"""WITH occ AS (SELECT doc_id, i AS widx, w[i+1] AS word
+       |            FROM (SELECT doc_id, string_split(text, ' ') AS w,
+       |                         unnest(range(len(string_split(text, ' ')))) AS i
+       |                  FROM documents WHERE text IS NOT NULL AND len(text) > 0)
+       |            WHERE len(w[i+1]) > 0),
+       |wd AS (SELECT DISTINCT word FROM occ),
+       |s0 AS (SELECT word, CAST(i AS BIGINT) AS pos, cs[i+1] AS sym
+       |       FROM (SELECT word, string_split(word, '') AS cs,
+       |                    unnest(range(len(string_split(word, '')))) AS i
+       |             FROM wd)),
+       |${passes.mkString(",\n")},
+       |wt AS (SELECT word, string_agg(sym, ' ' ORDER BY pos) AS word_bpe
+       |       FROM s$n GROUP BY word),
+       |agg AS (SELECT doc_id, string_agg(word_bpe, ' ' ORDER BY widx) AS bpe_text
+       |        FROM occ JOIN wt USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.bpe_text, '') AS bpe_text
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class BpeSpec extends SparkTestBase {
+
+  private def seg(words: Seq[String], merges: Seq[(String, String)]): Map[String, Seq[String]] = {
+    import spark.implicits._
+    Bpe.segmentWords(words.toDF("word"), merges)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+      .map { case (w, rows) => w -> rows.sortBy(_._2).map(_._3).toSeq }
+  }
+
+  test("leftmost-first non-overlapping merge: the aaa/aaaa parity cases") {
+    val m = Seq(("a", "a"))
+    val got = seg(Seq("aaa", "aaaa", "aaaaa", "xaay", "xaaay", "aa"), m)
+    assert(got("aaa") == Seq("aa", "a"))
+    assert(got("aaaa") == Seq("aa", "aa"))
+    assert(got("aaaaa") == Seq("aa", "aa", "a"))
+    assert(got("xaay") == Seq("x", "aa", "y"))
+    assert(got("xaaay") == Seq("x", "aa", "a", "y"))
+    assert(got("aa") == Seq("aa"))
+  }
+
+  test("merges cascade in rank order and later ranks see earlier output") {
+    val m = Seq(("t", "a"), ("ta", "b"), ("l", "e"))
+    val got = seg(Seq("table", "tab", "stable", "let"), m)
+    assert(got("table") == Seq("tab", "le"))
+    assert(got("tab") == Seq("tab"))
+    assert(got("stable") == Seq("s", "tab", "le"))
+    // (t,a) not adjacent in "let": only (l,e) fires
+    assert(got("let") == Seq("le", "t"))
+    // Reversed rank order: (ta,b) first finds no "ta" symbol yet -> no-op
+    val rev = seg(Seq("table"), Seq(("ta", "b"), ("t", "a"), ("l", "e")))
+    assert(rev("table") == Seq("ta", "b", "le"))
+  }
+
+  test("applyBpe: per-doc reassembly in word order, scrub contract on null/empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "table let table"),
+      (2L, "tab"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Bpe.applyBpe(docs, Seq(("t", "a"), ("ta", "b"), ("l", "e")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "tab le le t tab le")
+    assert(got(2L) == "tab")
+    assert(got(3L) == "")
+    assert(got(4L) == "")
+  }
+
+  test("learnMerges: weighted overlapping counts, deterministic tie-break, early stop") {
+    import spark.implicits._
+    // "aa" x2 and "ab" x1: pair (a,a) weight 2, (a,b) weight 1 < 2 -> one
+    // merge then exhaustion, even with budget for more.
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, nMerges = 5)
+    assert(merges == Seq((0, "a", "a", 2L)))
+    // Overlapping occurrences count (reference get_stats semantics):
+    // "aaa" x1 contributes (a,a) twice.
+    val overlap = Bpe.learnMerges(Seq((1L, "aaa")).toDF("doc_id", "text"), 1)
+    assert(overlap == Seq((0, "a", "a", 2L)))
+    // Tie at equal count breaks (left, right) ascending: "xy" x2, "ab" x2.
+    val tie = Bpe.learnMerges(Seq((1L, "xy ab xy ab")).toDF("doc_id", "text"), 1)
+    assert(tie == Seq((0, "a", "b", 2L)))
+  }
+
+  test("learnMerges is repartition-stable and its merges feed applyBpe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new"),
+      (3L, "wide wider widest low newer")).toDF("doc_id", "text")
+    val a = Bpe.learnMerges(docs, nMerges = 6)
+    val b = Bpe.learnMerges(docs.repartition(7), nMerges = 6)
+    assert(a == b)
+    assert(a.nonEmpty)
+    // Replaying the learned table compresses: fewer symbols than chars.
+    val merges = a.map { case (_, l, r, _) => (l, r) }
+    val nSyms = Bpe.applyBpe(docs, merges)
+      .select(sum(size(split(col("bpe_text"), " ")))).head.getLong(0)
+    val nChars = docs
+      .select(sum(length(regexp_replace(col("text"), " ", "")))).head.getLong(0)
+    assert(nSyms < nChars, s"nSyms=$nSyms nChars=$nChars")
+  }
+}
