@@ -1034,7 +1034,40 @@ object CurationQueries {
           .agg(
             count_distinct(col("tok")).as("n_exact"),
             hll_sketch_estimate(hll_sketch_agg(col("tok"), lit(12))).as("n_hll"))
-          .orderBy("source"))
+          .orderBy("source")),
+
+    // ------------------------------------------------------------------
+    // T13g — the HLL estimate pinned over a literal fixture: two sources
+    // whose exact distinct-token counts are hand-countable (9 and 5). At
+    // these cardinalities the DataSketches HLL_4 sketch is in exact
+    // (coupon) mode, so the estimate equals the true count and the VALUES
+    // oracle pins the whole agg→estimate chain — any drift in hashing,
+    // lgK plumbing, or estimator constants breaks the hash. (SketchesSpec
+    // pins the 5%-error + merge semantics at corpus scale.)
+    Q(
+      "t13_hll_golden",
+      (s, _) => {
+        import s.implicits._
+        Seq(
+          ("srcA", "the quick brown fox jumps over the lazy dog"),
+          ("srcA", "the quick red fox"),
+          ("srcB", "alpha beta gamma alpha"),
+          ("srcB", "delta epsilon"))
+          .toDF("source", "text")
+          .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy("source")
+          .agg(
+            count_distinct(col("tok")).as("n_exact"),
+            hll_sketch_estimate(hll_sketch_agg(col("tok"), lit(12))).as("n_hll"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+             |       CAST(n_hll AS BIGINT) AS n_hll
+             |FROM (VALUES
+             |  ('srcA', 9, 9),
+             |  ('srcB', 5, 5)
+             |) AS t(source, n_exact, n_hll)
+             |ORDER BY source""".stripMargin))
   )
 
   /** src<i> repeats (i%8)*0.4 epochs — covers drop (0), fractional (<1),

@@ -933,6 +933,123 @@ object TrainingData {
              |FROM tr ORDER BY pos""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T18b — the capstone at v3: the FULL recommended pipeline order under
+    // ONE oracle. v2's five stages plus the two it skipped — sliding-span
+    // excision (the d10b scrub, frequencies counted WITHIN the floored
+    // corpus) and per-source winsorization of the post-excision token
+    // counts (floor-to-int so the budget cumsum stays integer-exact) —
+    // between the quality floor and the token-budget trim. Seven chained
+    // stages; any nondeterminism anywhere breaks the final hash.
+    Q(
+      "t18b_curation_pipeline_v3",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        val stripped = graft.util.CacheScope.persist(
+          HeavyHitters.stripTopTokens(docs, k = 5)
+            .join(docs.select("doc_id", "source"), Seq("doc_id")))
+        val survivors = stripped.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val deduped = stripped.join(survivors, Seq("doc_id"), "left_semi")
+        val scored = deduped.select(
+          col("doc_id"), col("source"), col("text"),
+          TextFunctions.distinctRatio(col("text")).as("dr"))
+        // Floored corpus persists: the sliding scrub reads it three times
+        // (window hits, token re-explode, final left join) plus the source
+        // re-attach.
+        val floored = graft.util.CacheScope.persist(
+          Curation.qualityFloor(scored, "source", "dr", 0.25)
+            .select("doc_id", "source", "text"))
+        val excised = SpanDedup.slidingScrub(
+          floored.select("doc_id", "text"), k = 10, minCount = 2L)
+          .join(floored.select("doc_id", "source"), Seq("doc_id"))
+        val counted = excised.select(col("doc_id"), col("source"),
+          TextFunctions.nTokens(col("text")).as("n_tokens"))
+        val wins = Curation.winsorize(counted, "source", "n_tokens", 0.05, 0.95)
+          .select(col("doc_id"), col("source"),
+            floor(col("n_tokens_clipped")).cast("long").as("n_tok_w"))
+        val trimmed = Curation.tokenBudgetTrim(
+          wins.select("source", "doc_id", "n_tok_w"),
+          sourceCol = "source", idCol = "doc_id",
+          nTokensCol = "n_tok_w", budget = 800L, salt = "fp")
+        Curation.globalPositions(
+          trimmed.select("doc_id", "source", "n_tok_w", "cum_tokens"),
+          idCol = "doc_id", salt = "fp2")
+          .select("doc_id", "source", "n_tok_w", "cum_tokens", "pos")
+          .orderBy("pos")
+      },
+      Some("""WITH vocab AS (SELECT token FROM (
+             |         SELECT token, count(*) AS freq
+             |         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |         GROUP BY 1 ORDER BY freq DESC, token LIMIT 5)),
+             |toks AS (SELECT doc_id, i AS pos, w[i+1] AS tok
+             |         FROM (SELECT doc_id, string_split(text, ' ') AS w,
+             |                      unnest(range(len(string_split(text, ' ')))) AS i
+             |               FROM documents)),
+             |stripped AS MATERIALIZED (SELECT d.doc_id, d.source, coalesce(a.text, '') AS text
+             |             FROM documents d LEFT JOIN (
+             |               SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+             |               FROM toks WHERE tok NOT IN (SELECT token FROM vocab)
+             |               GROUP BY doc_id) a USING (doc_id)),
+             |surv AS (SELECT min(doc_id) AS doc_id FROM stripped GROUP BY text),
+             |ded AS (SELECT * FROM stripped WHERE doc_id IN (SELECT doc_id FROM surv)),
+             |sc AS (SELECT doc_id, source, text,
+             |              CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             |                / len(string_split(text,' ')) AS dr
+             |       FROM ded),
+             |thr AS (SELECT source, quantile_cont(dr, 0.25) AS t FROM sc GROUP BY 1),
+             |fl AS MATERIALIZED (SELECT sc.doc_id, sc.source, sc.text
+             |       FROM sc JOIN thr USING (source) WHERE sc.dr >= thr.t),
+             |ftoks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w
+             |         FROM fl WHERE text IS NOT NULL AND len(text) > 0),
+             |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |                md5(array_to_string(w[i+1:i+10], ' ')) AS h
+             |         FROM (SELECT doc_id, w, unnest(range(len(w) - 9)) AS i
+             |               FROM ftoks WHERE len(w) >= 10)),
+             |freq AS (SELECT h, count(*) AS df FROM wins GROUP BY h),
+             |hits AS (SELECT doc_id, pos FROM wins JOIN freq USING (h) WHERE df >= 2),
+             |heads AS (SELECT doc_id, pos,
+             |            CASE WHEN pos > coalesce(max(pos + 10) OVER (
+             |                   PARTITION BY doc_id ORDER BY pos
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |                 THEN 1 ELSE 0 END AS head
+             |          FROM hits),
+             |isl AS (SELECT doc_id, pos, sum(head) OVER (
+             |          PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+             |        FROM heads),
+             |merged AS (SELECT doc_id, island, min(pos) AS sp_s, max(pos) + 10 AS sp_e
+             |           FROM isl GROUP BY 1, 2),
+             |toks2 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i+1] AS tok
+             |          FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM ftoks)),
+             |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks2 t
+             |         WHERE NOT EXISTS (SELECT 1 FROM merged m
+             |                           WHERE m.doc_id = t.doc_id
+             |                             AND t.pos >= m.sp_s AND t.pos < m.sp_e)),
+             |exc0 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+             |         FROM kept GROUP BY doc_id),
+             |exc AS MATERIALIZED (SELECT f.doc_id, f.source, coalesce(e.text, '') AS text
+             |        FROM fl f LEFT JOIN exc0 e USING (doc_id)),
+             |cnt AS (SELECT doc_id, source,
+             |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |        FROM exc),
+             |bands AS (SELECT source, quantile_cont(n_tokens, 0.05) AS band_lo,
+             |                 quantile_cont(n_tokens, 0.95) AS band_hi
+             |          FROM cnt GROUP BY 1),
+             |wz AS (SELECT c.doc_id, c.source,
+             |              CAST(floor(greatest(b.band_lo,
+             |                     least(b.band_hi, CAST(c.n_tokens AS DOUBLE)))) AS BIGINT) AS n_tok_w
+             |       FROM cnt c JOIN bands b USING (source)),
+             |cum AS (SELECT doc_id, source, n_tok_w,
+             |               CAST(sum(n_tok_w) OVER (
+             |                 PARTITION BY source
+             |                 ORDER BY md5('fp' || CAST(doc_id AS VARCHAR))
+             |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |        FROM wz),
+             |tr AS (SELECT * FROM cum WHERE cum_tokens <= 800)
+             |SELECT doc_id, source, n_tok_w, cum_tokens,
+             |       row_number() OVER (ORDER BY md5('fp2' || CAST(doc_id AS VARCHAR))) - 1 AS pos
+             |FROM tr ORDER BY pos""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T15 — corpus-frequency stopword removal: every occurrence of the
     // top-10 tokens stripped, survivors rejoined in order, '' for docs
     // scrubbed to nothing — the data-driven stopword list that adapts to
