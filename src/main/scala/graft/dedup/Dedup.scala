@@ -52,6 +52,13 @@ object Dedup {
     * both key on the hash, so AQE plans them off the same statistics; no
     * broadcast assumption on either side (history is the BIG side here —
     * the opposite regime from a dimension join).
+    *
+    * Null contract: null-text rows are unhashable and EXCLUDED from both
+    * sides up front. Without the filter, a null batch md5 survives the
+    * left_anti (null never equals a history hash) while SQL `NOT IN`
+    * semantics drop it — the d9 oracle and this operator would silently
+    * disagree the day a crawl ships null bodies. Empty text is a real
+    * hashable value and dedups normally.
     */
   def incrementalExact(
       batch: DataFrame,
@@ -59,8 +66,10 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val batchHashed = batch
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), md5(col(textCol)).as("text_hash"))
     val historyHashes = history
+      .filter(col(textCol).isNotNull)
       .select(md5(col(textCol)).as("text_hash"))
       .distinct()
     batchHashed

@@ -61,10 +61,13 @@ object ZOrder {
     val out = df.withColumn("zval", zvalue(col(xCol), col(yCol), bits))
       // zval * nShards can overflow a long at bits=31; go through double —
       // exact while zval * nShards < 2^53 (always true for bits <= 25 and
-      // any sane shard count; at bits=31 the rounding shifts a boundary by
-      // at most one z-unit, which moves no row's shard in practice).
+      // any sane shard count). Above that, double rounding of zval near
+      // 2^(2·bits) can round UP to zDomain and produce shard == nShards;
+      // the least() clamp pins those boundary rows into the last shard
+      // instead of an out-of-range one.
       .withColumn("zshard",
-        floor(col("zval").cast("double") * nShards / zDomain.toDouble).cast("int"))
+        least(lit(nShards - 1),
+          floor(col("zval").cast("double") * nShards / zDomain.toDouble).cast("int")))
     out.repartitionByRange(nShards, col("zval")).sortWithinPartitions("zval")
   }
 

@@ -557,10 +557,13 @@ object TrainingData {
             .select((col("doc_id") + 100000).as("doc_id"), col("text")))
         Dedup.incrementalExact(batch, history).orderBy("doc_id")
       },
-      Some("""WITH history AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
-             |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      Some("""WITH history AS (SELECT text FROM documents
+             |                 WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+             |batch AS (SELECT doc_id, text FROM documents
+             |          WHERE doc_id % 5 = 0 AND text IS NOT NULL
              |          UNION ALL
-             |          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+             |          SELECT doc_id + 100000, text FROM documents
+             |          WHERE doc_id % 7 = 0 AND text IS NOT NULL),
              |hh AS (SELECT DISTINCT md5(text) AS text_hash FROM history),
              |bh AS (SELECT doc_id, md5(text) AS text_hash FROM batch)
              |SELECT min(doc_id) AS doc_id, text_hash, count(*) AS n_batch_copies

@@ -27,11 +27,11 @@ object TestMetrics {
     spark.sparkContext.addSparkListener(l)
     try {
       f
-      var prev = -1L
-      var tries = 0
-      while (records.get + bytes.get != prev && tries < 50) {
-        prev = records.get + bytes.get; Thread.sleep(100); tries += 1
-      }
+      // Deterministic drain: two equal 100ms-apart reads can still
+      // undercount if the bus is mid-flush — wait until the listener bus
+      // is actually empty instead of polling for a stable sum.
+      org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(
+        spark.sparkContext, 30000L)
       (records.get, bytes.get)
     } finally spark.sparkContext.removeSparkListener(l)
   }

@@ -99,6 +99,23 @@ class DedupSpec extends SparkTestBase {
     assert(unioned.map(_._1) == got.map(_._1))
   }
 
+  test("incrementalExact: null-text rows excluded on both sides (NOT IN parity)") {
+    import spark.implicits._
+    // A null batch md5 would survive the left_anti (null equals nothing)
+    // while SQL NOT IN drops it - the contract is: null text never plays.
+    val history = Seq(
+      Some(10L) -> Some("known"),
+      Some(11L) -> Option.empty[String]).map { case (a, b) => (a.get, b.orNull) }
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "known"),
+      (21L, null.asInstanceOf[String]),
+      (22L, "fresh")).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, history)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(22L))
+  }
+
   test("jaccard maxDocFreq cap: high cap is exact, low cap only prunes") {
     def pairs(cap: Option[Int]) =
       Dedup.jaccardShinglePairs(corpus, threshold = 0.5, maxDocFreq = cap)

@@ -32,6 +32,16 @@ class ZOrderSpec extends SparkTestBase {
     assert(again == out.select("x", "y", "zshard").as[(Int, Int, Int)].collect().toSet)
   }
 
+  test("layout at bits=31: double rounding near the z-domain top stays in range") {
+    // zval = 2^62-1 rounds UP to 2^62 as a double, which uncl(amped) maps
+    // to shard == nShards; the least() clamp pins it into the last shard.
+    val top = (1L << 31) - 1
+    val df = Seq((top, top), (0L, 0L)).toDF("x", "y")
+    val shards = ZOrder.layout(df, "x", "y", nShards = 8, bits = 31)
+      .select("zshard").as[Int].collect().toSet
+    assert(shards == Set(0, 7))
+  }
+
   test("z-layout prunes shards for BOTH dimensions; x-sort only prunes x") {
     // 64x64 grid, 16 shards. A y-selective filter hits few z-shards but
     // EVERY x-sorted shard — the footer-stats pruning benefit in miniature.
