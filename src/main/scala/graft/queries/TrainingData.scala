@@ -868,6 +868,28 @@ object TrainingData {
       Some(Bpe.learnMergesOracleSql(8))),
 
     // ------------------------------------------------------------------
+    // T19c — the tokenizer built END-TO-END under one oracle: learn the
+    // merge table from the corpus (t19b's loop), segment every document
+    // with it, build the top-16 SUBWORD vocabulary, and emit each doc as
+    // its id sequence (t17's handoff contract, OOV -> -1). The oracle
+    // chains the data-dependent learn rounds straight into the
+    // vocab/id tail — drift anywhere in learn, apply, vocab ranking, or
+    // id mapping breaks the hash.
+    Q(
+      "t19c_bpe_token_ids",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = Bpe.learnMerges(docs, nMerges = 8)
+          .map { case (_, l, r, _) => (l, r) }
+        HeavyHitters.tokenIds(
+          Bpe.applyBpe(docs, merges), idCol = "doc_id", textCol = "bpe_text",
+          vocabSize = 16)
+          .withColumn("token_ids", to_json(col("token_ids")))
+          .orderBy("doc_id")
+      },
+      Some(Bpe.bpeTokenIdsOracleSql(nMerges = 8, vocabSize = 16))),
+
+    // ------------------------------------------------------------------
     // T18 — the composed round-6 pipeline under ONE oracle: stopword
     // strip -> exact dedup of the stripped texts -> per-source quality
     // floor -> token-budget trim -> global training positions. Every

@@ -169,6 +169,19 @@ object Bpe {
     * early stop exactly.
     */
   def learnMergesOracleSql(nMerges: Int): String = {
+    val ranks = (0 until nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, pair_freq FROM t$i")
+    s"""WITH ${learnCtes(nMerges)}
+       |${ranks.mkString("\nUNION ALL\n")}
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** The learn loop's CTE body (wf char state + nMerges unrolled rounds),
+    * shared by [[learnMergesOracleSql]] and [[bpeTokenIdsOracleSql]] —
+    * s`nMerges` is every distinct word's segmentation under the LEARNED
+    * merges.
+    */
+  private def learnCtes(nMerges: Int): String = {
     val rounds = (0 until nMerges).map { i =>
       s"""p$i AS MATERIALIZED (SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
          |  FROM (SELECT word, freq, sym AS l,
@@ -195,9 +208,7 @@ object Bpe {
          |       CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS BIGINT) AS pos, sym
          |  FROM c$i WHERE NOT consumed)""".stripMargin
     }
-    val ranks = (0 until nMerges).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, pair_freq FROM t$i")
-    s"""WITH wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+    s"""wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
        |        FROM documents WHERE text IS NOT NULL AND len(text) > 0)
        |  WHERE len(word) > 0 GROUP BY word),
@@ -205,10 +216,46 @@ object Bpe {
        |       FROM (SELECT word, freq, string_split(word, '') AS cs,
        |                    unnest(range(len(string_split(word, '')))) AS i
        |             FROM wf)),
-       |${rounds.mkString(",\n")}
-       |${ranks.mkString("\nUNION ALL\n")}
-       |ORDER BY rank""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
   }
+
+  /** The unrolled DuckDB mirror of the full tokenizer build: learn nMerges
+    * merges ([[learnCtes]] — s`nMerges` is the learned per-word
+    * segmentation), re-tokenize every document with it, build the top-V
+    * subword vocabulary, and hand each document off as its id sequence
+    * (the t17 contract: in-order ids, OOV -> -1, JSON-stringified for the
+    * gate).
+    */
+  def bpeTokenIdsOracleSql(nMerges: Int, vocabSize: Int): String =
+    s"""WITH ${learnCtes(nMerges)},
+       |occ AS (SELECT doc_id, i AS widx, w[i+1] AS word
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w,
+       |                     unnest(range(len(string_split(text, ' ')))) AS i
+       |              FROM documents WHERE text IS NOT NULL AND len(text) > 0)
+       |        WHERE len(w[i+1]) > 0),
+       |wt AS (SELECT word, string_agg(sym, ' ' ORDER BY pos) AS word_bpe
+       |       FROM s$nMerges GROUP BY word),
+       |bagg AS (SELECT doc_id, string_agg(word_bpe, ' ' ORDER BY widx) AS bpe_text
+       |         FROM occ JOIN wt USING (word) GROUP BY doc_id),
+       |bdocs AS MATERIALIZED (SELECT d.doc_id, coalesce(b.bpe_text, '') AS bpe_text
+       |         FROM documents d LEFT JOIN bagg b USING (doc_id)),
+       |bvocab AS (SELECT row_number() OVER (ORDER BY freq DESC, token) - 1 AS token_id,
+       |                  token
+       |           FROM (SELECT token, count(*) AS freq
+       |                 FROM (SELECT unnest(string_split(bpe_text, ' ')) AS token FROM bdocs)
+       |                 GROUP BY 1)
+       |           ORDER BY freq DESC, token LIMIT $vocabSize),
+       |btoks AS (SELECT doc_id, i AS pos, w[i+1] AS tok
+       |          FROM (SELECT doc_id, string_split(bpe_text, ' ') AS w,
+       |                       unnest(range(len(string_split(bpe_text, ' ')))) AS i
+       |                FROM bdocs WHERE len(bpe_text) > 0)),
+       |bids AS (SELECT doc_id, pos, CAST(coalesce(v.token_id, -1) AS BIGINT) AS tid
+       |         FROM btoks LEFT JOIN bvocab v ON btoks.tok = v.token),
+       |bjson AS (SELECT doc_id, to_json(list(tid ORDER BY pos)) AS token_ids
+       |          FROM bids GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(j.token_ids, '[]') AS VARCHAR) AS token_ids
+       |FROM documents d LEFT JOIN bjson j USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** The unrolled DuckDB mirror of [[applyBpe]] for a literal merge table —
     * one CTE group per merge pass, the same boundary/parity overlap rule.
