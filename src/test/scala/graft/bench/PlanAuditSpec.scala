@@ -28,6 +28,11 @@ class PlanAuditSpec extends SparkTestBase {
     // Lloyd re-assignment inside codebook training (same broadcast
     // C-row side); the PQ encode/ADC joins themselves are equi-joins.
     "e9_ann_pq",
+    // IVF-PQ: the query-side probe ranking crossJoins the broadcast
+    // C-row centroid table (same shape as e5/e8); encoding and ADC
+    // scoring are equi-joins on (centroid_id) / (query_id,subspace,code).
+    "e10_ann_ivfpq",
+    "e10_ivfpq_golden",
     "c4_decontaminate",
     "c4b_decontaminate_shuffle",
     "c4c_contaminated_spans",
