@@ -538,6 +538,49 @@ object Curation {
         greatest(col("band_lo"), least(col("band_hi"), col(valueCol))))
   }
 
+  /** The 100 TB sibling of [[qualityFloor]]: a per-source quantile floor
+    * computed from a VALUE-DOMAIN HISTOGRAM instead of an exact
+    * `percentile` aggregate. `percentile` buffers and sorts every group's
+    * values inside one aggregation buffer — fine at per-source millions,
+    * the wrong shape at per-source billions. Here the corpus reduces to a
+    * (source, bucket, count) table first (map-side combined, bounded by
+    * sources x buckets, NOT by rows), the cumulative scan runs over that
+    * tiny table, and the cut broadcasts back over the scan.
+    *
+    * The cut rule is pure INTEGER arithmetic, so both engines agree
+    * bit-for-bit: drop bucket b iff the cumulative count through b is
+    * still <= qNum/qDen of the source total (`cum * qDen <= n * qNum`);
+    * the kept region starts at the first bucket whose cumulative count
+    * crosses the quantile. The floor is bucket-granular — that coarseness
+    * (vs the exact [[qualityFloor]]) is the price of never sorting values,
+    * and `bucketWidth` is the knob that buys it back.
+    */
+  def histogramQuantileFloor(
+      df: DataFrame,
+      sourceCol: String,
+      valueCol: String,
+      qNum: Long,
+      qDen: Long,
+      bucketWidth: Long): DataFrame = {
+    require(qDen > 0 && qNum >= 0 && qNum <= qDen, s"need 0 <= qNum/qDen <= 1, got $qNum/$qDen")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def bucketOf(c: Column): Column = floor(c / lit(bucketWidth.toDouble)).cast("long")
+    val hist = df
+      .groupBy(col(sourceCol), bucketOf(col(valueCol)).as("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+    val byBucket = Window.partitionBy(sourceCol).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySource = Window.partitionBy(sourceCol)
+    val cuts = hist
+      .withColumn("__cum", sum(col("__n")).over(byBucket))
+      .withColumn("n_source", sum(col("__n")).over(bySource))
+      .filter(col("__cum") * qDen > col("n_source") * qNum)
+      .groupBy(sourceCol)
+      .agg(min(col("__bucket")).as("cut_bucket"), first(col("n_source")).as("n_source"))
+    df.join(broadcast(cuts), Seq(sourceCol))
+      .filter(bucketOf(col(valueCol)) >= col("cut_bucket"))
+  }
+
   /** Gopher-style repetition signals per document over word n-grams:
     * total/distinct n-gram counts, duplicate fraction (1 - distinct/total)
     * and top-gram fraction (most frequent n-gram's share). High values flag

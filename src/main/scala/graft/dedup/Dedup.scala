@@ -79,6 +79,73 @@ object Dedup {
       .select(idCol, "text_hash", "n_batch_copies")
   }
 
+  /** Incremental NEAR-dup screening — [[incrementalExact]]'s fuzzy sibling,
+    * the other half of the daily-crawl shape: every batch document scored
+    * against the already-ingested history by exact shingle-set Jaccard,
+    * reporting its candidate count, best match score, and a drop flag.
+    * Batch docs sharing no shingle with history come through with zero
+    * candidates (never silently vanish — this is a REPORT over the whole
+    * batch, the caller drops `is_dup`).
+    *
+    * Shape at scale: both sides reduce to (id, shingle) inverted indexes
+    * before the join — the candidate join is batch-index x history-index
+    * on the shingle key, never batch x history. `maxDocFreq` caps the
+    * HISTORY side's document frequency (boilerplate shingles that would
+    * make join buckets quadratic are dropped from the probe index, as in
+    * [[jaccardShinglePairs]]); at real scale the history index and sizes
+    * are precomputed at ingest and only the batch side is built fresh.
+    * Reported jaccard under a cap is a lower bound of the exact value.
+    *
+    * Determinism: every jaccard is ONE IEEE division of exact integers,
+    * and `max` over them is order-invariant, so the report is
+    * partition-stable and oracle-checkable. Null-text rows are excluded
+    * from both sides up front ([[incrementalExact]]'s null contract).
+    */
+  def incrementalNearDup(
+      batch: DataFrame,
+      history: DataFrame,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFreq: Option[Int] = None,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def index(docs: DataFrame): DataFrame = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        array_distinct(TextFunctions.shinglesFromTokens(col("toks"), shingleN)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val bsh = graft.util.CacheScope.persist(index(batch))
+    val hsh = graft.util.CacheScope.persist(index(history))
+    val bSizes = bsh.select(col("id"), size(col("shingles")).cast("long").as("n_b"))
+    val hSizes = hsh.select(col("id").as("hid"), size(col("shingles")).cast("long").as("n_h"))
+    val bInv = bsh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val hInvAll = hsh.select(col("id").as("hid"), explode(col("shingles")).as("shingle"))
+    val hInv = maxDocFreq.fold(hInvAll) { cap =>
+      val keep = hInvAll.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap).select("shingle")
+      hInvAll.join(keep, "shingle")
+    }
+    val best = bInv.join(hInv, Seq("shingle"))
+      .groupBy("id", "hid")
+      .agg(count(lit(1)).as("n_common"))
+      .join(bSizes, "id")
+      .join(hSizes, "hid")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_b") + col("n_h") - col("n_common")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_candidates"), max(col("jaccard")).as("best_jaccard"))
+    batch
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol))
+      .join(best, col(idCol) === best("id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_jaccard"),
+        coalesce(col("best_jaccard") >= threshold, lit(false)).as("is_dup"))
+  }
+
   /** MinHash signatures computed the distributed way: explode shingles, hash
     * each once per seed, re-aggregate with `min` — map-side partial
     * aggregation makes the shuffle one (id, k longs) row per doc. A single

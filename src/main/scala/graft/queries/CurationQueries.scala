@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.curation.Curation
 import graft.graph.PageRank
 import graft.quality.Expectations
-import graft.operators.{AsOfJoin, IntervalMerge, RangeJoin, TableDiff, ZOrder}
+import graft.operators.{AsOfJoin, IntervalMerge, RangeJoin, Scd2, TableDiff, ZOrder}
+import graft.quality.Profile
 import graft.tables.Tables
 import graft.text.{TextFunctions, TfIdf}
 
@@ -1067,7 +1068,125 @@ object CurationQueries {
              |  ('srcA', 9, 9),
              |  ('srcB', 5, 5)
              |) AS t(source, n_exact, n_hll)
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q41 — one-pass dataset profiler: per-column n / nulls / distincts /
+    // min / max over orders, ONE aggregate (Spark's Expand multi-distinct
+    // plan) unpivoted via inline — the "what did I just ingest" report.
+    // Numeric+timestamp min/max land in DOUBLE columns (timestamps as
+    // epoch micros — exact under 2^53), strings in VARCHAR columns;
+    // rendering doubles to one shared string column would tie the result
+    // to each engine's float formatting.
+    Q(
+      "q41_profile_table",
+      (s, dir) =>
+        Profile.profile(
+          Tables.orders(s, dir),
+          Seq(
+            Profile.ColSpec("o_orderkey", Profile.Num),
+            Profile.ColSpec("o_custkey", Profile.Num),
+            Profile.ColSpec("o_orderstatus", Profile.Str),
+            Profile.ColSpec("o_totalprice", Profile.Num),
+            Profile.ColSpec("o_orderdate", Profile.Ts),
+            Profile.ColSpec("o_orderpriority", Profile.Str)))
+          .orderBy("col_name"),
+      Some {
+        def num(c: String, expr: String = null) = {
+          val e = Option(expr).getOrElse(c)
+          s"""SELECT '$c' AS col_name, count($c) AS n,
+             |       count(*) - count($c) AS n_null,
+             |       count(DISTINCT $c) AS n_distinct,
+             |       CAST(min($e) AS DOUBLE) AS min_num,
+             |       CAST(max($e) AS DOUBLE) AS max_num,
+             |       CAST(NULL AS VARCHAR) AS min_str,
+             |       CAST(NULL AS VARCHAR) AS max_str
+             |FROM orders""".stripMargin
+        }
+        def str(c: String) =
+          s"""SELECT '$c' AS col_name, count($c) AS n,
+             |       count(*) - count($c) AS n_null,
+             |       count(DISTINCT $c) AS n_distinct,
+             |       CAST(NULL AS DOUBLE) AS min_num,
+             |       CAST(NULL AS DOUBLE) AS max_num,
+             |       min($c) AS min_str, max($c) AS max_str
+             |FROM orders""".stripMargin
+        Seq(
+          num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+          num("o_totalprice"),
+          num("o_orderdate", "epoch_us(o_orderdate)"), str("o_orderpriority"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
+
+    // ------------------------------------------------------------------
+    // Q42 — SCD-type-2 history build from the events change log: per user,
+    // consecutive runs of the same event_type collapse to one versioned
+    // row with [valid_from, valid_to) validity and an is_current flag —
+    // the standard warehouse-history shape, all windows key-partitioned.
+    Q(
+      "q42_scd2_history",
+      (s, dir) =>
+        Scd2.history(
+          Tables.events(s, dir).select("user_id", "ts", "event_id", "event_type"),
+          keyCol = "user_id", tsCol = "ts", tieCol = "event_id", attrCol = "event_type")
+          .orderBy("user_id", "version"),
+      Some("""WITH runs AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+             |              THEN 0 ELSE 1 END AS chg
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |seg AS (SELECT user_id, ts, event_type,
+             |               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                              ROWS UNBOUNDED PRECEDING) AS version
+             |        FROM runs),
+             |g AS (SELECT user_id, version, min(event_type) AS event_type,
+             |             min(ts) AS valid_from, max(ts) AS last_seen,
+             |             count(*) AS n_events
+             |      FROM seg GROUP BY 1, 2),
+             |fin AS (SELECT user_id, version, event_type, valid_from,
+             |               lead(valid_from) OVER (PARTITION BY user_id
+             |                                      ORDER BY valid_from) AS valid_to,
+             |               last_seen, n_events
+             |        FROM g)
+             |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             |       valid_from, valid_to, last_seen,
+             |       CAST(n_events AS BIGINT) AS n_events,
+             |       valid_to IS NULL AS is_current
+             |FROM fin ORDER BY user_id, version""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C16 — the quality floor's 100 TB form: per-source quantile cut from
+    // a value-domain HISTOGRAM (corpus reduces to (source, bucket, count)
+    // before any window; the cumulative scan runs over that bounded table)
+    // instead of c10's exact per-group percentile sort. Pure integer cut
+    // rule — drop a bucket iff its cumulative count is still <= 1/10 of
+    // the source total — so both engines agree bit-for-bit.
+    Q(
+      "c16_histogram_floor",
+      (s, dir) =>
+        Curation.histogramQuantileFloor(
+          Tables.documents(s, dir).select("source", "doc_id", "n_chars"),
+          sourceCol = "source", valueCol = "n_chars",
+          qNum = 1L, qDen = 10L, bucketWidth = 16L)
+          .select("source", "doc_id", "n_chars", "cut_bucket", "n_source")
+          .orderBy("source", "doc_id"),
+      Some("""WITH hist AS (SELECT source,
+             |                     CAST(floor(n_chars / 16.0) AS BIGINT) AS bucket,
+             |                     count(*) AS n
+             |              FROM documents GROUP BY 1, 2),
+             |c AS (SELECT source, bucket,
+             |             sum(n) OVER (PARTITION BY source ORDER BY bucket
+             |                          ROWS UNBOUNDED PRECEDING) AS cum,
+             |             sum(n) OVER (PARTITION BY source) AS n_source
+             |      FROM hist),
+             |cuts AS (SELECT source, min(bucket) AS cut_bucket,
+             |                CAST(min(n_source) AS BIGINT) AS n_source
+             |         FROM c WHERE cum * 10 > n_source * 1 GROUP BY 1)
+             |SELECT d.source, d.doc_id, d.n_chars, t.cut_bucket, t.n_source
+             |FROM documents d JOIN cuts t USING (source)
+             |WHERE CAST(floor(d.n_chars / 16.0) AS BIGINT) >= t.cut_bucket
+             |ORDER BY d.source, d.doc_id""".stripMargin))
   )
 
   /** src<i> repeats (i%8)*0.4 epochs — covers drop (0), fractional (<1),

@@ -8,7 +8,7 @@ import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
-import graft.text.{Bpe, HeavyHitters, TextFunctions}
+import graft.text.{Bpe, HeavyHitters, NgramLm, TextFunctions}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, exact shingle-Jaccard,
@@ -571,6 +571,59 @@ object TrainingData {
              |GROUP BY text_hash ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // D12 — incremental NEAR-dup: d9's fuzzy sibling. Every batch doc
+    // scored against the ingested history by exact shingle Jaccard via a
+    // batch-index x history-index join (never batch x history); the
+    // fixture plants near-dups by re-submitting every 7th history doc
+    // with a two-token tail appended. A report over the WHOLE batch —
+    // zero-candidate docs come through with n_candidates=0.
+    Q(
+      "d12_incremental_neardup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val history = d.filter(col("doc_id") % 5 =!= 0)
+        val batch = d.filter(col("doc_id") % 5 === 0)
+          .unionAll(d.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              concat(col("text"), lit(" zyx wvu")).as("text")))
+        Dedup.incrementalNearDup(batch, history, threshold = 0.5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH history AS (SELECT doc_id, text FROM documents
+             |                 WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+             |batch AS (SELECT doc_id, text FROM documents
+             |          WHERE doc_id % 5 = 0 AND text IS NOT NULL
+             |          UNION ALL
+             |          SELECT doc_id + 100000, text || ' zyx wvu' FROM documents
+             |          WHERE doc_id % 7 = 0 AND text IS NOT NULL),
+             |bsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |                range(len(string_split(text,' ')) - 2),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' ')))) AS shingle
+             |        FROM batch WHERE len(string_split(text,' ')) >= 3),
+             |hsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |                range(len(string_split(text,' ')) - 2),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' ')))) AS shingle
+             |        FROM history WHERE len(string_split(text,' ')) >= 3),
+             |bsz AS (SELECT doc_id, count(*) AS n_b FROM bsh GROUP BY 1),
+             |hsz AS (SELECT doc_id, count(*) AS n_h FROM hsh GROUP BY 1),
+             |common AS (SELECT b.doc_id AS bid, h.doc_id AS hid, count(*) AS n_common
+             |           FROM bsh b JOIN hsh h USING (shingle) GROUP BY 1, 2),
+             |j AS (SELECT bid, CAST(n_common AS DOUBLE)
+             |                  / (bz.n_b + hz.n_h - n_common) AS jaccard
+             |      FROM common
+             |      JOIN bsz bz ON bz.doc_id = bid
+             |      JOIN hsz hz ON hz.doc_id = hid),
+             |agg AS (SELECT bid, count(*) AS n_candidates,
+             |               max(jaccard) AS best_jaccard
+             |        FROM j GROUP BY 1)
+             |SELECT b.doc_id,
+             |       CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+             |       a.best_jaccard,
+             |       coalesce(a.best_jaccard >= 0.5, FALSE) AS is_dup
+             |FROM batch b LEFT JOIN agg a ON a.bid = b.doc_id
+             |ORDER BY b.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T1 — heuristic language ID histogram (stopword-hit argmax).
     Q(
       "t1_lang_id",
@@ -888,6 +941,61 @@ object TrainingData {
           .orderBy("doc_id")
       },
       Some(Bpe.bpeTokenIdsOracleSql(nMerges = 8, vocabSize = 16))),
+
+    // ------------------------------------------------------------------
+    // T20 — n-gram LM perplexity filter (the CCNet/KenLM-style quality
+    // gate): add-one-smoothed bigram cross-entropy under a model trained
+    // on the doc_id%3<>0 slice, keep = ce <= threshold. The model IS two
+    // count tables joined back by equi-joins; `ln` only ever sees
+    // INTEGERS and is decimal(20,6)-rounded before the exactly-summed
+    // per-doc accumulation, so the score is partition- and engine-stable
+    // (see NgramLm's determinism note).
+    Q(
+      "t20_lm_perplexity_filter",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        NgramLm.crossEntropy(d, d.filter(col("doc_id") % 3 =!= 0),
+          maxCrossEntropy = 3.4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH train AS (SELECT doc_id, text FROM documents
+             |               WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+             |tg AS (SELECT unnest(list_transform(
+             |                range(len(string_split(text,' ')) - 1),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+2], ' '))) AS gram
+             |       FROM train WHERE len(string_split(text,' ')) >= 2),
+             |tp AS (SELECT split_part(gram, ' ', 1) AS w1,
+             |              split_part(gram, ' ', 2) AS w2 FROM tg),
+             |big AS (SELECT w1, w2, count(*) AS c12 FROM tp GROUP BY 1, 2),
+             |uni AS (SELECT w1, count(*) AS c1 FROM tp GROUP BY 1),
+             |vv AS (SELECT count(*) AS v FROM uni),
+             |dg AS (SELECT doc_id, unnest(list_transform(
+             |                range(len(string_split(text,' ')) - 1),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+2], ' '))) AS gram
+             |       FROM documents
+             |       WHERE text IS NOT NULL AND len(string_split(text,' ')) >= 2),
+             |dp AS (SELECT doc_id, split_part(gram, ' ', 1) AS w1,
+             |              split_part(gram, ' ', 2) AS w2 FROM dg),
+             |sc AS (SELECT dp.doc_id,
+             |              CAST(ln(coalesce(b.c12, 0) + 1) AS DECIMAL(20,6))
+             |              - CAST(ln(coalesce(u.c1, 0) + vv.v) AS DECIMAL(20,6)) AS logp,
+             |              CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS unseen
+             |       FROM dp
+             |       LEFT JOIN big b ON dp.w1 = b.w1 AND dp.w2 = b.w2
+             |       LEFT JOIN uni u ON dp.w1 = u.w1
+             |       CROSS JOIN vv),
+             |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+             |               CAST(sum(unseen) AS BIGINT) AS n_unseen,
+             |               sum(logp) AS slp
+             |        FROM sc GROUP BY 1)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
+             |       -CAST(a.slp AS DOUBLE) / a.n_bigrams AS cross_entropy,
+             |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_bigrams <= 3.4, FALSE) AS keep
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |WHERE d.text IS NOT NULL
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T18 — the composed round-6 pipeline under ONE oracle: stopword
@@ -1407,6 +1515,64 @@ object TrainingData {
              |  (8, 3, 4, 0.16666666666666666)
              |) AS t(query_id, rnk, neighbor_id, cosine)
              |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // E11 — SemDeDup (Abbas et al. 2023): semantic dedup of the embedding
+    // corpus — spherical k-means clusters, within-cluster cosine pairs,
+    // greedy min-id survivor per near-dup relation. Rows-only (trained);
+    // the assign/pair/mark math is pinned bit-exactly by
+    // e11_semdedup_golden and cluster-boundedness by SimilaritySpec.
+    Q(
+      "e11_semdedup",
+      (s, dir) => {
+        // Re-ingestion scenario: every 10th vector re-arrives rescaled
+        // (x2 — exact in float, cosine exactly 1), the paraphrase-shaped
+        // duplicate lexical dedup can never see. Random embeddings are
+        // otherwise far apart, so the flagged dups are exactly the
+        // injections (is_survivor splits, pinned by the driver row gate).
+        val emb = Tables.embeddings(s, dir)
+        val injected = emb.unionByName(
+          emb.filter(col("vec_id") % 10 === 0).select(
+            (col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+            col("label")))
+        Similarity.semDedup(injected, nClusters = 16, trainIters = 2, tau = 0.8)
+          .orderBy("vec_id")
+      }),
+
+    // ------------------------------------------------------------------
+    // E11g — SemDeDup over the ANN fixture with EXPLICIT tie-free
+    // centroids: assignments are argmax-exact, every within-cluster
+    // cosine is an exact small rational (perfect-square norms), and the
+    // greedy marking is pure set logic — the independent mirror in
+    // tools/gen_ann_goldens.py computes the identical report.
+    Q(
+      "e11_semdedup_golden",
+      (s, _) => {
+        import s.implicits._
+        val cents = Seq(
+          (0, Array(2.0, 0.0, 0.0, 0.0)),
+          (1, Array(0.0, 1.0, 2.0, 0.0))).toDF("centroid_id", "centroid_vec")
+        Similarity.semDedupWith(annFixture(s), cents, tau = 0.6)
+          .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"),
+            col("n_within_tau"), col("is_survivor"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             |       CAST(centroid_id AS BIGINT) AS centroid_id,
+             |       CAST(n_within_tau AS BIGINT) AS n_within_tau,
+             |       is_survivor
+             |FROM (VALUES
+             |  (1, 0, 2, TRUE),
+             |  (2, 1, 0, TRUE),
+             |  (3, 0, 1, FALSE),
+             |  (4, 0, 0, TRUE),
+             |  (5, 1, 0, TRUE),
+             |  (6, 0, 2, FALSE),
+             |  (7, 1, 0, TRUE),
+             |  (8, 0, 1, FALSE)
+             |) AS t(vec_id, centroid_id, n_within_tau, is_survivor)
+             |ORDER BY vec_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // ANN hash-math goldens (e2g/e6g/e5g): the approximate family over a

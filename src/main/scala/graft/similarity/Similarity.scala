@@ -696,4 +696,73 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  // -------------------------------------------------------------------
+  // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  // web-scale through semantic deduplication"): cluster the embeddings,
+  // then deduplicate WITHIN each cluster by cosine — semantically
+  // redundant documents (paraphrases, templated rewrites) that no lexical
+  // dedup catches land in the same cluster, and the cluster bound is what
+  // makes the pairwise step tractable: cost is Σ|cluster|², never N².
+  // nClusters is the scale knob — the paper runs k=50k on 600M vectors
+  // precisely so the within-cluster quadratic stays flat as N grows.
+
+  /** SemDeDup over PRE-TRAINED cluster centroids: assign every vector to
+    * its nearest centroid (cosine), generate within-cluster pairs with
+    * cosine >= `tau`, and greedily keep the MINIMUM id of each dup
+    * relation — a vector is dropped iff a lower-id vector in its cluster
+    * sits within `tau` (the paper's "keep one representative per
+    * near-dup set", with min-id as the deterministic choice; for
+    * quality-aware election feed the survivors to
+    * [[graft.dedup.ClusterCollapse]] instead). Emits EVERY input vector:
+    * (id, centroid_id, n_within_tau, is_survivor) — an auditable report,
+    * not a silent filter.
+    *
+    * Exposed separately from [[semDedup]] so the golden entry can pin the
+    * assign/pair/mark math bit-exactly under literal tie-free centroids.
+    */
+  def semDedupWith(
+      vectors: DataFrame, centroids: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Persisted: the pair self-join consumes two sides plus the final
+    // report join — three consumers of one corpus pass (assignment is the
+    // broadcast-centroid argmax inside ivfAssign).
+    val assigned = graft.util.CacheScope.persist(
+      vectors.select(
+        col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+        .join(ivfAssign(vectors, centroids, idCol, vecCol), "id"))
+    // Alias self-join on the cluster key (equi-join; the exchange is
+    // planned once and reused) — the quadratic face is per-cluster only.
+    val pairs = graft.util.CacheScope.persist(
+      assigned.as("x").join(assigned.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") && col("x.id") < col("y.id"))
+        .withColumn("cos",
+          dot(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")))
+        .filter(col("cos") >= tau)
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b")))
+    val neighborCounts = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_within_tau"))
+    val dropped = pairs.select(col("id_b").as("id")).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.select("id", "centroid_id")
+      .join(neighborCounts, Seq("id"), "left")
+      .join(dropped, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("centroid_id"),
+        coalesce(col("n_within_tau"), lit(0L)).as("n_within_tau"),
+        col("__dropped").isNull.as("is_survivor"))
+  }
+
+  /** End-to-end SemDeDup: spherical k-means ([[kmeansCentroids]] —
+    * deterministic bootstrap + Lloyd rounds, one corpus pass per round)
+    * trains the clusters, then [[semDedupWith]] marks survivors.
+    */
+  def semDedup(
+      vectors: DataFrame, nClusters: Int, trainIters: Int, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semDedupWith(vectors,
+      kmeansCentroids(vectors, nClusters, trainIters, idCol, vecCol),
+      tau, idCol, vecCol)
 }

@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.util.CacheScope
+
+/** N-gram language-model quality scoring — the CCNet/KenLM-style filter:
+  * train bigram statistics on a trusted slice of the corpus, score every
+  * document's cross-entropy under the model, and flag documents whose text
+  * the model finds improbable (gibberish, boilerplate soup, wrong-language
+  * leakage). The canonical perplexity filter between heuristic ratios
+  * ([[TextFunctions]] t2) and a learned classifier.
+  *
+  * Model: add-one-smoothed bigram MLE over whitespace tokens,
+  * P(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V), where c(w1) is w1's count as
+  * a bigram PREFIX (so the model is self-consistent: summing the smoothed
+  * P over the vocab gives 1) and V is the number of distinct prefixes in
+  * the training slice. Unseen bigrams and unseen prefixes fall out of the
+  * same formula (c = 0). Cross-entropy is in nats per bigram; perplexity
+  * is e^ce (left to the caller — see determinism note).
+  *
+  * Shape at scale: the model IS two count tables — built with one explode
+  * + map-side-combined groupBy each, joined back to the exploded document
+  * bigrams by plain equi-joins. Nothing is collected, no window touches
+  * the corpus, and the count tables are the only state (store them and
+  * scoring a new crawl is join-only, the incremental-dedup shape).
+  *
+  * Determinism (the cross-engine hash contract): `ln` is only ever applied
+  * to INTEGERS (counts), each log is immediately rounded to 6 decimals by
+  * a decimal(20,6) cast, and the per-document accumulation sums those
+  * decimals EXACTLY — so partial aggregation order cannot move the result,
+  * and a sub-ulp `ln` disagreement between engines would have to land
+  * within 1e-16 of a 5e-7 rounding boundary to matter. The final
+  * cross-entropy is one IEEE division. (Re-exponentiating to perplexity
+  * would reintroduce an arbitrary-argument libm call — the exact drift the
+  * TF-IDF rational-score note documents — so the operator reports nats.)
+  */
+object NgramLm {
+
+  /** round(ln(x), 6) as an exactly-summable decimal; x must be >= 1 so the
+    * value is non-negative and both engines' half-up / half-away-from-zero
+    * decimal roundings coincide.
+    */
+  private def lnDec(x: Column): Column = log(x).cast("decimal(20,6)")
+
+  /** (doc_id, w1, w2) bigram stream of a corpus. */
+  private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("id"), posexplode(slice(col("__toks"), lit(1), size(col("__toks")) - 1))
+        .as(Seq("__pos", "w1")), col("__toks"))
+      .select(col("id"), col("w1"),
+        element_at(col("__toks"), col("__pos") + 2).as("w2"))
+
+  /** Score every `docs` row under a bigram model trained on `train`:
+    * (id, n_bigrams, n_unseen, cross_entropy, keep). Documents with fewer
+    * than two tokens score null entropy and keep=false (nothing to judge —
+    * route them to a length filter, not past this one).
+    */
+  def crossEntropy(
+      docs: DataFrame,
+      train: DataFrame,
+      maxCrossEntropy: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val trainBigrams = CacheScope.persist(bigrams(train, idCol, textCol))
+    val big = trainBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = CacheScope.persist(
+      trainBigrams.groupBy("w1").agg(count(lit(1)).as("c1")))
+    // V = distinct prefixes: a ONE-ROW side — the broadcast crossJoin is
+    // the same accounted shape as t10's corpus-count side (a constant-key
+    // equi-join folds to the identical BNLJ anyway).
+    val v = uni.agg(count(lit(1)).as("v"))
+
+    val scored = bigrams(docs, idCol, textCol)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(
+        col("id"),
+        (lnDec(coalesce(col("c12"), lit(0L)) + 1) -
+          lnDec(coalesce(col("c1"), lit(0L)) + col("v"))).as("__logp"),
+        when(col("c12").isNull, 1L).otherwise(0L).as("__unseen"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("__unseen")).as("n_unseen"),
+        sum(col("__logp")).as("__sum_logp"))
+      .withColumn("cross_entropy",
+        -col("__sum_logp").cast("double") / col("n_bigrams"))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol))
+      .join(scored, col(idCol) === scored("id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        col("cross_entropy"),
+        coalesce(col("cross_entropy") <= maxCrossEntropy, lit(false)).as("keep"))
+  }
+}

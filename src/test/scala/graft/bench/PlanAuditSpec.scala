@@ -33,12 +33,17 @@ class PlanAuditSpec extends SparkTestBase {
     // scoring are equi-joins on (centroid_id) / (query_id,subspace,code).
     "e10_ann_ivfpq",
     "e10_ivfpq_golden",
+    // SemDeDup's assignment pass is the same broadcast-centroid argmax.
+    "e11_semdedup",
+    "e11_semdedup_golden",
     "c4_decontaminate",
     "c4b_decontaminate_shuffle",
     "c4c_contaminated_spans",
     "c4d_decontaminate_bloom",
     // one-row corpus-count side of the tf*N/df scoring join
-    "t10_tfidf_top_terms")
+    "t10_tfidf_top_terms",
+    // one-row vocabulary-size side of the smoothed-probability join
+    "t20_lm_perplexity_filter")
 
   test("no registered query plans a cartesian or an unaccounted nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"

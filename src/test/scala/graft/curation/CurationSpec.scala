@@ -378,4 +378,37 @@ class CurationSpec extends SparkTestBase {
       "call <PHONE> or <PHONE> today",
       "v1.2.3 released, sum=123.45, no pii here"))
   }
+
+  test("histogramQuantileFloor drops exactly the buckets whose cumulative mass is <= q") {
+    import spark.implicits._
+    // src A: 10 docs with values 0..9, width 2 -> buckets 0..4, 2 docs each.
+    // q=1/5: bucket 0 has cum 2 <= 10*1/5=2 -> dropped; bucket 1 cum 4 > 2 kept.
+    val docs = (0L until 10L).map(v => ("A", v, v)).toDF("src", "id", "v")
+    val kept = Curation.histogramQuantileFloor(docs, "src", "v", 1L, 5L, 2L)
+      .select("v").as[Long].collect().sorted.toSeq
+    assert(kept == (2L until 10L).toSeq)
+  }
+
+  test("histogramQuantileFloor cuts per source independently and is repartition-stable") {
+    import spark.implicits._
+    val docs = ((0L until 10L).map(v => ("A", v, v)) ++
+      (0L until 10L).map(v => ("B", v, v + 100L))).toDF("src", "id", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.histogramQuantileFloor(df, "src", "v", 1L, 5L, 2L)
+        .select("src", "v").as[(String, Long)].collect().sorted.toSeq
+    val out = run(docs)
+    assert(out.filter(_._1 == "A").map(_._2) == (2L until 10L).toSeq)
+    assert(out.filter(_._1 == "B").map(_._2) == (102L until 110L).toSeq)
+    assert(run(docs.repartition(7)) == out)
+  }
+
+  test("histogramQuantileFloor endpoints: q=0 keeps everything, q=1 keeps the top bucket") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(v => ("A", v, v)).toDF("src", "id", "v")
+    assert(Curation.histogramQuantileFloor(docs, "src", "v", 0L, 1L, 2L).count() == 10L)
+    // q=1: the rule keeps buckets with cum > n and even the last bucket
+    // only reaches cum == n, so no cut row exists and the source drops
+    // entirely — "floor at the 100th percentile" correctly keeps nothing.
+    assert(Curation.histogramQuantileFloor(docs, "src", "v", 1L, 1L, 2L).count() == 0L)
+  }
 }

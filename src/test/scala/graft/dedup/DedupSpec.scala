@@ -125,4 +125,45 @@ class DedupSpec extends SparkTestBase {
     val capped = pairs(Some(2))
     assert(capped.subsetOf(exact)) // the cap can only drop candidate evidence
   }
+
+  test("incrementalNearDup flags batch docs near history, reports the rest with 0 candidates") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"), // near-dup of 1 (+1 token)
+      (11L, "totally different words entirely here now"), // fresh
+      (12L, "xx yy")) // too short to shingle: reported, 0 candidates
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(batch, history, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L))
+    assert(got(10L)._1 == 1L && got(10L)._3, s"expected 10 flagged: ${got(10L)}")
+    // 4 common shingles of doc 1's 4, batch side has 5 -> J = 4/5
+    assert(got(10L)._2 == 4.0 / 5.0)
+    assert(got(11L) == ((0L, -1.0, false)))
+    assert(got(12L) == ((0L, -1.0, false)))
+  }
+
+  test("incrementalNearDup df cap prunes candidates but never invents them; null text excluded") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "a b c d e"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c d e f"),
+      (11L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val exact = Dedup.incrementalNearDup(batch, history, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact == Map(10L -> 3L)) // null rows on BOTH sides excluded
+    // every history shingle has df=3 > cap=2: all candidates pruned
+    val capped = Dedup.incrementalNearDup(batch, history,
+      threshold = 0.5, maxDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    assert(capped == Set((10L, 0L, false)))
+  }
 }

@@ -361,4 +361,39 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(trained === brute)
   }
+
+  test("semDedup drops the higher id of an injected exact semantic dup, keeps the rest") {
+    import spark.implicits._
+    val dupped = emb.unionByName(
+      emb.filter(col("vec_id") === 3).select(
+        (col("vec_id") + 1000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x * lit(2.0f)).as("embedding"),
+        col("label")))
+    val rep = Similarity.semDedup(dupped, nClusters = 8, trainIters = 1, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rep.size == emb.count() + 1)
+    assert(rep(3L) == ((1L, true)), s"original survives: ${rep(3L)}")
+    assert(rep(1003L) == ((1L, false)), s"copy dropped: ${rep(1003L)}")
+  }
+
+  test("semDedup at tau=-1 collapses every cluster to exactly one survivor") {
+    val rep = Similarity.semDedup(emb.filter(col("vec_id") < 64),
+      nClusters = 4, trainIters = 1, tau = -1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3)))
+    val byCluster = rep.groupBy(_._2)
+    assert(byCluster.values.forall(_.count(_._3) == 1),
+      "every cluster must keep exactly one")
+    // ... and the survivor is the cluster's minimum id (greedy min-id rule)
+    assert(byCluster.values.forall(g => g.filter(_._3).head._1 == g.map(_._1).min))
+  }
+
+  test("semDedup report covers every input; disjoint vectors all survive") {
+    val rep = Similarity.semDedup(emb.filter(col("vec_id") < 32),
+      nClusters = 4, trainIters = 1, tau = 0.999999)
+      .collect()
+    assert(rep.length == 32)
+    assert(rep.forall(_.getBoolean(3)), "random embeddings share no dup at ~1.0 tau")
+    assert(rep.forall(_.getLong(2) == 0L))
+  }
 }

@@ -274,6 +274,41 @@ def main():
     print("== e10_ivfpq_golden VALUES (query_id, rnk, neighbor_id, cosine) ==")
     print(fmt_rows(rows))
 
+    # ---- e11: SemDeDup with explicit centroids ----------------------
+    # Assignment by cosine to the literal centroids (ties asserted away —
+    # centroid norms may be irrational, both engines compute the same
+    # doubles); within-cluster pair cosines are exact rationals
+    # (perfect-square vector norms); a vector is dropped iff a LOWER-id
+    # clustermate sits within tau; n_within_tau counts tau-neighbors in
+    # either direction.
+    sem_cents = [(0, (2, 0, 0, 0)), (1, (0, 1, 2, 0))]
+    tau = 0.6
+
+    def cos_any(a, b):  # centroid norms need not be perfect squares
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    sem_assign = {}
+    for vid, v in FIXTURE:
+        scored = sorted(((cos_any(v, cv), ci) for ci, cv in sem_cents),
+                        key=lambda t: (-t[0], t[1]))
+        assert scored[0][0] != scored[1][0], \
+            f"assignment tie for {vid}: {scored} — adjust centroids"
+        sem_assign[vid] = scored[0][1]
+    pairs = [(a, b) for (a, av) in FIXTURE for (b, bv) in FIXTURE
+             if a < b and sem_assign[a] == sem_assign[b]
+             and cosine(av, bv) >= tau]
+    dropped = {b for _, b in pairs}
+    neigh = {}
+    for a, b in pairs:
+        neigh[a] = neigh.get(a, 0) + 1
+        neigh[b] = neigh.get(b, 0) + 1
+    rows = [(vid, sem_assign[vid], neigh.get(vid, 0),
+             "TRUE" if vid not in dropped else "FALSE")
+            for vid, _ in FIXTURE]
+    print("\n== e11_semdedup_golden VALUES (vec_id, centroid_id, n_within_tau, is_survivor) ==")
+    for r in rows:
+        print(f"  |  ({r[0]}, {r[1]}, {r[2]}, {r[3]}),")
+
 
 if __name__ == "__main__":
     main()
