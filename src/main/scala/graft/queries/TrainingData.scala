@@ -1020,7 +1020,11 @@ object TrainingData {
           col("doc_id"), col("source"),
           TextFunctions.distinctRatio(col("text")).as("dr"),
           TextFunctions.nTokens(col("text")).as("n_tokens"))
+        // Lineage truncation before the two-phase tail (same rationale,
+        // measured on t18b: the trim/positions windows re-optimize the
+        // whole upstream plan otherwise).
         val floored = Curation.qualityFloor(scored, "source", "dr", 0.25)
+          .select("source", "doc_id", "n_tokens").localCheckpoint(true)
         val trimmed = Curation.tokenBudgetTrim(
           floored.select("source", "doc_id", "n_tokens"),
           sourceCol = "source", idCol = "doc_id",
@@ -1095,8 +1099,17 @@ object TrainingData {
         val excised = SpanDedup.slidingScrub(
           floored.select("doc_id", "text"), k = 10, minCount = 2L)
           .join(floored.select("doc_id", "source"), Seq("doc_id"))
+        // The whole text-heavy prefix (strip -> dedup -> floor -> excise)
+        // ends here: everything downstream consumes only (id, source,
+        // count) rows. localCheckpoint — not persist — because the tail's
+        // four window/join phases each re-OPTIMIZE their full logical
+        // plan (cache substitution happens during planning, after the
+        // optimizer has walked the whole 7-stage lineage): measured 10s
+        // of driver time planning the tail vs ~3s total with the lineage
+        // truncated at this tiny 3-column table.
         val counted = excised.select(col("doc_id"), col("source"),
           TextFunctions.nTokens(col("text")).as("n_tokens"))
+          .localCheckpoint(true)
         val wins = Curation.winsorize(counted, "source", "n_tokens", 0.05, 0.95)
           .select(col("doc_id"), col("source"),
             floor(col("n_tokens_clipped")).cast("long").as("n_tok_w"))
