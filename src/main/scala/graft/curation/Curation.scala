@@ -538,6 +538,47 @@ object Curation {
         greatest(col("band_lo"), least(col("band_hi"), col(valueCol))))
   }
 
+  /** Temperature-weighted mixture (the multilingual/multi-source
+    * up-sampling rule of mT5/XLM-R): sampling shares proportional to
+    * n_source^alpha at alpha = 1/2, so small sources are boosted toward —
+    * never past — parity with large ones, DERIVED FROM THE DATA rather
+    * than hand-tuned like [[mixtureSample]]'s rate map. Each source's
+    * per-row keep rate is share * targetDocs / n_source, clamped to 1,
+    * quantized to the same integer 1/10000 grid every sampler here uses,
+    * decided by the same md5 bucket — rerun/retry/partition stable, and
+    * coordinated with every other md5(salt||id) decision.
+    *
+    * alpha is FIXED at 1/2: sqrt is the one power IEEE guarantees
+    * correctly rounded in both engines, so the whole rate computation is
+    * engine-exact (per-source sqrt rounded to the decimal grid, summed
+    * exactly, then one identical float expression tree per source);
+    * a general alpha would ride on `pow`, whose cross-engine rounding is
+    * exactly the drift the TF-IDF/NgramLm notes avoid.
+    *
+    * Shape at scale: one count aggregate (tiny), a one-row total, the
+    * per-source threshold table broadcast back over the scan — the data
+    * itself never shuffles.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      targetDocs: Long,
+      salt: String): DataFrame = {
+    require(targetDocs >= 0, s"targetDocs must be >= 0, got $targetDocs")
+    val stats = df.groupBy(sourceCol).agg(count(lit(1)).as("n_source"))
+      .withColumn("__w", round(sqrt(col("n_source")), 6).cast("decimal(20,6)"))
+    val tot = stats.agg(sum(col("__w")).as("__tw"))
+    val thresholds = stats.crossJoin(broadcast(tot))
+      .withColumn("__share", col("__w").cast("double") / col("__tw").cast("double"))
+      .withColumn("thr", least(lit(10000L),
+        floor(col("__share") * targetDocs.toDouble * 10000.0 / col("n_source"))
+          .cast("long")))
+      .select(col(sourceCol), col("n_source"), col("thr"))
+    df.join(broadcast(thresholds), Seq(sourceCol))
+      .filter(hashBucket(col(idCol), 10000, salt) < col("thr"))
+  }
+
   /** The 100 TB sibling of [[qualityFloor]]: a per-source quantile floor
     * computed from a VALUE-DOMAIN HISTOGRAM instead of an exact
     * `percentile` aggregate. `percentile` buffers and sorts every group's

@@ -1186,7 +1186,46 @@ object CurationQueries {
              |SELECT d.source, d.doc_id, d.n_chars, t.cut_bucket, t.n_source
              |FROM documents d JOIN cuts t USING (source)
              |WHERE CAST(floor(d.n_chars / 16.0) AS BIGINT) >= t.cut_bucket
-             |ORDER BY d.source, d.doc_id""".stripMargin))
+             |ORDER BY d.source, d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C18 — temperature mixture (n^alpha shares at alpha=1/2, the
+    // mT5/XLM-R up-sampling rule) over a deterministically SKEWED corpus
+    // (per-source keep percentage 30%..87% by source index, md5-decided —
+    // uniform sources would make every temperature rate identical).
+    // Small sources get boosted keep rates toward parity; rates derive
+    // from the data, not a hand map. sqrt is the one correctly-rounded
+    // power, per-source weights sum on the decimal grid, thresholds land
+    // on the integer 1/10000 grid — engine-exact end to end.
+    Q(
+      "c18_temperature_mixture",
+      (s, dir) => {
+        val skewed = Tables.documents(s, dir)
+          .select("doc_id", "source")
+          .filter(Curation.hashBucket(col("doc_id"), 100, "skew") <
+            lit(30) + lit(3) * expr("CAST(substring(source, 4) AS INT)"))
+        Curation.temperatureMixture(skewed, "source", "doc_id",
+          targetDocs = 150L, salt = "temp")
+          .select("doc_id", "source", "n_source", "thr")
+          .orderBy("doc_id")
+      },
+      Some("""WITH skewed AS (
+             |  SELECT doc_id, source FROM documents
+             |  WHERE CAST(CAST('0x' || substr(md5('skew' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS BIGINT)
+             |        < 30 + 3 * CAST(substr(source, 4) AS INT)),
+             |stats AS (SELECT source, count(*) AS n_source,
+             |                 CAST(round(sqrt(count(*)), 6) AS DECIMAL(20,6)) AS w
+             |          FROM skewed GROUP BY 1),
+             |tot AS (SELECT sum(w) AS tw FROM stats),
+             |thr AS (SELECT source, n_source,
+             |               least(10000, CAST(floor(
+             |                 (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
+             |                   * 150.0 * 10000.0 / n_source) AS BIGINT)) AS thr
+             |        FROM stats CROSS JOIN tot)
+             |SELECT s.doc_id, s.source, t.n_source, t.thr
+             |FROM skewed s JOIN thr t USING (source)
+             |WHERE CAST(CAST('0x' || substr(md5('temp' || CAST(s.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS BIGINT) < t.thr
+             |ORDER BY s.doc_id""".stripMargin))
   )
 
   /** src<i> repeats (i%8)*0.4 epochs — covers drop (0), fractional (<1),

@@ -8,7 +8,7 @@ import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
-import graft.text.{Bpe, HeavyHitters, NgramLm, TextFunctions}
+import graft.text.{Bpe, HeavyHitters, LineFilter, NgramLm, TextFunctions}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, exact shingle-Jaccard,
@@ -996,6 +996,57 @@ object TrainingData {
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |WHERE d.text IS NOT NULL
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T21 — C4-style line filtering over a synthesized multi-line web
+    // wrapper (the t9/t11 pattern: corpus text is single-line, so each
+    // doc is wrapped with the boilerplate a crawler actually sees — nav
+    // crumbs, a cookie banner, a javascript nag, a too-short line, and a
+    // per-doc tail that every 17th doc turns into a curly-brace template
+    // artifact). One projection, no shuffle: split/filter/array_join.
+    Q(
+      "t21_c4_line_filter",
+      (s, dir) => {
+        val wrapped = Tables.documents(s, dir).select(
+          col("doc_id"),
+          concat_ws("\n",
+            lit("Home | About | Contact"),
+            lit("We use cookies to improve your experience."),
+            lit("Please enable JavaScript to continue."),
+            concat(col("text"), lit(".")),
+            lit("so short."),
+            when(col("doc_id") % 17 === 0,
+              lit("curly { brace template artifact here."))
+              .otherwise(lit("Thanks for reading, good bye friend."))).as("text"))
+        LineFilter.c4Lines(wrapped, minWords = 5,
+          banned = Seq("javascript", "cookies"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH wrapped AS (
+             |  SELECT doc_id,
+             |         'Home | About | Contact' || chr(10) ||
+             |         'We use cookies to improve your experience.' || chr(10) ||
+             |         'Please enable JavaScript to continue.' || chr(10) ||
+             |         text || '.' || chr(10) ||
+             |         'so short.' || chr(10) ||
+             |         CASE WHEN doc_id % 17 = 0
+             |              THEN 'curly { brace template artifact here.'
+             |              ELSE 'Thanks for reading, good bye friend.' END AS text
+             |  FROM documents),
+             |f AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+             |             list_filter(string_split(text, chr(10)),
+             |               l -> len(string_split(l, ' ')) >= 5
+             |                    AND regexp_matches(l, '[.!?]$')
+             |                    AND NOT contains(lower(l), 'javascript')
+             |                    AND NOT contains(lower(l), 'cookies')) AS kept,
+             |             contains(text, '{') AS has_brace
+             |      FROM wrapped)
+             |SELECT doc_id,
+             |       CAST(len(lines) AS BIGINT) AS n_lines,
+             |       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+             |       array_to_string(kept, chr(10)) AS text_clean,
+             |       (NOT has_brace) AND len(kept) > 0 AS doc_keep
+             |FROM f ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T18 — the composed round-6 pipeline under ONE oracle: stopword

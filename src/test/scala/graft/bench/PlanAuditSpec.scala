@@ -43,7 +43,9 @@ class PlanAuditSpec extends SparkTestBase {
     // one-row corpus-count side of the tf*N/df scoring join
     "t10_tfidf_top_terms",
     // one-row vocabulary-size side of the smoothed-probability join
-    "t20_lm_perplexity_filter")
+    "t20_lm_perplexity_filter",
+    // one-row weight-total side of the temperature-share computation
+    "c18_temperature_mixture")
 
   test("no registered query plans a cartesian or an unaccounted nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"

@@ -411,4 +411,34 @@ class CurationSpec extends SparkTestBase {
     // entirely — "floor at the 100th percentile" correctly keeps nothing.
     assert(Curation.histogramQuantileFloor(docs, "src", "v", 1L, 1L, 2L).count() == 0L)
   }
+
+  test("temperatureMixture boosts small sources toward parity, clamps at 1, stays deterministic") {
+    import spark.implicits._
+    // 400 big + 25 small: proportional sampling would keep 16x more big
+    // docs per small doc; sqrt shares boost the small source's RATE 4x.
+    val docs = ((0L until 400L).map(i => (i, "big")) ++
+      (1000L until 1025L).map(i => (i, "small"))).toDF("id", "src")
+    val out = Curation.temperatureMixture(docs, "src", "id", targetDocs = 200L, salt = "t")
+    val thr = out.select("src", "thr").distinct().as[(String, Long)].collect().toMap
+    // shares: w_big=20, w_small=5 of 25 -> rate_big = (.8*200)/400 = .4,
+    // rate_small = (.2*200)/25 = 1.6 -> clamped to 1.0
+    assert(thr("big") == 4000L && thr("small") == 10000L, s"got $thr")
+    assert(out.filter(col("src") === "small").count() == 25L) // rate 1: all kept
+    val again = Curation.temperatureMixture(docs.repartition(7), "src", "id",
+      targetDocs = 200L, salt = "t").select("id").as[Long].collect().sorted.toSeq
+    assert(again == out.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("temperatureMixture derives rates from the data, sub-proportionally") {
+    import spark.implicits._
+    val base = (0L until 100L).map(i => (i, "a")) ++ (500L until 600L).map(i => (i, "b"))
+    val grown = base ++ (2000L until 2300L).map(i => (i, "b"))
+    def thrOf(rows: Seq[(Long, String)], src: String): Long =
+      Curation.temperatureMixture(rows.toDF("id", "src"), "src", "id", 100L, "t")
+        .filter(col("src") === src).select("thr").distinct().as[Long].collect().head
+    // base: equal sources, rate .5 each. b grown 4x: sqrt shares make b's
+    // rate fall 3x (not 4x — temperature flattens) and dilute a to 1/3.
+    assert(thrOf(base, "a") == 5000L && thrOf(base, "b") == 5000L)
+    assert(thrOf(grown, "a") == 3333L && thrOf(grown, "b") == 1666L)
+  }
 }
