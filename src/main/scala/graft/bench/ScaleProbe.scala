@@ -75,6 +75,19 @@ object ScaleProbe {
         Dedup.jaccardShinglePairs(
           d.join(surv, "doc_id"), threshold = 0.5, maxDocFreq = Some(100)).count()
       }
+      // Incremental near-dup: a FIXED 1x batch screened against a growing
+      // history — the steady-state daily-crawl regime (history >> batch).
+      // The replica history multiplies every shingle's df by the copy
+      // count, so the df cap is what keeps the probe-index join bounded;
+      // healthy = ~linear in history (index build) with the join flat.
+      time(s"incr_neardup $label")(
+        Dedup.incrementalNearDup(docs1.limit(500), d,
+          threshold = 0.5, maxDocFreq = Some(100)).count())
+      // LM scoring: train on 1x, score the growing corpus — the count
+      // tables are fixed; healthy = ~linear (scoring is equi-joins + one
+      // map-side-combined rollup; nothing about the model rescales).
+      time(s"lm_crossentropy $label")(
+        graft.text.NgramLm.crossEntropy(d, docs1, maxCrossEntropy = 3.4).count())
     }
     for ((label, e) <- Seq("1x" -> emb1, s"${n}x" -> embN)) {
       val queries = e.limit(20)
@@ -101,6 +114,22 @@ object ScaleProbe {
         Similarity.ivfPqTopK(queries, e, nCells = 32, nProbe = 4,
           m = 4, ksub = 16, k = 5, trainIters = 2).count())
       time(s"embedding_neardup $label")(Similarity.nearDupPairs(e, planes, 0.95).count())
+    }
+    // SemDeDup's scale knob made visible: at FIXED k the per-cluster
+    // population grows with N and the within-cluster join is quadratic in
+    // it (Σ|cluster|² ≈ N²/k) — the paper grows k with the corpus
+    // precisely to hold |cluster| flat. The counter-cost is assignment
+    // (N·k cosines against the broadcast centroids), so the two faces
+    // balance around k ~ sqrt(N·cost-ratio): at this toy N the N·k face
+    // still dominates and scaled-k pays MORE than fixed-k — the probe's
+    // real check is that neither regime bends superlinear, and that the
+    // pair face (the one that owns the 100 TB cliff, growing N²/k) is the
+    // one scaled-k visibly caps.
+    for ((label, e, k) <- Seq(("1x", emb1, 16), (s"${n}x fixed-k", embN, 16),
+      (s"${n}x scaled-k", embN, 16 * n))) {
+      time(s"semdedup $label")(
+        Similarity.semDedup(e, nClusters = k, trainIters = 1, tau = 0.9)
+          .filter(!col("is_survivor")).count())
     }
     // Cluster-collapse worst case: one chain-shaped component (the
     // adversarial diameter for label propagation — naive min-propagation

@@ -64,16 +64,29 @@ object Dedup {
       batch: DataFrame,
       history: DataFrame,
       idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    incrementalExactAgainstHashes(
+      batch,
+      history.filter(col(textCol).isNotNull)
+        .select(md5(col(textCol)).as("text_hash")),
+      idCol, textCol)
+
+  /** [[incrementalExact]] with the history side ALREADY reduced to its
+    * `text_hash` column — the landed-corpus regime where the hash was
+    * stored at ingest ([[graft.streaming.CorpusIngest]]), so the history
+    * scan never touches text at all (column pruning reaches the parquet
+    * reader; CorpusIngestSpec pins the plan).
+    */
+  def incrementalExactAgainstHashes(
+      batch: DataFrame,
+      historyHashes: DataFrame,
+      idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val batchHashed = batch
       .filter(col(textCol).isNotNull)
       .select(col(idCol), md5(col(textCol)).as("text_hash"))
-    val historyHashes = history
-      .filter(col(textCol).isNotNull)
-      .select(md5(col(textCol)).as("text_hash"))
-      .distinct()
     batchHashed
-      .join(historyHashes, Seq("text_hash"), "left_anti")
+      .join(historyHashes.select("text_hash").distinct(), Seq("text_hash"), "left_anti")
       .groupBy("text_hash")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_batch_copies"))
       .select(idCol, "text_hash", "n_batch_copies")

@@ -934,8 +934,11 @@ object TrainingData {
         val docs = Tables.documents(s, dir)
         val merges = Bpe.learnMerges(docs, nMerges = 8)
           .map { case (_, l, r, _) => (l, r) }
+        // tokenIds reads its input twice (vocab count + id join); persist
+        // so the 8-pass BPE rewrite of the corpus runs once.
+        val bpe = graft.util.CacheScope.persist(Bpe.applyBpe(docs, merges))
         HeavyHitters.tokenIds(
-          Bpe.applyBpe(docs, merges), idCol = "doc_id", textCol = "bpe_text",
+          bpe, idCol = "doc_id", textCol = "bpe_text",
           vocabSize = 16)
           .withColumn("token_ids", to_json(col("token_ids")))
           .orderBy("doc_id")

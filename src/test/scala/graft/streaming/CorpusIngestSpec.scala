@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+
+/** Dedup-at-ingest (the streaming face of d9): only first-seen texts land,
+  * cross-batch and within-batch; replays rewrite, never double.
+  */
+class CorpusIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("streamed batches land only first-seen texts, min-id within a batch") {
+    val hist = tmp("ingest-hist")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusIngest.start(
+      mem.toDF.toDF("doc_id", "text"), hist, tmp("ingest-ckpt"))
+    mem.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+    q.processAllAvailable()
+    mem.addData((10L, "beta"), (11L, "gamma"), (12L, "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val landed = CorpusIngest.readHistory(spark, hist)
+      .select("doc_id", "text").as[(Long, String)].collect().sorted.toSeq
+    // batch 1: alpha elects id 1 (3 dropped), beta lands; batch 2: beta is
+    // history-dup, gamma elects 11.
+    assert(landed == Seq((1L, "alpha"), (2L, "beta"), (11L, "gamma")))
+  }
+
+  test("replaying a micro-batch overwrites its directory instead of doubling it") {
+    val hist = tmp("ingest-replay")
+    val b0 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(b0, hist, batchId = 0L)
+    CorpusIngest.ingestBatch(b0, hist, batchId = 0L) // checkpoint replay
+    val landed = CorpusIngest.readHistory(spark, hist)
+    assert(landed.count() == 2)
+    // and a LATER batch replay is idempotent too, with history present
+    val b1 = Seq((5L, "beta"), (6L, "delta")).toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(b1, hist, batchId = 1L)
+    CorpusIngest.ingestBatch(b1, hist, batchId = 1L)
+    val all = CorpusIngest.readHistory(spark, hist)
+      .select("text").as[String].collect().sorted.toSeq
+    assert(all == Seq("alpha", "beta", "delta"))
+  }
+
+  test("history scan for dedup prunes to the hash column (store-the-hash contract)") {
+    val hist = tmp("ingest-prune")
+    CorpusIngest.ingestBatch(
+      Seq((1L, "alpha")).toDF("doc_id", "text"), hist, batchId = 0L)
+    val history = CorpusIngest.readHistory(spark, hist)
+    val plan = graft.dedup.Dedup.incrementalExactAgainstHashes(
+      Seq((2L, "beta")).toDF("doc_id", "text"), history.select("text_hash"))
+      .queryExecution.executedPlan.toString
+    // the history-side parquet scan must read ONLY text_hash (d9's "store
+    // the hash at ingest" note made physical by CorpusIngest)
+    val historyScans = plan.split("\n").filter(l =>
+      l.contains("Scan parquet") || (l.contains("FileScan") && l.contains("batch=")))
+    assert(historyScans.nonEmpty, s"no parquet scan found:\n$plan")
+    assert(historyScans.exists(l => l.contains("text_hash") && !l.contains("text:")),
+      s"history scan not pruned to text_hash:\n${historyScans.mkString("\n")}")
+  }
+}
