@@ -1225,7 +1225,57 @@ object CurationQueries {
              |SELECT s.doc_id, s.source, t.n_source, t.thr
              |FROM skewed s JOIN thr t USING (source)
              |WHERE CAST(CAST('0x' || substr(md5('temp' || CAST(s.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS BIGINT) < t.thr
-             |ORDER BY s.doc_id""".stripMargin))
+             |ORDER BY s.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q43 — the dataset card: the per-source summary a data team
+    // publishes with a corpus release — volume, length, language purity,
+    // exact-dup rate, token mass — as ONE scan + two tiny aggregates.
+    // Integer-exact until the final per-column division (the decimal
+    // contract); language share reported as a RATIO (max lang count /
+    // docs), not a name, so argmax tie semantics can't enter the hash.
+    Q(
+      "q43_dataset_card",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val bySrc = d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          count_distinct(col("lang")).as("n_langs"),
+          count_distinct(md5(col("text"))).as("n_distinct_texts"),
+          sum(TextFunctions.nTokens(col("text"))).as("n_tokens_total"))
+        val topLang = d.groupBy("source", "lang")
+          .agg(count(lit(1)).as("__nl"))
+          .groupBy("source").agg(max(col("__nl")).as("__top_lang_n"))
+        bySrc.join(topLang, Seq("source"))
+          .select(
+            col("source"), col("n_docs"), col("n_chars_total"),
+            (col("n_chars_total").cast("double") / col("n_docs")).as("avg_chars"),
+            col("n_langs"),
+            (col("__top_lang_n").cast("double") / col("n_docs")).as("top_lang_share"),
+            (lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs")).as("dup_frac"),
+            (col("n_tokens_total").cast("double") / col("n_docs")).as("avg_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH bysrc AS (
+             |  SELECT source, count(*) AS n_docs,
+             |         CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+             |         count(DISTINCT lang) AS n_langs,
+             |         count(DISTINCT md5(text)) AS n_distinct_texts,
+             |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_total
+             |  FROM documents GROUP BY 1),
+             |toplang AS (
+             |  SELECT source, max(nl) AS top_lang_n FROM (
+             |    SELECT source, lang, count(*) AS nl FROM documents GROUP BY 1, 2)
+             |  GROUP BY 1)
+             |SELECT b.source, b.n_docs, b.n_chars_total,
+             |       CAST(b.n_chars_total AS DOUBLE) / b.n_docs AS avg_chars,
+             |       b.n_langs,
+             |       CAST(t.top_lang_n AS DOUBLE) / b.n_docs AS top_lang_share,
+             |       1.0 - CAST(b.n_distinct_texts AS DOUBLE) / b.n_docs AS dup_frac,
+             |       CAST(b.n_tokens_total AS DOUBLE) / b.n_docs AS avg_tokens
+             |FROM bysrc b JOIN toplang t USING (source)
+             |ORDER BY b.source""".stripMargin))
   )
 
   /** src<i> repeats (i%8)*0.4 epochs — covers drop (0), fractional (<1),

@@ -70,4 +70,93 @@ object CorpusIngest {
         ingestBatch(batch, historyDir, batchId)
       }
       .start()
+
+  // -------------------------------------------------------------------
+  // Fuzzy frontier: the exact-hash gate above misses the one-token-edited
+  // re-crawl. This mode stores each landed document's MinHash SIGNATURE
+  // alongside its hash, and screens every new batch by LSH banding
+  // against the stored signatures — the incremental form of d2's
+  // candidate generation, with the corpus-side signature work paid ONCE
+  // at ingest instead of per screening run. History text is never read:
+  // the scan prunes to (text_hash, sig).
+
+  private def nearDupSchema =
+    "doc_id LONG, text STRING, text_hash STRING, sig ARRAY<LONG>"
+
+  def readNearDupHistory(spark: SparkSession, historyDir: String): DataFrame =
+    spark.read.schema(nearDupSchema).parquet(historyDir + "/batch=*")
+
+  private def priorBatches(
+      spark: SparkSession, historyDir: String, batchId: Long,
+      schema: String): Option[DataFrame] = {
+    val dirs = Option(new java.io.File(historyDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")
+        && f.getName != s"batch=$batchId")
+      .map(_.getAbsolutePath)
+    if (dirs.isEmpty) None
+    else Some(spark.read.schema(schema).parquet(dirs: _*))
+  }
+
+  /** One micro-batch of the near-dup frontier: a batch document lands iff
+    * (a) its exact hash is unseen, (b) no LSH band collision with a
+    * stored signature estimates Jaccard >= `minEstJaccard`, and (c) it is
+    * the min-id of its exact hash within the batch. Within-batch NEAR
+    * dups both land (the next batch will screen against them) — the
+    * standard frontier compromise that keeps each batch one pass.
+    */
+  def ingestBatchNearDup(
+      batch: DataFrame, historyDir: String, batchId: Long,
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      minEstJaccard: Double = 0.7): Unit = {
+    import graft.text.TextFunctions
+    val spark = batch.sparkSession
+    val history = priorBatches(spark, historyDir, batchId, nearDupSchema)
+    val sigs = graft.util.CacheScope.persist(
+      Dedup.minhashSignatures(batch, k, shingleN))
+    val exactSurvivors = history match {
+      case None => Dedup.incrementalExactAgainstHashes(
+        batch, spark.emptyDataFrame.select(lit("").as("text_hash")).limit(0))
+      case Some(h) => Dedup.incrementalExactAgainstHashes(batch, h.select("text_hash"))
+    }
+    val nearDropped = history match {
+      case None => spark.range(0).select(col("id").as("doc_id"))
+      case Some(h) =>
+        val bBands = sigs.select(col("id"),
+          posexplode(TextFunctions.minhashBands(col("sig"), k, bands))
+            .as(Seq("band", "band_hash")))
+        val hSigs = h.select(col("doc_id").as("hid"), col("sig").as("hsig"))
+        val hBands = hSigs.select(col("hid"),
+          posexplode(TextFunctions.minhashBands(col("hsig"), k, bands))
+            .as(Seq("band", "band_hash")))
+        bBands.join(hBands, Seq("band", "band_hash"))
+          .select("id", "hid").distinct()
+          .join(sigs, Seq("id"))
+          .join(hSigs, Seq("hid"))
+          .filter(TextFunctions.minhashJaccardEstimate(
+            col("sig"), col("hsig"), k) >= minEstJaccard)
+          .select(col("id").as("doc_id")).distinct()
+    }
+    try exactSurvivors
+      .select(col("doc_id"), col("text_hash"))
+      .join(nearDropped, Seq("doc_id"), "left_anti")
+      .join(batch.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .join(sigs.select(col("id").as("doc_id"), col("sig")), Seq("doc_id"), "left")
+      .select("doc_id", "text", "text_hash", "sig")
+      .write.mode("overwrite")
+      .parquet(s"$historyDir/batch=$batchId")
+    // A long-running stream is one unit of work per batch: release the
+    // signature persist each time or the cache grows with the stream.
+    finally graft.util.CacheScope.releaseAll()
+  }
+
+  def startNearDup(
+      docs: DataFrame, historyDir: String, checkpointDir: String,
+      minEstJaccard: Double = 0.7): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchNearDup(batch, historyDir, batchId,
+          minEstJaccard = minEstJaccard)
+      }
+      .start()
 }

@@ -49,6 +49,37 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(all == Seq("alpha", "beta", "delta"))
   }
 
+  test("near-dup frontier: an edited re-crawl is screened out by the stored signatures") {
+    val hist = tmp("ingest-nd")
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    CorpusIngest.ingestBatchNearDup(
+      Seq((1L, long), (2L, "totally different content " + (1 to 40).map(i => s"x$i").mkString(" ")))
+        .toDF("doc_id", "text"), hist, batchId = 0L)
+    // batch 1: an exact dup of 1, a near-dup of 1 (one token edited), fresh
+    CorpusIngest.ingestBatchNearDup(
+      Seq(
+        (10L, long),
+        (11L, long.replace("w20", "EDITED")),
+        (12L, "fresh " + (1 to 40).map(i => s"y$i").mkString(" ")))
+        .toDF("doc_id", "text"), hist, batchId = 1L)
+    val landed = CorpusIngest.readNearDupHistory(spark, hist)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(landed == Seq(1L, 2L, 12L),
+      s"exact dup 10 and near-dup 11 must be screened, got $landed")
+  }
+
+  test("near-dup frontier replay is idempotent and the first batch lands whole") {
+    val hist = tmp("ingest-nd-replay")
+    val b0 = Seq(
+      (1L, (1 to 30).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    CorpusIngest.ingestBatchNearDup(b0, hist, batchId = 0L)
+    CorpusIngest.ingestBatchNearDup(b0, hist, batchId = 0L) // replay
+    val landed = CorpusIngest.readNearDupHistory(spark, hist)
+    assert(landed.count() == 2)
+    assert(landed.filter(landed("sig").isNotNull).count() == 2, "signatures stored")
+  }
+
   test("history scan for dedup prunes to the hash column (store-the-hash contract)") {
     val hist = tmp("ingest-prune")
     CorpusIngest.ingestBatch(
