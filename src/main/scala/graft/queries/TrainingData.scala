@@ -8,7 +8,7 @@ import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
-import graft.text.{Bpe, HeavyHitters, LineFilter, NgramLm, TextFunctions}
+import graft.text.{Bpe, CharNgramLangId, HeavyHitters, LineFilter, NgramLm, TextFunctions}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, exact shingle-Jaccard,
@@ -998,6 +998,77 @@ object TrainingData {
              |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_bigrams <= 3.4, FALSE) AS keep
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |WHERE d.text IS NOT NULL
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T22 — trained char-bigram language ID (the langid.py shape): per-
+    // language bigram profiles counted from the labeled doc_id%3<>0
+    // slice, every doc classified by integer-exact profile dot products
+    // (floats only in the single normalizing division). Upgrades t1's
+    // curated-stopword heuristic to a learned model; handles zh free.
+    Q(
+      "t22_langid_ngram",
+      (s, dir) => {
+        // The synthetic corpus text is language-less token soup under a
+        // random lang label, so (the t9/t11 fixture pattern) each doc is
+        // suffixed with a short genuine phrase of its labeled language —
+        // the classifier must then LEARN the discriminating character
+        // grams through the shared-soup noise, which is the capability
+        // under test.
+        val phrase = Map(
+          "en" -> " the quick brown fox jumps over the lazy dog",
+          "de" -> " der schnelle braune fuchs springt ueber den faulen hund",
+          "fr" -> " le renard brun rapide saute par dessus le chien paresseux",
+          "es" -> " el zorro marron rapido salta sobre el perro perezoso",
+          "zh" -> " 敏捷的棕色狐狸跳过懒惰的狗")
+        val d = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"),
+          concat(col("text"),
+            coalesce(element_at(typedLit(phrase), col("lang")), lit("")))
+            .as("text"))
+        CharNgramLangId.classify(d, d.filter(col("doc_id") % 3 =!= 0))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, lang, text ||
+             |         CASE lang
+             |           WHEN 'en' THEN ' the quick brown fox jumps over the lazy dog'
+             |           WHEN 'de' THEN ' der schnelle braune fuchs springt ueber den faulen hund'
+             |           WHEN 'fr' THEN ' le renard brun rapide saute par dessus le chien paresseux'
+             |           WHEN 'es' THEN ' el zorro marron rapido salta sobre el perro perezoso'
+             |           WHEN 'zh' THEN ' 敏捷的棕色狐狸跳过懒惰的狗'
+             |           ELSE '' END AS text
+             |       FROM documents),
+             |train AS (SELECT lang, text FROM docs
+             |               WHERE doc_id % 3 <> 0 AND text IS NOT NULL
+             |                 AND lang IS NOT NULL AND length(text) >= 2),
+             |prof AS (SELECT lang AS plang, gram, count(*) AS c_lang FROM (
+             |           SELECT lang, unnest(list_transform(
+             |             range(length(text) - 1),
+             |             i -> substr(text, i + 1, 2))) AS gram
+             |           FROM train)
+             |         GROUP BY 1, 2),
+             |tot AS (SELECT plang, CAST(sum(c_lang) AS BIGINT) AS n_lang
+             |        FROM prof GROUP BY 1),
+             |dg AS (SELECT doc_id, gram, count(*) AS c_doc FROM (
+             |         SELECT doc_id, unnest(list_transform(
+             |           range(length(text) - 1),
+             |           i -> substr(text, i + 1, 2))) AS gram
+             |         FROM docs WHERE text IS NOT NULL AND length(text) >= 2)
+             |       GROUP BY 1, 2),
+             |sc AS (SELECT dg.doc_id, p.plang,
+             |              CAST(sum(dg.c_doc * p.c_lang) AS BIGINT) AS dot
+             |       FROM dg JOIN prof p USING (gram) GROUP BY 1, 2),
+             |ranked AS (SELECT sc.doc_id, sc.plang,
+             |                  CAST(sc.dot AS DOUBLE) / t.n_lang AS score,
+             |                  row_number() OVER (PARTITION BY sc.doc_id
+             |                    ORDER BY CAST(sc.dot AS DOUBLE) / t.n_lang DESC,
+             |                             sc.plang ASC) AS rk
+             |           FROM sc JOIN tot t USING (plang))
+             |SELECT d.doc_id, r.plang AS pred_lang, r.score,
+             |       r.plang IS NOT DISTINCT FROM d.lang AS is_correct
+             |FROM docs d
+             |LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rk = 1
+             |WHERE d.text IS NOT NULL AND length(d.text) >= 2
              |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
