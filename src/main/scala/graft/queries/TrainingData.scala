@@ -1406,6 +1406,39 @@ object TrainingData {
              |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // E12 — FILTERED exact top-k (the tenant/label constraint of every
+    // production vector search): neighbors drawn only from same-label
+    // corpus rows. The filter is the JOIN KEY — a pre-filter by
+    // construction, never the silently-underfilling post-filter. Bit-
+    // exact DuckDB oracle like e1.
+    Q(
+      "e12_ann_filtered",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.filteredTopK(emb.filter(col("vec_id") < 8), emb,
+          k = 3, filterCols = Seq("label"))
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine", "label")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, label,
+             |                  CAST(embedding AS DOUBLE[]) AS qv
+             |           FROM embeddings WHERE vec_id < 8),
+             |c AS (SELECT vec_id AS neighbor_id, label,
+             |             CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             |sc AS (SELECT query_id, neighbor_id, q.label,
+             |              list_dot_product(qv, cv) /
+             |              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+             |       FROM c JOIN q USING (label)
+             |       WHERE neighbor_id <> query_id),
+             |r AS (SELECT query_id, neighbor_id, label, cosine,
+             |             CAST(row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+             |      FROM sc)
+             |SELECT query_id, rnk, neighbor_id, cosine, label FROM r
+             |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // E2 — LSH-bucketed ANN (random-hyperplane buckets, bucket-local join):
     // the scale path. Approximate by construction: rows-only check; recall
     // vs brute force pinned in SimilaritySpec.

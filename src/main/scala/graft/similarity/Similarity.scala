@@ -90,6 +90,38 @@ object Similarity {
     topKPerQuery(cand, k)
   }
 
+  /** FILTERED exact top-k: each query's neighbors drawn only from corpus
+    * rows matching it on `filterCols` (the tenant/label/language
+    * constraint of every production vector search). The filter is a
+    * PRE-filter by construction — it becomes the JOIN KEY, so the pair
+    * loop never scores an ineligible vector and the plan is a hash join
+    * on the predicate instead of the unfiltered broadcast cross product.
+    * The alternative (post-filtering an unfiltered top-k) silently
+    * underfills k whenever fewer than k of the global top score rows
+    * match — the classic filtered-ANN correctness trap; this never does.
+    *
+    * At IVF scale the same rule holds: make the filter column part of the
+    * stored table's partition key next to the cell id, and the probe
+    * prunes to (filter, cell) — composition left to the caller.
+    */
+  def filteredTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, filterCols: Seq[String],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(filterCols.nonEmpty, "filterCols must be non-empty; use bruteForceTopK")
+    val q = queries.select(
+      filterCols.map(col) ++ Seq(
+        col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm")): _*)
+    val c = corpus.select(
+      filterCols.map(col) ++ Seq(
+        col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm")): _*)
+    val cand = c.join(broadcast(q), filterCols)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    topKPerQuery(cand, k, extra = filterCols)
+  }
+
   /** Deterministic random hyperplanes (fixed seed) for LSH bucketing. */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

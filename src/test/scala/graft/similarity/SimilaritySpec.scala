@@ -362,6 +362,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(trained === brute)
   }
 
+  test("filteredTopK == brute force over each label's own sub-corpus (pre-filter, never underfills)") {
+    val queries = emb.filter(col("vec_id") < 6)
+    val got = Similarity.filteredTopK(queries, emb, k = 3, filterCols = Seq("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = queries.select("vec_id", "label").collect().flatMap { qr =>
+      val (qid, lbl) = (qr.getLong(0), qr.getInt(1))
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === qid),
+        emb.filter(col("label") === lbl), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(got == want)
+    // every result row's neighbor shares the query's label by construction
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall { case (q, _, n) => labels(q) == labels(n) })
+  }
+
   test("semDedup drops the higher id of an injected exact semantic dup, keeps the rest") {
     import spark.implicits._
     val dupped = emb.unionByName(
