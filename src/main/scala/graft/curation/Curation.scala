@@ -558,6 +558,12 @@ object Curation {
     * Shape at scale: one count aggregate (tiny), a one-row total, the
     * per-source threshold table broadcast back over the scan — the data
     * itself never shuffles.
+    *
+    * Null sources: a null `sourceCol` forms its own count group but the
+    * threshold join back is INNER on the source, so null-source rows drop
+    * from the sample (same contract as [[qualityFloor]]'s three-valued
+    * `>=`) — route unlabeled rows to a default source first if they
+    * should participate.
     */
   def temperatureMixture(
       df: DataFrame,
@@ -594,7 +600,8 @@ object Curation {
     * the kept region starts at the first bucket whose cumulative count
     * crosses the quantile. The floor is bucket-granular — that coarseness
     * (vs the exact [[qualityFloor]]) is the price of never sorting values,
-    * and `bucketWidth` is the knob that buys it back.
+    * and `bucketWidth` is the knob that buys it back. Null sources drop
+    * at the inner cut join ([[temperatureMixture]]'s null contract).
     */
   def histogramQuantileFloor(
       df: DataFrame,

@@ -8,7 +8,7 @@ import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
-import graft.text.{Bpe, CharNgramLangId, HeavyHitters, LineFilter, NgramLm, TextFunctions}
+import graft.text.{Bpe, CharNgramLangId, Entropy, HeavyHitters, LineFilter, NgramLm, TextFunctions}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, exact shingle-Jaccard,
@@ -999,6 +999,45 @@ object TrainingData {
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |WHERE d.text IS NOT NULL
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T23 — character-entropy quality band: the model-free gibberish/
+    // degeneracy detector. Every 25th doc re-enters as an 'ababab…'
+    // degenerate twin (entropy exactly ln 2 — the injected fail case);
+    // natural soup sits ~3 nats and passes the [2.0, 4.5] band. Same
+    // integer-ln decimal contract as t20.
+    Q(
+      "t23_char_entropy",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val degen = d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("repeat('ab', CAST(floor(n_chars / 2) AS INT))").as("text"))
+        Entropy.charEntropy(
+          d.select("doc_id", "text").unionByName(degen),
+          minEntropy = 2.0, maxEntropy = 4.5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH degen AS (SELECT doc_id + 1000000 AS doc_id,
+             |                      repeat('ab', CAST(floor(n_chars / 2) AS INT)) AS text
+             |               FROM documents WHERE doc_id % 25 = 0),
+             |docs AS (SELECT doc_id, text FROM documents
+             |         UNION ALL SELECT doc_id, text FROM degen),
+             |ch AS (SELECT doc_id, unnest(list_transform(
+             |                range(length(text)), i -> substr(text, i + 1, 1))) AS ch
+             |       FROM docs WHERE text IS NOT NULL AND length(text) >= 1),
+             |hist AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+             |               count(*) AS n_distinct_chars,
+             |               sum(c * CAST(ln(c) AS DECIMAL(20,6))) AS clnc
+             |        FROM hist GROUP BY 1),
+             |e AS (SELECT doc_id, n_chars, n_distinct_chars,
+             |             CAST(CAST(ln(n_chars) AS DECIMAL(20,6)) AS DOUBLE)
+             |               - CAST(clnc AS DOUBLE) / n_chars AS entropy_nats
+             |      FROM agg)
+             |SELECT doc_id, n_chars, n_distinct_chars, entropy_nats,
+             |       entropy_nats >= 2.0 AND entropy_nats <= 4.5 AS keep
+             |FROM e ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T22 — trained char-bigram language ID (the langid.py shape): per-
