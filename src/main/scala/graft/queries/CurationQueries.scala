@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.curation.Curation
@@ -1275,7 +1276,49 @@ object CurationQueries {
              |       1.0 - CAST(b.n_distinct_texts AS DOUBLE) / b.n_docs AS dup_frac,
              |       CAST(b.n_tokens_total AS DOUBLE) / b.n_docs AS avg_tokens
              |FROM bysrc b JOIN toplang t USING (source)
-             |ORDER BY b.source""".stripMargin))
+             |ORDER BY b.source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q44 — transcript assembly: gap-sessionized event streams flattened
+    // to ONE ordered row per conversation — the log→SFT-example step
+    // (q27 counts sessions; this emits their contents). Ordered collect
+    // done deterministically: collect_list is order-free, so the structs
+    // sort on their unique (ts, event_id) key INSIDE the row before the
+    // join — never a window re-sort of the exploded stream.
+    Q(
+      "q44_transcript_assembly",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("boundary",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx", sum(col("boundary")).over(w))
+          .groupBy("user_id", "session_idx")
+          .agg(
+            count(lit(1)).as("n_turns"),
+            concat_ws(" -> ", transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type"))).as("transcript"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type, ts,
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |b AS (
+             |  SELECT *, CASE WHEN prev_ts IS NULL
+             |                   OR date_diff('second', prev_ts, ts) > 1800
+             |                 THEN 1 ELSE 0 END AS boundary FROM e),
+             |s AS (
+             |  SELECT *, CAST(sum(boundary) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
+             |  FROM b)
+             |SELECT user_id, session_idx, count(*) AS n_turns,
+             |       string_agg(event_type, ' -> ' ORDER BY ts, event_id) AS transcript
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** src<i> repeats (i%8)*0.4 epochs — covers drop (0), fractional (<1),
