@@ -1040,6 +1040,107 @@ object TrainingData {
              |FROM e ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T25 — the INGEST-side capstone (t18b's sibling at the other end of
+    // the pipeline): raw crawl wrapper -> C4 line filter -> entropy band
+    // -> exact dedup of the CLEANED text, composed under ONE oracle. The
+    // fixture plants a failure for every stage: boilerplate lines in
+    // every doc (line filter), an 'ab ab ab…' degenerate twin per 25th
+    // doc — word-shaped and long, so it SURVIVES the line filter and the
+    // entropy band is what catches it — and a verbatim re-ingest of
+    // every 10th doc (dedup) —
+    // drift anywhere breaks the final hash. Dedup keys on the CLEANED
+    // text, which is the point of the ordering: boilerplate variance
+    // must not hide copies.
+    Q(
+      "t25_ingest_gate_pipeline",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val degen = d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(expr("repeat('ab ', CAST(2 * n_chars AS INT))"), lit("ab")).as("text"))
+        val base = docsWithExactDups(s, dir).unionByName(degen)
+        val wrapped = base.select(
+          col("doc_id"),
+          concat_ws("\n",
+            lit("Home | About | Contact"),
+            lit("We use cookies to improve your experience."),
+            lit("Please enable JavaScript to continue."),
+            concat(col("text"), lit(".")),
+            lit("so short."),
+            lit("Thanks for reading, good bye friend.")).as("text"))
+        val clean = LineFilter.c4Lines(wrapped, minWords = 5,
+          banned = Seq("javascript", "cookies"))
+          .select(col("doc_id"), col("n_lines_kept"), col("text_clean"))
+        val ent = Entropy.charEntropy(
+          clean.select(col("doc_id"), col("text_clean").as("text")),
+          minEntropy = 2.0, maxEntropy = 4.5)
+          .select(col("doc_id").as("__eid"), col("entropy_nats"),
+            col("keep").as("ent_keep"))
+        val gated = clean.join(ent, col("doc_id") === col("__eid"))
+          .withColumn("h", md5(col("text_clean")))
+        val dd = gated.filter(col("ent_keep"))
+          .groupBy("h")
+          .agg(min(col("doc_id")).as("__survivor"), count(lit(1)).as("__n_copies"))
+        gated.join(dd, Seq("h"), "left")
+          .select(
+            col("doc_id"), col("n_lines_kept"), col("entropy_nats"), col("ent_keep"),
+            when(col("ent_keep"), col("__n_copies")).as("n_copies"),
+            coalesce(col("ent_keep") && col("doc_id") === col("__survivor"), lit(false))
+              .as("is_survivor"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH degen AS (SELECT doc_id + 2000000 AS doc_id,
+             |                      repeat('ab ', CAST(2 * n_chars AS INT)) || 'ab' AS text
+             |               FROM documents WHERE doc_id % 25 = 0),
+             |base AS (SELECT doc_id, text FROM documents
+             |         UNION ALL
+             |         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+             |         UNION ALL
+             |         SELECT doc_id, text FROM degen),
+             |wrapped AS (SELECT doc_id,
+             |       'Home | About | Contact' || chr(10) ||
+             |       'We use cookies to improve your experience.' || chr(10) ||
+             |       'Please enable JavaScript to continue.' || chr(10) ||
+             |       text || '.' || chr(10) ||
+             |       'so short.' || chr(10) ||
+             |       'Thanks for reading, good bye friend.' AS text
+             |  FROM base),
+             |lf AS (SELECT doc_id,
+             |             list_filter(string_split(text, chr(10)),
+             |               l -> len(string_split(l, ' ')) >= 5
+             |                    AND regexp_matches(l, '[.!?]$')
+             |                    AND NOT contains(lower(l), 'javascript')
+             |                    AND NOT contains(lower(l), 'cookies')) AS kept
+             |       FROM wrapped),
+             |clean AS (SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+             |                 array_to_string(kept, chr(10)) AS text_clean
+             |          FROM lf),
+             |ch AS (SELECT doc_id, unnest(list_transform(
+             |                range(length(text_clean)),
+             |                i -> substr(text_clean, i + 1, 1))) AS ch
+             |       FROM clean WHERE length(text_clean) >= 1),
+             |hist AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+             |               sum(c * CAST(ln(c) AS DECIMAL(20,6))) AS clnc
+             |        FROM hist GROUP BY 1),
+             |ent AS (SELECT doc_id,
+             |               CAST(CAST(ln(n_chars) AS DECIMAL(20,6)) AS DOUBLE)
+             |                 - CAST(clnc AS DOUBLE) / n_chars AS entropy_nats
+             |        FROM agg),
+             |gated AS (SELECT c.doc_id, c.n_lines_kept, c.text_clean,
+             |                 e.entropy_nats,
+             |                 (e.entropy_nats >= 2.0 AND e.entropy_nats <= 4.5) AS ent_keep
+             |          FROM clean c JOIN ent e USING (doc_id)),
+             |dd AS (SELECT md5(text_clean) AS h, min(doc_id) AS survivor,
+             |              count(*) AS n_copies
+             |       FROM gated WHERE ent_keep GROUP BY 1)
+             |SELECT g.doc_id, g.n_lines_kept, g.entropy_nats, g.ent_keep,
+             |       CASE WHEN g.ent_keep THEN d.n_copies END AS n_copies,
+             |       coalesce(g.ent_keep AND g.doc_id = d.survivor, FALSE) AS is_survivor
+             |FROM gated g LEFT JOIN dd d ON md5(g.text_clean) = d.h
+             |ORDER BY g.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T22 — trained char-bigram language ID (the langid.py shape): per-
     // language bigram profiles counted from the labeled doc_id%3<>0
     // slice, every doc classified by integer-exact profile dot products
