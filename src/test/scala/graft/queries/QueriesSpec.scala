@@ -41,6 +41,18 @@ class QueriesSpec extends SparkTestBase {
     assert(sh == Seq((1L, 2L, 3L)))      // hamming(1,2)=3, found via blocks
   }
 
+  test("registry integrity: names unique and filename-safe") {
+    // SparkEntry.queries/oracleSql are Maps: a duplicated name would
+    // SILENTLY drop one entry from the driver gate — the registry must
+    // fail loudly here instead.
+    val names = graft.SparkEntry.allQueries.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    // the driver keys results by '<name>.parquet' output files
+    val bad = names.filterNot(_.matches("[a-z0-9_]+"))
+    assert(bad.isEmpty, s"names not filename-safe: $bad")
+  }
+
   test("to_json of array columns matches DuckDB to_json rendering") {
     val (strs, longs, empty, nul) = Seq(
       (Seq("a", "b"), Seq(0L, 4L, 8L), Seq.empty[Long], null: Seq[String]))
