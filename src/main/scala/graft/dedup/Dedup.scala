@@ -159,6 +159,51 @@ object Dedup {
         coalesce(col("best_jaccard") >= threshold, lit(false)).as("is_dup"))
   }
 
+  /** N-gram novelty scoring — the third face of the incremental family
+    * (exact: [[incrementalExact]], fuzzy: [[incrementalNearDup]]): per
+    * batch document, what FRACTION of its shingles has never been seen in
+    * history. Near-dups score near 0, fresh prose near 1, remixes in
+    * between — the data-valuation signal for "is this crawl worth
+    * ingesting" and novelty-weighted sampling.
+    *
+    * Shape at scale: history reduces to its DISTINCT shingle set once
+    * (store it at ingest like the hashes and this is a pure join); the
+    * batch index left-joins it and one map-side-combined rollup emits
+    * (id, n_grams, n_novel). One IEEE division per doc at the end. Docs
+    * too short to shingle report 0/0 with a null fraction (nothing to
+    * judge); null-text rows are excluded per the family's contract.
+    */
+  def ngramNovelty(
+      batch: DataFrame,
+      history: DataFrame,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def shingled(docs: DataFrame): DataFrame = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        explode(array_distinct(TextFunctions.shinglesFromTokens(col("toks"), shingleN)))
+          .as("shingle"))
+    val seen = shingled(history).select("shingle").distinct()
+      .withColumn("__seen", lit(true))
+    val scored = shingled(batch)
+      .join(seen, Seq("shingle"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    batch
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol))
+      .join(scored, col(idCol) === scored("id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty_frac"))
+  }
+
   /** MinHash signatures computed the distributed way: explode shingles, hash
     * each once per seed, re-aggregate with `min` — map-side partial
     * aggregation makes the shuffle one (id, k longs) row per doc. A single

@@ -624,6 +624,48 @@ object TrainingData {
              |ORDER BY b.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // D13 — n-gram novelty scores: the incremental family's third face
+    // (d9 exact, d12 fuzzy, d13 graded). The fixture re-ingests every
+    // 7th history doc verbatim (novelty ~= 0 — only the boundary grams
+    // of the tail can be novel: exactly 0 here since text is unchanged)
+    // next to the genuinely-unseen %5 slice (novelty near 1).
+    Q(
+      "d13_ngram_novelty",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val history = d.filter(col("doc_id") % 5 =!= 0)
+        val batch = d.filter(col("doc_id") % 5 === 0)
+          .unionAll(d.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        Dedup.ngramNovelty(batch, history).orderBy("doc_id")
+      },
+      Some("""WITH history AS (SELECT doc_id, text FROM documents
+             |                 WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+             |batch AS (SELECT doc_id, text FROM documents
+             |          WHERE doc_id % 5 = 0 AND text IS NOT NULL
+             |          UNION ALL
+             |          SELECT doc_id + 100000, text FROM documents
+             |          WHERE doc_id % 7 = 0 AND text IS NOT NULL),
+             |hsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+             |                range(len(string_split(text,' ')) - 2),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' ')))) AS shingle
+             |        FROM history WHERE len(string_split(text,' ')) >= 3),
+             |bsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |                range(len(string_split(text,' ')) - 2),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' ')))) AS shingle
+             |        FROM batch WHERE len(string_split(text,' ')) >= 3),
+             |sc AS (SELECT b.doc_id, count(*) AS n_grams,
+             |              CAST(sum(CASE WHEN h.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+             |       FROM bsh b LEFT JOIN hsh h USING (shingle)
+             |       GROUP BY 1)
+             |SELECT b.doc_id,
+             |       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+             |       CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
+             |       CAST(s.n_novel AS DOUBLE) / s.n_grams AS novelty_frac
+             |FROM batch b LEFT JOIN sc s ON s.doc_id = b.doc_id
+             |ORDER BY b.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T1 — heuristic language ID histogram (stopword-hit argmax).
     Q(
       "t1_lang_id",

@@ -147,6 +147,26 @@ class DedupSpec extends SparkTestBase {
     assert(got(12L) == ((0L, -1.0, false)))
   }
 
+  test("ngramNovelty: verbatim re-ingest scores 0, fresh text 1, a remix in between") {
+    import spark.implicits._
+    val history = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),  // verbatim: novelty 0
+      (11L, "one two three four five six"),           // fresh: novelty 1
+      (12L, "alpha beta gamma one two three"),        // remix: 2 of 4 grams seen
+      (13L, "xx yy"))                                  // too short: 0/0, null frac
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(batch, history)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(got(10L) == ((4L, 0L, 0.0)))
+    assert(got(11L) == ((4L, 4L, 1.0)))
+    // grams: (alpha beta gamma) seen, (beta gamma one), (gamma one two),
+    // (one two three) novel -> 3 of 4 novel
+    assert(got(12L) == ((4L, 3L, 0.75)))
+    assert(got(13L) == ((0L, 0L, -1.0)))
+  }
+
   test("incrementalNearDup df cap prunes candidates but never invents them; null text excluded") {
     import spark.implicits._
     val history = Seq(
