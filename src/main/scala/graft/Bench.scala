@@ -52,6 +52,15 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$runs","queries":$qs,"sf":"$sfDir",""" +
       s""""etl_baseline_comparable":{"blocks":10,"transactions":$txs,"secs":$etlSecs,"tx_per_s":$txPerS,""" +
       s""""reference_tx_per_s":"200-300 (README.md:366, 12000 txs in 20-25s)"}}""")
+    // The full per-query line above is ~8 KB and the driver keeps only the
+    // TAIL of stdout, decapitating it past JSON-parseability (every
+    // BENCH_r*.json so far has parsed:null). Repeat the headline plus the
+    // 10 slowest queries as one short self-contained line LAST, so the
+    // retained tail always contains a complete parseable record.
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$runs","n_queries":${results.size},""" +
+      s""""slowest":$slowest,"sf":"$sfDir","etl_tx_per_s":$txPerS,"etl_secs":$etlSecs}""")
     spark.stop()
   }
 }

@@ -43,7 +43,12 @@ object Scd2 {
         min(col(tsCol)).as("valid_from"),
         max(col(tsCol)).as("last_seen"),
         count(lit(1)).as("n_events"))
-    val byStart = Window.partitionBy(keyCol).orderBy(col("valid_from"))
+    // Tie-break by version: a key can have two runs sharing valid_from when
+    // a run boundary falls on equal timestamps (ordered by tieCol upstream).
+    // version is monotone in the true (ts, tieCol) order, so (valid_from,
+    // version) makes lead() — and therefore valid_to/is_current —
+    // partition-invariant even on tied starts.
+    val byStart = Window.partitionBy(keyCol).orderBy(col("valid_from"), col("version"))
     segs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
       .withColumn("is_current", col("valid_to").isNull)

@@ -1147,7 +1147,7 @@ object CurationQueries {
              |      FROM seg GROUP BY 1, 2),
              |fin AS (SELECT user_id, version, event_type, valid_from,
              |               lead(valid_from) OVER (PARTITION BY user_id
-             |                                      ORDER BY valid_from) AS valid_to,
+             |                                      ORDER BY valid_from, version) AS valid_to,
              |               last_seen, n_events
              |        FROM g)
              |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,

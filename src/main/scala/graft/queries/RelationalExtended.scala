@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -592,6 +593,76 @@ object RelationalExtended {
              |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
              |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS BIGINT) AS days_to_2026
              |FROM orders WHERE o_orderkey % 20 = 0
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q45 — ordered funnel over the events stream: users who reached each
+    // step of signup -> view -> click -> purchase with strictly later
+    // timestamps stage over stage (first qualifying event per stage).
+    // Each stage is one filtered aggregation joined on user_id — four
+    // co-partitioned shuffles on the same key, no windows over the full
+    // event log.
+    Q(
+      "q45_funnel_steps",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+        def stage(prev: DataFrame, step: String): DataFrame =
+          ev.filter(col("event_type") === step)
+            .join(prev.select(col("user_id"), col("t").as("__pt")), Seq("user_id"))
+            .filter(col("ts") > col("__pt"))
+            .groupBy("user_id").agg(min(col("ts")).as("t"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t"))
+        val s2 = stage(s1, "view")
+        val s3 = stage(s2, "click")
+        val s4 = stage(s3, "purchase")
+        val steps = Seq("1_signup" -> s1, "2_view" -> s2, "3_click" -> s3,
+          "4_purchase" -> s4)
+        steps.map { case (name, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
+        }.reduce(_ unionByName _).orderBy("step")
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+             |            WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+             |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s3 ON e.user_id = s3.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+             |SELECT '1_signup' AS step, count(*) AS n_users FROM s1
+             |UNION ALL SELECT '2_view', count(*) FROM s2
+             |UNION ALL SELECT '3_click', count(*) FROM s3
+             |UNION ALL SELECT '4_purchase', count(*) FROM s4
+             |ORDER BY step""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q46 — retention cohorts: users grouped by first-active day, counted
+    // on each later day they return (distinct user-days first, so a
+    // user's event volume can't inflate retention). The classic
+    // product-analytics triangle table.
+    Q(
+      "q46_retention_cohorts",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val firsts = ev.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+        ev.distinct()
+          .join(firsts, Seq("user_id"))
+          .groupBy(col("cohort_day"),
+            datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+             |firsts AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY 1)
+             |SELECT f.cohort_day,
+             |       CAST(date_diff('day', f.cohort_day, ud.d) AS BIGINT) AS day_offset,
+             |       count(DISTINCT ud.user_id) AS n_users
+             |FROM ud JOIN firsts f ON ud.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

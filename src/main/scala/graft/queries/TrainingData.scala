@@ -8,7 +8,8 @@ import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
-import graft.text.{Bpe, CharNgramLangId, Entropy, HeavyHitters, LineFilter, NgramLm, TextFunctions}
+import graft.graph.Triangles
+import graft.text.{Bm25, Bpe, CharNgramLangId, Chunker, Entropy, HeavyHitters, InvertedIndex, LineFilter, NgramLm, TextFunctions}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, exact shingle-Jaccard,
@@ -2212,6 +2213,133 @@ object TrainingData {
       Some("""SELECT doc_id, CAST(length(text) % 100 AS BIGINT) AS n_frames,
              |       CAST(to_json(CAST(range(0, length(text) % 100, 4) AS BIGINT[])) AS VARCHAR) AS frame_idx,
              |       CAST(len(range(0, length(text) % 100, 4)) AS BIGINT) AS n_sampled
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T26 — BM25 ranked retrieval (k1=6/5, b=3/4 as exact rationals): both
+    // the idf and the tf normalization are integer-ratio per-term scores,
+    // floored to fixed-point millionths so the cross-term SUM is an
+    // order-independent BIGINT — engine-exact with no ln() and no decimal
+    // rounding anywhere (see Bm25.scala's derivation). Top-8 per query,
+    // ties to the lower doc_id.
+    Q(
+      "t26_bm25_search",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (1L, "fast hash join"),
+          (2L, "window sort order"),
+          (3L, "spark stream batch"),
+          (4L, "slow scan filter"),
+          (5L, "vector data table")).toDF("query_id", "query_text")
+        Bm25.search(Tables.documents(s, dir), qs, k = 8)
+          .orderBy("query_id", "rk")
+      },
+      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |    FROM documents) GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs,
+             |                  CAST(sum(tf) AS BIGINT) AS l_tokens FROM tf),
+             |q(query_id, query_text) AS (VALUES
+             |  (1, 'fast hash join'), (2, 'window sort order'),
+             |  (3, 'spark stream batch'), (4, 'slow scan filter'),
+             |  (5, 'vector data table')),
+             |qt AS (SELECT DISTINCT query_id, term FROM (
+             |    SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q)),
+             |per AS (SELECT qt.query_id, tf.doc_id,
+             |          floor(CAST((2*n_docs - 2*df.df + 1) * 22 * tf.tf * l_tokens AS DOUBLE)
+             |            / ((2*df.df + 1) * (10*l_tokens*tf.tf + 3*l_tokens + 9*dl.dl*n_docs))
+             |            * 1e6) AS s
+             |        FROM qt JOIN df USING (term) JOIN tf USING (term)
+             |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
+             |sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp6
+             |       FROM per GROUP BY 1, 2),
+             |rked AS (SELECT query_id, doc_id, score_fp6,
+             |           row_number() OVER (PARTITION BY query_id
+             |             ORDER BY score_fp6 DESC, doc_id) AS rk
+             |         FROM sc)
+             |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
+             |       doc_id, score_fp6
+             |FROM rked WHERE rk <= 8 ORDER BY query_id, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T27 — inverted-index materialization: term -> (df, cf, sorted
+    // postings, delta gaps). Arrays JSON-stringified for the gate (the m3
+    // precedent); the index itself stays array-typed. The oracle derives
+    // gaps with a lag window (default 0 = first gap equals the first
+    // posting), matching the Spark side's per-row transform.
+    Q(
+      "t27_inverted_index",
+      (s, dir) =>
+        InvertedIndex.build(Tables.documents(s, dir))
+          .withColumn("postings", to_json(col("postings")))
+          .withColumn("gaps", to_json(col("gaps")))
+          .orderBy("term"),
+      Some("""WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |    FROM documents) GROUP BY 1, 2),
+             |g AS (SELECT term, doc_id, tf,
+             |        doc_id - lag(doc_id, 1, 0) OVER (PARTITION BY term
+             |          ORDER BY doc_id) AS gap
+             |      FROM tf)
+             |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+             |       CAST(to_json(list(doc_id ORDER BY doc_id)) AS VARCHAR) AS postings,
+             |       CAST(to_json(list(gap ORDER BY doc_id)) AS VARCHAR) AS gaps
+             |FROM g GROUP BY term ORDER BY term""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C19 — RAG chunking: 12-token windows, 3-token overlap (stride 9); a
+    // start is emitted while it adds tokens beyond the previous chunk's
+    // overlap, every doc emits chunk 0, the final token is always covered.
+    // Pure per-row compute — zero shuffles.
+    Q(
+      "c19_chunk_overlap",
+      (s, dir) =>
+        Chunker.chunk(Tables.documents(s, dir), chunkSize = 12, overlap = 3)
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w, unnest(range(greatest(1,
+             |          CAST(ceil(CAST(len(w) - 3 AS DOUBLE) / 9) AS BIGINT)))) AS i
+             |        FROM toks)
+             |SELECT doc_id, i AS chunk_id,
+             |       CAST(least(12, len(w) - i*9) AS BIGINT) AS n_tokens,
+             |       array_to_string(w[i*9+1 : i*9+12], ' ') AS chunk_text
+             |FROM idx ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // G3 — exact triangle counting on the user co-occurrence graph (same
+    // event_type in the same minute): ordered compact-forward wedges, each
+    // triangle counted once as a<b<c (Triangles.scala). The co-occurrence
+    // self-join is bucket-local on (event_type, minute) — minute buckets
+    // keep it sparse where hour buckets would densify the graph 40x.
+    Q(
+      "g3_triangle_count",
+      (s, dir) => {
+        val occ = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            date_trunc("minute", col("ts")).as("mb"))
+          .distinct()
+        val edges = occ.as("o1")
+          .join(occ.as("o2"),
+            col("o1.event_type") === col("o2.event_type") &&
+              col("o1.mb") === col("o2.mb") &&
+              col("o1.user_id") < col("o2.user_id"))
+          .select(col("o1.user_id").as("src"), col("o2.user_id").as("dst"))
+        Triangles.perVertex(edges).orderBy("vertex")
+      },
+      Some("""WITH occ AS (SELECT DISTINCT user_id, event_type,
+             |                    date_trunc('minute', ts) AS mb FROM events),
+             |e AS (SELECT DISTINCT o1.user_id AS lo, o2.user_id AS hi
+             |      FROM occ o1 JOIN occ o2
+             |        ON o1.event_type = o2.event_type AND o1.mb = o2.mb
+             |       AND o1.user_id < o2.user_id),
+             |w AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+             |      FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+             |t AS (SELECT a, b, c FROM w JOIN e e3 ON w.b = e3.lo AND w.c = e3.hi),
+             |v AS (SELECT unnest([a, b, c]) AS vertex FROM t)
+             |SELECT vertex, count(*) AS n_triangles FROM v
+             |GROUP BY 1 ORDER BY vertex""".stripMargin))
   )
 }

@@ -25,6 +25,22 @@ object CorpusIngest {
 
   private def historySchema = "doc_id LONG, text STRING, text_hash STRING"
 
+  /** Landed batch directories other than `batchId`'s own, via the Hadoop
+    * FileSystem API so an HDFS/S3 historyDir lists correctly —
+    * `java.io.File` would return null there and silently treat a full
+    * history as empty, re-landing every duplicate.
+    */
+  private def priorBatchDirs(
+      spark: SparkSession, historyDir: String, batchId: Long): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(historyDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch=")
+        && st.getPath.getName != s"batch=$batchId")
+      .map(_.getPath.toString)
+  }
+
   def readHistory(spark: SparkSession, historyDir: String): DataFrame =
     spark.read.schema(historySchema).parquet(historyDir + "/batch=*")
 
@@ -41,10 +57,7 @@ object CorpusIngest {
     // (the replay-vs-self trap; CorpusIngestSpec pins it). An empty
     // corpus reads as an empty frame (a batch=* glob would refuse the
     // bare path).
-    val priorDirs = Option(new java.io.File(historyDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=")
-        && f.getName != s"batch=$batchId")
-      .map(_.getAbsolutePath)
+    val priorDirs = priorBatchDirs(spark, historyDir, batchId)
     val history =
       if (priorDirs.nonEmpty)
         spark.read.schema(historySchema).parquet(priorDirs: _*)
@@ -89,10 +102,7 @@ object CorpusIngest {
   private def priorBatches(
       spark: SparkSession, historyDir: String, batchId: Long,
       schema: String): Option[DataFrame] = {
-    val dirs = Option(new java.io.File(historyDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=")
-        && f.getName != s"batch=$batchId")
-      .map(_.getAbsolutePath)
+    val dirs = priorBatchDirs(spark, historyDir, batchId)
     if (dirs.isEmpty) None
     else Some(spark.read.schema(schema).parquet(dirs: _*))
   }
@@ -144,9 +154,10 @@ object CorpusIngest {
       .select("doc_id", "text", "text_hash", "sig")
       .write.mode("overwrite")
       .parquet(s"$historyDir/batch=$batchId")
-    // A long-running stream is one unit of work per batch: release the
-    // signature persist each time or the cache grows with the stream.
-    finally graft.util.CacheScope.releaseAll()
+    // A long-running stream is one unit of work per batch: release THIS
+    // batch's signature persist (and only it — a global releaseAll would
+    // unpersist a concurrent caller's frames mid-flight).
+    finally graft.util.CacheScope.release(sigs)
   }
 
   def startNearDup(

@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.util.CacheScope
+
+/** BM25 ranked retrieval over a document corpus — the standard lexical
+  * search primitive (Robertson–Spärck Jones / Okapi BM25) a training-data
+  * pipeline runs for query-based corpus exploration, eval-set mining, and
+  * contamination triage. The reference's analytics surface delegates search
+  * to Postgres indexes; this is the Spark-native equivalent over parquet.
+  *
+  * Engine-exact scoring (the [[TfIdf]] precedent, taken one step further):
+  * with k1 = 6/5 and b = 3/4 — the textbook defaults as exact rationals —
+  * the per-term BM25 contribution is a ratio of two INTEGER-valued
+  * quantities:
+  *
+  *   idf_t      = (N - df + 1/2)/(df + 1/2)        = (2N - 2df + 1)/(2df + 1)
+  *   tfNorm_t,d = tf·(k1+1)/(tf + k1(1 - b + b·dl/avgdl))
+  *              = 22·tf·L / (10·L·tf + 3·L + 9·dl·N)     [avgdl = L/N]
+  *
+  * where N = corpus size, L = total corpus tokens, dl = doc length. The
+  * rational idf (the argument of the usual log) keeps ranking exact: `ln`
+  * differs in the final ulp between JVM and DuckDB libm and would poison
+  * value-level verification, and every factor here is an integer that fits
+  * a double exactly at verification scale. The single IEEE division and
+  * the `floor(score·10^6)` fixed-point step are bit-deterministic on both
+  * engines, and the summed BIGINT micro-score is order-independent across
+  * partitions — no decimal-rounding boundary cases anywhere. (At 100 TB,
+  * L·tf products exceed 2^53: compute num/den as DECIMAL(38,0) there; the
+  * shape is unchanged.)
+  *
+  * Shape at scale: tf is one map-side-combined aggregation; df reuses the
+  * tf rows; the query set is tiny and BROADCAST to both the df and tf
+  * joins, so the corpus shuffles only its matching (doc, term) rows —
+  * posting-list-sized, not corpus-sized; the per-query top-k is the
+  * bounded-heap [[org.apache.spark.sql.graftnative.TopK]] aggregate (k
+  * rows per mapper cross the shuffle), never a global sort.
+  */
+object Bm25 {
+
+  /** Rank `docs` against `queries` (query_id, query_text): the top `k`
+    * documents per query by BM25 micro-score (score_fp6 = floor(1e6 ×
+    * BM25), ties to the lower doc_id).
+    */
+  def search(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = CacheScope.persist(docs
+      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
+    val corpus = tf.agg(
+      countDistinct(col("id")).as("n_docs"),
+      sum(col("tf")).as("l_tokens"))
+    val qterms = queries
+      .select(col("query_id"),
+        explode(TextFunctions.tokens(col("query_text"))).as("term"))
+      .distinct()
+    val perTerm = broadcast(qterms)
+      .join(df, Seq("term"))                       // query terms with their df
+      .join(tf, Seq("term"))                       // matching posting rows
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("num",
+        (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) *
+          lit(22) * col("tf") * col("l_tokens"))
+      .withColumn("den",
+        (lit(2) * col("df") + lit(1)) *
+          (lit(10) * col("l_tokens") * col("tf") + lit(3) * col("l_tokens") +
+            lit(9) * col("dl") * col("n_docs")))
+      .withColumn("score_fp6",
+        floor(col("num").cast("double") / col("den") * lit(1e6)).cast("long"))
+    val scored = perTerm
+      .groupBy("query_id", "id")
+      .agg(sum(col("score_fp6")).as("score_fp6"))
+    // Heap item orders (neg score, doc id): ORDER BY score DESC, id ASC.
+    val item = struct(
+      negate(col("score_fp6")).as("ns"),
+      col("id").as("id"))
+    scored
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graftnative.TopK
+        .collectTopK(item, k, reverse = true).as("__top"))
+      .select(col("query_id"), posexplode(array_sort(col("__top"))).as(Seq("__pos", "__it")))
+      .select(
+        col("query_id"),
+        (col("__pos") + 1).cast("long").as("rk"),
+        col("__it.id").as(idCol),
+        negate(col("__it.ns")).as("score_fp6"))
+  }
+}

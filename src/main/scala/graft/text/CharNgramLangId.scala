@@ -51,8 +51,10 @@ object CharNgramLangId {
       .agg(count(lit(1)).as("c_doc"))
 
   /** Classify every `docs` row against profiles trained on `train`
-    * (which carries `langCol` labels): (id, pred_lang, score, is_correct
-    * when docs also carries the label).
+    * (which carries `langCol` labels): (id, pred_lang, score, is_correct).
+    * `is_correct` is computed when `docs` also carries the `langCol`
+    * label; an unlabeled corpus (no such column) gets null — classifying
+    * a new crawl must not require a label column.
     */
   def classify(
       docs: DataFrame,
@@ -80,14 +82,20 @@ object CharNgramLangId {
       .withColumn("__rk", row_number().over(byDoc))
       .filter(col("__rk") === 1)
       .select(col("id"), col("plang").as("pred_lang"), col("score"))
+    val label =
+      if (docs.columns.contains(langCol)) col(langCol)
+      else lit(null).cast("string")
+    val isCorrect =
+      if (docs.columns.contains(langCol)) col("pred_lang") <=> col("__label")
+      else lit(null).cast("boolean")
     docs
       .filter(col(textCol).isNotNull && length(col(textCol)) >= 2)
-      .select(col(idCol), col(langCol).as("__label"))
+      .select(col(idCol), label.as("__label"))
       .join(best, col(idCol) === best("id"), "left")
       .select(
         col(idCol),
         col("pred_lang"),
         col("score"),
-        (col("pred_lang") <=> col("__label")).as("is_correct"))
+        isCorrect.as("is_correct"))
   }
 }

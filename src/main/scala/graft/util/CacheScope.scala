@@ -49,6 +49,16 @@ object CacheScope {
     }
   }
 
+  /** Unpersist ONE registered frame — for callers that share the session
+    * with other in-flight work (a streaming foreachBatch releasing its own
+    * batch-scoped persist must not blow away a concurrent query's frames
+    * the way [[releaseAll]] would).
+    */
+  def release(df: DataFrame, blocking: Boolean = false): Unit = {
+    live.remove(df)
+    df.unpersist(blocking)
+  }
+
   /** Registered-but-not-yet-released count — spec hook. */
   def liveCount: Int = live.size()
 }

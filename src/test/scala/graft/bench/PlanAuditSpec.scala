@@ -42,6 +42,8 @@ class PlanAuditSpec extends SparkTestBase {
     "c4d_decontaminate_bloom",
     // one-row corpus-count side of the tf*N/df scoring join
     "t10_tfidf_top_terms",
+    // one-row (n_docs, l_tokens) corpus-stats side of the BM25 scoring join
+    "t26_bm25_search",
     // one-row vocabulary-size side of the smoothed-probability join
     "t20_lm_perplexity_filter",
     // one-row weight-total side of the temperature-share computation

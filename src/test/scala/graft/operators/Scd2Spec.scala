@@ -60,5 +60,11 @@ class Scd2Spec extends SparkTestBase {
       .orderBy("version").collect()
     // order is (10,1)a, (10,2)b, (20,3)b -> runs a(1), b(2)
     assert(h.map(r => (r.getString(2), r.getLong(6))).toSeq == Seq(("a", 1L), ("b", 2L)))
+    // Both runs share valid_from=10 (the boundary falls on the tied ts):
+    // lead() must still chain a -> b (version tie-break), never b -> a.
+    assert(h.map(_.getLong(3)).toSeq == Seq(10L, 10L))       // valid_from tied
+    assert(h(0).getLong(4) == 10L)                           // a.valid_to = b.valid_from
+    assert(h(1).isNullAt(4))                                 // b open-ended
+    assert(h.map(_.getBoolean(7)).toSeq == Seq(false, true)) // only b current
   }
 }

@@ -36,6 +36,14 @@ class CharNgramLangIdSpec extends SparkTestBase {
     assert(got(12L) == ((None, false)))
   }
 
+  test("unlabeled corpus (no lang column) classifies with null is_correct") {
+    val docs = Seq((10L, "aa ab aa"), (11L, "zz zy")).toDF("doc_id", "text")
+    val rows = CharNgramLangId.classify(docs, train).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "aa-ish", 11L -> "zz-ish"))
+    assert(rows.forall(_.isNullAt(3)))
+  }
+
   test("score ties break to the lexicographically first language") {
     // one train doc per lang with IDENTICAL text: profiles are identical,
     // so every score ties and the argmax must deterministically pick the

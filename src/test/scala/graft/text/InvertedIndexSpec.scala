@@ -1,0 +1,37 @@
+package graft.text
+
+import graft.SparkTestBase
+
+class InvertedIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (5L, "b a b"),
+    (2L, "a c"),
+    (9L, "b"))
+    .toDF("doc_id", "text")
+
+  test("postings are sorted by doc id with df/cf counts") {
+    val got = InvertedIndex.build(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toList)).toMap
+    assert(got("a") == ((2L, 2L, List(2L, 5L))))
+    assert(got("b") == ((2L, 3L, List(5L, 9L))))
+    assert(got("c") == ((1L, 1L, List(2L))))
+  }
+
+  test("gaps delta-encode the postings; first gap is the first id") {
+    val got = InvertedIndex.build(docs).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](4).toList).toMap
+    assert(got("a") == List(2L, 3L))   // 2, 5-2
+    assert(got("b") == List(5L, 4L))   // 5, 9-5
+    assert(got("c") == List(2L))
+  }
+
+  test("index is repartition-stable") {
+    def run(d: org.apache.spark.sql.DataFrame) =
+      InvertedIndex.build(d).collect()
+        .map(r => (r.getString(0), r.getSeq[Long](3).mkString(","))).sorted.toSeq
+    assert(run(docs) == run(docs.repartition(5)))
+  }
+}
