@@ -11,7 +11,8 @@ import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.operators.AsOfJoin
 import graft.similarity.Similarity
 import graft.tables.Tables
-import graft.text.{HeavyHitters, TextFunctions}
+import graft.graph.Triangles
+import graft.text.{Bm25, Chunker, HeavyHitters, InvertedIndex, TextFunctions}
 
 /** Scale probe: run the shuffle-heavy operators at Nx the sf corpus (id-
   * offset unions — dup-heavy on purpose, the worst case for banded/blocked
@@ -26,7 +27,14 @@ object ScaleProbe {
       .map(i => docs.withColumn(idCol, col(idCol) + lit(i * 10000000L)))
       .reduce(_ unionByName _)
 
+  /** Optional probe-name prefix filters (3rd arg onward): only matching
+    * probes run — the full sweep is ~10 min and iterating on one operator
+    * shouldn't pay for all of them.
+    */
+  private var only: Seq[String] = Nil
+
   private def time(label: String)(f: => Long): Unit = {
+    if (only.nonEmpty && !only.exists(label.startsWith)) return
     val t0 = System.nanoTime()
     val n = f
     println(f"[scaleprobe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
@@ -38,6 +46,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(10)
+    only = args.drop(2).toSeq
     val spark: SparkSession = GraftSession.fromEnv("graft-scaleprobe")
 
     val docs1 = Tables.documents(spark, sfDir).select("doc_id", "text")
@@ -243,6 +252,52 @@ object ScaleProbe {
         docs.select(explode(TextFunctions.shingles(col("text"), 2)).as("gram"))
           .groupBy("gram").agg(count(lit(1)).as("freq"))
           .filter(col("freq") >= rows).count())
+    }
+
+    // BM25 / inverted index / chunking on the replica corpus: every
+    // posting list (and df, and L) multiplies by the copy count, but the
+    // scoring join only ever moves posting rows for the query's terms and
+    // the query side stays broadcast. Healthy = ~linear (tf/df/dl are
+    // map-side-combined aggs; chunking is shuffle-free per-row compute).
+    {
+      import spark.implicits._
+      val probeQs = Seq((1L, "fast hash join"), (2L, "window sort order"),
+        (3L, "slow scan filter")).toDF("query_id", "query_text")
+      for ((label, d) <- Seq("1x" -> docs1, s"${n}x" -> docsN)) {
+        time(s"bm25_search $label")(Bm25.search(d, probeQs, k = 10).count())
+        time(s"inverted_index $label")(InvertedIndex.build(d).count())
+        time(s"chunk_overlap $label")(Chunker.chunk(d, 12, 3).count())
+      }
+    }
+    // Triangle counting: replicate USERS (id-offset) so the graph grows
+    // in vertices at constant density — healthy = ~linear in edges.
+    // (Replicating the EVENT LOG onto the same users would instead
+    // densify every co-occurrence bucket quadratically; that regime is a
+    // cap-guard question, not a probe of the wedge join's scaling.)
+    {
+      val occ1 = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("mb"))
+        .distinct()
+      for ((label, mult) <- Seq("1x" -> 1, s"${n}x" -> n)) {
+        // Tag the bucket key per copy too: offset users ALONE would still
+        // share (event_type, minute) buckets across copies and densify
+        // the graph n^2 instead of growing it n-fold.
+        val occ = (0 until mult)
+          .map(i => occ1
+            .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+            .withColumn("event_type", concat(col("event_type"), lit("#" + i))))
+          .reduce(_ unionByName _)
+        time(s"triangles $label") {
+          val edges = occ.as("o1")
+            .join(occ.as("o2"),
+              col("o1.event_type") === col("o2.event_type") &&
+                col("o1.mb") === col("o2.mb") &&
+                col("o1.user_id") < col("o2.user_id"))
+            .select(col("o1.user_id").as("src"), col("o2.user_id").as("dst"))
+          Triangles.perVertex(edges).count()
+        }
+      }
     }
     spark.stop()
   }

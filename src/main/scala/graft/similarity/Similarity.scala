@@ -586,24 +586,39 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, codebook: DataFrame, nProbe: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = codebook.agg(max(col("subspace"))).head.getInt(0) + 1
-    val dsub = codebook.select(size(col("centroid_vec"))).head.getInt(0)
-
-    // Corpus pass: cell assignment, residual x − c, TRUE norm for the
-    // cosine denominator (residual norms are meaningless for cosine).
-    // Persisted: feeds both codebook-side encoding and the probe join.
     val cent = centroids.select(
       col("centroid_id"),
       transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
-    val assignments = ivfAssign(corpus, cent, idCol, vecCol)
     val residuals = graft.util.CacheScope.persist(
-      corpus.select(
-        col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("true_nrm"))
-        .join(assignments, "id")
-        .join(broadcast(cent), "centroid_id")
-        .select(col("id"), col("centroid_id"), col("true_nrm"),
-          zip_with(col("vec").cast("array<double>"), col("centroid_vec"),
-            (x, c) => x - c).as("residual")))
+      ivfPqResiduals(corpus, cent, idCol, vecCol))
+    ivfPqSearch(queries, cent, codebook, residuals, nProbe, k, idCol, vecCol)
+  }
+
+  /** Corpus pass shared by training and search: cell assignment, residual
+    * x − c, TRUE norm for the cosine denominator (residual norms are
+    * meaningless for cosine). Callers persist — it feeds codebook
+    * training, codebook-side encoding, and the probe join.
+    */
+  private def ivfPqResiduals(
+      corpus: DataFrame, cent: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val assignments = ivfAssign(corpus, cent, idCol, vecCol)
+    corpus.select(
+      col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("true_nrm"))
+      .join(assignments, "id")
+      .join(broadcast(cent), "centroid_id")
+      .select(col("id"), col("centroid_id"), col("true_nrm"),
+        zip_with(col("vec").cast("array<double>"), col("centroid_vec"),
+          (x, c) => x - c).as("residual"))
+  }
+
+  /** Probe + ADC over prepared residuals (see [[ivfPqResiduals]]). */
+  private def ivfPqSearch(
+      queries: DataFrame, cent: DataFrame, codebook: DataFrame,
+      residuals: DataFrame, nProbe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebook.agg(max(col("subspace"))).head.getInt(0) + 1
+    val dsub = codebook.select(size(col("centroid_vec"))).head.getInt(0)
 
     // PQ-encode the residuals; re-attach the cell and the TRUE norm
     // (pqEncode stores the norm of what it encodes — here the residual,
@@ -668,21 +683,21 @@ object Similarity {
     val dims = corpus.select(size(col(vecCol))).head.getInt(0)
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
     // Coarse training is materialized by kmeansCore's checkpoints. The
-    // residual projection inside ivfPqTopKWith is persisted there; the
-    // codebook must be trained on the SAME residuals, so compute them here
-    // once and hand the trained pieces to the search path.
+    // codebook must be trained on the SAME residuals the search encodes,
+    // so the assignment + residual corpus pass runs ONCE here and feeds
+    // both — handing it to ivfPqTopKWith instead would re-run the
+    // nCells-dot argmin scan over the whole corpus, the dominant cost of
+    // this path at scale.
     val centroids = kmeansCentroids(corpus, nCells, trainIters, idCol, vecCol)
-    val assignments = ivfAssign(corpus, centroids, idCol, vecCol)
+    val cent = centroids.select(
+      col("centroid_id"),
+      transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
     val residuals = graft.util.CacheScope.persist(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .join(assignments, "id")
-        .join(broadcast(centroids), "centroid_id")
-        .select(col("id"),
-          zip_with(col("vec").cast("array<double>"), col("centroid_vec"),
-            (x, c) => x - c).as("residual")))
+      ivfPqResiduals(corpus, cent, idCol, vecCol))
     val codebook = graft.util.CacheScope.persist(
-      pqCodebook(residuals, m, ksub, trainIters, idCol = "id", vecCol = "residual"))
-    ivfPqTopKWith(queries, corpus, centroids, codebook, nProbe, k, idCol, vecCol)
+      pqCodebook(residuals.select(col("id"), col("residual")),
+        m, ksub, trainIters, idCol = "id", vecCol = "residual"))
+    ivfPqSearch(queries, cent, codebook, residuals, nProbe, k, idCol, vecCol)
   }
 
   /** Embedding near-duplicate pairs via LSH blocking: exact/near copies land

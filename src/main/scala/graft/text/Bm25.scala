@@ -56,10 +56,13 @@ object Bm25 {
       .groupBy("id", "term")
       .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
-    val corpus = tf.agg(
-      countDistinct(col("id")).as("n_docs"),
-      sum(col("tf")).as("l_tokens"))
+    // dl feeds both the per-doc join and the corpus rollup — and deriving
+    // (N, L) from it replaces a countDistinct over the full tf table
+    // (expand + second shuffle) with a count over one row per doc.
+    val dl = CacheScope.persist(tf.groupBy("id").agg(sum(col("tf")).as("dl")))
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("l_tokens"))
     val qterms = queries
       .select(col("query_id"),
         explode(TextFunctions.tokens(col("query_text"))).as("term"))
