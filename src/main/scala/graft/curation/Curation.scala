@@ -61,6 +61,25 @@ object Curation {
     df.filter(hashBucket(col(idCol), 10000, salt) < thr)
   }
 
+  /** PER-ROW weighted sampling: each row kept with probability equal to
+    * its own weight column (clamped to [0,1]) — the importance-sampling
+    * step that keeps high-quality documents preferentially while staying
+    * rerun/retry/partition deterministic. The weight resolves to the same
+    * 1/10000 integer grid as [[mixtureSample]] (floor is IEEE-exact on
+    * both engines), compared against the salted md5 bucket of the id —
+    * one scan, no shuffle, and a row's fate never depends on any other
+    * row.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      salt: String): DataFrame = {
+    val thr = floor(
+      least(lit(1.0), greatest(lit(0.0), col(weightCol))) * 10000).cast("int")
+    df.filter(hashBucket(col(idCol), 10000, salt) < thr)
+  }
+
   /** Token-budget mixture with EPOCHS: [[mixtureSample]] generalized to
     * rates above 1.0 — the "up-weight high-quality sources" recipe step,
     * where a source sampled at 2.3 epochs emits each row 2 times plus a

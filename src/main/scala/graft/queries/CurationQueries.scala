@@ -293,6 +293,33 @@ object CurationQueries {
              |WHERE bucket < 10 ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // C20 — per-row WEIGHTED sampling: each document kept with probability
+    // equal to its own quality weight (distinct-word fraction here) — the
+    // importance-sampling curation step. Weight resolves to the 1/10000
+    // integer grid (floor is IEEE-exact: the ratio, the multiply, and the
+    // floor are the identical doubles on both engines), compared against
+    // the same salted md5 bucket as c1/c2.
+    Q(
+      "c20_weighted_sample",
+      (s, dir) => {
+        val w = size(array_distinct(split(col("text"), " "))).cast("double") /
+          size(split(col("text"), " "))
+        Curation.weightedSample(
+          Tables.documents(s, dir).withColumn("w", w),
+          idCol = "doc_id", weightCol = "w", salt = "ws")
+          .select("doc_id", "w")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, w FROM (
+             |  SELECT doc_id,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / len(string_split(text, ' ')) AS w,
+             |    CAST('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket
+             |  FROM documents)
+             |WHERE bucket < CAST(floor(w * 10000) AS BIGINT)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // C2 — mixture weighting: each source down-sampled to its recipe rate
     // (0/25/50/75/100% across src0..src19), decided by the same
     // deterministic hash at 1/10000 resolution. Thresholds are integers on

@@ -663,6 +663,128 @@ object RelationalExtended {
              |       CAST(date_diff('day', f.cohort_day, ud.d) AS BIGINT) AS day_offset,
              |       count(DISTINCT ud.user_id) AS n_users
              |FROM ud JOIN firsts f ON ud.user_id = f.user_id
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q47 — funnel conversion timing: for each adjacent step pair of q45's
+    // funnel, how many users converted and how fast (mean + median
+    // seconds between the first qualifying events). Seconds compare as
+    // floor(epoch) per side on both engines; the mean is an exact
+    // integer-sum division and the median interpolates like q26.
+    Q(
+      "q47_funnel_timing",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+        def firstAfter(prev: DataFrame, step: String): DataFrame =
+          ev.filter(col("event_type") === step)
+            .join(prev.select(col("user_id"), col("t").as("__pt")), Seq("user_id"))
+            .filter(col("ts") > col("__pt"))
+            .groupBy("user_id").agg(min(col("ts")).as("t"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t"))
+        val s2 = firstAfter(s1, "view")
+        val s3 = firstAfter(s2, "click")
+        val s4 = firstAfter(s3, "purchase")
+        def leg(name: String, from: DataFrame, to: DataFrame): DataFrame =
+          to.join(from.select(col("user_id"), col("t").as("t0")), Seq("user_id"))
+            .select((col("t").cast("long") - col("t0").cast("long")).as("d"))
+            .agg(
+              count(lit(1)).as("n_users"),
+              (sum(col("d")).cast("double") / count(lit(1))).as("avg_secs"),
+              percentile(col("d"), lit(0.5)).as("p50_secs"))
+            .select(lit(name).as("leg"), col("n_users"), col("avg_secs"), col("p50_secs"))
+        Seq(leg("1_signup_to_view", s1, s2), leg("2_view_to_click", s2, s3),
+          leg("3_click_to_purchase", s3, s4))
+          .reduce(_ unionByName _).orderBy("leg")
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+             |            WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+             |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s3 ON e.user_id = s3.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+             |legs AS (
+             |  SELECT '1_signup_to_view' AS leg,
+             |         CAST(floor(epoch(s2.t)) AS BIGINT) - CAST(floor(epoch(s1.t)) AS BIGINT) AS d
+             |  FROM s2 JOIN s1 USING (user_id)
+             |  UNION ALL
+             |  SELECT '2_view_to_click',
+             |         CAST(floor(epoch(s3.t)) AS BIGINT) - CAST(floor(epoch(s2.t)) AS BIGINT)
+             |  FROM s3 JOIN s2 USING (user_id)
+             |  UNION ALL
+             |  SELECT '3_click_to_purchase',
+             |         CAST(floor(epoch(s4.t)) AS BIGINT) - CAST(floor(epoch(s3.t)) AS BIGINT)
+             |  FROM s4 JOIN s3 USING (user_id))
+             |SELECT leg, count(*) AS n_users,
+             |       CAST(sum(d) AS DOUBLE) / count(*) AS avg_secs,
+             |       quantile_cont(d, 0.5) AS p50_secs
+             |FROM legs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q48 — CSV source/sink roundtrip: a slice of orders written as
+    // headered CSV, read back under an explicit schema, aggregated — and
+    // the oracle computes the same aggregate from the PARQUET table, so
+    // the gate asserts the text roundtrip is lossless (longs exact,
+    // doubles via shortest-repr print/parse).
+    Q(
+      "q48_csv_roundtrip",
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_csv"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+          .write.option("header", "true").csv(tmp)
+        s.read.option("header", "true")
+          .schema("o_orderkey LONG, o_orderstatus STRING, o_orderpriority STRING, o_totalprice DOUBLE")
+          .csv(tmp)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("price_sum"))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q49 — JSON-lines source/sink roundtrip (the reference's in-flight
+    // format, SURVEY §1.3): documents written as JSONL, read back under an
+    // explicit schema, aggregated; oracle from the parquet table. Unicode
+    // text (the zh docs) must survive the escape/unescape cycle.
+    Q(
+      "q49_json_roundtrip",
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_json"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        Tables.documents(s, dir)
+          .select("doc_id", "lang", "source", "text", "n_chars")
+          .write.json(tmp)
+        s.read
+          .schema("doc_id LONG, lang STRING, source STRING, text STRING, n_chars LONG")
+          .json(tmp)
+          .groupBy("lang", "source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("n_chars")).as("chars_sum"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("text_check"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, count(*) AS n,
+             |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+             |       CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT) AS text_check
+             |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -9,7 +9,7 @@ import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
 import graft.graph.Triangles
-import graft.text.{Bm25, Bpe, CharNgramLangId, Chunker, Entropy, HeavyHitters, InvertedIndex, LineFilter, NgramLm, TextFunctions}
+import graft.text.{Bm25, Bpe, CharNgramLangId, Chunker, Entropy, HeavyHitters, InvertedIndex, LineFilter, NaiveBayes, NgramLm, TextFunctions}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, exact shingle-Jaccard,
@@ -2340,6 +2340,72 @@ object TrainingData {
              |t AS (SELECT a, b, c FROM w JOIN e e3 ON w.b = e3.lo AND w.c = e3.hi),
              |v AS (SELECT unnest([a, b, c]) AS vertex FROM t)
              |SELECT vertex, count(*) AS n_triangles FROM v
-             |GROUP BY 1 ORDER BY vertex""".stripMargin))
+             |GROUP BY 1 ORDER BY vertex""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T24 — multinomial Naive Bayes (Laplace-smoothed) source-language
+    // classification, trained on the 2/3 split over the t22 phrase fixture
+    // and scored on EVERYTHING. Every ln lands on the DECIMAL(20,6) grid
+    // once per (term,class)/class (the t23 precedent), so the summed
+    // log-posterior — and the argmax — is bit-identical across engines
+    // and partitionings. Complements t22's integer dot-product scorer
+    // with the proper probabilistic model.
+    Q(
+      "t24_naive_bayes",
+      (s, dir) => {
+        val phrase = Map(
+          "en" -> " the quick brown fox jumps over the lazy dog",
+          "de" -> " der schnelle braune fuchs springt ueber den faulen hund",
+          "fr" -> " le renard brun rapide saute par dessus le chien paresseux",
+          "es" -> " el zorro marron rapido salta sobre el perro perezoso",
+          "zh" -> " 敏捷的棕色狐狸跳过懒惰的狗")
+        val d = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"),
+          concat(col("text"),
+            coalesce(element_at(typedLit(phrase), col("lang")), lit("")))
+            .as("text"))
+        NaiveBayes.classify(d, d.filter(col("doc_id") % 3 =!= 0), classCol = "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, lang, text ||
+             |         CASE lang
+             |           WHEN 'en' THEN ' the quick brown fox jumps over the lazy dog'
+             |           WHEN 'de' THEN ' der schnelle braune fuchs springt ueber den faulen hund'
+             |           WHEN 'fr' THEN ' le renard brun rapide saute par dessus le chien paresseux'
+             |           WHEN 'es' THEN ' el zorro marron rapido salta sobre el perro perezoso'
+             |           WHEN 'zh' THEN ' 敏捷的棕色狐狸跳过懒惰的狗'
+             |           ELSE '' END AS text
+             |       FROM documents),
+             |train AS (SELECT * FROM docs WHERE doc_id % 3 <> 0),
+             |ttf AS (SELECT cls, term, count(*) AS cnt FROM (
+             |    SELECT lang AS cls, unnest(string_split(text, ' ')) AS term
+             |    FROM train) GROUP BY 1, 2),
+             |model AS (SELECT cls, term, CAST(ln(cnt + 1) AS DECIMAL(20,6)) AS w FROM ttf),
+             |voc AS (SELECT count(DISTINCT term) AS v FROM ttf),
+             |clz AS (SELECT t.cls,
+             |               CAST(ln(t.n_c + voc.v) AS DECIMAL(20,6)) AS denom,
+             |               CAST(ln(dc.docs_c) AS DECIMAL(20,6))
+             |                 - CAST(ln(da.docs_all) AS DECIMAL(20,6)) AS prior
+             |        FROM (SELECT cls, sum(cnt) AS n_c FROM ttf GROUP BY 1) t
+             |        CROSS JOIN voc
+             |        JOIN (SELECT lang AS cls, count(*) AS docs_c FROM train
+             |              GROUP BY 1) dc USING (cls)
+             |        CROSS JOIN (SELECT count(*) AS docs_all FROM train) da),
+             |dtf AS (SELECT id, term, count(*) AS tf FROM (
+             |    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+             |    FROM docs) GROUP BY 1, 2),
+             |dle AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM dtf GROUP BY 1),
+             |sp AS (SELECT id, cls, sum(tf * w) AS s1
+             |       FROM dtf JOIN model USING (term) GROUP BY 1, 2),
+             |sc AS (SELECT dle.id, c.cls,
+             |              coalesce(sp.s1, 0) - dle.dl * c.denom + c.prior AS score
+             |       FROM dle CROSS JOIN clz c
+             |       LEFT JOIN sp ON sp.id = dle.id AND sp.cls = c.cls),
+             |best AS (SELECT id, cls, score,
+             |           row_number() OVER (PARTITION BY id
+             |             ORDER BY score DESC, cls) AS rk
+             |         FROM sc)
+             |SELECT id AS doc_id, cls AS pred_class, CAST(score AS DOUBLE) AS score
+             |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin))
   )
 }

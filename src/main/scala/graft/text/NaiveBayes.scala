@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.CacheScope
+
+/** Multinomial Naive Bayes text classification with Laplace smoothing —
+  * the classic trained document classifier (domain/source/topic routing in
+  * a curation pipeline; McCallum & Nigam 1998's event model), built so the
+  * score is engine-reproducible.
+  *
+  * score(c, d) = ln P(c) + Σ_t tf(t,d) · ln( (cnt(t,c)+1) / (N_c + V) )
+  *
+  * decomposed for the join (the smoothing denominator does not depend on
+  * the term, and unseen (t,c) pairs contribute ln 1 = 0):
+  *
+  *   Σ_t tf · ln(cnt(t,c)+1)   — equi-join on the term, only EXISTING
+  *                               (t,c) rows ever move (the sparse part)
+  * − dl_d · ln(N_c + V)        — per (doc, class): doc length × a class
+  *                               constant, broadcast 20 rows
+  * + ln(n_docs_c / n_docs)     — the class prior, same broadcast
+  *
+  * Every ln is computed once per (t,c) / class — never per (doc, term) —
+  * and immediately rounded to the DECIMAL(20,6) grid (the t23/t25 entropy
+  * precedent: JVM and DuckDB libm agree to well past 6 dp, and after the
+  * cast both engines sum IDENTICAL decimals exactly, so the argmax is
+  * order- and partition-invariant). Ties break to the first class name.
+  *
+  * Shape at scale: training is one explode + map-side-combined groupBy
+  * into a (term, class, weight) model table; scoring joins doc term
+  * counts to the model on the term — model rows move once, text never
+  * does — then one rollup and a per-doc argmax over |classes| rows.
+  */
+object NaiveBayes {
+
+  private def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  private val fix = "decimal(20,6)"
+
+  /** Classify `docs` against profiles trained on `train` (which carries
+    * `classCol` labels): (id, pred_class, score). Score is the fixed-point
+    * log-posterior (up to the constant, as a double for output).
+    */
+  def classify(
+      docs: DataFrame,
+      train: DataFrame,
+      classCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val trainTf = CacheScope.persist(
+      train
+        .filter(col(classCol).isNotNull)
+        .select(col(classCol).as("cls"),
+          explode(TextFunctions.tokens(col(textCol))).as("term"))
+        .groupBy("cls", "term")
+        .agg(count(lit(1)).as("cnt")))
+    // ln(cnt+1) once per existing (term, class) row, on the decimal grid.
+    val model = trainTf.select(col("cls"), col("term"),
+      log(col("cnt") + 1).cast(fix).as("w"))
+    val vocab = trainTf.select(countDistinct(col("term")).as("v"))
+    val classes = trainTf.groupBy("cls").agg(sum(col("cnt")).as("n_c"))
+      .crossJoin(broadcast(vocab))
+      .join(broadcast(
+        train.filter(col(classCol).isNotNull)
+          .groupBy(col(classCol).as("cls")).agg(count(lit(1)).as("docs_c"))
+          .crossJoin(train.filter(col(classCol).isNotNull)
+            .agg(count(lit(1)).as("docs_all")))), Seq("cls"))
+      .select(col("cls"),
+        log(col("n_c") + col("v")).cast(fix).as("denom"),
+        (log(col("docs_c")).cast(fix) - log(col("docs_all")).cast(fix)).as("prior"))
+
+    val docTf = CacheScope.persist(termCounts(docs, idCol, textCol))
+    val dl = docTf.groupBy("id").agg(sum(col("tf")).as("dl"))
+    // Sparse part: only matching (term, class) rows join and move.
+    val sparse = docTf
+      .join(model, Seq("term"))
+      .groupBy("id", "cls")
+      .agg(sum(col("tf") * col("w")).as("s1"))
+    val scored = dl
+      .crossJoin(broadcast(classes))
+      .join(sparse, Seq("id", "cls"), "left")
+      .select(col("id"), col("cls"),
+        (coalesce(col("s1"), lit(0).cast(fix))
+          - col("dl") * col("denom") + col("prior")).as("score"))
+    val byDoc = Window.partitionBy("id").orderBy(col("score").desc, col("cls").asc)
+    scored
+      .withColumn("__rk", row_number().over(byDoc))
+      .filter(col("__rk") === 1)
+      .select(col("id").as(idCol), col("cls").as("pred_class"),
+        col("score").cast("double").as("score"))
+  }
+}

@@ -44,6 +44,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t10_tfidf_top_terms",
     // one-row (n_docs, l_tokens) corpus-stats side of the BM25 scoring join
     "t26_bm25_search",
+    // |classes|-row (denom, prior) constant side of the NB dense term
+    "t24_naive_bayes",
     // one-row vocabulary-size side of the smoothed-probability join
     "t20_lm_perplexity_filter",
     // one-row weight-total side of the temperature-share computation

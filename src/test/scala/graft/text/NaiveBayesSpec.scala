@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.functions.lit
+
+import graft.SparkTestBase
+
+class NaiveBayesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def train = Seq(
+    (1L, "apple banana apple fruit", "fruit"),
+    (2L, "banana fruit apple sweet", "fruit"),
+    (3L, "engine wheel brake road", "car"),
+    (4L, "road engine wheel fast", "car"))
+    .toDF("doc_id", "text", "topic")
+
+  test("classifies held-out docs to the class sharing their vocabulary") {
+    val docs = Seq(
+      (10L, "apple banana"),
+      (11L, "engine road wheel"))
+      .toDF("doc_id", "text")
+    val got = NaiveBayes.classify(docs, train, classCol = "topic")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "fruit", 11L -> "car"))
+  }
+
+  test("a doc of only unseen terms falls back to the prior (majority class), ties to first name") {
+    // 3 fruit docs vs 1 car doc: prior favors fruit; unseen terms add the
+    // same per-token penalty shape, differing only through N_c.
+    val t = train.unionByName(
+      Seq((5L, "apple apple", "fruit")).toDF("doc_id", "text", "topic"))
+    val docs = Seq((10L, "zzz qqq")).toDF("doc_id", "text")
+    val got = NaiveBayes.classify(docs, t, classCol = "topic").collect()
+    assert(got.length == 1 && got.head.getString(1) == "fruit")
+    // exact tie fixture: identical training text for two classes -> every
+    // score ties -> lexicographically first class wins
+    val tied = Seq((1L, "x y", "bbb"), (2L, "x y", "aaa")).toDF("doc_id", "text", "topic")
+    val p = NaiveBayes.classify(docs.withColumn("text", lit("x")), tied, "topic").collect()
+    assert(p.head.getString(1) == "aaa")
+  }
+
+  test("smoothing: a term seen only in one class does not zero out the other") {
+    val docs = Seq((10L, "apple engine engine engine")).toDF("doc_id", "text")
+    val got = NaiveBayes.classify(docs, train, classCol = "topic").collect()
+    assert(got.head.getString(1) == "car") // 3 car-ish tokens beat 1 fruit token
+  }
+
+  test("scores are repartition-stable (fixed-point decimal sums)") {
+    val docs = (0L until 200L)
+      .map(i => (i, if (i % 2 == 0) s"apple banana x$i" else s"engine road x$i"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      NaiveBayes.classify(d, train, classCol = "topic")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(run(docs) == run(docs.repartition(13)))
+    assert(run(docs).count(_._2 == "fruit") == 100)
+  }
+}
