@@ -785,6 +785,36 @@ object RelationalExtended {
       Some("""SELECT lang, source, count(*) AS n,
              |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
              |       CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT) AS text_check
-             |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q50 — trending terms, the ST8 operator's batch face: documents on a
+    // synthetic minute grid, tumbling hourly windows, top-3 terms per
+    // window (ties lexicographic). Runs the EXACT streaming code path
+    // (trendingTerms — chained windowed aggregations; watermark is a
+    // no-op in batch) under the DuckDB oracle; the append-mode streaming
+    // semantics are pinned by StreamingSpec's ST8 test.
+    Q(
+      "q50_trending_terms",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(
+          timestamp_seconds(lit(1704067200L) + (col("doc_id") % 600) * 60).as("ts"),
+          col("text"))
+        graft.streaming.StreamingPipeline
+          .trendingTerms(d, "ts", "text", "1 hour", "0 seconds", k = 3)
+          .orderBy("window_start", "rk")
+      },
+      Some("""WITH d AS (SELECT TIMESTAMP '2024-01-01 00:00:00'
+             |         + (doc_id % 600) * INTERVAL 1 MINUTE AS ts, text
+             |       FROM documents),
+             |tok AS (SELECT date_trunc('hour', ts) AS ws,
+             |               unnest(string_split(text, ' ')) AS term FROM d),
+             |cnt AS (SELECT ws, term, count(*) AS n FROM tok GROUP BY 1, 2),
+             |rked AS (SELECT ws, term, n,
+             |           row_number() OVER (PARTITION BY ws
+             |             ORDER BY n DESC, term) AS rk
+             |         FROM cnt)
+             |SELECT ws AS window_start, CAST(rk AS BIGINT) AS rk, term, n
+             |FROM rked WHERE rk <= 3 ORDER BY window_start, rk""".stripMargin))
   )
 }

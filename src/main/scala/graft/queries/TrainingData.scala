@@ -2406,6 +2406,47 @@ object TrainingData {
              |             ORDER BY score DESC, cls) AS rk
              |         FROM sc)
              |SELECT id AS doc_id, cls AS pred_class, CAST(score AS DOUBLE) AS score
-             |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin))
+             |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // E13 — ANN recall evaluation: every approximate index in the stack
+    // (LSH, multiprobe LSH, trained IVF, IVF-PQ) scored against the exact
+    // brute-force top-5 — the eval a deployment runs to pick its
+    // recall/cost point. Hash-seeded candidates ⇒ rows-only (one row per
+    // method); the recall ALGEBRA is spec-pinned (brute vs itself = 1.0,
+    // exhaustive-probe IVF = 1.0, multiprobe ⊇ single-bucket LSH).
+    Q(
+      "e13_ann_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 20)
+        val dim = emb.select(size(col("embedding"))).head.getInt(0)
+        // 6 planes = 64 buckets: sized to the sf corpus so buckets hold
+        // candidates (12 planes = 4096 buckets strands every vector alone
+        // and the LSH legs read recall 0 — the eval's own sizing lesson).
+        val planes = Similarity.randomPlanes(6, dim)
+        val exact = graft.util.CacheScope.persist(
+          Similarity.bruteForceTopK(queries, emb, k = 5))
+        def leg(name: String, approx: DataFrame): DataFrame =
+          Similarity.recallAtK(approx, exact, k = 5)
+            .agg(
+              (sum(col("recall").cast("decimal(18,9)")) / count(lit(1)))
+                .cast("double").as("mean_recall"),
+              min(col("recall")).as("min_recall"),
+              count(lit(1)).as("n_queries"))
+            .select(lit(name).as("method"), col("mean_recall"),
+              col("min_recall"), col("n_queries"))
+        Seq(
+          leg("1_lsh", Similarity.lshTopK(queries, emb, planes, k = 5)),
+          leg("2_lsh_multiprobe",
+            Similarity.lshTopKMultiProbe(queries, emb, planes, k = 5)),
+          leg("3_ivf_trained",
+            Similarity.ivfTopK(queries, emb, nCentroids = 16, nProbe = 4,
+              k = 5, trainIters = 2)),
+          leg("4_ivfpq",
+            Similarity.ivfPqTopK(queries, emb, nCells = 16, nProbe = 4,
+              m = 4, ksub = 16, k = 5, trainIters = 2)))
+          .reduce(_ unionByName _).orderBy("method")
+      })
   )
 }

@@ -700,6 +700,27 @@ object Similarity {
     ivfPqSearch(queries, cent, codebook, residuals, nProbe, k, idCol, vecCol)
   }
 
+  /** Recall@k of an approximate ANN result against the exact brute-force
+    * result — the eval every ANN deployment runs before trusting an
+    * index. Both inputs are (query_id, rank, neighbor_id) as every top-k
+    * here emits; recall@k = |approx∩exact| / |exact| per query (exact can
+    * return < k rows when the corpus is small — the denominator is what
+    * the exact search actually found, so recall 1.0 always means "missed
+    * nothing"). One semi-join + two tiny aggregations; at scale both
+    * sides are k·|queries| rows — eval cost never touches the corpus.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val ex = exact.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val ap = approx.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val denom = ex.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val hits = ex.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    denom.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+  }
+
   /** Embedding near-duplicate pairs via LSH blocking: exact/near copies land
     * in the same bucket (identical vectors always do), so the pair join is
     * bucket-local. `threshold` on true cosine filters the candidates.

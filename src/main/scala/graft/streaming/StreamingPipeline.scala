@@ -156,6 +156,44 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col(keyCol), col("n"))
 
+  /** Streaming trending terms (ST8): per tumbling window, the top-k terms
+    * of a text stream — TWO chained stateful aggregations in append mode
+    * (term counts per window, then a bounded-heap top-k per window), the
+    * multiple-stateful-operator shape Spark 4 supports when the second
+    * aggregation re-windows over `window_time` so the watermark keeps
+    * propagating. Both states evict on the same watermark; the heap
+    * aggregate caps the second shuffle at k rows per mapper per window —
+    * a global trending board over an unbounded stream with bounded
+    * everything.
+    *
+    * Emits (window_start, rk, term, n) once the watermark closes a
+    * window; ties rank lexicographically first.
+    */
+  def trendingTerms(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      windowLen: String,
+      lateness: String,
+      k: Int): DataFrame =
+    docs
+      .withWatermark(tsCol, lateness)
+      .select(col(tsCol),
+        explode(graft.text.TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("w")), windowLen).as("w2"))
+      .agg(org.apache.spark.sql.graftnative.TopK.collectTopK(
+        struct(negate(col("n")).as("neg_n"), col("term").as("term")),
+        k, reverse = true).as("__top"))
+      .select(col("w2.start").as("window_start"),
+        posexplode(array_sort(col("__top"))).as(Seq("__pos", "__it")))
+      .select(
+        col("window_start"),
+        (col("__pos") + 1).cast("long").as("rk"),
+        col("__it.term").as("term"),
+        negate(col("__it.neg_n")).as("n"))
+
   /** Stream-stream interval join (ST7): each left event matched to right
     * events with the same key whose timestamp falls in
     * `[left_ts - within, left_ts]` — the streaming enrichment shape

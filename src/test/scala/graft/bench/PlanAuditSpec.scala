@@ -36,6 +36,8 @@ class PlanAuditSpec extends SparkTestBase {
     // SemDeDup's assignment pass is the same broadcast-centroid argmax.
     "e11_semdedup",
     "e11_semdedup_golden",
+    // recall eval runs the e1 brute-force baseline + e5/e8-shape probes
+    "e13_ann_recall",
     "c4_decontaminate",
     "c4b_decontaminate_shuffle",
     "c4c_contaminated_spans",

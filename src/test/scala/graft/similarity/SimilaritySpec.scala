@@ -147,6 +147,26 @@ class SimilaritySpec extends SparkTestBase {
     info(f"LSH recall@5: single=$single%.2f multi-probe=$multi%.2f (4 planes)")
   }
 
+  test("recallAtK: exact vs itself = 1.0; exhaustive-probe IVF = 1.0; multiprobe >= lsh") {
+    val planes = Similarity.randomPlanes(4, 64)
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(df, exact, k = 5)
+        .agg(avg(col("recall"))).head.getDouble(0)
+    assert(math.abs(mean(exact) - 1.0) < 1e-12)
+    val full = Similarity.ivfTopK(queries, emb, nCentroids = 8, nProbe = 8, k = 5)
+    assert(math.abs(mean(full) - 1.0) < 1e-12)
+    val lsh = mean(Similarity.lshTopK(queries, emb, planes, k = 5))
+    val multi = mean(Similarity.lshTopKMultiProbe(queries, emb, planes, k = 5))
+    assert(multi >= lsh - 1e-12 && multi <= 1.0 + 1e-12)
+    // per-query rows: one recall per query, all in [0,1]
+    val per = Similarity.recallAtK(
+      Similarity.lshTopK(queries, emb, planes, k = 5), exact, k = 5).collect()
+    assert(per.length == queries.count())
+    per.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
   test("IVF with full probe degrades to exact brute force") {
     val queries = emb.filter(col("vec_id") < 4)
     val exact = Similarity.bruteForceTopK(queries, emb, k = 5)

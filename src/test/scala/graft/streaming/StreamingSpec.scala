@@ -266,6 +266,32 @@ class StreamingSpec extends SparkTestBase {
     assert(!rows.exists { case (w, u, n) => w == t(0) && u == "u1" && n != 2L })
   }
 
+  test("streaming trending terms: chained windowed aggs emit a closed window's top-k (ST8)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = StreamingPipeline.trendingTerms(
+      mem.toDF().toDF("ts", "text"), "ts", "text", "10 minutes", "5 minutes", k = 2)
+    val q = out.writeStream.format("memory").queryName("tt")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    def t(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    mem.addData((t(0), "spark spark flink"), (t(1), "spark beam"))
+    q.processAllAvailable()
+    // watermark -> 10:25: the [10:00,10:10) window closes through BOTH
+    // stateful operators and its top-k emits exactly once.
+    mem.addData((t(30), "later window terms"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tt")
+      .select($"window_start", $"rk", $"term", $"n")
+      .as[(Timestamp, Long, String, Long)].collect().toSet
+    // counts in 10:00-10:10: spark=3, beam=1, flink=1 -> top-2 = spark,
+    // then the count-1 TIE resolves lexicographically to beam.
+    assert(rows == Set((t(0), 1L, "spark", 3L), (t(0), 2L, "beam", 1L)))
+  }
+
   test("sessionization: gap-based sessions via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
