@@ -320,6 +320,32 @@ object CurationQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // C21 — train/val/test split: 80/10/10 by the shared salted-md5 grid,
+    // per-document deterministic (rerun/retry/partition stable, and a
+    // document's split NEVER changes when the corpus grows — the property
+    // random splits lack and leakage audits depend on). Stratification
+    // comes free: hashing is source-independent, so each source lands
+    // ~80/10/10 without coordination.
+    Q(
+      "c21_dataset_split",
+      (s, dir) => {
+        val b = Curation.hashBucket(col("doc_id"), 100, "sp")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            when(b < 80, "train").when(b < 90, "val").otherwise("test")
+              .as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source,
+             |       CASE WHEN bucket < 80 THEN 'train'
+             |            WHEN bucket < 90 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM (SELECT doc_id, source,
+             |        CAST('0x' || substr(md5('sp' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // C2 — mixture weighting: each source down-sampled to its recipe rate
     // (0/25/50/75/100% across src0..src19), decided by the same
     // deterministic hash at 1/10000 resolution. Thresholds are integers on

@@ -815,6 +815,46 @@ object RelationalExtended {
              |             ORDER BY n DESC, term) AS rk
              |         FROM cnt)
              |SELECT ws AS window_start, CAST(rk AS BIGINT) AS rk, term, n
-             |FROM rked WHERE rk <= 3 ORDER BY window_start, rk""".stripMargin))
+             |FROM rked WHERE rk <= 3 ORDER BY window_start, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q51 — robust outlier detection via median absolute deviation: per
+    // group, med = median(x), mad = median(|x - med|), and a row is an
+    // outlier when |x - med| > 3 * 1.4826 * mad (the normal-consistency
+    // constant). Medians interpolate identically on both engines (the
+    // q26 percentile contract); everything after is plain IEEE
+    // arithmetic. Two grouped aggregations + two broadcast joins — the
+    // winsorize/quality-floor family's detection face.
+    Q(
+      "q51_mad_outliers",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select("event_id", "event_type", "value")
+        val med = e.groupBy("event_type")
+          .agg(percentile(col("value"), lit(0.5)).as("med"))
+        val mad = e.join(broadcast(med), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(
+            first(col("med")).as("med"),
+            percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+        e.join(broadcast(mad), Seq("event_type"))
+          .withColumn("robust_z",
+            (col("value") - col("med")) / (lit(1.4826) * col("mad")))
+          .filter(abs(col("value") - col("med")) > lit(3 * 1.4826) * col("mad"))
+          .select("event_id", "event_type", "value", "med", "mad", "robust_z")
+          .orderBy("event_id")
+      },
+      Some("""WITH med AS (SELECT event_type,
+             |                    quantile_cont(value, 0.5) AS med
+             |             FROM events GROUP BY 1),
+             |mad AS (SELECT e.event_type, any_value(m.med) AS med,
+             |               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+             |        FROM events e JOIN med m USING (event_type)
+             |        GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.value,
+             |       m.med, m.mad,
+             |       (e.value - m.med) / (1.4826 * m.mad) AS robust_z
+             |FROM events e JOIN mad m USING (event_type)
+             |WHERE abs(e.value - m.med) > 3 * 1.4826 * m.mad
+             |ORDER BY e.event_id""".stripMargin))
   )
 }

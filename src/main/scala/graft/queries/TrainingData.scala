@@ -8,7 +8,7 @@ import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
-import graft.graph.Triangles
+import graft.graph.{LabelPropagation, Triangles}
 import graft.text.{Bm25, Bpe, CharNgramLangId, Chunker, Entropy, HeavyHitters, InvertedIndex, LineFilter, NaiveBayes, NgramLm, TextFunctions}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
@@ -2447,6 +2447,53 @@ object TrainingData {
             Similarity.ivfPqTopK(queries, emb, nCells = 16, nProbe = 4,
               m = 4, ksub = 16, k = 5, trainIters = 2)))
           .reduce(_ unionByName _).orderBy("method")
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // G4 — deterministic synchronous label propagation (3 rounds) over the
+    // g3 co-occurrence graph: most-frequent neighbor label, ties to the
+    // smallest — the async variants converge faster but can't hash-match
+    // across engines; the oracle unrolls the same three votes as CTEs.
+    Q(
+      "g4_label_propagation",
+      (s, dir) => {
+        val occ = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            date_trunc("minute", col("ts")).as("mb"))
+          .distinct()
+        val edges = occ.as("o1")
+          .join(occ.as("o2"),
+            col("o1.event_type") === col("o2.event_type") &&
+              col("o1.mb") === col("o2.mb") &&
+              col("o1.user_id") < col("o2.user_id"))
+          .select(col("o1.user_id").as("src"), col("o2.user_id").as("dst"))
+        LabelPropagation.communities(edges, rounds = 3).orderBy("vertex")
+      },
+      Some("""WITH occ AS (SELECT DISTINCT user_id, event_type,
+             |                    date_trunc('minute', ts) AS mb FROM events),
+             |e AS (SELECT DISTINCT o1.user_id AS lo, o2.user_id AS hi
+             |      FROM occ o1 JOIN occ o2
+             |        ON o1.event_type = o2.event_type AND o1.mb = o2.mb
+             |       AND o1.user_id < o2.user_id),
+             |nbr AS (SELECT lo AS v, hi AS u FROM e
+             |        UNION ALL SELECT hi, lo FROM e),
+             |l0 AS (SELECT DISTINCT v AS vertex, v AS lbl FROM nbr),
+             |r1 AS (SELECT n.v, l.lbl, count(*) AS c FROM nbr n
+             |       JOIN l0 l ON n.u = l.vertex GROUP BY 1, 2),
+             |l1 AS (SELECT v AS vertex, lbl FROM (
+             |         SELECT v, lbl, row_number() OVER (PARTITION BY v
+             |           ORDER BY c DESC, lbl) AS rk FROM r1) WHERE rk = 1),
+             |r2 AS (SELECT n.v, l.lbl, count(*) AS c FROM nbr n
+             |       JOIN l1 l ON n.u = l.vertex GROUP BY 1, 2),
+             |l2 AS (SELECT v AS vertex, lbl FROM (
+             |         SELECT v, lbl, row_number() OVER (PARTITION BY v
+             |           ORDER BY c DESC, lbl) AS rk FROM r2) WHERE rk = 1),
+             |r3 AS (SELECT n.v, l.lbl, count(*) AS c FROM nbr n
+             |       JOIN l2 l ON n.u = l.vertex GROUP BY 1, 2),
+             |l3 AS (SELECT v AS vertex, lbl FROM (
+             |         SELECT v, lbl, row_number() OVER (PARTITION BY v
+             |           ORDER BY c DESC, lbl) AS rk FROM r3) WHERE rk = 1)
+             |SELECT vertex, lbl AS community FROM l3
+             |ORDER BY vertex""".stripMargin))
   )
 }
