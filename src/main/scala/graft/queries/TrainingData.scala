@@ -2440,12 +2440,17 @@ object TrainingData {
           leg("1_lsh", Similarity.lshTopK(queries, emb, planes, k = 5)),
           leg("2_lsh_multiprobe",
             Similarity.lshTopKMultiProbe(queries, emb, planes, k = 5)),
-          leg("3_ivf_trained",
-            Similarity.ivfTopK(queries, emb, nCentroids = 16, nProbe = 4,
-              k = 5, trainIters = 2)),
-          leg("4_ivfpq",
-            Similarity.ivfPqTopK(queries, emb, nCells = 16, nProbe = 4,
-              m = 4, ksub = 16, k = 5, trainIters = 2)))
+          // cheap-variant legs: sample-centroid IVF and flat PQ — the eval
+          // ranks index FAMILIES at one corpus pass each, and an eval
+          // entry re-running the full Lloyd stack per leg costs the sum
+          // of the stack (~9s measured, 2x the slowest real entry). The
+          // trained/composed variants are verified by e8/e9/e10; their
+          // recall slots into this same harness via recallAtK when a
+          // caller wants the trained frontier.
+          leg("3_ivf", Similarity.ivfTopK(queries, emb, nCentroids = 16,
+            nProbe = 4, k = 5)),
+          leg("4_pq_flat", Similarity.pqTopK(queries, emb,
+            m = 4, ksub = 16, k = 5, trainIters = 0)))
           .reduce(_ unionByName _).orderBy("method")
       }),
 
