@@ -1,14 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Warm-bench one or more registered queries in a single JVM:
+  * `runMain graft.BenchOne <name>[,<name>...] [runs]` — each query runs
+  * `runs` times after the shared session warmup, so per-query numbers are
+  * comparable without paying one JVM spin-up per query.
+  */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.fromEnv("graft-benchone")
-    val name = args(0)
-    (1 to args.lift(1).map(_.toInt).getOrElse(3)).foreach { i =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[benchone] $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+    val names = args(0).split(',').toSeq
+    val runs = args.lift(1).map(_.toInt).getOrElse(3)
+    names.foreach { name =>
+      (1 to runs).foreach { i =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[benchone] $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+      graft.util.CacheScope.releaseAll()
     }
     spark.stop()
   }

@@ -855,6 +855,70 @@ object RelationalExtended {
              |       (e.value - m.med) / (1.4826 * m.mad) AS robust_z
              |FROM events e JOIN mad m USING (event_type)
              |WHERE abs(e.value - m.med) > 3 * 1.4826 * m.mad
-             |ORDER BY e.event_id""".stripMargin))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q37b — distribution window functions (q37's rank/dense_rank/
+    // row_number sibling): ntile quartiles, percent_rank, cume_dist per
+    // priority over order totals. Both percent_rank ((r-1)/(n-1)) and
+    // cume_dist (r_peer_end/n) are exact integer-ratio divisions — IEEE-
+    // identical on both engines; ntile's uneven-bucket rule (first
+    // n mod k buckets one larger) matches between Spark and DuckDB.
+    Q(
+      "q37b_distribution_ranks",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(
+            col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             |       percent_rank() OVER w AS pct_rank,
+             |       cume_dist() OVER w AS cume
+             |FROM orders WHERE o_orderkey % 10 = 0
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q52 — ORC source/sink roundtrip (the q48/q49 contract for Spark's
+    // second native columnar format): DuckDB can't read ORC, so the
+    // oracle aggregates the parquet original — equality PROVES the ORC
+    // write/read cycle is lossless for longs, doubles, strings, and
+    // timestamps-as-longs.
+    Q(
+      "q52_orc_roundtrip",
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_orc"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts").cast("long").as("ts_secs"))
+          .write.orc(tmp)
+        s.read.orc(tmp)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("event_id")).as("id_sum"),
+            sum(col("user_id")).as("user_sum"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("value_sum"),
+            sum(col("ts_secs")).as("ts_sum"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |       CAST(sum(user_id) AS BIGINT) AS user_sum,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+             |       CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS ts_sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
