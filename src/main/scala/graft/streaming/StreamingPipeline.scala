@@ -253,6 +253,70 @@ object StreamingPipeline {
       session_end: java.sql.Timestamp,
       n_events: Long)
 
+  // -------------------------------------------------------------------
+  // ST9: streaming funnel tracker — the per-user step machine whose batch
+  // face is q45 (ordered funnel). Each user's state is just (step index,
+  // ts of last completed step); an event advances the funnel iff it is
+  // the NEXT step's type and strictly later than the previous completion
+  // (the q45 contract). Events sort by event time within a micro-batch;
+  // a cross-batch straggler older than an already-consumed step cannot
+  // retroactively count — the standard streaming-funnel approximation,
+  // with the batch operator as the exact reference. Completed funnels
+  // drop their state immediately; abandoned ones are evicted by
+  // event-time timeout `ttlSecs` past their last progress, emitting an
+  // observable `abandoned` marker.
+
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  /** lastTs = event time of the last COMPLETED step (the strictly-later
+    * gate); seenTs = max event time observed for the user at all — the ttl
+    * clock, so a no-progress funnel ages from its own events' times, not
+    * from the first batch's still-zero watermark.
+    */
+  final case class FunnelProgress(step: Int, lastTs: Long, seenTs: Long)
+  final case class FunnelStep(user_id: Long, step: String, step_ts: java.sql.Timestamp)
+
+  def funnelTrack(
+      events: Dataset[FunnelEvent],
+      steps: Seq[String],
+      ttlSecs: Long,
+      lateness: String = "10 seconds"): Dataset[FunnelStep] = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelStep](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, _, state) if state.hasTimedOut =>
+          val s = state.get
+          state.remove()
+          Iterator.single(FunnelStep(user, "abandoned",
+            new java.sql.Timestamp(s.seenTs)))
+        case (user, evs, state) =>
+          var s = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue, 0L))
+          val out = Seq.newBuilder[FunnelStep]
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+            s = s.copy(seenTs = math.max(s.seenTs, e.ts.getTime))
+            if (s.step < steps.length && e.event_type == steps(s.step) &&
+              e.ts.getTime > s.lastTs) {
+              s = FunnelProgress(s.step + 1, e.ts.getTime, s.seenTs)
+              out += FunnelStep(user, s"${s.step}_${steps(s.step - 1)}", e.ts)
+            }
+          }
+          if (s.step >= steps.length) state.remove()
+          else {
+            state.update(s)
+            // timeout must land beyond the current watermark; aging runs
+            // from the user's own newest event (the watermark on the
+            // FIRST batch is still 0, which would expire 2026 event-time
+            // state instantly).
+            val base = math.max(s.seenTs, state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(base + ttlSecs * 1000L)
+          }
+          out.result().iterator
+      }
+  }
+
   /** Sessions close after `gapSecs` of inactivity, finalized by event-time
     * timeout when the watermark passes session_end + gap — so state is
     * bounded and every session is emitted exactly once (append mode).

@@ -292,6 +292,72 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((t(0), 1L, "spark", 3L), (t(0), 2L, "beam", 1L)))
   }
 
+  test("streaming funnel: steps advance in order across batches; stragglers can't rewind (ST9)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[StreamingPipeline.FunnelEvent]
+    // lateness spans the fixture's cross-batch gap: u2's 10:03 signup
+    // arrives after the watermark passed 10:04:50 under the default 10s —
+    // it must be admitted as in-horizon, not dropped as late data.
+    val out = StreamingPipeline.funnelTrack(
+      mem.toDS(), steps = Seq("signup", "view", "click"), ttlSecs = 3600,
+      lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("fn")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    def t(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    import StreamingPipeline.FunnelEvent
+    // u1: signup+view arrive OUT OF ORDER in one batch -> in-batch event-
+    // time sort still advances both. u2: view BEFORE signup -> no progress.
+    mem.addData(
+      FunnelEvent(1L, t(5), "view"), FunnelEvent(1L, t(1), "signup"),
+      FunnelEvent(2L, t(1), "view"))
+    q.processAllAvailable()
+    // u1 click in a LATER batch advances to completion (state removed);
+    // u2's signup arrives now, but its earlier view was already missed.
+    // u1 straggler: a second 'view' older than the consumed click — the
+    // funnel is complete and gone; nothing emits.
+    mem.addData(FunnelEvent(1L, t(9), "click"), FunnelEvent(2L, t(3), "signup"),
+      FunnelEvent(1L, t(7), "view"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("fn")
+      .select($"user_id", $"step", $"step_ts")
+      .as[(Long, String, Timestamp)].collect().toSet
+    assert(rows == Set(
+      (1L, "1_signup", t(1)), (1L, "2_view", t(5)), (1L, "3_click", t(9)),
+      (2L, "1_signup", t(3))))
+  }
+
+  test("streaming funnel: abandoned state evicts by event-time timeout with a marker (ST9)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[StreamingPipeline.FunnelEvent]
+    val out = StreamingPipeline.funnelTrack(
+      mem.toDS(), steps = Seq("signup", "view"), ttlSecs = 60,
+      lateness = "1 second")
+    val q = out.writeStream.format("memory").queryName("fnttl")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    def t(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    import StreamingPipeline.FunnelEvent
+    mem.addData(FunnelEvent(1L, t(0), "signup"))
+    q.processAllAvailable()
+    // another user's much-later event pushes the watermark far past
+    // u1's ttl: u1's half-done funnel must evict with the marker.
+    mem.addData(FunnelEvent(9L, t(30), "signup"))
+    q.processAllAvailable()
+    mem.addData(FunnelEvent(9L, t(59), "view"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("fnttl")
+      .select($"user_id", $"step").as[(Long, String)].collect().toSet
+    assert(rows.contains((1L, "abandoned")))
+    assert(rows.contains((1L, "1_signup")) && rows.contains((9L, "1_signup")))
+  }
+
   test("sessionization: gap-based sessions via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
