@@ -59,6 +59,70 @@ object TrainingData {
     * cooperates — deliberately, because misaligned boilerplate is the
     * realistic hard case and the stats must simply report what repeats.
     */
+  /** The t22/t24 language fixture: the synthetic corpus is language-less
+    * token soup under a random lang label, so each doc is suffixed with a
+    * short genuine phrase of its labeled language — a classifier must
+    * LEARN the discriminating grams through the shared-soup noise.
+    */
+  private def nbFixture(s: SparkSession, dir: String): DataFrame = {
+    val phrase = Map(
+      "en" -> " the quick brown fox jumps over the lazy dog",
+      "de" -> " der schnelle braune fuchs springt ueber den faulen hund",
+      "fr" -> " le renard brun rapide saute par dessus le chien paresseux",
+      "es" -> " el zorro marron rapido salta sobre el perro perezoso",
+      "zh" -> " 敏捷的棕色狐狸跳过懒惰的狗")
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      concat(col("text"),
+        coalesce(element_at(typedLit(phrase), col("lang")), lit("")))
+        .as("text"))
+  }
+
+  /** The t24/t24b oracle's shared CTE chain: fixture docs -> 2/3 train
+    * split -> Laplace-smoothed NB model on the DECIMAL(20,6) ln grid ->
+    * per-(doc, class) scores -> ranked `best`. Final SELECTs differ per
+    * entry.
+    */
+  private val sqlNbCtes =
+    """WITH docs AS (SELECT doc_id, lang, text ||
+      |         CASE lang
+      |           WHEN 'en' THEN ' the quick brown fox jumps over the lazy dog'
+      |           WHEN 'de' THEN ' der schnelle braune fuchs springt ueber den faulen hund'
+      |           WHEN 'fr' THEN ' le renard brun rapide saute par dessus le chien paresseux'
+      |           WHEN 'es' THEN ' el zorro marron rapido salta sobre el perro perezoso'
+      |           WHEN 'zh' THEN ' 敏捷的棕色狐狸跳过懒惰的狗'
+      |           ELSE '' END AS text
+      |       FROM documents),
+      |train AS (SELECT * FROM docs WHERE doc_id % 3 <> 0),
+      |ttf AS (SELECT cls, term, count(*) AS cnt FROM (
+      |    SELECT lang AS cls, unnest(string_split(text, ' ')) AS term
+      |    FROM train) GROUP BY 1, 2),
+      |model AS (SELECT cls, term, CAST(ln(cnt + 1) AS DECIMAL(20,6)) AS w FROM ttf),
+      |voc AS (SELECT count(DISTINCT term) AS v FROM ttf),
+      |clz AS (SELECT t.cls,
+      |               CAST(ln(t.n_c + voc.v) AS DECIMAL(20,6)) AS denom,
+      |               CAST(ln(dc.docs_c) AS DECIMAL(20,6))
+      |                 - CAST(ln(da.docs_all) AS DECIMAL(20,6)) AS prior
+      |        FROM (SELECT cls, sum(cnt) AS n_c FROM ttf GROUP BY 1) t
+      |        CROSS JOIN voc
+      |        JOIN (SELECT lang AS cls, count(*) AS docs_c FROM train
+      |              GROUP BY 1) dc USING (cls)
+      |        CROSS JOIN (SELECT count(*) AS docs_all FROM train) da),
+      |dtf AS (SELECT id, term, count(*) AS tf FROM (
+      |    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+      |    FROM docs) GROUP BY 1, 2),
+      |dle AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM dtf GROUP BY 1),
+      |sp AS (SELECT id, cls, sum(tf * w) AS s1
+      |       FROM dtf JOIN model USING (term) GROUP BY 1, 2),
+      |sc AS (SELECT dle.id, c.cls,
+      |              coalesce(sp.s1, 0) - dle.dl * c.denom + c.prior AS score
+      |       FROM dle CROSS JOIN clz c
+      |       LEFT JOIN sp ON sp.id = dle.id AND sp.cls = c.cls),
+      |best AS (SELECT id, cls, score,
+      |           row_number() OVER (PARTITION BY id
+      |             ORDER BY score DESC, cls) AS rk
+      |         FROM sc)""".stripMargin
+
   private val BoilerHeader = "terms of service apply to all content on this site"
   private val BoilerFooter = "all rights reserved contact us for more information here today"
 
@@ -2353,60 +2417,37 @@ object TrainingData {
     Q(
       "t24_naive_bayes",
       (s, dir) => {
-        val phrase = Map(
-          "en" -> " the quick brown fox jumps over the lazy dog",
-          "de" -> " der schnelle braune fuchs springt ueber den faulen hund",
-          "fr" -> " le renard brun rapide saute par dessus le chien paresseux",
-          "es" -> " el zorro marron rapido salta sobre el perro perezoso",
-          "zh" -> " 敏捷的棕色狐狸跳过懒惰的狗")
-        val d = Tables.documents(s, dir).select(
-          col("doc_id"), col("lang"),
-          concat(col("text"),
-            coalesce(element_at(typedLit(phrase), col("lang")), lit("")))
-            .as("text"))
-        NaiveBayes.classify(d, d.filter(col("doc_id") % 3 =!= 0), classCol = "lang")
+        NaiveBayes.classify(nbFixture(s, dir),
+          nbFixture(s, dir).filter(col("doc_id") % 3 =!= 0), classCol = "lang")
           .orderBy("doc_id")
       },
-      Some("""WITH docs AS (SELECT doc_id, lang, text ||
-             |         CASE lang
-             |           WHEN 'en' THEN ' the quick brown fox jumps over the lazy dog'
-             |           WHEN 'de' THEN ' der schnelle braune fuchs springt ueber den faulen hund'
-             |           WHEN 'fr' THEN ' le renard brun rapide saute par dessus le chien paresseux'
-             |           WHEN 'es' THEN ' el zorro marron rapido salta sobre el perro perezoso'
-             |           WHEN 'zh' THEN ' 敏捷的棕色狐狸跳过懒惰的狗'
-             |           ELSE '' END AS text
-             |       FROM documents),
-             |train AS (SELECT * FROM docs WHERE doc_id % 3 <> 0),
-             |ttf AS (SELECT cls, term, count(*) AS cnt FROM (
-             |    SELECT lang AS cls, unnest(string_split(text, ' ')) AS term
-             |    FROM train) GROUP BY 1, 2),
-             |model AS (SELECT cls, term, CAST(ln(cnt + 1) AS DECIMAL(20,6)) AS w FROM ttf),
-             |voc AS (SELECT count(DISTINCT term) AS v FROM ttf),
-             |clz AS (SELECT t.cls,
-             |               CAST(ln(t.n_c + voc.v) AS DECIMAL(20,6)) AS denom,
-             |               CAST(ln(dc.docs_c) AS DECIMAL(20,6))
-             |                 - CAST(ln(da.docs_all) AS DECIMAL(20,6)) AS prior
-             |        FROM (SELECT cls, sum(cnt) AS n_c FROM ttf GROUP BY 1) t
-             |        CROSS JOIN voc
-             |        JOIN (SELECT lang AS cls, count(*) AS docs_c FROM train
-             |              GROUP BY 1) dc USING (cls)
-             |        CROSS JOIN (SELECT count(*) AS docs_all FROM train) da),
-             |dtf AS (SELECT id, term, count(*) AS tf FROM (
-             |    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
-             |    FROM docs) GROUP BY 1, 2),
-             |dle AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM dtf GROUP BY 1),
-             |sp AS (SELECT id, cls, sum(tf * w) AS s1
-             |       FROM dtf JOIN model USING (term) GROUP BY 1, 2),
-             |sc AS (SELECT dle.id, c.cls,
-             |              coalesce(sp.s1, 0) - dle.dl * c.denom + c.prior AS score
-             |       FROM dle CROSS JOIN clz c
-             |       LEFT JOIN sp ON sp.id = dle.id AND sp.cls = c.cls),
-             |best AS (SELECT id, cls, score,
-             |           row_number() OVER (PARTITION BY id
-             |             ORDER BY score DESC, cls) AS rk
-             |         FROM sc)
-             |SELECT id AS doc_id, cls AS pred_class, CAST(score AS DOUBLE) AS score
-             |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+      Some(sqlNbCtes +
+        """
+          |SELECT id AS doc_id, cls AS pred_class, CAST(score AS DOUBLE) AS score
+          |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T24b — the classifier's EVAL face: confusion matrix over the
+    // held-out third (the docs the model never trained on) — true class ×
+    // predicted class × count, the artifact a model report actually
+    // ships. Same CTE chain as t24; only the final rollup differs.
+    Q(
+      "t24b_nb_confusion",
+      (s, dir) => {
+        val d = nbFixture(s, dir)
+        NaiveBayes.classify(d, d.filter(col("doc_id") % 3 =!= 0), classCol = "lang")
+          .filter(col("doc_id") % 3 === 0)
+          .join(d.select(col("doc_id"), col("lang").as("true_class")), Seq("doc_id"))
+          .groupBy(col("true_class"), col("pred_class"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("true_class", "pred_class")
+      },
+      Some(sqlNbCtes +
+        """
+          |SELECT d.lang AS true_class, b.cls AS pred_class, count(*) AS n
+          |FROM best b JOIN docs d ON b.id = d.doc_id
+          |WHERE b.rk = 1 AND d.doc_id % 3 = 0
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ------------------------------------------------------------------
     // E13 — ANN recall evaluation: every approximate index in the stack
@@ -2499,6 +2540,51 @@ object TrainingData {
              |         SELECT v, lbl, row_number() OVER (PARTITION BY v
              |           ORDER BY c DESC, lbl) AS rk FROM r3) WHERE rk = 1)
              |SELECT vertex, lbl AS community FROM l3
-             |ORDER BY vertex""".stripMargin))
+             |ORDER BY vertex""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T28 — chunk-level dedup (c19 ∘ d1): the RAG-ingest step that drops
+    // repeated chunks BEFORE paying for embeddings — document dedup can't
+    // see chunks shared across distinct documents. Survivor = the minimum
+    // (doc_id, chunk_id) of each chunk text (one min-struct aggregation on
+    // the md5, never a per-text window); the re-ingested every-10th-doc
+    // fixture makes the copies real.
+    Q(
+      "t28_chunk_dedup",
+      (s, dir) => {
+        val ch = Chunker.chunk(docsWithExactDups(s, dir), chunkSize = 12, overlap = 3)
+          .withColumn("h", md5(col("chunk_text")))
+        val dd = ch.groupBy("h").agg(
+          count(lit(1)).as("n_copies"),
+          min(struct(col("doc_id"), col("chunk_id"))).as("surv"))
+        ch.join(dd, Seq("h"))
+          .select(
+            col("doc_id"), col("chunk_id"), col("n_tokens"), col("n_copies"),
+            (col("doc_id") === col("surv.doc_id") &&
+              col("chunk_id") === col("surv.chunk_id")).as("is_survivor"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+             |              UNION ALL
+             |              SELECT doc_id + 1000000, text FROM documents
+             |              WHERE doc_id % 10 = 0),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+             |chunks AS (SELECT doc_id, i AS chunk_id,
+             |             CAST(least(12, len(w) - i*9) AS BIGINT) AS n_tokens,
+             |             array_to_string(w[i*9+1 : i*9+12], ' ') AS chunk_text
+             |           FROM (SELECT doc_id, w, unnest(range(greatest(1,
+             |                   CAST(ceil(CAST(len(w) - 3 AS DOUBLE) / 9) AS BIGINT)))) AS i
+             |                 FROM toks)),
+             |dd AS (SELECT md5(chunk_text) AS h, count(*) AS n_copies,
+             |              min(doc_id) AS sd
+             |       FROM chunks GROUP BY 1),
+             |sc AS (SELECT md5(chunk_text) AS h, doc_id, min(chunk_id) AS scid
+             |       FROM chunks GROUP BY 1, 2)
+             |SELECT c.doc_id, c.chunk_id, c.n_tokens, dd.n_copies,
+             |       (c.doc_id = dd.sd AND c.chunk_id = s2.scid) AS is_survivor
+             |FROM chunks c
+             |JOIN dd ON md5(c.chunk_text) = dd.h
+             |JOIN sc s2 ON s2.h = dd.h AND s2.doc_id = dd.sd
+             |ORDER BY c.doc_id, c.chunk_id""".stripMargin))
   )
 }

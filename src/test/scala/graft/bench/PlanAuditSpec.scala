@@ -48,6 +48,7 @@ class PlanAuditSpec extends SparkTestBase {
     "t26_bm25_search",
     // |classes|-row (denom, prior) constant side of the NB dense term
     "t24_naive_bayes",
+    "t24b_nb_confusion",
     // one-row vocabulary-size side of the smoothed-probability join
     "t20_lm_perplexity_filter",
     // one-row weight-total side of the temperature-share computation
