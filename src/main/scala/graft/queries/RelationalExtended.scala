@@ -919,6 +919,50 @@ object RelationalExtended {
              |       CAST(sum(user_id) AS BIGINT) AS user_sum,
              |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
              |       CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS ts_sum
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q53 — ingestion-gap detection: a minute-granular calendar spine
+    // from the stream's own bounds, anti-joined against observed minutes,
+    // collapsed to maximal gap runs (the q33 islands trick inverted) —
+    // the monitoring query every ingestion pipeline runs. The spine is
+    // calendar-bounded (~526k minutes/year), so the single-partition
+    // islands window is bounded no matter how big the event volume gets;
+    // the anti-join is the only data-sized operation.
+    Q(
+      "q53_ingestion_gaps",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val bounds = ev.agg(
+          date_trunc("minute", min(col("ts"))).as("lo"),
+          date_trunc("minute", max(col("ts"))).as("hi"))
+        val spine = broadcast(bounds)
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 minute"))).as("m"))
+        val present = ev.select(date_trunc("minute", col("ts")).as("m")).distinct()
+        val w = Window.orderBy(col("idx"))
+        spine.join(present, Seq("m"), "left_anti")
+          .withColumn("idx", (col("m").cast("long") / 60).cast("long"))
+          .withColumn("grp", col("idx") - row_number().over(w))
+          .groupBy("grp")
+          .agg(
+            min(col("m")).as("gap_start"),
+            max(col("m")).as("gap_end"),
+            count(lit(1)).as("n_minutes"))
+          .select("gap_start", "gap_end", "n_minutes")
+          .orderBy("gap_start")
+      },
+      Some("""WITH bounds AS (SELECT date_trunc('minute', min(ts)) AS lo,
+             |                       date_trunc('minute', max(ts)) AS hi FROM events),
+             |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m
+             |          FROM bounds),
+             |present AS (SELECT DISTINCT date_trunc('minute', ts) AS m FROM events),
+             |missing AS (SELECT m, CAST(floor(epoch(m)) AS BIGINT) // 60 AS idx
+             |            FROM spine ANTI JOIN present USING (m)),
+             |grps AS (SELECT m, idx - row_number() OVER (ORDER BY idx) AS grp
+             |         FROM missing)
+             |SELECT min(m) AS gap_start, max(m) AS gap_end,
+             |       count(*) AS n_minutes
+             |FROM grps GROUP BY grp ORDER BY gap_start""".stripMargin))
   )
 }
