@@ -269,6 +269,20 @@ object ScaleProbe {
         time(s"chunk_overlap $label")(Chunker.chunk(d, 12, 3).count())
       }
     }
+    // Naive Bayes: train once on 1x, score the growing corpus — the model
+    // is a fixed (term, class) table, so scoring is equi-joins + one
+    // rollup + a |classes|-bounded argmax. Healthy = ~linear in the
+    // scored corpus with the model cost flat (the NgramLm shape).
+    {
+      val labeled1 = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+      val labeledN = (0 until n)
+        .map(i => labeled1.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+      for ((label, d) <- Seq("1x" -> labeled1, s"${n}x" -> labeledN)) {
+        time(s"naive_bayes_score $label")(
+          graft.text.NaiveBayes.classify(d, labeled1, classCol = "lang").count())
+      }
+    }
     // Triangle counting: replicate USERS (id-offset) so the graph grows
     // in vertices at constant density — healthy = ~linear in edges.
     // (Replicating the EVENT LOG onto the same users would instead
@@ -288,15 +302,18 @@ object ScaleProbe {
             .withColumn("user_id", col("user_id") + lit(i * 10000000L))
             .withColumn("event_type", concat(col("event_type"), lit("#" + i))))
           .reduce(_ unionByName _)
-        time(s"triangles $label") {
-          val edges = occ.as("o1")
-            .join(occ.as("o2"),
-              col("o1.event_type") === col("o2.event_type") &&
-                col("o1.mb") === col("o2.mb") &&
-                col("o1.user_id") < col("o2.user_id"))
-            .select(col("o1.user_id").as("src"), col("o2.user_id").as("dst"))
-          Triangles.perVertex(edges).count()
-        }
+        def coEdges = occ.as("o1")
+          .join(occ.as("o2"),
+            col("o1.event_type") === col("o2.event_type") &&
+              col("o1.mb") === col("o2.mb") &&
+              col("o1.user_id") < col("o2.user_id"))
+          .select(col("o1.user_id").as("src"), col("o2.user_id").as("dst"))
+        time(s"triangles $label")(Triangles.perVertex(coEdges).count())
+        // LPA on the same constant-density graph: 3 fixed rounds, each a
+        // join + two map-side-combined aggs on the vertex — healthy =
+        // ~linear in edges, rounds constant by construction.
+        time(s"label_propagation $label")(
+          graft.graph.LabelPropagation.communities(coEdges, rounds = 3).count())
       }
     }
     spark.stop()
