@@ -1092,6 +1092,28 @@ object CurationQueries {
           .orderBy("source")),
 
     // ------------------------------------------------------------------
+    // T29 — mergeable quantile sketch (approx_percentile) beside the exact
+    // interpolated percentile: the sketch is THE scale path for quantiles
+    // (partial sketches merge across partitions; the exact form needs the
+    // full group). Sketch internals are engine-specific ⇒ rows-only; the
+    // rank-error contract (approx p50 lands between the exact p45/p55,
+    // same for p95) is SketchesSpec-pinned alongside the exact columns
+    // here. Completes the sketch family: CMS (t12), HLL (t13), Bloom
+    // (c4d), quantiles (this).
+    Q(
+      "t29_quantile_sketch",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            percentile(col("value"), lit(0.5)).as("p50_exact"),
+            percentile(col("value"), lit(0.95)).as("p95_exact"),
+            approx_percentile(col("value"), lit(0.5), lit(10000)).as("p50_sketch"),
+            approx_percentile(col("value"), lit(0.95), lit(10000)).as("p95_sketch"))
+          .orderBy("event_type")),
+
+    // ------------------------------------------------------------------
     // T13g — the HLL estimate pinned over a literal fixture: two sources
     // whose exact distinct-token counts are hand-countable (9 and 5). At
     // these cardinalities the DataSketches HLL_4 sketch is in exact
