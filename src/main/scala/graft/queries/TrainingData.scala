@@ -1256,23 +1256,10 @@ object TrainingData {
     Q(
       "t22_langid_ngram",
       (s, dir) => {
-        // The synthetic corpus text is language-less token soup under a
-        // random lang label, so (the t9/t11 fixture pattern) each doc is
-        // suffixed with a short genuine phrase of its labeled language —
-        // the classifier must then LEARN the discriminating character
-        // grams through the shared-soup noise, which is the capability
-        // under test.
-        val phrase = Map(
-          "en" -> " the quick brown fox jumps over the lazy dog",
-          "de" -> " der schnelle braune fuchs springt ueber den faulen hund",
-          "fr" -> " le renard brun rapide saute par dessus le chien paresseux",
-          "es" -> " el zorro marron rapido salta sobre el perro perezoso",
-          "zh" -> " 敏捷的棕色狐狸跳过懒惰的狗")
-        val d = Tables.documents(s, dir).select(
-          col("doc_id"), col("lang"),
-          concat(col("text"),
-            coalesce(element_at(typedLit(phrase), col("lang")), lit("")))
-            .as("text"))
+        // Same phrase fixture as t24/t24b (see nbFixture): the classifier
+        // must LEARN the discriminating character grams through the
+        // shared-soup noise, which is the capability under test.
+        val d = nbFixture(s, dir)
         CharNgramLangId.classify(d, d.filter(col("doc_id") % 3 =!= 0))
           .orderBy("doc_id")
       },
@@ -2448,6 +2435,34 @@ object TrainingData {
           |FROM best b JOIN docs d ON b.id = d.doc_id
           |WHERE b.rk = 1 AND d.doc_id % 3 = 0
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T30 — exact phrase search ([[TextFunctions.phrasePositions]]): the
+    // positional half of the IR pair t26/t27 started — which documents
+    // contain "slow hash batch" as consecutive tokens, how often, and
+    // where first. One shuffle-free projection; the oracle slides the
+    // same 3-token window in SQL.
+    Q(
+      "t30_phrase_search",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextFunctions.phrasePositions(
+              TextFunctions.tokens(col("text")), "slow hash batch").as("__pos"))
+          .filter(size(col("__pos")) > 0)
+          .select(
+            col("doc_id"),
+            size(col("__pos")).cast("long").as("n_matches"),
+            get(col("__pos"), lit(0)).cast("long").as("first_pos"))
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+             |              FROM documents),
+             |cand AS (SELECT doc_id, i FROM (
+             |           SELECT doc_id, w, unnest(range(len(w) - 2)) AS i
+             |           FROM toks WHERE len(w) >= 3)
+             |         WHERE array_to_string(w[i+1 : i+3], ' ') = 'slow hash batch')
+             |SELECT doc_id, count(*) AS n_matches, CAST(min(i) AS BIGINT) AS first_pos
+             |FROM cand GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // E13 — ANN recall evaluation: every approximate index in the stack

@@ -35,6 +35,24 @@ object TextFunctions {
   /** n-word shingles, preserving order; empty for docs shorter than n. */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 
+  /** 0-based token positions where `phrase` starts in `toks` — exact
+    * phrase search as one shuffle-free projection (the positional-index
+    * join's single-scan form; at retrieval scale run it over a [[Bm25]]
+    * candidate set, not the raw corpus). Empty array when the document is
+    * shorter than the phrase.
+    */
+  def phrasePositions(toks: Column, phrase: String): Column = {
+    val words = phrase.split(" ")
+    require(words.nonEmpty && words.forall(_.nonEmpty),
+      s"phrase must be non-empty words, got '$phrase'")
+    val n = words.length
+    when(size(toks) >= n,
+      filter(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))) === lit(phrase)))
+      .otherwise(array().cast("array<int>"))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct vocabulary — robust
     * to word order, the cheap "bag-of-words identical" dedup key.
     */
