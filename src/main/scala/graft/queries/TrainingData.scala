@@ -123,6 +123,34 @@ object TrainingData {
       |             ORDER BY score DESC, cls) AS rk
       |         FROM sc)""".stripMargin
 
+  /** The t26/t26b oracle's shared CTE chain: tf/df/dl/corpus stats, the
+    * 5-query literal set, and the exact rational fixed-point per-(query,
+    * doc) BM25 micro-scores summed into `sc`. Final ranking differs per
+    * entry.
+    */
+  private val sqlBm25Ctes =
+    """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents) GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs,
+      |                  CAST(sum(tf) AS BIGINT) AS l_tokens FROM tf),
+      |q(query_id, query_text) AS (VALUES
+      |  (1, 'fast hash join'), (2, 'window sort order'),
+      |  (3, 'spark stream batch'), (4, 'slow scan filter'),
+      |  (5, 'vector data table')),
+      |qt AS (SELECT DISTINCT query_id, term FROM (
+      |    SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q)),
+      |per AS (SELECT qt.query_id, tf.doc_id,
+      |          floor(CAST((2*n_docs - 2*df.df + 1) * 22 * tf.tf * l_tokens AS DOUBLE)
+      |            / ((2*df.df + 1) * (10*l_tokens*tf.tf + 3*l_tokens + 9*dl.dl*n_docs))
+      |            * 1e6) AS s
+      |        FROM qt JOIN df USING (term) JOIN tf USING (term)
+      |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
+      |sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp6
+      |       FROM per GROUP BY 1, 2)""".stripMargin
+
   private val BoilerHeader = "terms of service apply to all content on this site"
   private val BoilerFooter = "all rights reserved contact us for more information here today"
 
@@ -2286,34 +2314,68 @@ object TrainingData {
         Bm25.search(Tables.documents(s, dir), qs, k = 8)
           .orderBy("query_id", "rk")
       },
-      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
-             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
-             |    FROM documents) GROUP BY 1, 2),
-             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-             |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs,
-             |                  CAST(sum(tf) AS BIGINT) AS l_tokens FROM tf),
-             |q(query_id, query_text) AS (VALUES
-             |  (1, 'fast hash join'), (2, 'window sort order'),
-             |  (3, 'spark stream batch'), (4, 'slow scan filter'),
-             |  (5, 'vector data table')),
-             |qt AS (SELECT DISTINCT query_id, term FROM (
-             |    SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q)),
-             |per AS (SELECT qt.query_id, tf.doc_id,
-             |          floor(CAST((2*n_docs - 2*df.df + 1) * 22 * tf.tf * l_tokens AS DOUBLE)
-             |            / ((2*df.df + 1) * (10*l_tokens*tf.tf + 3*l_tokens + 9*dl.dl*n_docs))
-             |            * 1e6) AS s
-             |        FROM qt JOIN df USING (term) JOIN tf USING (term)
-             |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
-             |sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp6
-             |       FROM per GROUP BY 1, 2),
-             |rked AS (SELECT query_id, doc_id, score_fp6,
-             |           row_number() OVER (PARTITION BY query_id
-             |             ORDER BY score_fp6 DESC, doc_id) AS rk
-             |         FROM sc)
-             |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
-             |       doc_id, score_fp6
-             |FROM rked WHERE rk <= 8 ORDER BY query_id, rk""".stripMargin)),
+      Some(sqlBm25Ctes +
+        """
+          |, rked AS (SELECT query_id, doc_id, score_fp6,
+          |           row_number() OVER (PARTITION BY query_id
+          |             ORDER BY score_fp6 DESC, doc_id) AS rk
+          |         FROM sc)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
+          |       doc_id, score_fp6
+          |FROM rked WHERE rk <= 8 ORDER BY query_id, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T26b — two-stage retrieval: BM25 recalls 160 candidates per query,
+    // then ONLY that bounded set is phrase-rescored (each exact occurrence
+    // of the full query phrase adds 1.0 = 1e6 micro-points) and re-ranked
+    // to the top 8 — the production IR shape: phrase evidence needs the
+    // document text, so it must never run corpus-wide. Closes hand-off
+    // note (d). Candidate sizing is itself the demonstrated lesson: the
+    // phrase-carrying docs BM25-rank 34/101/151 for q1, so a 32-candidate
+    // recall never sees them and the boost is lost at stage one — factor
+    // 20 covers them and the phrase docs jump to the head of the ranking.
+    Q(
+      "t26b_bm25_phrase_rescored",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (1L, "fast hash join"),
+          (2L, "window sort order"),
+          (3L, "spark stream batch"),
+          (4L, "slow scan filter"),
+          (5L, "vector data table")).toDF("query_id", "query_text")
+        Bm25.searchRescored(Tables.documents(s, dir), qs, k = 8,
+          candidateFactor = 20)
+          .orderBy("query_id", "rk")
+      },
+      Some(sqlBm25Ctes +
+        """
+          |, base AS (SELECT query_id, doc_id, score_fp6,
+          |           row_number() OVER (PARTITION BY query_id
+          |             ORDER BY score_fp6 DESC, doc_id) AS rk0
+          |         FROM sc),
+          |cand AS (SELECT query_id, doc_id, score_fp6 FROM base WHERE rk0 <= 160),
+          |qinfo AS (SELECT query_id, query_text,
+          |                 len(string_split(query_text, ' ')) AS qn FROM q),
+          |pm AS (SELECT c.query_id, c.doc_id, count(*) AS n_phrase
+          |       FROM (SELECT c0.query_id, c0.doc_id, qi.query_text, qi.qn, t.w
+          |             FROM cand c0
+          |             JOIN qinfo qi USING (query_id)
+          |             JOIN (SELECT doc_id, string_split(text, ' ') AS w
+          |                   FROM documents) t USING (doc_id)) c,
+          |            unnest(range(greatest(len(c.w) - c.qn + 1, 0))) AS u(i)
+          |       WHERE array_to_string(c.w[i+1 : i+qn], ' ') = c.query_text
+          |       GROUP BY 1, 2),
+          |resc AS (SELECT c.query_id, c.doc_id,
+          |                c.score_fp6 + 1000000 * coalesce(pm.n_phrase, 0) AS score_fp6
+          |         FROM cand c LEFT JOIN pm USING (query_id, doc_id)),
+          |rked AS (SELECT query_id, doc_id, CAST(score_fp6 AS BIGINT) AS score_fp6,
+          |           row_number() OVER (PARTITION BY query_id
+          |             ORDER BY score_fp6 DESC, doc_id) AS rk
+          |         FROM resc)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
+          |       doc_id, score_fp6
+          |FROM rked WHERE rk <= 8 ORDER BY query_id, rk""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T27 — inverted-index materialization: term -> (df, cf, sorted

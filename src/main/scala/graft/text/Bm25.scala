@@ -99,4 +99,46 @@ object Bm25 {
         col("__it.id").as(idCol),
         negate(col("__it.ns")).as("score_fp6"))
   }
+
+  /** Two-stage retrieval: BM25 recalls `candidateFactor · k` candidates,
+    * then ONLY that bounded set is phrase-rescored (each exact occurrence
+    * of the full query phrase adds `phraseBonusFp6` micro-points) and
+    * re-ranked to the top k. This is the production IR shape — phrase
+    * evidence needs the document text, so it must never run corpus-wide;
+    * the candidate bound keeps the text join at `candidateFactor · k ·
+    * |queries|` rows no matter the corpus size. All arithmetic stays on
+    * the fixed-point BIGINT grid — engine-exact like [[search]].
+    */
+  def searchRescored(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      candidateFactor: Int = 4,
+      phraseBonusFp6: Long = 1000000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(candidateFactor >= 1, s"candidateFactor must be >= 1, got $candidateFactor")
+    val base = search(docs, queries, k * candidateFactor, idCol, textCol)
+    val rescored = base
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("__nph",
+        size(TextFunctions.phrasePositionsCol(
+          TextFunctions.tokens(col(textCol)), col("query_text"))).cast("long"))
+      .select(col("query_id"), col(idCol).as("id"),
+        (col("score_fp6") + lit(phraseBonusFp6) * col("__nph")).as("score_fp6"))
+    val item = struct(
+      negate(col("score_fp6")).as("ns"),
+      col("id").as("id"))
+    rescored
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graftnative.TopK
+        .collectTopK(item, k, reverse = true).as("__top"))
+      .select(col("query_id"), posexplode(array_sort(col("__top"))).as(Seq("__pos", "__it")))
+      .select(
+        col("query_id"),
+        (col("__pos") + 1).cast("long").as("rk"),
+        col("__it.id").as(idCol),
+        negate(col("__it.ns")).as("score_fp6"))
+  }
 }

@@ -45,11 +45,19 @@ object TextFunctions {
     val words = phrase.split(" ")
     require(words.nonEmpty && words.forall(_.nonEmpty),
       s"phrase must be non-empty words, got '$phrase'")
-    val n = words.length
-    when(size(toks) >= n,
+    phrasePositionsCol(toks, lit(phrase))
+  }
+
+  /** [[phrasePositions]] with the phrase itself a COLUMN (one phrase per
+    * row — the rescoring join's shape, where each query row carries its
+    * own phrase).
+    */
+  def phrasePositionsCol(toks: Column, phrase: Column): Column = {
+    val qn = size(split(phrase, " "))
+    when(size(toks) >= qn,
       filter(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))) === lit(phrase)))
+        sequence(lit(0), size(toks) - qn),
+        i => concat_ws(" ", slice(toks, i + 1, qn)) === phrase))
       .otherwise(array().cast("array<int>"))
   }
 

@@ -46,6 +46,7 @@ class PlanAuditSpec extends SparkTestBase {
     "t10_tfidf_top_terms",
     // one-row (n_docs, l_tokens) corpus-stats side of the BM25 scoring join
     "t26_bm25_search",
+    "t26b_bm25_phrase_rescored",
     // |classes|-row (denom, prior) constant side of the NB dense term
     "t24_naive_bayes",
     "t24b_nb_confusion",

@@ -53,6 +53,28 @@ class Bm25Spec extends SparkTestBase {
     assert(got.length == 1 && got.head.getLong(2) == 1L)
   }
 
+  test("phrase rescoring lifts an exact-phrase doc over higher-BM25 term-bag docs") {
+    // doc 5 contains the exact phrase once; doc 6 repeats the terms as a
+    // bag (higher BM25 tf) but never consecutively.
+    val d = docs.unionByName(Seq(
+      (5L, "a b the quick fox c d"),
+      (6L, "quick quick fox fox the the end"))
+      .toDF("doc_id", "text"))
+    val q = Seq((1L, "the quick fox")).toDF("query_id", "query_text")
+    // doc -> rank maps (note doc 2 of the base fixture is literally the
+    // phrase "the quick fox", so it carries the bonus too and stays first)
+    val base = Bm25.search(d, q, k = 6).collect()
+      .map(r => r.getLong(2) -> r.getLong(1)).toMap
+    val resc = Bm25.searchRescored(d, q, k = 6, candidateFactor = 1).collect()
+      .map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(base(6L) < base(5L), s"bag doc should out-BM25 the phrase doc, got $base")
+    assert(resc(5L) < resc(6L), s"phrase doc should outrank the bag doc rescored, got $resc")
+    assert(resc(2L) == 1L, s"the exact-phrase-only doc keeps rank 1, got $resc")
+    // non-phrase docs keep their BM25 score (bonus is additive-only)
+    intercept[IllegalArgumentException](
+      Bm25.searchRescored(d, q, k = 6, candidateFactor = 0))
+  }
+
   test("ranking is repartition-stable (fixed-point sums)") {
     def run(d: org.apache.spark.sql.DataFrame) =
       Bm25.search(d, queries, k = 4)
