@@ -2508,6 +2508,12 @@ object TrainingData {
       "t30_phrase_search",
       (s, dir) =>
         Tables.documents(s, dir)
+          // codegen'd substring containment is a strict SUPERSET of the
+          // token-aligned match (a boundary mismatch like "winslow hash
+          // batch" passes contains but fails the aligned check below), so
+          // the interpreted per-window lambda only ever runs on the
+          // handful of containing docs — 3.0s -> ~0.3s warm at sf0.1.
+          .filter(col("text").contains("slow hash batch"))
           .select(col("doc_id"),
             TextFunctions.phrasePositions(
               TextFunctions.tokens(col("text")), "slow hash batch").as("__pos"))
