@@ -2533,6 +2533,48 @@ object TrainingData {
              |FROM cand GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T30b — proximity search: documents where 'vector' and 'stream'
+    // co-occur, with the count of position pairs within 3 tokens and the
+    // minimum distance — the "terms near each other" relevance signal
+    // between exact-phrase (t30) and bag-of-words (t26). Shape: one
+    // codegen'd posexplode + IN-filter (only the two terms' positions
+    // survive the scan), then a doc-local self-join — quadratic only in
+    // within-doc term frequency, never in corpus size. (A HOF position-
+    // array formulation measured 6s warm at sf0.1: both terms are common,
+    // so the interpreted per-token lambdas ran over most of the corpus;
+    // the exploded form is whole-stage codegen end-to-end and ~10x
+    // cheaper — the t30 prefilter lesson taken to its conclusion.)
+    Q(
+      "t30b_proximity_search",
+      (s, dir) => {
+        val pos = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(TextFunctions.tokens(col("text"))).as(Seq("i", "t")))
+          .filter(col("t").isin("vector", "stream"))
+        val a = pos.filter(col("t") === "vector").select(col("doc_id"), col("i").as("ia"))
+        val b = pos.filter(col("t") === "stream").select(col("doc_id"), col("i").as("ib"))
+        a.join(b, Seq("doc_id"))
+          .withColumn("__d", abs(col("ia") - col("ib")))
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("__d") <= 3, 1L).otherwise(0L)).as("n_pairs_within"),
+            min(col("__d")).cast("long").as("min_dist"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+             |              FROM documents),
+             |p AS (SELECT doc_id, i, w[i+1] AS t FROM (
+             |        SELECT doc_id, w, unnest(range(len(w))) AS i FROM toks)),
+             |a AS (SELECT doc_id, i FROM p WHERE t = 'vector'),
+             |b AS (SELECT doc_id, i FROM p WHERE t = 'stream'),
+             |j AS (SELECT a.doc_id, abs(a.i - b.i) AS d
+             |      FROM a JOIN b USING (doc_id))
+             |SELECT doc_id,
+             |       CAST(sum(CASE WHEN d <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_within,
+             |       CAST(min(d) AS BIGINT) AS min_dist
+             |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // E13 — ANN recall evaluation: every approximate index in the stack
     // (LSH, multiprobe LSH, trained IVF, IVF-PQ) scored against the exact
     // brute-force top-5 — the eval a deployment runs to pick its
