@@ -47,8 +47,11 @@ object LabelPropagation {
         .groupBy(col("v"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("v"))
-        // argmax by (count desc, label asc): max of (c, -lbl)
-        .agg(max_by(col("lbl"), struct(col("c"), negate(col("lbl")))).as("lbl"))
+        // argmax by (count desc, label asc) as a MIN over (-count, label):
+        // the negation lands on the always-numeric count, so any orderable
+        // label type works (negate on a string label would implicitly cast
+        // to double -> null and silently destroy the tie-break).
+        .agg(min_by(col("lbl"), struct(negate(col("c")), col("lbl"))).as("lbl"))
         .select(col("v").as("vertex"), col("lbl"))
         .localCheckpoint(true)
     }

@@ -17,6 +17,24 @@ object RelationalExtended {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** The q45/q47 funnel contract, stated once: first qualifying event per
+    * stage, each stage strictly later than the previous completion.
+    * Returns (step name, (user_id, t)) per stage in order.
+    */
+  private def funnelStages(ev: DataFrame): Seq[(String, DataFrame)] = {
+    def stage(prev: DataFrame, step: String): DataFrame =
+      ev.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("t").as("__pt")), Seq("user_id"))
+        .filter(col("ts") > col("__pt"))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t"))
+    val s2 = stage(s1, "view")
+    val s3 = stage(s2, "click")
+    val s4 = stage(s3, "purchase")
+    Seq("signup" -> s1, "view" -> s2, "click" -> s3, "purchase" -> s4)
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // Q9 — JSON extraction from a string column (SURVEY §2.7 F8: the
@@ -606,20 +624,9 @@ object RelationalExtended {
       "q45_funnel_steps",
       (s, dir) => {
         val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
-        def stage(prev: DataFrame, step: String): DataFrame =
-          ev.filter(col("event_type") === step)
-            .join(prev.select(col("user_id"), col("t").as("__pt")), Seq("user_id"))
-            .filter(col("ts") > col("__pt"))
-            .groupBy("user_id").agg(min(col("ts")).as("t"))
-        val s1 = ev.filter(col("event_type") === "signup")
-          .groupBy("user_id").agg(min(col("ts")).as("t"))
-        val s2 = stage(s1, "view")
-        val s3 = stage(s2, "click")
-        val s4 = stage(s3, "purchase")
-        val steps = Seq("1_signup" -> s1, "2_view" -> s2, "3_click" -> s3,
-          "4_purchase" -> s4)
-        steps.map { case (name, df) =>
-          df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
+        funnelStages(ev).zipWithIndex.map { case ((name, df), i) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(s"${i + 1}_$name").as("step"), col("n_users"))
         }.reduce(_ unionByName _).orderBy("step")
       },
       Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
@@ -675,16 +682,7 @@ object RelationalExtended {
       "q47_funnel_timing",
       (s, dir) => {
         val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
-        def firstAfter(prev: DataFrame, step: String): DataFrame =
-          ev.filter(col("event_type") === step)
-            .join(prev.select(col("user_id"), col("t").as("__pt")), Seq("user_id"))
-            .filter(col("ts") > col("__pt"))
-            .groupBy("user_id").agg(min(col("ts")).as("t"))
-        val s1 = ev.filter(col("event_type") === "signup")
-          .groupBy("user_id").agg(min(col("ts")).as("t"))
-        val s2 = firstAfter(s1, "view")
-        val s3 = firstAfter(s2, "click")
-        val s4 = firstAfter(s3, "purchase")
+        val stages = funnelStages(ev)
         def leg(name: String, from: DataFrame, to: DataFrame): DataFrame =
           to.join(from.select(col("user_id"), col("t").as("t0")), Seq("user_id"))
             .select((col("t").cast("long") - col("t0").cast("long")).as("d"))
@@ -693,9 +691,10 @@ object RelationalExtended {
               (sum(col("d")).cast("double") / count(lit(1))).as("avg_secs"),
               percentile(col("d"), lit(0.5)).as("p50_secs"))
             .select(lit(name).as("leg"), col("n_users"), col("avg_secs"), col("p50_secs"))
-        Seq(leg("1_signup_to_view", s1, s2), leg("2_view_to_click", s2, s3),
-          leg("3_click_to_purchase", s3, s4))
-          .reduce(_ unionByName _).orderBy("leg")
+        stages.sliding(2).zipWithIndex.map {
+          case (Seq((fromName, from), (toName, to)), i) =>
+            leg(s"${i + 1}_${fromName}_to_$toName", from, to)
+        }.reduce(_ unionByName _).orderBy("leg")
       },
       Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
              |            WHERE event_type = 'signup' GROUP BY 1),
@@ -734,7 +733,9 @@ object RelationalExtended {
     Q(
       "q48_csv_roundtrip",
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_csv"
+        // app-id-suffixed: a fixed shared path would let two concurrent
+        // harness runs delete each other's files mid-query.
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_csv_${s.sparkContext.applicationId}"
         val fs = new org.apache.hadoop.fs.Path(tmp)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -764,7 +765,9 @@ object RelationalExtended {
     Q(
       "q49_json_roundtrip",
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_json"
+        // app-id-suffixed: a fixed shared path would let two concurrent
+        // harness runs delete each other's files mid-query.
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_json_${s.sparkContext.applicationId}"
         val fs = new org.apache.hadoop.fs.Path(tmp)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -896,7 +899,9 @@ object RelationalExtended {
     Q(
       "q52_orc_roundtrip",
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_orc"
+        // app-id-suffixed: a fixed shared path would let two concurrent
+        // harness runs delete each other's files mid-query.
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_orc_${s.sparkContext.applicationId}"
         val fs = new org.apache.hadoop.fs.Path(tmp)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)

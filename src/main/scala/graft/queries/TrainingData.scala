@@ -151,6 +151,23 @@ object TrainingData {
       |sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp6
       |       FROM per GROUP BY 1, 2)""".stripMargin
 
+  /** The g3/g4 graph, built once: users co-occurring on (event_type,
+    * minute). Both entries' oracles encode the SAME graph — a bucketing
+    * change here must be mirrored in both SQL texts.
+    */
+  private def coOccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("mb"))
+      .distinct()
+    occ.as("o1")
+      .join(occ.as("o2"),
+        col("o1.event_type") === col("o2.event_type") &&
+          col("o1.mb") === col("o2.mb") &&
+          col("o1.user_id") < col("o2.user_id"))
+      .select(col("o1.user_id").as("src"), col("o2.user_id").as("dst"))
+  }
+
   private val BoilerHeader = "terms of service apply to all content on this site"
   private val BoilerFooter = "all rights reserved contact us for more information here today"
 
@@ -2429,19 +2446,8 @@ object TrainingData {
     // keep it sparse where hour buckets would densify the graph 40x.
     Q(
       "g3_triangle_count",
-      (s, dir) => {
-        val occ = Tables.events(s, dir)
-          .select(col("user_id"), col("event_type"),
-            date_trunc("minute", col("ts")).as("mb"))
-          .distinct()
-        val edges = occ.as("o1")
-          .join(occ.as("o2"),
-            col("o1.event_type") === col("o2.event_type") &&
-              col("o1.mb") === col("o2.mb") &&
-              col("o1.user_id") < col("o2.user_id"))
-          .select(col("o1.user_id").as("src"), col("o2.user_id").as("dst"))
-        Triangles.perVertex(edges).orderBy("vertex")
-      },
+      (s, dir) =>
+        Triangles.perVertex(coOccurrenceEdges(s, dir)).orderBy("vertex"),
       Some("""WITH occ AS (SELECT DISTINCT user_id, event_type,
              |                    date_trunc('minute', ts) AS mb FROM events),
              |e AS (SELECT DISTINCT o1.user_id AS lo, o2.user_id AS hi
@@ -2627,19 +2633,9 @@ object TrainingData {
     // across engines; the oracle unrolls the same three votes as CTEs.
     Q(
       "g4_label_propagation",
-      (s, dir) => {
-        val occ = Tables.events(s, dir)
-          .select(col("user_id"), col("event_type"),
-            date_trunc("minute", col("ts")).as("mb"))
-          .distinct()
-        val edges = occ.as("o1")
-          .join(occ.as("o2"),
-            col("o1.event_type") === col("o2.event_type") &&
-              col("o1.mb") === col("o2.mb") &&
-              col("o1.user_id") < col("o2.user_id"))
-          .select(col("o1.user_id").as("src"), col("o2.user_id").as("dst"))
-        LabelPropagation.communities(edges, rounds = 3).orderBy("vertex")
-      },
+      (s, dir) =>
+        LabelPropagation.communities(coOccurrenceEdges(s, dir), rounds = 3)
+          .orderBy("vertex"),
       Some("""WITH occ AS (SELECT DISTINCT user_id, event_type,
              |                    date_trunc('minute', ts) AS mb FROM events),
              |e AS (SELECT DISTINCT o1.user_id AS lo, o2.user_id AS hi

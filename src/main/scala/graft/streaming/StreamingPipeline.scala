@@ -262,9 +262,10 @@ object StreamingPipeline {
   // a cross-batch straggler older than an already-consumed step cannot
   // retroactively count — the standard streaming-funnel approximation,
   // with the batch operator as the exact reference. Completed funnels
-  // drop their state immediately; abandoned ones are evicted by
-  // event-time timeout `ttlSecs` past their last progress, emitting an
-  // observable `abandoned` marker.
+  // keep a terminal state until the ttl evicts it SILENTLY, so a late
+  // repeat of step one cannot restart the funnel and double-count the
+  // user; incomplete funnels evict on the same event-time timeout but
+  // emit an observable `abandoned` marker.
 
   final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   /** lastTs = event time of the last COMPLETED step (the strictly-later
@@ -290,8 +291,14 @@ object StreamingPipeline {
         case (user, _, state) if state.hasTimedOut =>
           val s = state.get
           state.remove()
-          Iterator.single(FunnelStep(user, "abandoned",
-            new java.sql.Timestamp(s.seenTs)))
+          // only an INCOMPLETE funnel is "abandoned" — completed ones keep
+          // their terminal state until this same timeout so a late repeat
+          // of step one can't restart the funnel and double-count the
+          // user (the q45 batch face counts each user exactly once).
+          if (s.step < steps.length)
+            Iterator.single(FunnelStep(user, "abandoned",
+              new java.sql.Timestamp(s.seenTs)))
+          else Iterator.empty
         case (user, evs, state) =>
           var s = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue, 0L))
           val out = Seq.newBuilder[FunnelStep]
@@ -303,16 +310,15 @@ object StreamingPipeline {
               out += FunnelStep(user, s"${s.step}_${steps(s.step - 1)}", e.ts)
             }
           }
-          if (s.step >= steps.length) state.remove()
-          else {
-            state.update(s)
-            // timeout must land beyond the current watermark; aging runs
-            // from the user's own newest event (the watermark on the
-            // FIRST batch is still 0, which would expire 2026 event-time
-            // state instantly).
-            val base = math.max(s.seenTs, state.getCurrentWatermarkMs())
-            state.setTimeoutTimestamp(base + ttlSecs * 1000L)
-          }
+          state.update(s)
+          // timeout must land beyond the current watermark; aging runs
+          // from the user's own newest event (the watermark on the
+          // FIRST batch is still 0, which would expire 2026 event-time
+          // state instantly). Completed funnels keep their terminal
+          // state on the same clock (evicted silently) so later repeat
+          // events can't restart them.
+          val base = math.max(s.seenTs, state.getCurrentWatermarkMs())
+          state.setTimeoutTimestamp(base + ttlSecs * 1000L)
           out.result().iterator
       }
   }

@@ -84,7 +84,15 @@ object Bm25 {
     val scored = perTerm
       .groupBy("query_id", "id")
       .agg(sum(col("score_fp6")).as("score_fp6"))
-    // Heap item orders (neg score, doc id): ORDER BY score DESC, id ASC.
+    rankTopK(scored, k, idCol)
+  }
+
+  /** Bounded-heap per-query top-k over (query_id, id, score_fp6), ranked
+    * score DESC then id ASC — the ONE ranking convention both retrieval
+    * stages share (heap item = (neg score, id); double- and long-negation
+    * are bit-exact).
+    */
+  private def rankTopK(scored: DataFrame, k: Int, idCol: String): DataFrame = {
     val item = struct(
       negate(col("score_fp6")).as("ns"),
       col("id").as("id"))
@@ -127,18 +135,6 @@ object Bm25 {
           TextFunctions.tokens(col(textCol)), col("query_text"))).cast("long"))
       .select(col("query_id"), col(idCol).as("id"),
         (col("score_fp6") + lit(phraseBonusFp6) * col("__nph")).as("score_fp6"))
-    val item = struct(
-      negate(col("score_fp6")).as("ns"),
-      col("id").as("id"))
-    rescored
-      .groupBy("query_id")
-      .agg(org.apache.spark.sql.graftnative.TopK
-        .collectTopK(item, k, reverse = true).as("__top"))
-      .select(col("query_id"), posexplode(array_sort(col("__top"))).as(Seq("__pos", "__it")))
-      .select(
-        col("query_id"),
-        (col("__pos") + 1).cast("long").as("rk"),
-        col("__it.id").as(idCol),
-        negate(col("__it.ns")).as("score_fp6"))
+    rankTopK(rescored, k, idCol)
   }
 }

@@ -33,12 +33,16 @@ object Chunker {
       s"overlap must be in [0, chunkSize), got $overlap")
     val stride = chunkSize - overlap
     docs
+      // null-body docs emit NO chunks: greatest/least SKIP nulls, so an
+      // unfiltered null text would fabricate one phantom full-size chunk
+      // of empty text (greatest(1, null) = 1, least(12, null) = 12).
+      .filter(col(textCol).isNotNull)
       .withColumn("__w", TextFunctions.tokens(col(textCol)))
       .withColumn("__n", size(col("__w")))
       .withColumn("__chunks",
         greatest(lit(1L), ceil((col("__n") - lit(overlap)).cast("double") / lit(stride))))
       .select(col(idCol), col("__w"), col("__n"),
-        posexplode(sequence(lit(0L), col("__chunks") - 1)).as(Seq("__i", "chunk_id")))
+        explode(sequence(lit(0L), col("__chunks") - 1)).as("chunk_id"))
       .withColumn("__start", col("chunk_id") * stride)
       .select(
         col(idCol),

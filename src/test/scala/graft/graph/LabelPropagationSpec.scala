@@ -30,6 +30,15 @@ class LabelPropagationSpec extends SparkTestBase {
     assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 5L, 5L -> 1L))
   }
 
+  test("string vertex ids keep the deterministic tie-break (negation lands on the count)") {
+    // hub "e" sees {a,b,c} all count 1 -> smallest label "a"; a negate on
+    // the LABEL would cast string->double->null and break this.
+    val star = Seq(("e", "a"), ("e", "b"), ("e", "c")).toDF("src", "dst")
+    val got = LabelPropagation.communities(star, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "e", "b" -> "e", "c" -> "e", "e" -> "a"))
+  }
+
   test("duplicate/reversed/self-loop edges normalize; result is repartition-stable") {
     val messy = twoCliques
       .unionByName(Seq((2L, 1L), (1L, 2L), (3L, 3L)).toDF("src", "dst"))

@@ -320,6 +320,10 @@ class StreamingSpec extends SparkTestBase {
     mem.addData(FunnelEvent(1L, t(9), "click"), FunnelEvent(2L, t(3), "signup"),
       FunnelEvent(1L, t(7), "view"))
     q.processAllAvailable()
+    // u1's funnel is COMPLETE: a later repeat of step one must not
+    // restart it (the q45 batch face counts each user exactly once).
+    mem.addData(FunnelEvent(1L, t(11), "signup"))
+    q.processAllAvailable()
     q.stop()
 
     val rows = spark.table("fn")

@@ -43,6 +43,13 @@ class ChunkerSpec extends SparkTestBase {
     }
   }
 
+  test("null-text documents emit no chunks (no phantom full-size empty chunk)") {
+    val d = Seq((1L, Option("w1 w2 w3")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Chunker.chunk(d, 12, 3).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("invalid parameters are rejected") {
     intercept[IllegalArgumentException](Chunker.chunk(doc(5), 0, 0))
     intercept[IllegalArgumentException](Chunker.chunk(doc(5), 10, 10))
