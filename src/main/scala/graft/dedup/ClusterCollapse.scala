@@ -120,6 +120,9 @@ object ClusterCollapse {
       // verified, so one anti-join direction suffices).
       converged = nextSig == sig && next.except(prev).isEmpty
       sig = nextSig
+      // prev's last reader (the except above) has run; free its blocks so
+      // the loop holds at most two rounds' edge sets, not all of them.
+      graft.util.CacheScope.releaseCheckpoint(prev)
     }
     if (!converged)
       throw new IllegalStateException(

@@ -42,6 +42,7 @@ object LabelPropagation {
       .withColumn("lbl", col("vertex"))
       .localCheckpoint(true)
     for (_ <- 0 until rounds) {
+      val prev = labels
       labels = nbr
         .join(labels.select(col("vertex").as("u"), col("lbl")), Seq("u"))
         .groupBy(col("v"), col("lbl"))
@@ -54,6 +55,10 @@ object LabelPropagation {
         .agg(min_by(col("lbl"), struct(negate(col("c")), col("lbl"))).as("lbl"))
         .select(col("v").as("vertex"), col("lbl"))
         .localCheckpoint(true)
+      // The new round's checkpoint is materialized (eager=true), so the
+      // previous round's blocks are dead weight — release them, or every
+      // round's |V|-row table stays live in executor storage until job end.
+      graft.util.CacheScope.releaseCheckpoint(prev)
     }
     labels.select(col("vertex"), col("lbl").as("community"))
   }

@@ -52,6 +52,7 @@ object PageRank {
     var ranks = nodes.select(col("v"), lit(totalMass / n).as("rank_fp"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
+      val prev = ranks
       val contribs = edges
         .join(ranks.withColumnRenamed("v", "u"), "u")
         .join(deg, "u")
@@ -63,6 +64,9 @@ object PageRank {
           (lit(base) + expr(s"($dampNum * coalesce(in_sum, 0)) div $dampDen"))
             .as("rank_fp"))
         .localCheckpoint(true)
+      // New round materialized -> previous round's blocks are dead; free
+      // them so the loop never holds more than two |V|-row rank tables.
+      graft.util.CacheScope.releaseCheckpoint(prev)
     }
     ranks
   }
@@ -90,6 +94,7 @@ object PageRank {
     var ranks = nodes.select(col("v"), lit(totalMass / n).as("rank_fp"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
+      val prev = ranks
       val contribs = edges
         .join(ranks.withColumnRenamed("v", "u"), "u")
         .join(wsum, "u")
@@ -101,6 +106,8 @@ object PageRank {
           (lit(base) + expr(s"($dampNum * coalesce(in_sum, 0)) div $dampDen"))
             .as("rank_fp"))
         .localCheckpoint(true)
+      // Same release contract as run(): at most two live rank tables.
+      graft.util.CacheScope.releaseCheckpoint(prev)
     }
     ranks
   }

@@ -284,6 +284,10 @@ object RelationalExtended {
         val fs = new org.apache.hadoop.fs.Path(tmp)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // JVM-exit cleanup: the returned DataFrame reads `tmp` lazily (and
+        // the bench re-reads it), so deletion can only happen at exit —
+        // without it every harness run leaves its output in /tmp forever.
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
         // A quarter of the key space in 4 buckets: the cycle's cost is per
         // write/compaction JOB, not per row, so a slimmer table exercises
         // identical semantics at a fraction of the bench time (bulk write
@@ -739,6 +743,10 @@ object RelationalExtended {
         val fs = new org.apache.hadoop.fs.Path(tmp)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // JVM-exit cleanup: the returned DataFrame reads `tmp` lazily (and
+        // the bench re-reads it), so deletion can only happen at exit —
+        // without it every harness run leaves its output in /tmp forever.
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
         Tables.orders(s, dir)
           .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
           .write.option("header", "true").csv(tmp)
@@ -771,6 +779,10 @@ object RelationalExtended {
         val fs = new org.apache.hadoop.fs.Path(tmp)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // JVM-exit cleanup: the returned DataFrame reads `tmp` lazily (and
+        // the bench re-reads it), so deletion can only happen at exit —
+        // without it every harness run leaves its output in /tmp forever.
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
         Tables.documents(s, dir)
           .select("doc_id", "lang", "source", "text", "n_chars")
           .write.json(tmp)
@@ -905,6 +917,10 @@ object RelationalExtended {
         val fs = new org.apache.hadoop.fs.Path(tmp)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // JVM-exit cleanup: the returned DataFrame reads `tmp` lazily (and
+        // the bench re-reads it), so deletion can only happen at exit —
+        // without it every harness run leaves its output in /tmp forever.
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
         Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"), col("ts").cast("long").as("ts_secs"))

@@ -325,12 +325,16 @@ object Similarity {
           col("__a.centroid_id").as("centroid_id"), col("__a.vec").as("vec"))
       val means = assigned.groupBy("gid", "centroid_id")
         .agg(array((0 until dims).map(i => avg(get(col("vec"), lit(i)))): _*).as("__new"))
+      val prevCent = cent
       cent = cent.join(broadcast(means), Seq("gid", "centroid_id"), "left_outer")
         .select(
           col("gid"), col("centroid_id"),
           coalesce(col("__new"), col("centroid_vec")).as("centroid_vec"))
         .coalesce(1)
         .localCheckpoint(true)
+      // Release round N-1's centroid blocks (tiny here, but the loop
+      // contract — at most two live checkpoints — holds engine-wide).
+      graft.util.CacheScope.releaseCheckpoint(prevCent)
     }
     cent
   }
@@ -532,6 +536,18 @@ object Similarity {
         kmeansCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
       else graft.util.CacheScope.persist(
         ivfCentroids(corpus, nCentroids, idCol, vecCol))
+    ivfTopKWith(queries, corpus, centroids, nProbe, k, idCol, vecCol)
+  }
+
+  /** [[ivfTopK]] over a PRE-TRAINED (centroid_id, centroid_vec) table —
+    * the production path: an index is trained once and served many times,
+    * so search must not re-run Lloyd (and an eval comparing IVF variants
+    * over the same cells must share one training pass).
+    */
+  def ivfTopKWith(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assignments = ivfAssign(corpus, centroids, idCol, vecCol)
 
     val q = queries.select(
@@ -682,13 +698,24 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dims = corpus.select(size(col(vecCol))).head.getInt(0)
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
-    // Coarse training is materialized by kmeansCore's checkpoints. The
-    // codebook must be trained on the SAME residuals the search encodes,
-    // so the assignment + residual corpus pass runs ONCE here and feeds
-    // both — handing it to ivfPqTopKWith instead would re-run the
-    // nCells-dot argmin scan over the whole corpus, the dominant cost of
-    // this path at scale.
+    // Coarse training is materialized by kmeansCore's checkpoints.
     val centroids = kmeansCentroids(corpus, nCells, trainIters, idCol, vecCol)
+    ivfPqTopKWithCells(
+      queries, corpus, centroids, nProbe, m, ksub, k, trainIters, idCol, vecCol)
+  }
+
+  /** IVF-PQ over PRE-TRAINED coarse cells, training only the residual
+    * codebook: the codebook must be trained on the SAME residuals the
+    * search encodes, so the assignment + residual corpus pass runs ONCE
+    * here and feeds both — re-deriving it per consumer would re-run the
+    * nCells-dot argmin scan over the whole corpus, the dominant cost of
+    * this path at scale. Lets an eval (e13) rank plain-IVF vs IVF-PQ over
+    * ONE shared Lloyd training pass.
+    */
+  def ivfPqTopKWithCells(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      nProbe: Int, m: Int, ksub: Int, k: Int, trainIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cent = centroids.select(
       col("centroid_id"),
       transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
@@ -698,6 +725,58 @@ object Similarity {
       pqCodebook(residuals.select(col("id"), col("residual")),
         m, ksub, trainIters, idCol = "id", vecCol = "residual"))
     ivfPqSearch(queries, cent, codebook, residuals, nProbe, k, idCol, vecCol)
+  }
+
+  /** Refine / re-rank — the stage that turns PQ's lossy ADC ranking into
+    * usable recall (Jégou et al. 2011 §VI "re-ranking"): re-score a
+    * BOUNDED approximate candidate set (any top-k output here — columns
+    * (query_id, rank, neighbor_id, ...)) against the EXACT stored vectors
+    * and re-rank to the top k. The production IR shape proven lexically by
+    * [[graft.text.Bm25.searchRescored]]: evidence that needs the full
+    * payload must never run corpus-wide, so the exact dots are bounded at
+    * |candidates| = r·k·|queries| no matter the corpus size.
+    *
+    * Scale shape: the candidate id list is broadcast, so fetching the
+    * exact vectors is ONE hash-semi-join pass over the stored table (at
+    * 100 TB the id-partitioned layout makes it a pruned point-fetch, and
+    * AQE converts the post-filter scan to the broadcast side anyway);
+    * the query side is broadcast as in every search here; the re-rank is
+    * the bounded-heap [[topKPerQuery]] — never a global sort.
+    */
+  def refineTopK(
+      candidates: DataFrame, queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
+    val cand = c
+      .join(broadcast(candidates.select(col("query_id"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    topKPerQuery(cand, k)
+  }
+
+  /** End-to-end refined IVF-PQ: ADC recalls `refineFactor · k` candidates
+    * per query, [[refineTopK]] re-scores exactly and keeps k. ADC cost is
+    * unchanged; the added exact work is r·k·|queries| dots — trivially
+    * bounded — and it is what makes the composed index deployable
+    * (recall measured by the e13 eval, re-rank math pinned bit-exactly by
+    * the e10b golden). `refineFactor` large enough to cover the probed
+    * cells degrades gracefully to exact re-ranking of the probe set
+    * (pinned in SimilaritySpec: full-probe + full-factor ≡ brute force).
+    */
+  def ivfPqTopKRefined(
+      queries: DataFrame, corpus: DataFrame,
+      nCells: Int, nProbe: Int, m: Int, ksub: Int, k: Int,
+      refineFactor: Int = 4, trainIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    refineTopK(
+      ivfPqTopK(queries, corpus, nCells, nProbe, m, ksub, k * refineFactor,
+        trainIters, idCol, vecCol),
+      queries, corpus, k, idCol, vecCol)
   }
 
   /** Recall@k of an approximate ANN result against the exact brute-force

@@ -20,8 +20,15 @@ import graft.util.CacheScope
   *   tfNorm_t,d = tf·(k1+1)/(tf + k1(1 - b + b·dl/avgdl))
   *              = 22·tf·L / (10·L·tf + 3·L + 9·dl·N)     [avgdl = L/N]
   *
-  * where N = corpus size, L = total corpus tokens, dl = doc length. The
-  * rational idf (the argument of the usual log) keeps ranking exact: `ln`
+  * where N = corpus size, L = total corpus tokens, dl = doc length. This
+  * is a RATIONAL-IDF BM25 VARIANT, not Okapi-BM25-identical ranking: each
+  * per-term contribution uses the raw rational idf (the argument of the
+  * usual log), which is a per-term monotone substitute, but a SUM of
+  * ratios across a multi-term query is not a monotone transform of the
+  * sum of logs, so multi-term rankings can diverge from textbook BM25
+  * (rare terms weigh exponentially more here). What IS exact is the
+  * cross-engine contract — Spark and the DuckDB oracle compute the same
+  * variant bit-for-bit: `ln`
   * differs in the final ulp between JVM and DuckDB libm and would poison
   * value-level verification, and every factor here is an integer that fits
   * a double exactly at verification scale. The single IEEE division and

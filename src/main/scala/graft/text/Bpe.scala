@@ -152,7 +152,11 @@ object Bpe {
       else {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((rank, l, r, f))
+        val prev = state
         state = applyOne(state, l, r).localCheckpoint(true)
+        // The new state is materialized; round N-1's blocks are unread
+        // from here on — release, or nMerges rounds pin nMerges copies.
+        graft.util.CacheScope.releaseCheckpoint(prev)
         rank += 1
       }
     }

@@ -61,4 +61,21 @@ object CacheScope {
 
   /** Registered-but-not-yet-released count — spec hook. */
   def liveCount: Int = live.size()
+
+  /** Release the storage blocks behind an eager `localCheckpoint` frame.
+    *
+    * `Dataset.unpersist` only touches the CacheManager; a checkpointed
+    * frame's data lives as persisted RDD blocks under its `LogicalRDD`
+    * leaf, so iterative operators (PageRank, LPA, k-means, BPE, cluster
+    * collapse) that checkpoint per round would otherwise hold EVERY
+    * round's |V|-row blocks live until the context's reference-tracking
+    * cleaner happens to GC them. Call on round N-1's frame once round N's
+    * checkpoint has materialized — by then nothing references the old
+    * blocks, so the release can never change results, only free storage.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }
