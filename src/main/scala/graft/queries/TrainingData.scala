@@ -1967,6 +1967,70 @@ object TrainingData {
              |ORDER BY query_id, rnk""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // E10b — the refine / re-rank stage production IVF-PQ always runs
+    // (Jégou et al. 2011 §VI): ADC recalls a bounded shortlist (r·k = 6
+    // per query here), the exact stored vectors re-score ONLY that
+    // shortlist, top-k re-ranked on exact cosine. FULL golden — stronger
+    // than e10's rows-only: the exact re-rank is integer dots over
+    // perfect-square norms, bit-identical to the independent mirror in
+    // tools/gen_ann_goldens.py. The VALUES visibly reorder e10's ADC
+    // ranking (query 2: exact promotes doc 3 past 7; query 6: doc 8 to
+    // rank 1) — the golden pins that refined order is the EXACT order
+    // within the shortlist, not the ADC order.
+    Q(
+      "e10b_ivfpq_refined",
+      (s, _) => {
+        import s.implicits._
+        val coarse = Seq(
+          (0, Array(2.0, 0.0, 0.0, 0.0)),
+          (1, Array(1.0, 1.0, 1.0, 1.0))).toDF("centroid_id", "centroid_vec")
+        val cb = Seq(
+          (0, 0, Array(-3.0, -1.0)), (0, 1, Array(-1.0, -2.0)),
+          (0, 2, Array(-1.0, -1.0)), (0, 3, Array(0.0, -1.0)),
+          (1, 0, Array(-1.0, -1.0)), (1, 1, Array(0.0, -1.0)),
+          (1, 2, Array(0.0, 0.0)), (1, 3, Array(1.0, -1.0)))
+          .toDF("subspace", "code", "centroid_vec")
+        val fx = annFixture(s)
+        val shortlist = Similarity.ivfPqTopKWith(fx, fx, coarse, cb,
+          nProbe = 1, k = 6)
+        Similarity.refineTopK(shortlist, fx, fx, k = 3)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""SELECT CAST(query_id AS BIGINT) AS query_id,
+             |       CAST(rnk AS BIGINT) AS rnk,
+             |       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             |       CAST(cosine AS DOUBLE) AS cosine
+             |FROM (VALUES
+             |  (1, 1, 6, 0.6666666666666666),
+             |  (1, 2, 4, 0.5),
+             |  (1, 3, 8, 0.3333333333333333),
+             |  (2, 1, 3, 0.8333333333333334),
+             |  (2, 2, 7, 0.5),
+             |  (2, 3, 5, -0.5),
+             |  (3, 1, 2, 0.8333333333333334),
+             |  (3, 2, 7, 0.3333333333333333),
+             |  (3, 3, 5, -0.6666666666666666),
+             |  (4, 1, 1, 0.5),
+             |  (4, 2, 6, -0.16666666666666666),
+             |  (4, 3, 8, -0.5),
+             |  (5, 1, 7, 0.0),
+             |  (5, 2, 2, -0.5),
+             |  (5, 3, 3, -0.6666666666666666),
+             |  (6, 1, 8, 0.8888888888888888),
+             |  (6, 2, 1, 0.6666666666666666),
+             |  (6, 3, 4, -0.16666666666666666),
+             |  (7, 1, 2, 0.5),
+             |  (7, 2, 3, 0.3333333333333333),
+             |  (7, 3, 5, 0.0),
+             |  (8, 1, 6, 0.8888888888888888),
+             |  (8, 2, 1, 0.3333333333333333),
+             |  (8, 3, 4, -0.5)
+             |) AS t(query_id, rnk, neighbor_id, cosine)
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // E11 — SemDeDup (Abbas et al. 2023): semantic dedup of the embedding
     // corpus — spherical k-means clusters, within-cluster cosine pairs,
     // greedy min-id survivor per near-dup relation. Rows-only (trained);
@@ -2608,21 +2672,34 @@ object TrainingData {
               count(lit(1)).as("n_queries"))
             .select(lit(name).as("method"), col("mean_recall"),
               col("min_recall"), col("n_queries"))
+        // Trained legs (5, 6) — the indexes a user would actually deploy —
+        // share ONE Lloyd training pass: kmeansCentroids is checkpointed,
+        // and both the plain-IVF and the IVF-PQ legs search over the same
+        // cells, so the eval pays one training + one assignment pass extra
+        // rather than the whole stack per leg (designed cost ~2x the
+        // untrained eval, job-count-bound — recorded in SURVEY).
+        val trained = Similarity.kmeansCentroids(emb, nCentroids = 16,
+          iters = 2)
         Seq(
           leg("1_lsh", Similarity.lshTopK(queries, emb, planes, k = 5)),
           leg("2_lsh_multiprobe",
             Similarity.lshTopKMultiProbe(queries, emb, planes, k = 5)),
-          // cheap-variant legs: sample-centroid IVF and flat PQ — the eval
-          // ranks index FAMILIES at one corpus pass each, and an eval
-          // entry re-running the full Lloyd stack per leg costs the sum
-          // of the stack (~9s measured, 2x the slowest real entry). The
-          // trained/composed variants are verified by e8/e9/e10; their
-          // recall slots into this same harness via recallAtK when a
-          // caller wants the trained frontier.
+          // cheap-variant legs: sample-centroid IVF and flat PQ rank the
+          // index FAMILIES at one corpus pass each.
           leg("3_ivf", Similarity.ivfTopK(queries, emb, nCentroids = 16,
             nProbe = 4, k = 5)),
           leg("4_pq_flat", Similarity.pqTopK(queries, emb,
-            m = 4, ksub = 16, k = 5, trainIters = 0)))
+            m = 4, ksub = 16, k = 5, trainIters = 0)),
+          leg("5_ivf_trained",
+            Similarity.ivfTopKWith(queries, emb, trained, nProbe = 4, k = 5)),
+          // The deployable composed index: trained cells + residual PQ +
+          // the e10b refine stage (ADC top-4k re-scored exactly) — the
+          // recall number that tells a user whether e8/e10's layout is
+          // safe to ship.
+          leg("6_ivfpq_refined", Similarity.refineTopK(
+            Similarity.ivfPqTopKWithCells(queries, emb, trained,
+              nProbe = 4, m = 4, ksub = 16, k = 20, trainIters = 2),
+            queries, emb, k = 5)))
           .reduce(_ unionByName _).orderBy("method")
       }),
 

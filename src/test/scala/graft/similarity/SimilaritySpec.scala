@@ -382,6 +382,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(trained === brute)
   }
 
+  test("refine with full probe + full shortlist equals brute force (incl. exact cosines)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // Shortlist = the ENTIRE corpus (full probe, k = |corpus|): the refine
+    // stage then re-scores everything exactly, so the lossy ADC ordering
+    // is irrelevant and the result must be brute force bit-for-bit.
+    val shortlist = Similarity.ivfPqTopK(queries, emb,
+      nCells = 8, nProbe = 8, m = 4, ksub = 16, k = n, trainIters = 2)
+    val refined = rows(Similarity.refineTopK(shortlist, queries, emb, k = 3))
+    val brute = rows(Similarity.bruteForceTopK(queries, emb, k = 3))
+    assert(refined === brute)
+  }
+
+  test("refineTopK scores ONLY the listed candidates, with exact cosines") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(2.0f, 0f, 0f, 0f)),
+      (2L, Array(1.0f, 1f, 1f, 1f)),
+      (3L, Array(2.0f, 2f, 1f, 0f)),
+      (4L, Array(1.0f, 1f, -1f, -1f))).toDF("vec_id", "embedding")
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.refineTopK(cand, vecs, vecs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // Query 1 ranks exactly its two listed candidates (doc 4, unlisted,
+    // never scored); query 2 only doc 3. Cosines are the exact values:
+    // cos(1,3)=4/(2*3), cos(1,2)=2/(2*2), cos(2,3)=5/(2*3).
+    assert(got.toSet === Set(
+      (1L, 1L, 3L, 4.0 / 6.0),
+      (1L, 2L, 2L, 0.5),
+      (2L, 1L, 3L, 5.0 / 6.0)))
+  }
+
   test("filteredTopK == brute force over each label's own sub-corpus (pre-filter, never underfills)") {
     val queries = emb.filter(col("vec_id") < 6)
     val got = Similarity.filteredTopK(queries, emb, k = 3, filterCols = Seq("label"))

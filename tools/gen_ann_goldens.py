@@ -274,6 +274,37 @@ def main():
     print("== e10_ivfpq_golden VALUES (query_id, rnk, neighbor_id, cosine) ==")
     print(fmt_rows(rows))
 
+    # ---- e10b: refine — exact re-rank of the ADC top-(r·k) shortlist --
+    # Shortlist = the e10 ADC ranking extended to r·k candidates
+    # (n_probe=1 unchanged); refine re-scores the shortlist with EXACT
+    # cosines (integer dots / perfect-square norms — bit-exact) and keeps
+    # the top k. Pins that the refined order is the EXACT order within
+    # the shortlist, not the ADC order.
+    r10b = 2
+    vec = dict(FIXTURE)
+    rows = []
+    for qid, qv in FIXTURE:
+        probes = [ci for _, ci in sorted(
+            ((cosine(qv, cv), ci) for ci, cv in coarse),
+            key=lambda t: (-t[0], t[1]))[:n_probe10]]
+        cand = []
+        for nid, nv in FIXTURE:
+            if nid == qid or cell[nid] not in probes:
+                continue
+            q_dot_c = dot(qv, coarse[cell[nid]][1])
+            res_dot = sum(
+                dot(qv[2 * j:2 * j + 2], res_cb[j][enc10[nid][j]])
+                for j in range(2))
+            cand.append((float(q_dot_c + res_dot) / (nrm(qv) * nrm(nv)), nid))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        shortlist = [nid for _, nid in cand[:r10b * k10]]
+        refined = sorted(((cosine(qv, vec[nid]), nid) for nid in shortlist),
+                         key=lambda t: (-t[0], t[1]))[:k10]
+        for rk, (score, nid) in enumerate(refined, start=1):
+            rows.append((qid, rk, nid, score))
+    print("\n== e10b_ivfpq_refined VALUES (query_id, rnk, neighbor_id, cosine) ==")
+    print(fmt_rows(rows))
+
     # ---- e11: SemDeDup with explicit centroids ----------------------
     # Assignment by cosine to the literal centroids (ties asserted away —
     # centroid norms may be irrational, both engines compute the same
