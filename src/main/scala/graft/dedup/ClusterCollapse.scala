@@ -3,6 +3,8 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.util.CacheScope.CheckpointOps
+
 /** Near-duplicate cluster collapse: the step after pair generation that
   * every real dedup run ends with — "which rows do I drop". Takes the pair
   * outputs of [[Dedup.minhashLshPairs]] / [[Dedup.simhashPairs]] /
@@ -104,13 +106,13 @@ object ClusterCollapse {
         least(col(idACol), col(idBCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .scopedCheckpoint()
     var sig = checksum(edges)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val prev = edges
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).scopedCheckpoint()
       val nextSig = checksum(next)
       edges = next
       rounds += 1

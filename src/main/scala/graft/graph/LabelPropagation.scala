@@ -3,6 +3,8 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.util.CacheScope.CheckpointOps
+
 /** Synchronous label propagation (Raghavan et al. 2007) made DETERMINISTIC:
   * every vertex starts as its own label; each round it adopts the most
   * frequent label among its neighbors, ties to the SMALLEST label — the
@@ -40,7 +42,7 @@ object LabelPropagation {
     var labels = nbr.select(col("v").as("vertex"))
       .distinct()
       .withColumn("lbl", col("vertex"))
-      .localCheckpoint(true)
+      .scopedCheckpoint()
     for (_ <- 0 until rounds) {
       val prev = labels
       labels = nbr
@@ -54,7 +56,7 @@ object LabelPropagation {
         // to double -> null and silently destroy the tie-break).
         .agg(min_by(col("lbl"), struct(negate(col("c")), col("lbl"))).as("lbl"))
         .select(col("v").as("vertex"), col("lbl"))
-        .localCheckpoint(true)
+        .scopedCheckpoint()
       // The new round's checkpoint is materialized (eager=true), so the
       // previous round's blocks are dead weight — release them, or every
       // round's |V|-row table stays live in executor storage until job end.

@@ -3,6 +3,8 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.util.CacheScope.CheckpointOps
+
 /** Power-iteration PageRank in FIXED-POINT integer arithmetic — the graph
   * centrality rollup beyond [[graft.dedup.ClusterCollapse]]'s connectivity
   * (rank near-dup clusters by authority, weight link-farm detection,
@@ -50,7 +52,7 @@ object PageRank {
     // table they must stay partitioned (a coalesce(1) here would funnel
     // the whole vertex set through one task at cluster scale).
     var ranks = nodes.select(col("v"), lit(totalMass / n).as("rank_fp"))
-      .localCheckpoint(true)
+      .scopedCheckpoint()
     for (_ <- 0 until iters) {
       val prev = ranks
       val contribs = edges
@@ -63,7 +65,7 @@ object PageRank {
         .select(col("v"),
           (lit(base) + expr(s"($dampNum * coalesce(in_sum, 0)) div $dampDen"))
             .as("rank_fp"))
-        .localCheckpoint(true)
+        .scopedCheckpoint()
       // New round materialized -> previous round's blocks are dead; free
       // them so the loop never holds more than two |V|-row rank tables.
       graft.util.CacheScope.releaseCheckpoint(prev)
@@ -92,7 +94,7 @@ object PageRank {
     val wsum = edges.groupBy("u").agg(sum(col("w")).as("wsum"))
     val base = ((dampDen - dampNum) * totalMass / dampDen) / n
     var ranks = nodes.select(col("v"), lit(totalMass / n).as("rank_fp"))
-      .localCheckpoint(true)
+      .scopedCheckpoint()
     for (_ <- 0 until iters) {
       val prev = ranks
       val contribs = edges
@@ -105,7 +107,7 @@ object PageRank {
         .select(col("v"),
           (lit(base) + expr(s"($dampNum * coalesce(in_sum, 0)) div $dampDen"))
             .as("rank_fp"))
-        .localCheckpoint(true)
+        .scopedCheckpoint()
       // Same release contract as run(): at most two live rank tables.
       graft.util.CacheScope.releaseCheckpoint(prev)
     }

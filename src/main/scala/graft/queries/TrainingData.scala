@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.util.CacheScope.CheckpointOps
+
 import graft.curation.Curation
 import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.multimodal.Multimodal
@@ -132,6 +134,41 @@ object TrainingData {
     """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |    FROM documents) GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs,
+      |                  CAST(sum(tf) AS BIGINT) AS l_tokens FROM tf),
+      |q(query_id, query_text) AS (VALUES
+      |  (1, 'fast hash join'), (2, 'window sort order'),
+      |  (3, 'spark stream batch'), (4, 'slow scan filter'),
+      |  (5, 'vector data table')),
+      |qt AS (SELECT DISTINCT query_id, term FROM (
+      |    SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q)),
+      |per AS (SELECT qt.query_id, tf.doc_id,
+      |          floor(CAST((2*n_docs - 2*df.df + 1) * 22 * tf.tf * l_tokens AS DOUBLE)
+      |            / ((2*df.df + 1) * (10*l_tokens*tf.tf + 3*l_tokens + 9*dl.dl*n_docs))
+      |            * 1e6) AS s
+      |        FROM qt JOIN df USING (term) JOIN tf USING (term)
+      |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
+      |sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp6
+      |       FROM per GROUP BY 1, 2)""".stripMargin
+
+  /** The t26c oracle: BM25F over a (title, body) split of each document
+    * (first 6 tokens / rest), title weight 3, body weight 1. The fields
+    * are derived as STRINGS then re-tokenized on both engines — the
+    * join-then-split round-trip is token-exact, including the [''] an
+    * empty body yields — and the weighted tf/dl feed the SAME rational
+    * fixed-point formula as [[sqlBm25Ctes]].
+    */
+  private val sqlBm25fCtes =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |fld AS (SELECT doc_id, array_to_string(w[1:6], ' ') AS title,
+      |               array_to_string(w[7:], ' ') AS body FROM base),
+      |tf AS (SELECT doc_id, term, CAST(sum(fw) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(title, ' ')) AS term, 3 AS fw FROM fld
+      |    UNION ALL
+      |    SELECT doc_id, unnest(string_split(body, ' ')) AS term, 1 AS fw FROM fld) u
+      |  GROUP BY 1, 2 HAVING sum(fw) > 0),
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
       |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs,
@@ -1428,7 +1465,7 @@ object TrainingData {
         // measured on t18b: the trim/positions windows re-optimize the
         // whole upstream plan otherwise).
         val floored = Curation.qualityFloor(scored, "source", "dr", 0.25)
-          .select("source", "doc_id", "n_tokens").localCheckpoint(true)
+          .select("source", "doc_id", "n_tokens").scopedCheckpoint()
         val trimmed = Curation.tokenBudgetTrim(
           floored.select("source", "doc_id", "n_tokens"),
           sourceCol = "source", idCol = "doc_id",
@@ -1513,7 +1550,7 @@ object TrainingData {
         // truncated at this tiny 3-column table.
         val counted = excised.select(col("doc_id"), col("source"),
           TextFunctions.nTokens(col("text")).as("n_tokens"))
-          .localCheckpoint(true)
+          .scopedCheckpoint()
         val wins = Curation.winsorize(counted, "source", "n_tokens", 0.05, 0.95)
           .select(col("doc_id"), col("source"),
             floor(col("n_tokens_clipped")).cast("long").as("n_tok_w"))
@@ -2459,6 +2496,44 @@ object TrainingData {
           |FROM rked WHERE rk <= 8 ORDER BY query_id, rk""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T26c — BM25F per-field weighting (closes SURVEY hand-off note (d)'s
+    // last sliver): each document splits into title (first 6 tokens,
+    // weight 3) and body (rest, weight 1); weighted tf and weighted dl
+    // ride the same integer-rational fixed-point formula, so a title hit
+    // outranks the same hit in the body. Specs pin the two degenerate
+    // contracts (weight 0 ≡ field absent; equal weights ≡ t26 on the
+    // concatenation); this entry oracle-gates the weighted ranking.
+    Q(
+      "t26c_bm25f_fielded",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (1L, "fast hash join"),
+          (2L, "window sort order"),
+          (3L, "spark stream batch"),
+          (4L, "slow scan filter"),
+          (5L, "vector data table")).toDF("query_id", "query_text")
+        val toks = split(col("text"), " ")
+        val fielded = Tables.documents(s, dir).select(
+          col("doc_id"),
+          array_join(slice(toks, 1, 6), " ").as("title"),
+          array_join(
+            slice(toks, lit(7), greatest(size(toks) - 6, lit(0))), " ").as("body"))
+        Bm25.searchFielded(fielded, qs, k = 8,
+          fields = Seq("title" -> 3L, "body" -> 1L))
+          .orderBy("query_id", "rk")
+      },
+      Some(sqlBm25fCtes +
+        """
+          |, rked AS (SELECT query_id, doc_id, score_fp6,
+          |           row_number() OVER (PARTITION BY query_id
+          |             ORDER BY score_fp6 DESC, doc_id) AS rk
+          |         FROM sc)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
+          |       doc_id, score_fp6
+          |FROM rked WHERE rk <= 8 ORDER BY query_id, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T27 — inverted-index materialization: term -> (df, cf, sorted
     // postings, delta gaps). Arrays JSON-stringified for the gate (the m3
     // precedent); the index itself stays array-typed. The oracle derives
@@ -2471,6 +2546,39 @@ object TrainingData {
           .withColumn("postings", to_json(col("postings")))
           .withColumn("gaps", to_json(col("gaps")))
           .orderBy("term"),
+      Some("""WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |    FROM documents) GROUP BY 1, 2),
+             |g AS (SELECT term, doc_id, tf,
+             |        doc_id - lag(doc_id, 1, 0) OVER (PARTITION BY term
+             |          ORDER BY doc_id) AS gap
+             |      FROM tf)
+             |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+             |       CAST(to_json(list(doc_id ORDER BY doc_id)) AS VARCHAR) AS postings,
+             |       CAST(to_json(list(gap ORDER BY doc_id)) AS VARCHAR) AS gaps
+             |FROM g GROUP BY term ORDER BY term""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T27b — incremental index maintenance: the corpus arrives as three
+    // disjoint batches (doc_id mod 3), each contributing only its own
+    // DELTA index (term → df/cf/postings over the batch's text), and the
+    // assembled index is the per-term merge of the deltas — df/cf sums,
+    // postings concat+sort, gaps derived at read time. Same oracle as
+    // t27: the gate IS the full-rebuild ≡ incremental-merge equivalence.
+    // At scale this is the landed-corpus shape (CorpusIngest writes one
+    // delta per micro-batch): maintenance shuffles index-sized rows,
+    // never re-tokenizing landed text.
+    Q(
+      "t27b_inverted_index_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val deltas = (0 until 3).map(i =>
+          InvertedIndex.buildDelta(docs.filter(col("doc_id") % 3 === i)))
+        InvertedIndex.mergeDeltas(deltas.reduce(_ unionByName _))
+          .withColumn("postings", to_json(col("postings")))
+          .withColumn("gaps", to_json(col("gaps")))
+          .orderBy("term")
+      },
       Some("""WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM (
              |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
              |    FROM documents) GROUP BY 1, 2),

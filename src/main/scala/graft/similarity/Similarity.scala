@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.util.CacheScope.CheckpointOps
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Brute-force cosine top-k is the exactness baseline: broadcast the (small)
@@ -306,7 +308,7 @@ object Similarity {
       col("centroid_id").cast("int").as("centroid_id"),
       transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
       .coalesce(1)
-      .localCheckpoint(true)
+      .scopedCheckpoint()
     for (_ <- 0 until iters) {
       val withNorm = cent
         .withColumn("c_norm", norm(col("centroid_vec")))
@@ -331,7 +333,7 @@ object Similarity {
           col("gid"), col("centroid_id"),
           coalesce(col("__new"), col("centroid_vec")).as("centroid_vec"))
         .coalesce(1)
-        .localCheckpoint(true)
+        .scopedCheckpoint()
       // Release round N-1's centroid blocks (tiny here, but the loop
       // contract — at most two live checkpoints — holds engine-wide).
       graft.util.CacheScope.releaseCheckpoint(prevCent)

@@ -85,6 +85,55 @@ object CorpusIngest {
       .start()
 
   // -------------------------------------------------------------------
+  // Incremental inverted-index maintenance (t27 composed with the
+  // frontier): each landed batch also writes its DELTA index — term →
+  // (df, cf, postings) over the batch's SURVIVORS only — under
+  // `indexDir/batch=<id>`, and the queryable corpus index is the
+  // per-term merge of the deltas. The frontier's first-seen guarantee is
+  // exactly [[graft.text.InvertedIndex.mergeDeltas]]'s disjointness
+  // precondition, so df/cf add and postings concatenate with no dedup;
+  // landed TEXT is tokenized once, in the batch that introduced it —
+  // maintenance cost is delta-sized, never a corpus rebuild. Replay
+  // (checkpoint recovery) rewrites both `batch=<id>` directories with
+  // identical content — the same directory-granular idempotence as the
+  // corpus landing itself (CorpusIngestSpec pins it).
+
+  private def indexDeltaSchema =
+    "term STRING, df BIGINT, cf BIGINT, postings ARRAY<BIGINT>"
+
+  /** One micro-batch of the indexed frontier: land survivors, then write
+    * their delta index. The delta is built from the LANDED parquet (not
+    * the in-memory survivor frame) so index content is exactly what the
+    * corpus holds even across a replay that re-elects within-batch ids.
+    */
+  def ingestBatchIndexed(
+      batch: DataFrame, historyDir: String, indexDir: String, batchId: Long): Unit = {
+    ingestBatch(batch, historyDir, batchId)
+    val landed = batch.sparkSession.read
+      .schema(historySchema).parquet(s"$historyDir/batch=$batchId")
+    graft.text.InvertedIndex.buildDelta(landed)
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/batch=$batchId")
+  }
+
+  /** The assembled corpus index over every landed delta: term → (df, cf,
+    * sorted postings, gaps). Scan reads only delta columns — no text.
+    */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+    graft.text.InvertedIndex.mergeDeltas(
+      spark.read.schema(indexDeltaSchema).parquet(indexDir + "/batch=*"))
+
+  def startIndexed(
+      docs: DataFrame, historyDir: String, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchIndexed(batch, historyDir, indexDir, batchId)
+      }
+      .start()
+
+  // -------------------------------------------------------------------
   // Fuzzy frontier: the exact-hash gate above misses the one-token-edited
   // re-crawl. This mode stores each landed document's MinHash SIGNATURE
   // alongside its hash, and screens every new batch by LSH banding

@@ -58,10 +58,68 @@ object Bm25 {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val tf = CacheScope.persist(docs
+    val tf = docs
       .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("id", "term")
-      .agg(count(lit(1)).as("tf")))
+      .agg(count(lit(1)).as("tf"))
+    searchFromTf(tf, queries, k, idCol)
+  }
+
+  /** BM25F — per-field weighted retrieval (Robertson & Zaragoza 2004,
+    * simple-BM25F form with a shared b): each field's term frequency is
+    * scaled by an INTEGER field weight before the usual k1 saturation,
+    * and the document length becomes the equally-weighted field-length
+    * sum, so a title hit outranks the same hit buried in the body while
+    * the score stays on the exact integer-rational grid of [[search]]
+    * (weighted tf and weighted dl are integers; nothing else changes in
+    * the formula — same engine-exact contract, same caveat vs textbook
+    * log-idf BM25).
+    *
+    * Weight semantics the specs pin: weight 0 drops a field from tf, df,
+    * dl AND the corpus stats (identical to not passing it); all weights
+    * equal to 1 is identical to [[search]] over the single-space
+    * concatenation of the fields (token-exact because join-then-split on
+    * the same separator round-trips, including the empty-field ['']
+    * token).
+    *
+    * Shape at scale: ONE scan of `docs` explodes every field with its
+    * weight attached (fields are a flatten over per-field transform, not
+    * |fields| scans), then one map-side-combined shuffle builds the
+    * weighted posting table — from there the plan IS [[search]]'s.
+    */
+  def searchFielded(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      fields: Seq[(String, Long)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fields.nonEmpty, "searchFielded needs at least one field")
+    require(fields.forall(_._2 >= 0),
+      s"field weights must be >= 0, got $fields")
+    require(fields.exists(_._2 > 0),
+      s"at least one field weight must be > 0, got $fields")
+    val tokenWeights = flatten(array(fields.map { case (f, w) =>
+      transform(TextFunctions.tokens(col(f)),
+        t => struct(t.as("term"), lit(w).as("w")))
+    }: _*))
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokenWeights).as("tw"))
+      .groupBy(col("id"), col("tw.term").as("term"))
+      .agg(sum(col("tw.w")).as("tf"))
+      // Zero-weight fields contribute 0-tf rows; dropping them here is
+      // what makes weight 0 ≡ field absent (df must not count them).
+      .filter(col("tf") > 0)
+    searchFromTf(tf, queries, k, idCol)
+  }
+
+  /** Shared scoring tail: df/dl/corpus stats off a (possibly weighted)
+    * posting table, broadcast query join, exact-rational per-term
+    * micro-scores, bounded-heap top-k.
+    */
+  private def searchFromTf(
+      tfRaw: DataFrame, queries: DataFrame, k: Int, idCol: String): DataFrame = {
+    val tf = CacheScope.persist(tfRaw)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // dl feeds both the per-doc join and the corpus rollup — and deriving
     // (N, L) from it replaces a countDistinct over the full tf table

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.util.CacheScope.CheckpointOps
+
 /** Merge-based byte-pair encoding (Sennrich/Haddow/Birch, "Neural Machine
   * Translation of Rare Words with Subword Units", ACL 2016) — the step a
   * real training pipeline runs between stopword/stemming cleanup and
@@ -133,7 +135,7 @@ object Bpe {
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    var state = charState(words).localCheckpoint(true)
+    var state = charState(words).scopedCheckpoint()
     val w = Window.partitionBy("word").orderBy("pos")
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
@@ -153,7 +155,7 @@ object Bpe {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((rank, l, r, f))
         val prev = state
-        state = applyOne(state, l, r).localCheckpoint(true)
+        state = applyOne(state, l, r).scopedCheckpoint()
         // The new state is materialized; round N-1's blocks are unread
         // from here on — release, or nMerges rounds pin nMerges copies.
         graft.util.CacheScope.releaseCheckpoint(prev)

@@ -26,19 +26,52 @@ object InvertedIndex {
   def build(
       docs: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val tf = docs
+      textCol: String = "text"): DataFrame =
+    withGaps(buildDelta(docs, idCol, textCol))
+
+  /** The per-row gap view of an assembled posting list — no shuffle. */
+  private def withGaps(idx: DataFrame): DataFrame =
+    idx.withColumn("gaps",
+      transform(col("postings"),
+        (x, i) => x - coalesce(get(col("postings"), i - 1), lit(0L))))
+
+  /** One batch's DELTA index: term → (df, cf, sorted postings), no gaps —
+    * gaps are a property of the ASSEMBLED list, so they are derived at
+    * merge/read time, never stored per delta.
+    */
+  def buildDelta(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
       .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("term", "id")
       .agg(count(lit(1)).as("tf"))
-    tf
       .groupBy("term")
       .agg(
         count(lit(1)).as("df"),
         sum(col("tf")).as("cf"),
         array_sort(collect_list(col("id"))).as("postings"))
-      .withColumn("gaps",
-        transform(col("postings"),
-          (x, i) => x - coalesce(get(col("postings"), i - 1), lit(0L))))
-  }
+
+  /** Merge a union of delta-index rows (one or more rows per term) into
+    * the assembled index — the incremental-maintenance read path: a new
+    * document batch contributes ONE delta built from its own text
+    * ([[buildDelta]]), and the corpus index is the per-term sum/concat of
+    * the deltas. PRECONDITION: the deltas' document sets are disjoint
+    * (the [[graft.streaming.CorpusIngest]] frontier guarantees first-seen
+    * docs), so df/cf add and postings concatenate without dedup.
+    *
+    * Shape at scale: the merge shuffles INDEX-sized rows (term, counts,
+    * posting arrays) — corpus text is tokenized exactly once, in the
+    * batch that introduced it; maintenance never re-reads landed text.
+    * Equivalence with a from-scratch [[build]] is oracle-gated (t27b)
+    * and spec-pinned.
+    */
+  def mergeDeltas(deltas: DataFrame): DataFrame =
+    withGaps(deltas
+      .groupBy("term")
+      .agg(
+        sum(col("df")).as("df"),
+        sum(col("cf")).as("cf"),
+        array_sort(flatten(collect_list(col("postings")))).as("postings")))
 }

@@ -26,6 +26,7 @@ import org.apache.spark.storage.StorageLevel
 object CacheScope {
 
   private val live = new ConcurrentLinkedQueue[DataFrame]()
+  private val liveCp = new ConcurrentLinkedQueue[DataFrame]()
 
   /** Persist `df` (MEMORY_AND_DISK — the only level operators here use)
     * and register it for the next [[releaseAll]].
@@ -47,6 +48,36 @@ object CacheScope {
       df.unpersist(blocking)
       df = live.poll()
     }
+    var cp = liveCp.poll()
+    while (cp != null) {
+      releaseCheckpoint(cp)
+      cp = liveCp.poll()
+    }
+  }
+
+  /** Eagerly `localCheckpoint` `df` and register the checkpoint blocks
+    * for the next [[releaseAll]]. `Dataset.unpersist` cannot free
+    * checkpoint blocks (they live under the `LogicalRDD` leaf, outside
+    * the CacheManager), so operators that checkpoint per call — the
+    * capstone pipelines' lineage cuts, every Lloyd/PageRank/LPA/BPE
+    * final state — would otherwise pin their blocks for the SESSION's
+    * lifetime: a 173-query driver run accumulates hundreds of dead
+    * block sets, and the creeping executor-storage pressure shows up as
+    * session-wide slowdown that no isolated rerun reproduces. Same
+    * release point as [[persist]]: after the query's results are
+    * materialized, when the blocks are provably dead.
+    */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    liveCp.add(cp)
+    cp
+  }
+
+  /** `.scopedCheckpoint()` chain syntax for [[checkpoint]] — so the
+    * iterative loops keep their postfix-on-the-plan shape.
+    */
+  implicit class CheckpointOps(private val df: DataFrame) {
+    def scopedCheckpoint(): DataFrame = CacheScope.checkpoint(df)
   }
 
   /** Unpersist ONE registered frame — for callers that share the session

@@ -33,6 +33,9 @@ class PlanAuditSpec extends SparkTestBase {
     // scoring are equi-joins on (centroid_id) / (query_id,subspace,code).
     "e10_ann_ivfpq",
     "e10_ivfpq_golden",
+    // refine stage reuses e10's broadcast-centroid probe ranking; the
+    // exact re-rank itself is an equi-join on the bounded shortlist
+    "e10b_ivfpq_refined",
     // SemDeDup's assignment pass is the same broadcast-centroid argmax.
     "e11_semdedup",
     "e11_semdedup_golden",
@@ -47,6 +50,7 @@ class PlanAuditSpec extends SparkTestBase {
     // one-row (n_docs, l_tokens) corpus-stats side of the BM25 scoring join
     "t26_bm25_search",
     "t26b_bm25_phrase_rescored",
+    "t26c_bm25f_fielded",
     // |classes|-row (denom, prior) constant side of the NB dense term
     "t24_naive_bayes",
     "t24b_nb_confusion",

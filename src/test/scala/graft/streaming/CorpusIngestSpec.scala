@@ -49,6 +49,40 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(all == Seq("alpha", "beta", "delta"))
   }
 
+  test("indexed frontier: deltas track landed survivors and replay is idempotent") {
+    val hist = tmp("ingest-idx-hist")
+    val idx = tmp("ingest-idx")
+    val b0 = Seq((1L, "a b a"), (2L, "b c"), (3L, "a b a")).toDF("doc_id", "text")
+    CorpusIngest.ingestBatchIndexed(b0, hist, idx, batchId = 0L)
+    // doc 3 is a within-batch dup of doc 1: its text must not be indexed
+    val after0 = CorpusIngest.readIndex(spark, idx).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toList)).toMap
+    assert(after0 == Map(
+      "a" -> ((1L, 2L, List(1L))),
+      "b" -> ((2L, 2L, List(1L, 2L))),
+      "c" -> ((1L, 1L, List(2L)))))
+    // batch 1: one history-dup (dropped from corpus AND index), one new doc
+    val b1 = Seq((7L, "b c"), (8L, "c d")).toDF("doc_id", "text")
+    CorpusIngest.ingestBatchIndexed(b1, hist, idx, batchId = 1L)
+    CorpusIngest.ingestBatchIndexed(b1, hist, idx, batchId = 1L) // replay
+    val after1 = CorpusIngest.readIndex(spark, idx).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toList)).toMap
+    assert(after1 == Map(
+      "a" -> ((1L, 2L, List(1L))),
+      "b" -> ((2L, 2L, List(1L, 2L))),
+      "c" -> ((2L, 2L, List(2L, 8L))),
+      "d" -> ((1L, 1L, List(8L)))),
+      s"replay must not double df/cf, got $after1")
+    // the merged index equals a from-scratch build over the landed corpus
+    val rebuilt = graft.text.InvertedIndex
+      .build(CorpusIngest.readHistory(spark, hist)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toList)).toMap
+    assert(rebuilt == after1)
+  }
+
   test("near-dup frontier: an edited re-crawl is screened out by the stored signatures") {
     val hist = tmp("ingest-nd")
     val long = (1 to 40).map(i => s"w$i").mkString(" ")

@@ -75,6 +75,57 @@ class Bm25Spec extends SparkTestBase {
       Bm25.searchRescored(d, q, k = 6, candidateFactor = 0))
   }
 
+  // (title, body) fixture for the BM25F contracts — bodies include an
+  // empty one so the concatenation round-trip's [''] token is exercised.
+  private def fieldedDocs = Seq(
+    (1L, "the apple tree", "a ripe apple fell from the tree"),
+    (2L, "the quick fox", ""),
+    (3L, "the lazy dog", "the end of the lazy dog"),
+    (4L, "fox and dog", "the fox chases the dog"))
+    .toDF("doc_id", "title", "body")
+
+  test("BM25F: equal weights equal plain search on the concatenation") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val fielded = Bm25.searchFielded(fieldedDocs, queries, k = 4,
+      fields = Seq("title" -> 1L, "body" -> 1L)).orderBy("query_id", "rk")
+    val concat = Bm25.search(
+      fieldedDocs.selectExpr("doc_id", "concat(title, ' ', body) AS text"),
+      queries, k = 4).orderBy("query_id", "rk")
+    assert(rows(fielded) == rows(concat))
+  }
+
+  test("BM25F: weight 0 on a field equals ignoring that field") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val zeroBody = Bm25.searchFielded(fieldedDocs, queries, k = 4,
+      fields = Seq("title" -> 1L, "body" -> 0L)).orderBy("query_id", "rk")
+    val titleOnly = Bm25.search(
+      fieldedDocs.selectExpr("doc_id", "title AS text"),
+      queries, k = 4).orderBy("query_id", "rk")
+    assert(rows(zeroBody) == rows(titleOnly))
+  }
+
+  test("BM25F: a title hit outranks the same hit in the body under weight") {
+    // 'apple' appears once in doc 5's TITLE and once in doc 6's BODY;
+    // everything else about the two docs is identical, so with title
+    // weight 3 the title hit must rank first (and the weighted score must
+    // match the closed form on weighted tf/dl).
+    val d2 = Seq(
+      (5L, "apple pie recipe", "flour butter sugar salt"),
+      (6L, "plain pie recipe", "flour apple sugar salt"))
+      .toDF("doc_id", "title", "body")
+    val q = Seq((1L, "apple")).toDF("query_id", "query_text")
+    val got = Bm25.searchFielded(d2, q, k = 2,
+      fields = Seq("title" -> 3L, "body" -> 1L)).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.head._2 == 5L, s"title hit must rank first, got ${got.toSeq}")
+    // weighted quantities: doc5 wtf=3, wdl=3*3+4=13; doc6 wtf=1, wdl=3*3+4=13;
+    // N=2, WL=26; df=2 (both docs match 'apple')
+    assert(got.head._3 == fp6(tf = 3, df = 2, dl = 13, n = 2, l = 26))
+    assert(got(1)._3 == fp6(tf = 1, df = 2, dl = 13, n = 2, l = 26))
+  }
+
   test("ranking is repartition-stable (fixed-point sums)") {
     def run(d: org.apache.spark.sql.DataFrame) =
       Bm25.search(d, queries, k = 4)

@@ -28,6 +28,21 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(got("c") == List(2L))
   }
 
+  test("incremental merge over disjoint batches equals a full rebuild") {
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toList, r.getSeq[Long](4).toList)).sortBy(_._1).toSeq
+    val full = canon(InvertedIndex.build(docs))
+    // three deltas, one per doc — the finest split is the hardest case
+    // (every term's final postings cross delta boundaries)
+    val deltas = Seq(5L, 2L, 9L).map(id =>
+      InvertedIndex.buildDelta(docs.filter($"doc_id" === id)))
+    val merged = canon(InvertedIndex.mergeDeltas(deltas.reduce(_ unionByName _)))
+    assert(merged == full)
+    // and merging a single delta covering everything is build() itself
+    assert(canon(InvertedIndex.mergeDeltas(InvertedIndex.buildDelta(docs))) == full)
+  }
+
   test("index is repartition-stable") {
     def run(d: org.apache.spark.sql.DataFrame) =
       InvertedIndex.build(d).collect()

@@ -29,6 +29,25 @@ class CacheScopeSpec extends SparkTestBase {
     assert(newIds.isEmpty, s"operator persists must be gone, left $newIds")
   }
 
+  test("operator checkpoints are registered and releaseAll frees their blocks") {
+    // The iterative operators' FINAL state (and the capstones' lineage
+    // cuts) are eager localCheckpoints: unpersist() can't free them, so
+    // without this path a 173-query driver session pins every query's
+    // checkpoint blocks until job end. Same delta-of-ids discipline as
+    // the persist test above.
+    CacheScope.releaseAll(blocking = true)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    graft.graph.LabelPropagation.communities(edges, rounds = 2).count()
+    def newIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // In-loop rounds already self-release; the final label table's blocks
+    // must still be live here (the returned frame reads them)...
+    assert(newIds.nonEmpty, "final checkpoint blocks should be live before release")
+    CacheScope.releaseAll(blocking = true)
+    // ...and gone after the session owner's release point.
+    assert(newIds.isEmpty, s"checkpoint blocks must be freed, left $newIds")
+  }
+
   test("results are identical before and after release (recompute from lineage)") {
     val first = Dedup.jaccardShinglePairs(docs, threshold = 0.3)
       .collect().map(_.toSeq).toSet
