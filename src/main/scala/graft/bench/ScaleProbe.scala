@@ -316,6 +316,46 @@ object ScaleProbe {
           graft.graph.LabelPropagation.communities(coEdges, rounds = 3).count())
       }
     }
+    // Incremental inverted index: read-time merge cost vs delta count at
+    // CONSTANT total corpus (the LSM read-amplification curve, r9 verdict
+    // #8). Each term's rows multiply by the delta count, so the merge
+    // shuffles D× the term rows; healthy = ~linear in D with a shallow
+    // slope — when the slope bites, compactDeltas resets D to 1 (timed as
+    // the last leg; compact-then-merge ≡ merge is spec-pinned).
+    {
+      import graft.text.InvertedIndex
+      for (d <- Seq(1, 8, 32)) {
+        time(s"inverted_merge_d$d") {
+          val deltas = (0 until d)
+            .map(i => InvertedIndex.buildDelta(docs1.filter(col("doc_id") % d === i)))
+            .reduce(_ unionByName _)
+          InvertedIndex.mergeDeltas(deltas).count()
+        }
+      }
+      time("inverted_compact_d32") {
+        val deltas = (0 until 32)
+          .map(i => InvertedIndex.buildDelta(docs1.filter(col("doc_id") % 32 === i)))
+          .reduce(_ unionByName _)
+        InvertedIndex.compactDeltas(deltas).count()
+      }
+    }
+    // BPE learn batching: same merge budget, M=1 vs M=8 — the job-count
+    // lever (r9 verdict #6). Healthy = rounds collapse ~M-fold and wall
+    // time follows, since each round is one pair-count job + checkpoint
+    // regardless of how many merges it commits.
+    {
+      val nMergesProbe = 24
+      for (m <- Seq(1, 8)) {
+        if (only.isEmpty || only.exists(s"bpe_learn_m$m".startsWith)) {
+          val t0 = System.nanoTime()
+          val (merges, rounds) =
+            graft.text.Bpe.learnMergesBatchedWithRounds(docs1, nMergesProbe, m)
+          println(f"[scaleprobe] bpe_learn_m$m%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+            f"(${merges.size} merges in $rounds rounds)")
+          graft.util.CacheScope.releaseAll()
+        }
+      }
+    }
     spark.stop()
   }
 }

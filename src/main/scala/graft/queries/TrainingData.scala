@@ -188,6 +188,44 @@ object TrainingData {
       |sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp6
       |       FROM per GROUP BY 1, 2)""".stripMargin
 
+  /** The t26d oracle: same fields/weights as [[sqlBm25fCtes]] but with
+    * document length in the UNWEIGHTED space (dl = Σ_f len_f over the
+    * participating fields; corpus L follows) — the dlWeighted=false mode
+    * of [[graft.text.Bm25.searchFielded]]. The dl join restricts to
+    * posting docs, mirroring the Spark side's inner join, so N/L keep the
+    * "docs with at least one posting row" semantics.
+    */
+  private val sqlBm25fCtesDlUnweighted =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |fld AS (SELECT doc_id, array_to_string(w[1:6], ' ') AS title,
+      |               array_to_string(w[7:], ' ') AS body FROM base),
+      |tf AS (SELECT doc_id, term, CAST(sum(fw) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(title, ' ')) AS term, 3 AS fw FROM fld
+      |    UNION ALL
+      |    SELECT doc_id, unnest(string_split(body, ' ')) AS term, 1 AS fw FROM fld) u
+      |  GROUP BY 1, 2 HAVING sum(fw) > 0),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT f.doc_id,
+      |              CAST(len(string_split(f.title, ' ')) +
+      |                   len(string_split(f.body, ' ')) AS BIGINT) AS dl
+      |       FROM fld f JOIN (SELECT DISTINCT doc_id FROM tf) p USING (doc_id)),
+      |corpus AS (SELECT count(*) AS n_docs,
+      |                  CAST(sum(dl) AS BIGINT) AS l_tokens FROM dl),
+      |q(query_id, query_text) AS (VALUES
+      |  (1, 'fast hash join'), (2, 'window sort order'),
+      |  (3, 'spark stream batch'), (4, 'slow scan filter'),
+      |  (5, 'vector data table')),
+      |qt AS (SELECT DISTINCT query_id, term FROM (
+      |    SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q)),
+      |per AS (SELECT qt.query_id, tf.doc_id,
+      |          floor(CAST((2*n_docs - 2*df.df + 1) * 22 * tf.tf * l_tokens AS DOUBLE)
+      |            / ((2*df.df + 1) * (10*l_tokens*tf.tf + 3*l_tokens + 9*dl.dl*n_docs))
+      |            * 1e6) AS s
+      |        FROM qt JOIN df USING (term) JOIN tf USING (term)
+      |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
+      |sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp6
+      |       FROM per GROUP BY 1, 2)""".stripMargin
+
   /** The g3/g4 graph, built once: users co-occurring on (event_type,
     * minute). Both entries' oracles encode the SAME graph — a bucketing
     * change here must be mirrored in both SQL texts.
@@ -2534,6 +2572,42 @@ object TrainingData {
           |FROM rked WHERE rk <= 8 ORDER BY query_id, rk""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T26d — BM25F, unweighted-length mode (r9 verdict #7): same fields
+    // and weights as t26c but dl/avgdl live in the UNWEIGHTED token space
+    // (dlWeighted = false), so the title boost shapes relevance without
+    // shielding boosted fields from length normalization. Distinguishable
+    // from t26c only under non-uniform weights — which the 3:1 split is.
+    Q(
+      "t26d_bm25f_dl_unweighted",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (1L, "fast hash join"),
+          (2L, "window sort order"),
+          (3L, "spark stream batch"),
+          (4L, "slow scan filter"),
+          (5L, "vector data table")).toDF("query_id", "query_text")
+        val toks = split(col("text"), " ")
+        val fielded = Tables.documents(s, dir).select(
+          col("doc_id"),
+          array_join(slice(toks, 1, 6), " ").as("title"),
+          array_join(
+            slice(toks, lit(7), greatest(size(toks) - 6, lit(0))), " ").as("body"))
+        Bm25.searchFielded(fielded, qs, k = 8,
+          fields = Seq("title" -> 3L, "body" -> 1L), dlWeighted = false)
+          .orderBy("query_id", "rk")
+      },
+      Some(sqlBm25fCtesDlUnweighted +
+        """
+          |, rked AS (SELECT query_id, doc_id, score_fp6,
+          |           row_number() OVER (PARTITION BY query_id
+          |             ORDER BY score_fp6 DESC, doc_id) AS rk
+          |         FROM sc)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
+          |       doc_id, score_fp6
+          |FROM rked WHERE rk <= 8 ORDER BY query_id, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T27 — inverted-index materialization: term -> (df, cf, sorted
     // postings, delta gaps). Arrays JSON-stringified for the gate (the m3
     // precedent); the index itself stays array-typed. The oracle derives
@@ -2784,10 +2858,14 @@ object TrainingData {
         // share ONE Lloyd training pass: kmeansCentroids is checkpointed,
         // and both the plain-IVF and the IVF-PQ legs search over the same
         // cells, so the eval pays one training + one assignment pass extra
-        // rather than the whole stack per leg (designed cost ~2x the
-        // untrained eval, job-count-bound — recorded in SURVEY).
+        // rather than the whole stack per leg. Eval-corpus budget: ONE
+        // Lloyd round each for the coarse cells and the residual codebook
+        // (r9 verdict #4 — at iters=2 the trained legs were 10% of the
+        // whole bench session; one round moves recall by <0.05 on this
+        // corpus while halving the checkpoint/job count, and production
+        // training depth is the caller's knob on the API, not the eval's).
         val trained = Similarity.kmeansCentroids(emb, nCentroids = 16,
-          iters = 2)
+          iters = 1)
         Seq(
           leg("1_lsh", Similarity.lshTopK(queries, emb, planes, k = 5)),
           leg("2_lsh_multiprobe",
@@ -2806,7 +2884,7 @@ object TrainingData {
           // safe to ship.
           leg("6_ivfpq_refined", Similarity.refineTopK(
             Similarity.ivfPqTopKWithCells(queries, emb, trained,
-              nProbe = 4, m = 4, ksub = 16, k = 20, trainIters = 2),
+              nProbe = 4, m = 4, ksub = 16, k = 20, trainIters = 1),
             queries, emb, k = 5)))
           .reduce(_ unionByName _).orderBy("method")
       }),

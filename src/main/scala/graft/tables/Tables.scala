@@ -30,9 +30,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as raw Long nanos and floor-divide to microseconds —
-    * the same truncation DuckDB applies — so oracle comparisons line up.
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read as raw Long nanos and floor-divide to microseconds, the same
+    * truncation DuckDB applies) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (which Spark 4 infers as TIMESTAMP_NTZ). [[normalizeTs]] folds both into
+    * a plain `TimestampType` so every downstream consumer — `unix_micros`,
+    * `cast(ts as long)`, `withWatermark` — sees one type. The session TZ is
+    * pinned to UTC (GraftSession), so NTZ→TZ is value-preserving and the
+    * DuckDB oracle comparison is unchanged.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Session-global by necessity (the parquet reader consults the session
@@ -40,10 +46,22 @@ object Tables {
     // sessions aren't silently reconfigured on every call.
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    normalizeTs(load(spark, dir, "events"), "ts")
+  }
+
+  /** Normalize a timestamp-ish column to `TimestampType` regardless of which
+    * physical parquet encoding it arrived as: Long nanos (legacy nanosAsLong
+    * read), TIMESTAMP_NTZ (Spark 4 inferTimestampNTZ on isAdjustedToUTC=false
+    * µs), or already TimestampType (no-op).
+    */
+  def normalizeTs(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType         => df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case TimestampNTZType => df.withColumn(colName, col(colName).cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

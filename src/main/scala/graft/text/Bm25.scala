@@ -67,13 +67,23 @@ object Bm25 {
 
   /** BM25F — per-field weighted retrieval (Robertson & Zaragoza 2004,
     * simple-BM25F form with a shared b): each field's term frequency is
-    * scaled by an INTEGER field weight before the usual k1 saturation,
-    * and the document length becomes the equally-weighted field-length
-    * sum, so a title hit outranks the same hit buried in the body while
-    * the score stays on the exact integer-rational grid of [[search]]
-    * (weighted tf and weighted dl are integers; nothing else changes in
-    * the formula — same engine-exact contract, same caveat vs textbook
+    * scaled by an INTEGER field weight before the usual k1 saturation, so
+    * a title hit outranks the same hit buried in the body while the score
+    * stays on the exact integer-rational grid of [[search]] (weighted tf
+    * and either dl form are integers; nothing else changes in the
+    * formula — same engine-exact contract, same caveat vs textbook
     * log-idf BM25).
+    *
+    * `dlWeighted` selects the length-normalization space (both are
+    * published BM25F readings; both keep the integer grid):
+    *   - true (default) — the Robertson & Zaragoza form: dl and avgdl
+    *     live in the weighted space, dl = Σ_f w_f·len_f — boosting a
+    *     field also boosts its contribution to length saturation;
+    *   - false — unweighted lengths: dl = Σ_f len_f over the w>0 fields,
+    *     so weights shape RELEVANCE only and a heavily-boosted short
+    *     title doesn't shield a long body from normalization.
+    * With all weights equal to 1 the two spaces coincide, so the modes
+    * are distinguishable only under non-uniform weights (spec-pinned).
     *
     * Weight semantics the specs pin: weight 0 drops a field from tf, df,
     * dl AND the corpus stats (identical to not passing it); all weights
@@ -85,14 +95,18 @@ object Bm25 {
     * Shape at scale: ONE scan of `docs` explodes every field with its
     * weight attached (fields are a flatten over per-field transform, not
     * |fields| scans), then one map-side-combined shuffle builds the
-    * weighted posting table — from there the plan IS [[search]]'s.
+    * weighted posting table — from there the plan IS [[search]]'s. The
+    * dlWeighted=false override adds one narrow (id, dl) projection off
+    * the same scan, equi-joined to the posting docs — no extra corpus
+    * pass.
     */
   def searchFielded(
       docs: DataFrame,
       queries: DataFrame,
       k: Int,
       fields: Seq[(String, Long)],
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      dlWeighted: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(fields.nonEmpty, "searchFielded needs at least one field")
     require(fields.forall(_._2 >= 0),
@@ -110,21 +124,36 @@ object Bm25 {
       // Zero-weight fields contribute 0-tf rows; dropping them here is
       // what makes weight 0 ≡ field absent (df must not count them).
       .filter(col("tf") > 0)
-    searchFromTf(tf, queries, k, idCol)
+    val dlOverride =
+      if (dlWeighted) None
+      else Some(docs.select(
+        col(idCol).as("id"),
+        fields.collect { case (f, w) if w > 0 =>
+          size(TextFunctions.tokens(col(f))).cast("long")
+        }.reduce(_ + _).as("dl")))
+    searchFromTf(tf, queries, k, idCol, dlOverride)
   }
 
   /** Shared scoring tail: df/dl/corpus stats off a (possibly weighted)
     * posting table, broadcast query join, exact-rational per-term
-    * micro-scores, bounded-heap top-k.
+    * micro-scores, bounded-heap top-k. `dlOverride` (id, dl) replaces the
+    * tf-derived document length (the BM25F unweighted-dl space) — it is
+    * inner-joined to the posting doc ids, so N/L keep the "docs with at
+    * least one posting row" semantics either way.
     */
   private def searchFromTf(
-      tfRaw: DataFrame, queries: DataFrame, k: Int, idCol: String): DataFrame = {
+      tfRaw: DataFrame, queries: DataFrame, k: Int, idCol: String,
+      dlOverride: Option[DataFrame] = None): DataFrame = {
     val tf = CacheScope.persist(tfRaw)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // dl feeds both the per-doc join and the corpus rollup — and deriving
     // (N, L) from it replaces a countDistinct over the full tf table
     // (expand + second shuffle) with a count over one row per doc.
-    val dl = CacheScope.persist(tf.groupBy("id").agg(sum(col("tf")).as("dl")))
+    val dlFromTf = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
+    val dl = CacheScope.persist(dlOverride match {
+      case None      => dlFromTf
+      case Some(ovr) => dlFromTf.drop("dl").join(ovr, Seq("id"))
+    })
     val corpus = dl.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("l_tokens"))

@@ -128,41 +128,108 @@ object Bpe {
     */
   def learnMerges(
       docs: DataFrame, nMerges: Int,
-      textCol: String = "text"): Seq[(Int, String, String, Long)] = {
+      textCol: String = "text"): Seq[(Int, String, String, Long)] =
+    learnMergesBatched(docs, nMerges, batchM = 1, textCol)
+
+  /** Weighted adjacent-pair counts over symbol state, ranked under the
+    * deterministic merge order (count desc, left asc, right asc); only
+    * pairs occurring at least twice survive (merging singletons is
+    * meaningless). Shared by every learn-loop round.
+    */
+  private def rankedPairs(state: DataFrame): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    state
+      .withColumn("__next", lead(col("sym"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("sym").as("l"), col("__next").as("r"))
+      .agg(sum(col("freq")).as("pair_freq"))
+      .filter(col("pair_freq") >= 2)
+      .orderBy(col("pair_freq").desc, col("l"), col("r"))
+  }
+
+  /** [[learnMerges]] with up to `batchM` merges learned per Spark round —
+    * the job-count lever for real vocabularies: a 32k-merge build at M=1
+    * is 32k sequential pair-count jobs + checkpoints (the r9 verdict's
+    * scale concern); at M=256 it is ~125 rounds.
+    *
+    * Batch selection is GREEDY IN RANK ORDER over the round's pair table,
+    * accepting a candidate only if it cannot interact with any
+    * earlier-accepted pair of the same round:
+    *   - symbol-disjoint: {l,r} ∩ {l',r'} = ∅ — an earlier merge may
+    *     neither consume nor supply this pair's match positions;
+    *   - no feed-through: l'+r' ∉ {l,r} — an earlier merge's OUTPUT symbol
+    *     must not be this pair's input (sequentially the later pair would
+    *     match occurrences the batch's start-of-round count never saw).
+    * Under those two rules the accepted pairs' match sets and frequencies
+    * are exactly what sequential application in rank order yields, so the
+    * batch IS its own sequential replay (applied via foldLeft of
+    * [[applyOne]] — one lineage, one checkpoint, one count job per round).
+    *
+    * M=1 degenerates to the textbook loop bit-for-bit (the t19b oracle
+    * path — pinned by BpeSpec). M>1 is the documented approximation every
+    * batched BPE makes: pairs CREATED mid-round (e.g. ("th","e") right
+    * after ("t","h")) wait for the next round's count, so the merge RANKING
+    * can differ from M=1 while each recorded pair_freq stays exact; rank
+    * order within a round is still the deterministic (freq desc, l, r).
+    */
+  def learnMergesBatched(
+      docs: DataFrame, nMerges: Int, batchM: Int,
+      textCol: String = "text"): Seq[(Int, String, String, Long)] =
+    learnMergesBatchedWithRounds(docs, nMerges, batchM, textCol)._1
+
+  /** [[learnMergesBatched]] also reporting the number of Spark rounds the
+    * loop actually ran — the quantity batching exists to shrink (each
+    * round = one pair-count job + one checkpoint). Probed by ScaleProbe.
+    */
+  def learnMergesBatchedWithRounds(
+      docs: DataFrame, nMerges: Int, batchM: Int,
+      textCol: String = "text"): (Seq[(Int, String, String, Long)], Int) = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    require(batchM >= 1, s"batchM must be >= 1, got $batchM")
     val words = docs
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
     var state = charState(words).scopedCheckpoint()
-    val w = Window.partitionBy("word").orderBy("pos")
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
+    var rounds = 0
     var exhausted = false
     while (rank < nMerges && !exhausted) {
-      val top = state
-        .withColumn("__next", lead(col("sym"), 1).over(w))
-        .filter(col("__next").isNotNull)
-        .groupBy(col("sym").as("l"), col("__next").as("r"))
-        .agg(sum(col("freq")).as("pair_freq"))
-        .filter(col("pair_freq") >= 2)
-        .orderBy(col("pair_freq").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
+      val want = math.min(batchM, nMerges - rank)
+      // Over-fetch: conflicts knock candidates out of a batch, so pull a
+      // bounded multiple and fill greedily; anything skipped is re-counted
+      // (fresher) next round. The collect stays O(batchM) rows — never the
+      // whole pair table.
+      val top = rankedPairs(state).limit(want * 4 + 8).collect()
+      rounds += 1
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += ((rank, l, r, f))
+        val sel = Seq.newBuilder[(String, String, Long)]
+        var nSel = 0
+        var accepted = Set.empty[String] // symbols + concat outputs of the batch
+        top.iterator.takeWhile(_ => nSel < want).foreach { row =>
+          val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (!accepted.contains(l) && !accepted.contains(r)) {
+            sel += ((l, r, f))
+            nSel += 1
+            // Reserve this pair's inputs (symbol-disjointness) and its
+            // output (no feed-through into a later pair of this batch).
+            accepted = accepted + l + r + (l + r)
+          }
+        }
+        val batch = sel.result()
+        batch.foreach { case (l, r, f) => out += ((rank, l, r, f)); rank += 1 }
         val prev = state
-        state = applyOne(state, l, r).scopedCheckpoint()
+        state = batch.foldLeft(state) { case (st, (l, r, _)) => applyOne(st, l, r) }
+          .scopedCheckpoint()
         // The new state is materialized; round N-1's blocks are unread
-        // from here on — release, or nMerges rounds pin nMerges copies.
+        // from here on — release, or the rounds pin that many copies.
         graft.util.CacheScope.releaseCheckpoint(prev)
-        rank += 1
       }
     }
-    out.result()
+    (out.result(), rounds)
   }
 
   /** The unrolled DuckDB mirror of [[learnMerges]]: each round is a CTE

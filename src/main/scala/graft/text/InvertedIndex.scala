@@ -68,10 +68,24 @@ object InvertedIndex {
     * and spec-pinned.
     */
   def mergeDeltas(deltas: DataFrame): DataFrame =
-    withGaps(deltas
+    withGaps(compactDeltas(deltas))
+
+  /** Collapse a pile of delta rows into ONE delta row per term — the LSM
+    * compaction step for the index: the output is itself a valid delta
+    * (no gaps — those stay a read-time property), so it can keep
+    * absorbing future batches. Run when the delta count makes the
+    * read-time merge pay for too many term-row duplicates (the same
+    * read-amplification threshold policy as
+    * [[graft.etl.Load.appendPartitioned]]'s file compaction; the curve is
+    * probed by ScaleProbe's `inverted_merge_d*` legs). Same disjoint-docs
+    * precondition as [[mergeDeltas]]; compact-then-merge ≡ merge directly
+    * (spec-pinned — sum and concat are associative).
+    */
+  def compactDeltas(deltas: DataFrame): DataFrame =
+    deltas
       .groupBy("term")
       .agg(
         sum(col("df")).as("df"),
         sum(col("cf")).as("cf"),
-        array_sort(flatten(collect_list(col("postings")))).as("postings")))
+        array_sort(flatten(collect_list(col("postings")))).as("postings"))
 }

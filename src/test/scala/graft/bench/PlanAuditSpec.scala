@@ -61,13 +61,20 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("no registered query plans a cartesian or an unaccounted nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"
+    // Failure-isolated: one query's analysis error is reported as ITS
+    // offense (with the root message) instead of aborting the whole audit —
+    // the other 175 plans still get screened.
     val offenders = SparkEntry.allQueries.flatMap { q =>
-      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct"))
-        Some(s"${q.name}: CartesianProduct")
-      else if (plan.contains("BroadcastNestedLoopJoin") && !accountedBnlj(q.name))
-        Some(s"${q.name}: BroadcastNestedLoopJoin not on the accounted whitelist")
-      else None
+      scala.util.Try(q.run(spark, sfDir).queryExecution.executedPlan.toString) match {
+        case scala.util.Failure(e) =>
+          Some(s"${q.name}: plan build FAILED — ${e.getMessage.linesIterator.next()}")
+        case scala.util.Success(plan) =>
+          if (plan.contains("CartesianProduct"))
+            Some(s"${q.name}: CartesianProduct")
+          else if (plan.contains("BroadcastNestedLoopJoin") && !accountedBnlj(q.name))
+            Some(s"${q.name}: BroadcastNestedLoopJoin not on the accounted whitelist")
+          else None
+      }
     }
     assert(offenders.isEmpty,
       s"scale-killer plan shapes found:\n${offenders.mkString("\n")}")

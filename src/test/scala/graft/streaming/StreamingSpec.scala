@@ -195,10 +195,7 @@ class StreamingSpec extends SparkTestBase {
     val sf = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    def fixTs(df: org.apache.spark.sql.DataFrame) =
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else df
+    def fixTs(df: org.apache.spark.sql.DataFrame) = graft.tables.Tables.normalizeTs(df, "ts")
 
     // The file source streams a directory of files landing over time.
     val evDir = tmpDir("events")

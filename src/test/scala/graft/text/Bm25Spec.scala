@@ -126,6 +126,45 @@ class Bm25Spec extends SparkTestBase {
     assert(got(1)._3 == fp6(tf = 1, df = 2, dl = 13, n = 2, l = 26))
   }
 
+  test("BM25F dlWeighted: modes coincide under uniform weights, diverge under boost") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // All weights 1: weighted and unweighted length spaces are the same
+    // space, so the flag must not change a single row.
+    val w1 = Bm25.searchFielded(fieldedDocs, queries, k = 4,
+      fields = Seq("title" -> 1L, "body" -> 1L), dlWeighted = true)
+      .orderBy("query_id", "rk")
+    val u1 = Bm25.searchFielded(fieldedDocs, queries, k = 4,
+      fields = Seq("title" -> 1L, "body" -> 1L), dlWeighted = false)
+      .orderBy("query_id", "rk")
+    assert(rows(w1) == rows(u1))
+    // Non-uniform weights AND unequal doc lengths: dl moves from
+    // Σ w_f·len_f to Σ len_f, the dl/avgdl ratios shift (equal-length
+    // docs would make both modes coincide — dl=avgdl is scale-invariant),
+    // and the closed form tracks each mode exactly.
+    val d2 = Seq(
+      (5L, "apple pie recipe", "flour butter"),
+      (6L, "plain pie recipe", "flour apple sugar salt butter oil"))
+      .toDF("doc_id", "title", "body")
+    val q = Seq((1L, "apple")).toDF("query_id", "query_text")
+    val unw = Bm25.searchFielded(d2, q, k = 2,
+      fields = Seq("title" -> 3L, "body" -> 1L), dlWeighted = false).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // unweighted lengths: dl5=3+2=5, dl6=3+6=9, N=2, L=14; tf stays weighted
+    assert(unw.head._2 == 5L)
+    assert(unw.head._3 == fp6(tf = 3, df = 2, dl = 5, n = 2, l = 14))
+    assert(unw(1)._3 == fp6(tf = 1, df = 2, dl = 9, n = 2, l = 14))
+    // and the two modes really differ on this fixture
+    val wtd = Bm25.searchFielded(d2, q, k = 2,
+      fields = Seq("title" -> 3L, "body" -> 1L), dlWeighted = true).collect()
+      .map(r => r.getLong(3))
+    // weighted lengths: dl5=9+2=11, dl6=9+6=15, L=26
+    assert(wtd.toSeq == Seq(
+      fp6(tf = 3, df = 2, dl = 11, n = 2, l = 26),
+      fp6(tf = 1, df = 2, dl = 15, n = 2, l = 26)))
+    assert(wtd.toSeq != unw.map(_._3).toSeq)
+  }
+
   test("ranking is repartition-stable (fixed-point sums)") {
     def run(d: org.apache.spark.sql.DataFrame) =
       Bm25.search(d, queries, k = 4)

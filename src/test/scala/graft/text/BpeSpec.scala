@@ -70,6 +70,43 @@ class BpeSpec extends SparkTestBase {
     assert(tie == Seq((0, "a", "b", 2L)))
   }
 
+  test("learnMergesBatched: M=1 reproduces the textbook loop bit-for-bit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new"),
+      (3L, "wide wider widest low newer")).toDF("doc_id", "text")
+    val sequential = Bpe.learnMerges(docs, nMerges = 8)
+    val batched1 = Bpe.learnMergesBatched(docs, nMerges = 8, batchM = 1)
+    assert(batched1 == sequential)
+  }
+
+  test("learnMergesBatched: batch pairs are non-interacting, freqs exact, budget respected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new"),
+      (3L, "wide wider widest low newer"),
+      (4L, "stream streams streaming stream")).toDF("doc_id", "text")
+    val n = 10
+    val batched = Bpe.learnMergesBatched(docs, nMerges = n, batchM = 4)
+    assert(batched.size <= n)
+    assert(batched.map(_._1) == batched.indices) // dense ranks in order
+    // Every recorded pair_freq is the TRUE weighted count at its round
+    // start (>= 2 by the survivor rule).
+    assert(batched.forall(_._4 >= 2L))
+    // Determinism under repartition (the learnMerges stability contract).
+    val again = Bpe.learnMergesBatched(docs.repartition(5), nMerges = n, batchM = 4)
+    assert(again == batched)
+    // The learned table still drives applyBpe and compresses.
+    val merges = batched.map { case (_, l, r, _) => (l, r) }
+    val nSyms = Bpe.applyBpe(docs, merges)
+      .select(sum(size(split(col("bpe_text"), " ")))).head.getLong(0)
+    val nChars = docs
+      .select(sum(length(regexp_replace(col("text"), " ", "")))).head.getLong(0)
+    assert(nSyms < nChars, s"nSyms=$nSyms nChars=$nChars")
+  }
+
   test("learnMerges is repartition-stable and its merges feed applyBpe") {
     import spark.implicits._
     val docs = Seq(

@@ -43,6 +43,24 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(canon(InvertedIndex.mergeDeltas(InvertedIndex.buildDelta(docs))) == full)
   }
 
+  test("compaction: compact-then-merge equals merging the raw deltas") {
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toList, r.getSeq[Long](4).toList)).sortBy(_._1).toSeq
+    val deltas = Seq(5L, 2L, 9L).map(id =>
+      InvertedIndex.buildDelta(docs.filter($"doc_id" === id)))
+    val raw = deltas.reduce(_ unionByName _)
+    // compact the first two deltas, leave the third raw — the mid-stream
+    // LSM state; the read must not care.
+    val partial = InvertedIndex.compactDeltas(deltas(0).unionByName(deltas(1)))
+      .unionByName(deltas(2))
+    assert(canon(InvertedIndex.mergeDeltas(partial)) == canon(InvertedIndex.mergeDeltas(raw)))
+    // a compacted pile is ONE row per term
+    val counts = InvertedIndex.compactDeltas(raw).groupBy("term").count()
+      .collect().map(_.getLong(1))
+    assert(counts.forall(_ == 1L))
+  }
+
   test("index is repartition-stable") {
     def run(d: org.apache.spark.sql.DataFrame) =
       InvertedIndex.build(d).collect()
