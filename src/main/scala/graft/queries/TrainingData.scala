@@ -2666,6 +2666,41 @@ object TrainingData {
              |FROM g GROUP BY term ORDER BY term""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T27c — index compaction (r9 verdict #8): a 5-delta pile is first
+    // COLLAPSED to one row per term (compactDeltas — the LSM compaction
+    // the streaming frontier runs when read amplification bites,
+    // CorpusIngest.compactIndexDeltas), and reading the compacted pile
+    // must equal the t27 full rebuild — sum/concat associativity as an
+    // oracle gate, not just a spec. The half-compacted mid-stream state
+    // (compact(0..2) ∪ raw 3..4) is the exact shape a reader sees between
+    // compaction and GC.
+    Q(
+      "t27c_inverted_index_compacted",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val deltas = (0 until 5).map(i =>
+          InvertedIndex.buildDelta(docs.filter(col("doc_id") % 5 === i)))
+        val halfCompacted = InvertedIndex
+          .compactDeltas(deltas.take(3).reduce(_ unionByName _))
+          .unionByName(deltas.drop(3).reduce(_ unionByName _))
+        InvertedIndex.mergeDeltas(halfCompacted)
+          .withColumn("postings", to_json(col("postings")))
+          .withColumn("gaps", to_json(col("gaps")))
+          .orderBy("term")
+      },
+      Some("""WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |    FROM documents) GROUP BY 1, 2),
+             |g AS (SELECT term, doc_id, tf,
+             |        doc_id - lag(doc_id, 1, 0) OVER (PARTITION BY term
+             |          ORDER BY doc_id) AS gap
+             |      FROM tf)
+             |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+             |       CAST(to_json(list(doc_id ORDER BY doc_id)) AS VARCHAR) AS postings,
+             |       CAST(to_json(list(gap ORDER BY doc_id)) AS VARCHAR) AS gaps
+             |FROM g GROUP BY term ORDER BY term""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // C19 — RAG chunking: 12-token windows, 3-token overlap (stride 9); a
     // start is emitted while it adds tokens beyond the previous chunk's
     // overlap, every doc emits chunk 0, the final token is always covered.
@@ -2836,8 +2871,14 @@ object TrainingData {
     Q(
       "e13_ann_recall",
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val queries = emb.filter(col("vec_id") < 20)
+        // The corpus feeds every one of the 6 legs plus training — persist
+        // once or the eval re-reads the parquet ~15 times (r9 verdict #4:
+        // the eval's cost is job-count overhead, not data volume).
+        val emb = graft.util.CacheScope.persist(Tables.embeddings(s, dir))
+        // 10 eval queries: recall-estimate noise rises ~sqrt(2) vs 20 but every leg's
+        // broadcast/probe/recall face halves — the eval budget trade
+        // (verdict #4); production recall evals sample queries the same way.
+        val queries = emb.filter(col("vec_id") < 10)
         val dim = emb.select(size(col("embedding"))).head.getInt(0)
         // 6 planes = 64 buckets: sized to the sf corpus so buckets hold
         // candidates (12 planes = 4096 buckets strands every vector alone

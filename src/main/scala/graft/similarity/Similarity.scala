@@ -298,7 +298,6 @@ object Similarity {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(metric == "cosine" || metric == "l2",
       s"metric must be cosine or l2, got $metric")
-    val dims = init.select(size(col("centroid_vec"))).head.getInt(0)
     // The centroid table is tiny (problems × k rows): keep it ONE
     // partition so each round's eager checkpoint is a single task, and
     // join the equally-tiny means back by broadcast — the loop's only
@@ -309,6 +308,12 @@ object Similarity {
       transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
       .coalesce(1)
       .scopedCheckpoint()
+    // dims AFTER the init checkpoint: `init`'s lineage is usually a
+    // corpus scan (the bootstrap pick), so a head on it would run that
+    // scan once for this 1-row metadata job and AGAIN for the checkpoint
+    // — measured as a duplicated corpus pass per training call (r10).
+    // On the checkpointed k-row table the head is free.
+    val dims = cent.select(size(col("centroid_vec"))).head.getInt(0)
     for (_ <- 0 until iters) {
       val withNorm = cent
         .withColumn("c_norm", norm(col("centroid_vec")))
@@ -376,8 +381,12 @@ object Similarity {
     */
   def pqCodebook(
       corpus: DataFrame, m: Int, ksub: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dimsOpt: Option[Int] = None): DataFrame = {
+    // A caller that already knows the dimensionality passes it and skips
+    // this corpus-lineage metadata job (the PQ family's repeated-head
+    // cost, r10 probe).
+    val dims = dimsOpt.getOrElse(corpus.select(size(col(vecCol))).head.getInt(0))
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
     val data = graft.util.CacheScope.persist(
@@ -498,7 +507,7 @@ object Similarity {
     // driver-blocking metadata jobs to rediscover them.
     val dims = corpus.select(size(col(vecCol))).head.getInt(0)
     val codebook = graft.util.CacheScope.persist(
-      pqCodebook(corpus, m, ksub, trainIters, idCol, vecCol))
+      pqCodebook(corpus, m, ksub, trainIters, idCol, vecCol, Some(dims)))
     pqTopKEncodedWith(queries,
       pqEncodeWith(corpus, codebook, m, dims / m, idCol, vecCol),
       codebook, k, m, dims / m, idCol, vecCol)
@@ -609,7 +618,11 @@ object Similarity {
       transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
     val residuals = graft.util.CacheScope.persist(
       ivfPqResiduals(corpus, cent, idCol, vecCol))
-    ivfPqSearch(queries, cent, codebook, residuals, nProbe, k, idCol, vecCol)
+    // The codebook arrives from outside — its geometry is read once here
+    // (two small-table jobs), not per search stage.
+    val m = codebook.agg(max(col("subspace"))).head.getInt(0) + 1
+    val dsub = codebook.select(size(col("centroid_vec"))).head.getInt(0)
+    ivfPqSearch(queries, cent, codebook, residuals, nProbe, k, m, dsub, idCol, vecCol)
   }
 
   /** Corpus pass shared by training and search: cell assignment, residual
@@ -630,14 +643,14 @@ object Similarity {
           (x, c) => x - c).as("residual"))
   }
 
-  /** Probe + ADC over prepared residuals (see [[ivfPqResiduals]]). */
+  /** Probe + ADC over prepared residuals (see [[ivfPqResiduals]]).
+    * m/dsub come from the caller — deriving them here cost two
+    * driver-blocking metadata jobs per search (r10 probe).
+    */
   private def ivfPqSearch(
       queries: DataFrame, cent: DataFrame, codebook: DataFrame,
-      residuals: DataFrame, nProbe: Int, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = codebook.agg(max(col("subspace"))).head.getInt(0) + 1
-    val dsub = codebook.select(size(col("centroid_vec"))).head.getInt(0)
-
+      residuals: DataFrame, nProbe: Int, k: Int, m: Int, dsub: Int,
+      idCol: String, vecCol: String): DataFrame = {
     // PQ-encode the residuals; re-attach the cell and the TRUE norm
     // (pqEncode stores the norm of what it encodes — here the residual,
     // which we discard).
@@ -721,12 +734,16 @@ object Similarity {
     val cent = centroids.select(
       col("centroid_id"),
       transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
+    // Dimensionality off the C-row centroid table (one near-free job) —
+    // residuals share the corpus dims, so the codebook and the search
+    // never pay a corpus-lineage or training-lineage metadata head.
+    val dims = cent.select(size(col("centroid_vec"))).head.getInt(0)
     val residuals = graft.util.CacheScope.persist(
       ivfPqResiduals(corpus, cent, idCol, vecCol))
     val codebook = graft.util.CacheScope.persist(
       pqCodebook(residuals.select(col("id"), col("residual")),
-        m, ksub, trainIters, idCol = "id", vecCol = "residual"))
-    ivfPqSearch(queries, cent, codebook, residuals, nProbe, k, idCol, vecCol)
+        m, ksub, trainIters, idCol = "id", vecCol = "residual", Some(dims)))
+    ivfPqSearch(queries, cent, codebook, residuals, nProbe, k, m, dims / m, idCol, vecCol)
   }
 
   /** Refine / re-rank — the stage that turns PQ's lossy ADC ranking into

@@ -105,31 +105,110 @@ object CorpusIngest {
     * their delta index. The delta is built from the LANDED parquet (not
     * the in-memory survivor frame) so index content is exactly what the
     * corpus holds even across a replay that re-elects within-batch ids.
+    *
+    * `compactThreshold` > 0 turns on LSM compaction: when the number of
+    * live delta directories this batch must merge at read time reaches
+    * the threshold, everything STRICTLY PRIOR to this batch is collapsed
+    * into one `batch=compact-<batchId>` directory. Strictly-prior batches
+    * are committed and never re-delivered (foreachBatch replays only the
+    * last uncommitted batch), so compaction never races a replay; this
+    * batch's own delta stays a plain directory so its replay-overwrite
+    * contract is untouched.
     */
   def ingestBatchIndexed(
-      batch: DataFrame, historyDir: String, indexDir: String, batchId: Long): Unit = {
+      batch: DataFrame, historyDir: String, indexDir: String, batchId: Long,
+      compactThreshold: Int = 0): Unit = {
     ingestBatch(batch, historyDir, batchId)
-    val landed = batch.sparkSession.read
+    val spark = batch.sparkSession
+    val landed = spark.read
       .schema(historySchema).parquet(s"$historyDir/batch=$batchId")
     graft.text.InvertedIndex.buildDelta(landed)
       .write.mode("overwrite")
       .parquet(s"$indexDir/batch=$batchId")
+    if (compactThreshold > 0 &&
+      liveIndexDirs(spark, indexDir).length >= compactThreshold)
+      compactIndexDeltas(spark, indexDir, batchId)
   }
 
-  /** The assembled corpus index over every landed delta: term → (df, cf,
+  /** The live delta directories under the covering rule: the newest
+    * `batch=compact-<C>` covers every PLAIN `batch=<k>` with k < C (and
+    * every older compact dir), so a reader merges compact-C plus the
+    * plain dirs with k >= C. Stale covered dirs — left behind only if a
+    * crash interrupted compaction's GC — are thereby IGNORED, never
+    * double-counted: correctness comes from this rule, deletion is just
+    * space reclamation.
+    */
+  private def liveIndexDirs(spark: SparkSession, indexDir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return Seq.empty
+    val dirs = fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+    val compacts = dirs
+      .flatMap(p => p.getName.stripPrefix("batch=") match {
+        case s if s.startsWith("compact-") => Some(s.stripPrefix("compact-").toLong -> p)
+        case _ => None
+      })
+    val newestCompact = compacts.sortBy(-_._1).headOption
+    val floor = newestCompact.map(_._1).getOrElse(Long.MinValue)
+    val plains = dirs
+      .flatMap(p => p.getName.stripPrefix("batch=") match {
+        case s if s.forall(_.isDigit) && s.nonEmpty => Some(s.toLong -> p)
+        case _ => None
+      })
+      .filter(_._1 >= floor)
+    (newestCompact.toSeq ++ plains).map(_._2.toString)
+  }
+
+  /** Collapse every delta strictly prior to `batchId` (under the covering
+    * rule) into `batch=compact-<batchId>`, then GC the sources. The write
+    * is an idempotent overwrite and the read rule ignores covered dirs,
+    * so a crash at ANY point (before the write, between write and GC,
+    * mid-GC) leaves a correct index; re-running just rewrites the same
+    * directory. [[graft.text.InvertedIndex.compactDeltas]] is associative,
+    * so folding an older compact dir into a newer one is exact.
+    */
+  def compactIndexDeltas(spark: SparkSession, indexDir: String, batchId: Long): Unit = {
+    // This batch's own plain dir is excluded: it must stay a standalone
+    // overwrite target for the replay contract. (The "batch=" prefix on
+    // the suffix makes the match exact — "batch=15" never ends with
+    // "batch=5".)
+    val sources = liveIndexDirs(spark, indexDir)
+      .filterNot(_.stripSuffix("/").endsWith(s"batch=$batchId"))
+    if (sources.isEmpty) return
+    graft.text.InvertedIndex.compactDeltas(
+      spark.read.schema(indexDeltaSchema).parquet(sources: _*))
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/batch=compact-$batchId")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    sources.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (p.getName != s"batch=compact-$batchId") fs.delete(p, true)
+    }
+  }
+
+  /** The assembled corpus index over every live delta: term → (df, cf,
     * sorted postings, gaps). Scan reads only delta columns — no text.
     */
-  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val dirs = liveIndexDirs(spark, indexDir)
     graft.text.InvertedIndex.mergeDeltas(
-      spark.read.schema(indexDeltaSchema).parquet(indexDir + "/batch=*"))
+      if (dirs.nonEmpty)
+        spark.read.schema(indexDeltaSchema).parquet(dirs: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(indexDeltaSchema)))
+  }
 
   def startIndexed(
       docs: DataFrame, historyDir: String, indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactThreshold: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatchIndexed(batch, historyDir, indexDir, batchId)
+        ingestBatchIndexed(batch, historyDir, indexDir, batchId, compactThreshold)
       }
       .start()
 

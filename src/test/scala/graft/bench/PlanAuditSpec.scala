@@ -51,6 +51,7 @@ class PlanAuditSpec extends SparkTestBase {
     "t26_bm25_search",
     "t26b_bm25_phrase_rescored",
     "t26c_bm25f_fielded",
+    "t26d_bm25f_dl_unweighted",
     // |classes|-row (denom, prior) constant side of the NB dense term
     "t24_naive_bayes",
     "t24b_nb_confusion",

@@ -83,6 +83,50 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(rebuilt == after1)
   }
 
+  test("indexed frontier compaction: covering rule, crash tolerance, replay") {
+    def canon(idx: String) = CorpusIngest.readIndex(spark, idx).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toList)).toMap
+    val hist = tmp("ingest-cmp-hist")
+    val idx = tmp("ingest-cmp-idx")
+    val batches = Seq(
+      Seq((1L, "a b a"), (2L, "b c")),
+      Seq((7L, "c d")),
+      Seq((8L, "d e")),
+      Seq((9L, "e f a")))
+    // threshold 3: compaction fires while processing batch 2 (live dirs
+    // 0,1,2) and again at batch 3 (compact-2, 2, 3).
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      CorpusIngest.ingestBatchIndexed(
+        rows.toDF("doc_id", "text"), hist, idx, batchId = i.toLong,
+        compactThreshold = 3)
+    }
+    val expect = canon(idx)
+    val rebuilt = graft.text.InvertedIndex
+      .build(CorpusIngest.readHistory(spark, hist)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toList)).toMap
+    assert(expect == rebuilt, "compacted read must equal a from-scratch build")
+    // a compact dir exists and covered plain dirs are gone
+    val dirs = new java.io.File(idx).listFiles().map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("batch=compact-")), s"dirs=$dirs")
+    // crash tolerance: re-running compaction for the newest batch is an
+    // idempotent rewrite; a stale COVERED dir left un-GC'd is ignored by
+    // the covering rule, not double-counted.
+    CorpusIngest.compactIndexDeltas(spark, idx, batchId = 3L)
+    assert(canon(idx) == expect)
+    val landed = Seq((1L, "a b a")).toDF("doc_id", "text")
+    CorpusIngest.ingestBatchIndexed(landed, hist, idx, batchId = 0L) // stale dir reappears
+    // batch=0 is plain but COVERED (0 < newest compact id): ignored
+    assert(canon(idx) == expect,
+      "a resurrected covered dir must not double-count postings")
+    // replay of the NEWEST batch (the only one foreachBatch re-delivers)
+    CorpusIngest.ingestBatchIndexed(
+      batches(3).toDF("doc_id", "text"), hist, idx, batchId = 3L,
+      compactThreshold = 3)
+    assert(canon(idx) == expect)
+  }
+
   test("near-dup frontier: an edited re-crawl is screened out by the stored signatures") {
     val hist = tmp("ingest-nd")
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
