@@ -177,6 +177,14 @@ object CorpusIngest {
     val sources = liveIndexDirs(spark, indexDir)
       .filterNot(_.stripSuffix("/").endsWith(s"batch=$batchId"))
     if (sources.isEmpty) return
+    // Re-compaction after a completed compact+GC leaves exactly one live
+    // source: this batch's own compact dir. Everything < batchId is
+    // already covered by it, so rewriting would be a value-level no-op —
+    // and a READ-THEN-OVERWRITE of the same path, the classic file-sink
+    // data-loss footgun on filesystems where overwrite deletes the input
+    // before the job reads it. Return instead.
+    if (sources.map(_.stripSuffix("/"))
+      .forall(_.endsWith(s"batch=compact-$batchId"))) return
     graft.text.InvertedIndex.compactDeltas(
       spark.read.schema(indexDeltaSchema).parquet(sources: _*))
       .write.mode("overwrite")
