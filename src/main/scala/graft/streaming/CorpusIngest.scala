@@ -306,4 +306,78 @@ object CorpusIngest {
           minEstJaccard = minEstJaccard)
       }
       .start()
+
+  // -------------------------------------------------------------------
+  // Embedding frontier (streaming SemDeDup): the third screen of the
+  // family — exact hash (d9's face), MinHash lexical (d2's face), and now
+  // COSINE similarity in embedding space (e11's face). A new vector lands
+  // iff no stored vector in its LSH bucket neighborhood scores
+  // cosine >= minCosine. The stored history carries each vector's norm
+  // and sign-bit bucket, so — like the near-dup frontier's signatures —
+  // the corpus-side geometry is paid ONCE at ingest: screening a batch
+  // joins it against (bucket, embedding, nrm), never recomputing history
+  // norms or buckets. The batch side probes its own bucket plus every
+  // 1-bit flip (the lshTopKMultiProbe recall lever — boundary-straddling
+  // near-dups land in a neighboring bucket); the history side stays one
+  // bucket per stored vector, so the join is bucket-local and the probe
+  // fan-out multiplies only the (small) incoming batch.
+  //
+  // Within-batch semantics mirror ingestBatchNearDup: EXACT duplicates
+  // (identical vectors, via xxhash64 of the array — the md5-of-text
+  // convention in embedding space) collapse to the min id; within-batch
+  // NEAR duplicates both land and the next batch screens against them —
+  // the one-pass frontier compromise.
+
+  private def embSchema =
+    "vec_id LONG, embedding ARRAY<FLOAT>, nrm DOUBLE, bucket INT"
+
+  def readEmbHistory(spark: SparkSession, historyDir: String): DataFrame =
+    spark.read.schema(embSchema).parquet(historyDir + "/batch=*")
+
+  def ingestBatchEmbDedup(
+      batch: DataFrame, historyDir: String, batchId: Long,
+      planes: Seq[Seq[Double]], minCosine: Double = 0.95,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import graft.similarity.Similarity
+    require(minCosine > 0.0, s"minCosine must be > 0 (cosine screen), got $minCosine")
+    val spark = batch.sparkSession
+    val b = graft.util.CacheScope.persist(batch.select(
+      col(idCol).as("vec_id"),
+      col(vecCol).as("embedding"),
+      Similarity.norm(col(vecCol)).as("nrm"),
+      Similarity.lshBucket(col(vecCol), planes).as("bucket")))
+    val history = priorBatches(spark, historyDir, batchId, embSchema)
+    val dropped = history match {
+      case None => spark.range(0).select(col("id").as("vec_id"))
+      case Some(h) =>
+        val probes = b.select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(array((col("bucket") +: planes.indices.map(i =>
+            col("bucket").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
+        h.select(col("embedding").as("h_vec"), col("nrm").as("h_nrm"), col("bucket"))
+          .join(probes, Seq("bucket"))
+          .filter(Similarity.dot(col("embedding"), col("h_vec"))
+            / (col("nrm") * col("h_nrm")) >= minCosine)
+          .select("vec_id").distinct()
+    }
+    try b.join(dropped, Seq("vec_id"), "left_anti")
+      .groupBy(xxhash64(col("embedding")).as("__h"))
+      .agg(min_by(
+        struct(col("vec_id"), col("embedding"), col("nrm"), col("bucket")),
+        col("vec_id")).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.embedding").as("embedding"),
+        col("r.nrm").as("nrm"), col("r.bucket").as("bucket"))
+      .write.mode("overwrite")
+      .parquet(s"$historyDir/batch=$batchId")
+    finally graft.util.CacheScope.release(b)
+  }
+
+  def startEmbDedup(
+      vecs: DataFrame, historyDir: String, checkpointDir: String,
+      planes: Seq[Seq[Double]], minCosine: Double = 0.95): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchEmbDedup(batch, historyDir, batchId, planes, minCosine)
+      }
+      .start()
 }

@@ -158,6 +158,37 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(landed.filter(landed("sig").isNotNull).count() == 2, "signatures stored")
   }
 
+  test("embedding frontier: cosine near-dups screened, exact within-batch collapse, replay") {
+    val hist = tmp("ingest-emb")
+    val planes = graft.similarity.Similarity.randomPlanes(3, 4)
+    def ingest(rows: Seq[(Long, Seq[Float])], id: Long): Unit =
+      CorpusIngest.ingestBatchEmbDedup(
+        rows.toDF("vec_id", "embedding"), hist, batchId = id,
+        planes = planes, minCosine = 0.95)
+    val v1 = Seq(1.0f, 2.0f, 3.0f, 4.0f)
+    val v2 = Seq(-4.0f, 3.0f, -2.0f, 1.0f) // cos(v1,v2)=0: orthogonal
+    // batch 0: ids 1 and 3 are IDENTICAL vectors (exact collapse to min
+    // id); id 2 is distinct.
+    ingest(Seq((1L, v1), (3L, v1), (2L, v2)), 0L)
+    val landed0 = CorpusIngest.readEmbHistory(spark, hist)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(landed0 == Seq(1L, 2L))
+    // batch 1: id 10 is a SCALED copy of v1 (cosine exactly 1.0, same
+    // sign-bit bucket) -> screened by history; id 11 is new.
+    val v1scaled = v1.map(_ * 2.5f)
+    val v3 = Seq(4.0f, -3.0f, 2.0f, -1.0f)
+    ingest(Seq((10L, v1scaled), (11L, v3)), 1L)
+    ingest(Seq((10L, v1scaled), (11L, v3)), 1L) // replay: overwrite, not double
+    val landed1 = CorpusIngest.readEmbHistory(spark, hist)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(landed1 == Seq(1L, 2L, 11L),
+      s"scaled copy must be screened, new vector lands once, got $landed1")
+    // stored geometry is reused: history rows carry nrm + bucket
+    val row = CorpusIngest.readEmbHistory(spark, hist)
+      .filter($"vec_id" === 1L).head
+    assert(math.abs(row.getDouble(2) - math.sqrt(1 + 4 + 9 + 16)) < 1e-9)
+  }
+
   test("history scan for dedup prunes to the hash column (store-the-hash contract)") {
     val hist = tmp("ingest-prune")
     CorpusIngest.ingestBatch(
