@@ -204,36 +204,43 @@ object Dedup {
         (col("n_novel").cast("double") / col("n_grams")).as("novelty_frac"))
   }
 
-  /** MinHash signatures computed the distributed way: explode shingles, hash
-    * each once per seed, re-aggregate with `min` — map-side partial
-    * aggregation makes the shuffle one (id, k longs) row per doc. A single
-    * nested `transform(seeds, s -> array_min(transform(shingles, ...)))`
-    * expression would instead rebuild the shingle array once per seed per
-    * row (k× recomputation — measured 100× slower at sf0.1).
+  /** MinHash signatures, computed ROW-LOCALLY by the native codegen
+    * [[org.apache.spark.sql.graftnative.MinHashSig]] (rehash family):
+    * one pass over each document's shingles maintaining the k running
+    * minima in a primitive array — NO explode and NO shuffle, where the
+    * historical explode + groupBy form paid a corpus-sized aggregation
+    * shuffle per signature build (its values are preserved bit-for-bit:
+    * hash the shingle string once to a long, then fold each seed with the
+    * cheap fixed-width hash — the d2 golden and every stored frontier
+    * signature pin this family, and DedupSpec pins the
+    * estimate-vs-exact-Jaccard property). The interpreted nested
+    * `transform(seeds, s -> array_min(transform(shingles, ...)))` HOF form
+    * this replaces at the plan level measured 100× slower at sf0.1 —
+    * codegen is what makes the row-local shape viable.
     * Docs with no shingles (shorter than n words) drop out, matching the
-    * reference semantics of "too short to fingerprint".
+    * reference semantics of "too short to fingerprint". (array_distinct
+    * is gone: duplicate shingles cannot change a min.)
     */
   def minhashSignatures(
       docs: DataFrame, k: Int = 32, shingleN: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      // Stage the token array as a REAL column before shingling: the
+      // shingle expression references its input per slice, and a raw
+      // split(text) there re-runs the split once per shingle per row
+      // (the shinglesFromTokens contract). The too-short filter tests the
+      // TOKEN count, not the shingle array — size(toks) >= n iff the doc
+      // has shingles, and predicate pushdown substitutes the filtered
+      // alias into the predicate, so a shingle-array filter would rebuild
+      // the whole array per row just to test emptiness.
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= shingleN)
       .select(
         col("id"),
-        explode(array_distinct(TextFunctions.shinglesFromTokens(col("toks"), shingleN)))
-          .as("shingle"))
-      // Hash the variable-length shingle string to a long ONCE; the k seeded
-      // minhash functions then hash 8 fixed bytes each instead of re-walking
-      // the string k times. (Long arithmetic mixes like h1 + s*h2 are out:
-      // ANSI mode makes the intended wraparound throw.) The
-      // estimate-vs-exact-Jaccard property is pinned by DedupSpec.
-      .select(col("id"), xxhash64(col("shingle")).as("h1"))
-    val aggs = (0 until k).map(s => min(xxhash64(col("h1"), lit(s))).as(s"h$s"))
-    exploded
-      .groupBy("id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until k).map(s => col(s"h$s")): _*).as("sig"))
-  }
+        TextFunctions.shinglesFromTokens(col("__toks"), shingleN).as("__sh"))
+      .select(col("id"),
+        org.apache.spark.sql.graftnative.MinHashSig(col("__sh"), k, rehash = true)
+          .as("sig"))
 
   /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard.
     * k = signature length, bands = LSH bands (rows per band = k/bands).

@@ -146,8 +146,21 @@ object TextFunctions {
 
   // -----------------------------------------------------------------------
   // MinHash signature: k independent min-hashes over the shingle set.
-  // array_min over xxhash64(shingle, seed) — one pass per seed, all codegen.
+  // Backed by the native codegen [[org.apache.spark.sql.graftnative
+  // .MinHashSig]] — ONE pass over the shingles maintaining k primitive
+  // running minima; [[minhashSignatureHof]] is the bit-equivalent HOF form
+  // kept as the cross-check (its k×n lambda calls evaluate interpreted
+  // and allocate k intermediate hash arrays per row — the dot/dotHof
+  // split, applied to the signature step every MinHash path pays once
+  // per document).
   def minhashSignature(shinglesCol: Column, k: Int): Column =
+    org.apache.spark.sql.graftnative.MinHashSig(shinglesCol, k)
+
+  /** The transform/array_min formulation minhashSignature is verified
+    * against (TextFunctionsSpec pins element-wise equality, including the
+    * empty-array → k nulls contract).
+    */
+  def minhashSignatureHof(shinglesCol: Column, k: Int): Column =
     transform(
       typedLit((0 until k).toArray),
       s => array_min(transform(shinglesCol, sh => xxhash64(sh, s))))

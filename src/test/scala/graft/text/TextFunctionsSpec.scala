@@ -57,6 +57,41 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(est > 0.75 && est <= 1.0, s"est=$est")
   }
 
+  test("native minhash signature is bit-identical to the HOF form") {
+    val docs = Seq(
+      (1 to 50).map(i => s"w$i").mkString(" "),
+      "short doc here",
+      "a b",     // shorter than the shingle size: empty shingle array
+      "")        // empty text
+      .toDF("text")
+    val k = 32
+    val rows = docs.select(
+      TextFunctions.minhashSignature(TextFunctions.shingles(col("text"), 3), k).as("native"),
+      TextFunctions.minhashSignatureHof(TextFunctions.shingles(col("text"), 3), k).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      // getSeq boxes identically for both representations; null elements
+      // (empty shingle set) must match position-by-position too.
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1))
+    }
+    // the empty-shingle rows really exercised the k-nulls contract
+    assert(rows.exists(_.getSeq[Any](0).forall(_ == null)))
+    // rehash family (Dedup.minhashSignatures' historical values): native
+    // one-pass == the explode-form's hash chain xxhash64(xxhash64(sh), s)
+    val sh = TextFunctions.shingles(col("text"), 3)
+    val rehashRows = docs.select(
+      org.apache.spark.sql.graftnative.MinHashSig(sh, k, rehash = true).as("native"),
+      transform(typedLit((0 until k).toArray),
+        s => array_min(transform(sh, x => xxhash64(xxhash64(x), s)))).as("hof"))
+      .collect()
+    rehashRows.foreach(r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)))
+    // and a repartitioned run is stable (pure function of the row)
+    val again = docs.repartition(3).select(
+      TextFunctions.minhashSignature(TextFunctions.shingles(col("text"), 3), k))
+      .collect().map(_.getSeq[Any](0)).toSet
+    assert(again == rows.map(_.getSeq[Any](0)).toSet)
+  }
+
   test("winnowing: shared long runs yield shared fingerprints; short/empty safe") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
