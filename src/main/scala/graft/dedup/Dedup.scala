@@ -287,28 +287,23 @@ object Dedup {
     * guaranteed recall while never comparing all pairs. Candidates that
     * collide on several segments are deduped after the hamming filter.
     */
-  /** Packed SimHash computed the distributed way (same rationale as
-    * [[minhashSignatures]]): explode tokens, hash each ONCE, one vote per
-    * bit of that 64-bit hash, re-aggregate with map-side-combined sums,
-    * then pack the 64 majority bits into one long — identical semantics to
-    * [[TextFunctions.simhashBitVector]] (DedupSpec cross-checks the two).
+  /** Packed SimHash per document, ROW-LOCAL via the native codegen
+    * [[org.apache.spark.sql.graftnative.SimHashPack]] (the
+    * [[minhashSignatures]] move): the historical explode + 65-aggregate
+    * groupBy shuffle per build is gone from the plan, and the values are
+    * preserved bit-for-bit — one xxhash64 vote per TOKEN OCCURRENCE
+    * (duplicates count), majority strictly over half — as the d3 golden
+    * and DedupSpec's cross-check against the HOF form pin. Null-text docs
+    * drop out (the explode form emitted no rows for them).
     */
   def simhashBitVectors(
-      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bits = TextFunctions.SimhashBits
-    val exploded = docs
-      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
-    val aggs = (0 until bits).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"v$b")) :+ count(lit(1)).as("n")
-    exploded
-      .groupBy("id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        (0 until bits).map(b =>
-          when(col(s"v$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("bits"))
-  }
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).as("id"),
+        org.apache.spark.sql.graftnative.SimHashPack(
+          TextFunctions.tokens(col(textCol))).as("bits"))
 
   def simhashPairs(
       docs: DataFrame, maxHamming: Int = 6,

@@ -195,13 +195,22 @@ object TextFunctions {
   val SimhashBits = 64
 
   /** One xxhash64 per token yields all 64 pseudo-random bits (re-hashing
-    * per bit costs 64x for no extra entropy). The distributed form
-    * (graft.dedup.Dedup.simhashBitVectors) derives bits identically;
-    * DedupSpec pins the equivalence via the blocked-join recall check.
-    * Disjoint single-bit values combine with OR (never +: ANSI arithmetic
-    * has nothing to check, and bit 63 is the sign bit).
+    * per bit costs 64x for no extra entropy). Backed by the native codegen
+    * [[org.apache.spark.sql.graftnative.SimHashPack]] — one pass per
+    * token, 64 primitive bit-votes, no intermediate hash array;
+    * [[simhashBitVectorHof]] is the bit-equivalent HOF form kept as the
+    * cross-check (its 64 interpreted `filter` passes per document were
+    * the row-local cost, the dot/dotHof split again).
     */
-  def simhashBitVector(text: Column): Column = {
+  def simhashBitVector(text: Column): Column =
+    org.apache.spark.sql.graftnative.SimHashPack(tokens(text))
+
+  /** The 64-filter HOF formulation simhashBitVector is verified against
+    * (TextFunctionsSpec pins bit equality). Disjoint single-bit values
+    * combine with OR (never +: ANSI arithmetic has nothing to check, and
+    * bit 63 is the sign bit).
+    */
+  def simhashBitVectorHof(text: Column): Column = {
     val t = tokens(text)
     val hs = transform(t, w => xxhash64(w))
     (0 until SimhashBits).map { b =>

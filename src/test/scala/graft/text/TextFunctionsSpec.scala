@@ -147,6 +147,25 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(r.getInt(1) < r.getInt(2), s"near=${r.getInt(1)} far=${r.getInt(2)}")
   }
 
+  test("native simhash pack is bit-identical to the 64-filter HOF form") {
+    val docs = Seq(
+      (1 to 60).map(i => s"w$i").mkString(" "),
+      "short doc here",
+      "dup dup dup distinct",  // duplicate tokens vote per occurrence
+      "")                      // split('') = [''] — one token, never empty
+      .toDF("text")
+    val rows = docs.select(
+      TextFunctions.simhashBitVector(col("text")).as("native"),
+      TextFunctions.simhashBitVectorHof(col("text")).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // and stable under repartition (pure function of the row)
+    val again = docs.repartition(3)
+      .select(TextFunctions.simhashBitVector(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_.getLong(0)).toSet)
+  }
+
   test("cleanText strips tags, normalizes controls, collapses spaces, trims") {
     def clean(s: String): String =
       one(s, TextFunctions.cleanText(col("text"))).getString(0)
