@@ -122,12 +122,16 @@ object Dedup {
       maxDocFreq: Option[Int] = None,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // Too-short filter on the TOKEN count, before shingling: size(toks) >=
+    // n iff the doc has shingles, and a shingle-array emptiness filter
+    // would rebuild the whole array per row under predicate pushdown (the
+    // minhashSignatures lesson).
     def index(docs: DataFrame): DataFrame = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
       .select(col("id"),
         array_distinct(TextFunctions.shinglesFromTokens(col("toks"), shingleN)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
     val bsh = graft.util.CacheScope.persist(index(batch))
     val hsh = graft.util.CacheScope.persist(index(history))
     val bSizes = bsh.select(col("id"), size(col("shingles")).cast("long").as("n_b"))
@@ -370,12 +374,15 @@ object Dedup {
     // Persisted for the same broadcast-recompute reason as minhashLshPairs:
     // the index feeds the self-join's both sides, the df cap, and the
     // per-doc sizes — without it the shingle pipeline re-runs per consumer.
+    // Token-count too-short filter before shingling — a shingle-array
+    // emptiness filter would rebuild the array per row under predicate
+    // pushdown (the minhashSignatures lesson).
     val sh = graft.util.CacheScope.persist(docs
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
       .select(
         col("id"),
-        array_distinct(TextFunctions.shinglesFromTokens(col("toks"), shingleN)).as("shingles"))
-      .filter(size(col("shingles")) > 0))
+        array_distinct(TextFunctions.shinglesFromTokens(col("toks"), shingleN)).as("shingles")))
     val sizes = sh.select(col("id"), size(col("shingles")).cast("long").as("n_sh"))
     val invAll = graft.util.CacheScope.persist(
       sh.select(col("id"), explode(col("shingles")).as("shingle")))
