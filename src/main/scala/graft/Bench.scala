@@ -49,9 +49,20 @@ object Bench {
     val (txs, etlSecs, txPerS) =
       try graft.bench.EtlBench.run(spark)
       catch { case e: Throwable => System.err.println(s"[bench] etl failed: ${e.getMessage}"); (0L, 0.0, 0.0) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$runs","queries":$qs,"sf":"$sfDir",""" +
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$runs","queries":$qs,"sf":"$sfDir",""" +
       s""""etl_baseline_comparable":{"blocks":10,"transactions":$txs,"secs":$etlSecs,"tx_per_s":$txPerS,""" +
-      s""""reference_tx_per_s":"200-300 (README.md:366, 12000 txs in 20-25s)"}}""")
+      s""""reference_tx_per_s":"200-300 (README.md:366, 12000 txs in 20-25s)"}}"""
+    println(fullLine)
+    // The stdout tail the driver captures truncates this ~8 KB line, so
+    // also persist the complete record as a file artifact: every per-query
+    // number survives the round regardless of log retention.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     // The full per-query line above is ~8 KB and the driver keeps only the
     // TAIL of stdout, decapitating it past JSON-parseability (every
     // BENCH_r*.json so far has parsed:null). Repeat the headline plus the

@@ -15,8 +15,15 @@ object BenchOne {
     names.foreach { name =>
       (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        println(f"[benchone] $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+        // The ETL headline metric lives in EtlBench, not the query map —
+        // special-cased here so it is adjudicable like any other entry.
+        if (name == "etl_baseline_comparable") {
+          val (txs, secs, txPerS) = graft.bench.EtlBench.run(spark)
+          println(f"[benchone] $name run$i $secs%.2f s ($txs txs, $txPerS%.0f tx/s)")
+        } else {
+          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          println(f"[benchone] $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+        }
       }
       graft.util.CacheScope.releaseAll()
     }

@@ -35,6 +35,41 @@ object RelationalExtended {
     Seq("signup" -> s1, "view" -> s2, "click" -> s3, "purchase" -> s4)
   }
 
+  /** (Re)write the q25 bucketed catalog tables: 8 buckets on the join key,
+    * both sides. The in-memory catalog forgets tables across JVM runs but
+    * their warehouse directories persist; clear both or the second run
+    * dies with LOCATION_ALREADY_EXISTS.
+    */
+  private def writeBucketedGateTables(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("gate_b_orders", "gate_b_customer").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
+    graft.etl.Load.writeBucketedTable(
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "gate_b_orders", Seq("o_custkey"), 8, Seq("o_custkey"))
+    graft.etl.Load.writeBucketedTable(
+      Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment"),
+      "gate_b_customer", Seq("c_custkey"), 8, Seq("c_custkey"))
+  }
+
+  /** The co-located equi-join over the q25 catalog tables. */
+  private def bucketedGateJoin(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    val ob = s.table("gate_b_orders")
+    val cb = s.table("gate_b_customer")
+    ob.join(cb, ob("o_custkey") === cb("c_custkey"))
+      .select("o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private val sqlBucketedGateJoin =
+    """SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // Q9 — JSON extraction from a string column (SURVEY §2.7 F8: the
@@ -336,30 +371,31 @@ object RelationalExtended {
     Q(
       "q25_bucketed_join_catalog",
       (s, dir) => {
-        // The in-memory catalog forgets tables across JVM runs but their
-        // warehouse directories persist; clear both or the second run dies
-        // with LOCATION_ALREADY_EXISTS.
-        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
-        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-        Seq("gate_b_orders", "gate_b_customer").foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
-        }
-        graft.etl.Load.writeBucketedTable(
-          Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
-          "gate_b_orders", Seq("o_custkey"), 8, Seq("o_custkey"))
-        graft.etl.Load.writeBucketedTable(
-          Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment"),
-          "gate_b_customer", Seq("c_custkey"), 8, Seq("c_custkey"))
-        val ob = s.table("gate_b_orders")
-        val cb = s.table("gate_b_customer")
-        ob.join(cb, ob("o_custkey") === cb("c_custkey"))
-          .select("o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice")
-          .orderBy("o_orderkey")
+        writeBucketedGateTables(s, dir)
+        bucketedGateJoin(s)
       },
-      Some("""SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
-             |FROM orders JOIN customer ON o_custkey = c_custkey
-             |ORDER BY o_orderkey""".stripMargin)),
+      Some(sqlBucketedGateJoin)),
+
+    // ------------------------------------------------------------------
+    // Q25b — the READ face of q25's cycle, split out so the bench reports
+    // the write and the co-located join as SEPARATE costs: q25 times the
+    // full write+join cycle, q25b reuses the catalog tables when they
+    // already exist (bench steady state — the untimed warmup pass or q25
+    // itself wrote them) and writes them only when absent (a fresh Verify
+    // JVM), so its timed runs measure the Exchange-free join alone — the
+    // cost a 100 TB reader of a pre-bucketed table actually pays per
+    // query, with the one-time bucketing amortized across every
+    // subsequent join. Same oracle as q25; the no-Exchange physical plan
+    // is pinned by BucketedJoinSpec.
+    Q(
+      "q25b_bucketed_join_read",
+      (s, dir) => {
+        if (!s.catalog.tableExists("gate_b_orders") ||
+          !s.catalog.tableExists("gate_b_customer"))
+          writeBucketedGateTables(s, dir)
+        bucketedGateJoin(s)
+      },
+      Some(sqlBucketedGateJoin)),
 
     // ------------------------------------------------------------------
     // Q26 — exact interpolated percentiles per group (the percentile_cont

@@ -11,6 +11,7 @@ import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
 import graft.graph.{LabelPropagation, Triangles}
+import graft.streaming.CorpusIngest
 import graft.text.{Bm25, Bpe, CharNgramLangId, Chunker, Entropy, HeavyHitters, InvertedIndex, LineFilter, NaiveBayes, NgramLm, TextFunctions}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
@@ -43,6 +44,16 @@ object TrainingData {
         .withColumn("text", concat_ws(" ", slice(t, lit(1), size(t) - 3)))
         .withColumn("doc_id", col("doc_id") + 1000000L))
   }
+
+  /** 4 axis-contrast LSH hyperplanes (+1 at dim 2i, -1 at dim 2i+1) for
+    * e14: deliberately NOT randomPlanes — the sign of a full sequential
+    * dot against a mostly-zero plane is exactly the sign of the double
+    * subtraction v[2i] - v[2i+1], the form a SQL oracle can reproduce
+    * bit-for-bit. Same sign convention as Similarity.lshBucket (> 0).
+    */
+  private val contrastPlanes: Seq[Seq[Double]] = Seq.tabulate(4)(i =>
+    Seq.tabulate(64)(j =>
+      if (j == 2 * i) 1.0 else if (j == 2 * i + 1) -1.0 else 0.0))
 
   private val sqlNearDupCte =
     """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
@@ -849,6 +860,76 @@ object TrainingData {
              |       CAST(s.n_novel AS DOUBLE) / s.n_grams AS novelty_frac
              |FROM batch b LEFT JOIN sc s ON s.doc_id = b.doc_id
              |ORDER BY b.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // E14 — incremental embedding dedup, the batch face of the streaming
+    // SemDeDup frontier (the family's fourth member: d9 exact, d12 fuzzy,
+    // d13 graded, e14 embedding-cosine). The EXACT code the streaming
+    // screen runs — CorpusIngest.embScreenReport is what
+    // ingestBatchEmbDedup derives its drop set from — scored as a batch
+    // query so the frontier's semantics sit under the DuckDB oracle, not
+    // just a spec. The fixture mirrors d12: batch = every 5th vector,
+    // plus every 7th RE-SUBMITTED scaled x2 (exact in both engines:
+    // a float exponent bump / a double exponent bump of the same casts),
+    // so each replant shares its original's bucket (scaling preserves
+    // hyperplane signs) and scores cosine exactly 1.0 against it.
+    //
+    // Oracle-expressible because the planes are axis CONTRASTS
+    // (+1 at dim 2i, -1 at dim 2i+1): Spark's full 64-term sequential
+    // dot degenerates to fl(v[2i] - v[2i+1]) EXACTLY (zero products add
+    // exactly, the one subtraction rounds once), which is DuckDB's
+    // two-element subtraction bit-for-bit; every cosine is then the e1
+    // pattern (same element order, same double ops), so thresholds and
+    // hashes agree bit-exactly.
+    Q(
+      "e14_incremental_embdedup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val history = emb.filter(col("vec_id") % 5 =!= 0)
+        val batch = emb.filter(col("vec_id") % 5 === 0)
+          .unionAll(emb.filter(col("vec_id") % 7 === 0)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        CorpusIngest.embScreenReport(
+          CorpusIngest.annotateEmb(batch, contrastPlanes),
+          CorpusIngest.annotateEmb(history, contrastPlanes),
+          contrastPlanes, minCosine = 0.95)
+          .orderBy("vec_id")
+      },
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |history AS (SELECT vec_id, v FROM emb WHERE vec_id % 5 <> 0),
+             |batch AS (SELECT vec_id, v FROM emb WHERE vec_id % 5 = 0
+             |          UNION ALL
+             |          SELECT vec_id + 100000, list_transform(v, x -> x * 2.0)
+             |          FROM emb WHERE vec_id % 7 = 0),
+             |hb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             |         (CASE WHEN v[1] - v[2] > 0 THEN 1 ELSE 0 END
+             |        + CASE WHEN v[3] - v[4] > 0 THEN 2 ELSE 0 END
+             |        + CASE WHEN v[5] - v[6] > 0 THEN 4 ELSE 0 END
+             |        + CASE WHEN v[7] - v[8] > 0 THEN 8 ELSE 0 END) AS bucket
+             |       FROM history),
+             |bb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             |         (CASE WHEN v[1] - v[2] > 0 THEN 1 ELSE 0 END
+             |        + CASE WHEN v[3] - v[4] > 0 THEN 2 ELSE 0 END
+             |        + CASE WHEN v[5] - v[6] > 0 THEN 4 ELSE 0 END
+             |        + CASE WHEN v[7] - v[8] > 0 THEN 8 ELSE 0 END) AS bucket
+             |       FROM batch),
+             |probes AS (SELECT vec_id, v, nrm,
+             |                  unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+             |                          xor(bucket, 4), xor(bucket, 8)]) AS bucket
+             |           FROM bb WHERE nrm > 0),
+             |cand AS (SELECT p.vec_id,
+             |                list_dot_product(p.v, h.v) / (p.nrm * h.nrm) AS cosine
+             |         FROM probes p JOIN hb h USING (bucket) WHERE h.nrm > 0),
+             |agg AS (SELECT vec_id, count(*) AS n_candidates,
+             |               max(cosine) AS best_cosine
+             |        FROM cand GROUP BY 1)
+             |SELECT b.vec_id,
+             |       CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+             |       a.best_cosine,
+             |       coalesce(a.best_cosine >= 0.95, FALSE) AS is_dup
+             |FROM batch b LEFT JOIN agg a USING (vec_id)
+             |ORDER BY vec_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T1 — heuristic language ID histogram (stopword-hit argmax).

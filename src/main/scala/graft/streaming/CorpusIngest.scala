@@ -170,12 +170,19 @@ object CorpusIngest {
     * so folding an older compact dir into a newer one is exact.
     */
   def compactIndexDeltas(spark: SparkSession, indexDir: String, batchId: Long): Unit = {
-    // This batch's own plain dir is excluded: it must stay a standalone
-    // overwrite target for the replay contract. (The "batch=" prefix on
-    // the suffix makes the match exact — "batch=15" never ends with
-    // "batch=5".)
+    // Only STRICTLY-PRIOR deltas are valid sources: a plain dir with
+    // k >= batchId (this batch's own replay-overwrite target, or — if a
+    // caller passes a stale batchId — a newer committed batch) must stay
+    // live, because the covering rule keeps every plain dir with
+    // k >= batchId visible and folding one in would double-count its
+    // postings. A compact-C dir covers batches < C, so it is prior
+    // whenever C <= batchId.
     val sources = liveIndexDirs(spark, indexDir)
-      .filterNot(_.stripSuffix("/").endsWith(s"batch=$batchId"))
+      .filter { d =>
+        val name = new org.apache.hadoop.fs.Path(d).getName.stripPrefix("batch=")
+        if (name.startsWith("compact-")) name.stripPrefix("compact-").toLong <= batchId
+        else name.toLong < batchId
+      }
     if (sources.isEmpty) return
     // Re-compaction after a completed compact+GC leaves exactly one live
     // source: this batch's own compact dir. Everything < batchId is
@@ -334,30 +341,76 @@ object CorpusIngest {
   def readEmbHistory(spark: SparkSession, historyDir: String): DataFrame =
     spark.read.schema(embSchema).parquet(historyDir + "/batch=*")
 
+  /** Raw vectors → the stored-history shape (vec_id, embedding, nrm,
+    * bucket): the geometry paid once at ingest.
+    */
+  def annotateEmb(
+      df: DataFrame, planes: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.similarity.Similarity
+    df.select(
+      col(idCol).as("vec_id"),
+      col(vecCol).as("embedding"),
+      Similarity.norm(col(vecCol)).as("nrm"),
+      Similarity.lshBucket(col(vecCol), planes).as("bucket"))
+  }
+
+  /** The batch face of the embedding cosine screen (e14's oracle surface,
+    * d12's report shape in embedding space): for EVERY batch vector, the
+    * count of bucket-local history candidates it was scored against, the
+    * best cosine among them (null when none), and the screen verdict.
+    * Both inputs are in [[annotateEmb]]'s shape; [[ingestBatchEmbDedup]]
+    * derives its drop set from this exact function, so the streaming
+    * frontier and the batch query can never diverge.
+    *
+    * Zero-norm vectors are NEVER near-duplicates by convention: the
+    * cosine is undefined (0/0 = NaN, which would fail >= minCosine,
+    * silently landing every zero vector while screening none), so both
+    * sides drop them before the join — a zero-norm batch vector reports
+    * n_candidates = 0. Bit-identical zeros still collapse via the
+    * ingest's exact-hash step.
+    */
+  def embScreenReport(
+      b: DataFrame, history: DataFrame,
+      planes: Seq[Seq[Double]], minCosine: Double): DataFrame = {
+    import graft.similarity.Similarity
+    val probes = b.filter(col("nrm") > 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array((col("bucket") +: planes.indices.map(i =>
+          col("bucket").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
+    // Each stored vector lives in exactly one bucket and the probe list
+    // (own bucket + distinct 1-bit flips) never repeats a bucket, so a
+    // (batch, history) pair matches at most once — the count needs no
+    // dedup. NaN cosines are impossible past the nrm > 0 filters.
+    val cand = history.filter(col("nrm") > 0)
+      .select(col("embedding").as("h_vec"), col("nrm").as("h_nrm"), col("bucket"))
+      .join(probes, Seq("bucket"))
+      .select(col("vec_id"),
+        (Similarity.dot(col("embedding"), col("h_vec"))
+          / (col("nrm") * col("h_nrm"))).as("cosine"))
+    val agg = cand.groupBy("vec_id").agg(
+      count(lit(1)).as("n_candidates"), max(col("cosine")).as("best_cosine"))
+    b.select("vec_id").join(agg, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_cosine"),
+        coalesce(col("best_cosine") >= minCosine, lit(false)).as("is_dup"))
+  }
+
   def ingestBatchEmbDedup(
       batch: DataFrame, historyDir: String, batchId: Long,
       planes: Seq[Seq[Double]], minCosine: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    import graft.similarity.Similarity
     require(minCosine > 0.0, s"minCosine must be > 0 (cosine screen), got $minCosine")
     val spark = batch.sparkSession
-    val b = graft.util.CacheScope.persist(batch.select(
-      col(idCol).as("vec_id"),
-      col(vecCol).as("embedding"),
-      Similarity.norm(col(vecCol)).as("nrm"),
-      Similarity.lshBucket(col(vecCol), planes).as("bucket")))
+    val b = graft.util.CacheScope.persist(
+      annotateEmb(batch, planes, idCol, vecCol))
     val history = priorBatches(spark, historyDir, batchId, embSchema)
     val dropped = history match {
       case None => spark.range(0).select(col("id").as("vec_id"))
       case Some(h) =>
-        val probes = b.select(col("vec_id"), col("embedding"), col("nrm"),
-          explode(array((col("bucket") +: planes.indices.map(i =>
-            col("bucket").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
-        h.select(col("embedding").as("h_vec"), col("nrm").as("h_nrm"), col("bucket"))
-          .join(probes, Seq("bucket"))
-          .filter(Similarity.dot(col("embedding"), col("h_vec"))
-            / (col("nrm") * col("h_nrm")) >= minCosine)
-          .select("vec_id").distinct()
+        embScreenReport(b, h, planes, minCosine)
+          .filter(col("is_dup")).select("vec_id")
     }
     try b.join(dropped, Seq("vec_id"), "left_anti")
       .groupBy(xxhash64(col("embedding")).as("__h"))

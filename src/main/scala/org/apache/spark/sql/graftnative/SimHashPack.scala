@@ -52,7 +52,7 @@ case class SimHashPack(child: Expression)
     var packed = 0L
     var b = 0
     while (b < 64) {
-      if (votes(b) * 2 > n) packed |= (1L << b)
+      if (2L * votes(b) > n) packed |= (1L << b)
       b += 1
     }
     packed
@@ -80,7 +80,7 @@ case class SimHashPack(child: Expression)
          |}
          |long $packed = 0L;
          |for (int $b = 0; $b < 64; $b++) {
-         |  if ($votes[$b] * 2 > $n) $packed |= (1L << $b);
+         |  if (2L * $votes[$b] > $n) $packed |= (1L << $b);
          |}
          |${ev.value} = $packed;
        """.stripMargin

@@ -68,7 +68,10 @@ class PlanAuditSpec extends SparkTestBase {
     val offenders = SparkEntry.allQueries.flatMap { q =>
       scala.util.Try(q.run(spark, sfDir).queryExecution.executedPlan.toString) match {
         case scala.util.Failure(e) =>
-          Some(s"${q.name}: plan build FAILED — ${e.getMessage.linesIterator.next()}")
+          // String.valueOf: getMessage is null for e.g. bare NPEs, and a
+          // null here would crash the Failure branch itself.
+          Some(s"${q.name}: plan build FAILED — " +
+            String.valueOf(e.getMessage).linesIterator.next())
         case scala.util.Success(plan) =>
           if (plan.contains("CartesianProduct"))
             Some(s"${q.name}: CartesianProduct")

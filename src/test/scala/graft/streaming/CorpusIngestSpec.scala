@@ -158,6 +158,26 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(landed.filter(landed("sig").isNotNull).count() == 2, "signatures stored")
   }
 
+  test("near-dup frontier signature build is the row-local native expression, shuffle-free") {
+    // ingestBatchNearDup's stored signatures come from
+    // Dedup.minhashSignatures (same k/shingleN defaults) — pin that the
+    // plan it executes per micro-batch is the native MinHashSig
+    // projection with NO Exchange anywhere before it: the corpus-sized
+    // explode+groupBy form this replaced would shuffle every shingle of
+    // every batch, per batch.
+    // range-backed, not Seq.toDF: ConvertToLocalRelation would eagerly
+    // evaluate a local frame's projection into a LocalTableScan and leave
+    // nothing to assert on.
+    val batch = spark.range(2).selectExpr(
+      "id AS doc_id", "concat('w ', repeat('tok ', 39), id) AS text")
+    val plan = graft.dedup.Dedup.minhashSignatures(batch, k = 32, shingleN = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("minhashsig"),
+      s"signature build no longer uses the native expression:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"signature build must be shuffle-free:\n$plan")
+  }
+
   test("embedding frontier: cosine near-dups screened, exact within-batch collapse, replay") {
     val hist = tmp("ingest-emb")
     val planes = graft.similarity.Similarity.randomPlanes(3, 4)
@@ -187,6 +207,42 @@ class CorpusIngestSpec extends SparkTestBase {
     val row = CorpusIngest.readEmbHistory(spark, hist)
       .filter($"vec_id" === 1L).head
     assert(math.abs(row.getDouble(2) - math.sqrt(1 + 4 + 9 + 16)) < 1e-9)
+  }
+
+  test("embedding frontier batch face: the ingest drop set IS embScreenReport's verdict (e14 contract)") {
+    val hist = tmp("ingest-emb-face")
+    val planes = graft.similarity.Similarity.randomPlanes(3, 4)
+    val v1 = Seq(1.0f, 2.0f, 3.0f, 4.0f)
+    val v2 = Seq(-4.0f, 3.0f, -2.0f, 1.0f)
+    CorpusIngest.ingestBatchEmbDedup(
+      Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding"), hist, batchId = 0L,
+      planes = planes, minCosine = 0.95)
+    // batch 1: a scaled copy (cosine exactly 1.0), an orthogonal fresh
+    // vector, and a ZERO vector (undefined cosine -> never a near-dup by
+    // convention: 0 candidates, lands).
+    val batch = Seq(
+      (10L, v1.map(_ * 2.0f)),
+      (11L, Seq(4.0f, -3.0f, 2.0f, -1.0f)),
+      (12L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // The batch face scored directly against the STORED history — the
+    // exact function the streaming ingest derives its drop set from
+    // (e14's oracle pins the same code over the sf tables).
+    val report = CorpusIngest.embScreenReport(
+      CorpusIngest.annotateEmb(batch, planes),
+      CorpusIngest.readEmbHistory(spark, hist), planes, minCosine = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(report.keySet == Set(10L, 11L, 12L), "every batch vector reports")
+    assert(report(10L)._2, "scaled copy verdict: is_dup")
+    assert(!report(11L)._2, "orthogonal vector verdict: lands")
+    assert(report(12L) == (0L, false), "zero-norm: no candidates, lands")
+    // ...and the streaming ingest of the same batch agrees verdict-for-
+    // verdict with the report.
+    CorpusIngest.ingestBatchEmbDedup(batch, hist, batchId = 1L,
+      planes = planes, minCosine = 0.95)
+    val landed = CorpusIngest.readEmbHistory(spark, hist)
+      .filter($"vec_id" >= 10L).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(landed == Seq(11L, 12L),
+      s"ingest must land exactly the report's non-dups, got $landed")
   }
 
   test("history scan for dedup prunes to the hash column (store-the-hash contract)") {
