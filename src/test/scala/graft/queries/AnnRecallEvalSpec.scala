@@ -1,0 +1,36 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Pins e13's two faces: the registered session entry runs the four
+  * one-pass legs (trainedLegs = false), while the full six-leg eval —
+  * including the Lloyd-trained IVF and the composed IVF-PQ+refine index a
+  * deployment would ship — stays the function's DEFAULT. This spec keeps
+  * the trained legs from rotting now that the per-round bench no longer
+  * executes them.
+  */
+class AnnRecallEvalSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("full eval carries the trained legs; the session face is its one-pass subset") {
+    val full = TrainingData.annRecallEval(spark, dir).collect()
+    graft.util.CacheScope.releaseAll()
+    val cheap = TrainingData.annRecallEval(spark, dir, trainedLegs = false).collect()
+    graft.util.CacheScope.releaseAll()
+    val fullMethods = full.map(_.getString(0)).toSeq
+    val cheapMethods = cheap.map(_.getString(0)).toSeq
+    assert(fullMethods == Seq("1_lsh", "2_lsh_multiprobe", "3_ivf",
+      "4_pq_flat", "5_ivf_trained", "6_ivfpq_refined"))
+    assert(cheapMethods == fullMethods.take(3),
+      "session face must be exactly the one-pass legs, in order")
+    // Every leg reports a valid recall fraction over all 10 eval queries.
+    full.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0,
+        s"${r.getString(0)}: mean_recall out of range")
+      assert(r.getLong(3) == 10L, s"${r.getString(0)}: n_queries")
+    }
+    // The shared one-pass legs are computed by the SAME code in both
+    // faces — identical rows, not merely identical names.
+    assert(cheap.map(_.toString).toSeq == full.take(3).map(_.toString).toSeq)
+  }
+}
