@@ -97,6 +97,13 @@ object ScaleProbe {
       // map-side-combined rollup; nothing about the model rescales).
       time(s"lm_crossentropy $label")(
         graft.text.NgramLm.crossEntropy(d, docs1, maxCrossEntropy = 3.4).count())
+      // DSIR selection: FIXED 1x target distribution, growing raw corpus —
+      // the steady-state "select from the next crawl" regime. The model is
+      // two B-row count tables; healthy = ~linear (explode + map-side-
+      // combined groupBys; only (bucket, count) rows shuffle).
+      time(s"dsir_importance $label")(
+        Curation.dsirImportance(d, docs1.limit(500), buckets = 4096,
+          salt = "sp").count())
     }
     for ((label, e) <- Seq("1x" -> emb1, s"${n}x" -> embN)) {
       val queries = e.limit(20)
@@ -123,6 +130,18 @@ object ScaleProbe {
         Similarity.ivfPqTopK(queries, e, nCells = 32, nProbe = 4,
           m = 4, ksub = 16, k = 5, trainIters = 2).count())
       time(s"embedding_neardup $label")(Similarity.nearDupPairs(e, planes, 0.95).count())
+      // MMR re-rank: retrieval (the corpus-linear part) + a |queries|-row
+      // fold — healthy = tracking bruteForceTopK's growth with the fold
+      // invisible (it never touches the corpus).
+      time(s"mmr_rerank $label")(
+        Similarity.mmrRerank(queries, e, kShortlist = 8, kSelect = 4,
+          lambdaRel = 0.75).count())
+      // Packed-broadcast decontamination screen: FIXED eval set as one
+      // broadcast row, growing train corpus — one map-side pass, zero
+      // shuffle; healthy = ~linear with no exchange in the plan.
+      time(s"semantic_decon $label")(
+        Similarity.semanticDecontaminate(e, emb1.filter(col("vec_id") % 10 === 0),
+          tau = 0.95).count())
     }
     // SemDeDup's scale knob made visible: at FIXED k the per-cluster
     // population grows with N and the within-cluster join is quadratic in

@@ -684,6 +684,79 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+  // weight every document by how much more likely its hashed-n-gram bag
+  // is under a TARGET domain's unigram bucket distribution than under the
+  // raw corpus's. The published recipe for "select pretraining data that
+  // looks like Wikipedia/books" at 100 TB without a learned classifier:
+  // two count tables and a join, nothing model-shaped.
+  //
+  // log w(doc) = sum_b c_b(doc) * (ln p_target(b) - ln p_raw(b)), with
+  // add-one smoothing over B buckets. Hashing is the same md5 integer
+  // grid as every sampling op ([[hashBucket]]); logs are only ever taken
+  // of INTEGER counts and immediately rounded onto a decimal(20,6) grid
+  // ([[graft.text.NgramLm]]'s determinism contract), so the per-doc sum
+  // is exact-decimal arithmetic — partial-aggregation order cannot move
+  // it, and the DuckDB oracle reproduces it bit-for-bit.
+  //
+  // Shape at scale: one explode + groupBy per count table (map-side
+  // combined; only (bucket, count) rows shuffle — B rows total), the
+  // lambda table is B rows broadcast back onto the per-doc bucket counts,
+  // and the doc rollup is linear. The target corpus is typically tiny
+  // (a curated domain) — its pass is negligible next to the raw scan.
+
+  /** Per-document DSIR importance weight of `docs` against `target`:
+    * (idCol, n_tokens, log_w, selected = log_w > 0 — i.e. the document
+    * looks more target-like than background). Null-text documents emit
+    * n_tokens=0, null log_w, selected=false.
+    */
+  def dsirImportance(
+      docs: DataFrame,
+      target: DataFrame,
+      buckets: Int,
+      salt: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def lnDec(x: Column): Column = log(x).cast("decimal(20,6)")
+    def bucketed(d: DataFrame): DataFrame = d
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .select(col("id"), hashBucket(col("term"), buckets, salt).as("b"))
+    // The raw-side token stream feeds both the background counts and the
+    // per-doc counts — one explode, persisted, two consumers.
+    val docTok = graft.util.CacheScope.persist(bucketed(docs))
+    val tgtTok = bucketed(target)
+    val ct = tgtTok.groupBy("b").agg(count(lit(1)).as("ct"))
+    val cq = docTok.groupBy("b").agg(count(lit(1)).as("cq"))
+    val nt = tgtTok.agg(count(lit(1)).as("nt"))
+    val nq = docTok.agg(count(lit(1)).as("nq"))
+    // lambda(b) = [ln(ct+1) - ln(Nt+B)] - [ln(cq+1) - ln(Nq+B)], every ln
+    // grid-rounded, every subtraction exact decimal. Full outer: a bucket
+    // seen only in the target still scores docs... (it can't appear in a
+    // doc, but the symmetric form keeps the table total either way).
+    val lam = ct.join(cq, Seq("b"), "full")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nq))
+      .select(col("b"),
+        (lnDec(coalesce(col("ct"), lit(0L)) + 1) - lnDec(col("nt") + buckets)
+          - lnDec(coalesce(col("cq"), lit(0L)) + 1) + lnDec(col("nq") + buckets))
+          .as("lam"))
+    val perDoc = docTok.groupBy("id", "b").agg(count(lit(1)).as("c"))
+      .join(lam, Seq("b")) // doc buckets are a subset of cq's support
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("lam")).cast("double").as("log_w"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("log_w"),
+        coalesce(col("log_w") > 0.0, lit(false)).as("selected"))
+  }
+
+  // -------------------------------------------------------------------
   // PII scrubbing: ASCII-only patterns chosen to mean the same thing in
   // Java regex (Spark) and RE2 (DuckDB oracle). Order matters: emails are
   // scrubbed first (their local parts may contain phone-shaped digit runs),

@@ -346,6 +346,83 @@ object CurationQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // C22 — SEMANTIC decontamination: the embedding-space complement of
+    // c4's lexical n-gram screen (paraphrased eval leakage has zero
+    // shingle overlap but cosine ~1). Eval sets are small by nature, so
+    // the screen is the packed-broadcast form — the eval set becomes ONE
+    // broadcast row and a 100 TB train corpus pays a single map-side
+    // pass, no shuffle, no per-pair join rows. Fixture plants the leak:
+    // eval = every 10th vector scaled x2 (exact in both engines — a
+    // float/double exponent bump), so each source row scores cosine
+    // exactly cos(v,v) vs its planted copy while every other pair keeps
+    // its natural cosine (max ~0.49 in this data, well under tau=0.95).
+    // n_hits (count) and max_cos (max) are order-independent, so the
+    // nondeterministic collect_list pack order cannot flake the hash.
+    Q(
+      "c22_semantic_decontaminate",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val evalSet = emb.filter(col("vec_id") % 10 === 0)
+          .select(transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        graft.similarity.Similarity.semanticDecontaminate(emb, evalSet, tau = 0.95)
+      },
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |ev AS (SELECT list_transform(v, x -> x * 2.0) AS tv FROM emb WHERE vec_id % 10 = 0),
+             |tn AS (SELECT tv, sqrt(list_dot_product(tv, tv)) AS tnrm FROM ev),
+             |tr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb),
+             |sc AS (SELECT t.vec_id,
+             |              CASE WHEN isnan(list_dot_product(t.v, s.tv)/(t.nrm*s.tnrm)) THEN NULL
+             |                   ELSE list_dot_product(t.v, s.tv)/(t.nrm*s.tnrm) END AS cos
+             |       FROM tr t CROSS JOIN tn s),
+             |agg AS (SELECT vec_id,
+             |               CAST(count(*) FILTER (cos >= 0.95) AS BIGINT) AS n_hits,
+             |               max(cos) AS max_cos
+             |        FROM sc GROUP BY 1)
+             |SELECT vec_id, n_hits, max_cos, n_hits = 0 AS kept
+             |FROM agg ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C23 — DSIR importance weighting (Xie et al. 2023): hashed-unigram
+    // likelihood ratio of every document against a target domain
+    // (src0/src1 here), the classifier-free "make the corpus look like
+    // the target" selection step. md5 integer-grid buckets, decimal-grid
+    // logs (t20's contract) — the per-doc sum is exact decimal, so the
+    // oracle matches bit-for-bit.
+    Q(
+      "c23_dsir_importance",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.dsirImportance(docs,
+          docs.filter(col("source").isin("src0", "src1")),
+          buckets = 64, salt = "dsir")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |         CAST('0x' || substr(md5('dsir' || term), 1, 8) AS BIGINT) % 64 AS b
+             |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |             FROM documents WHERE text IS NOT NULL)),
+             |ttok AS (SELECT b FROM tok JOIN documents USING (doc_id)
+             |         WHERE source IN ('src0', 'src1')),
+             |ct AS (SELECT b, count(*) AS ct FROM ttok GROUP BY 1),
+             |cq AS (SELECT b, count(*) AS cq FROM tok GROUP BY 1),
+             |nt AS (SELECT count(*) AS nt FROM ttok),
+             |nq AS (SELECT count(*) AS nq FROM tok),
+             |lam AS (SELECT b,
+             |          CAST(ln(coalesce(ct, 0) + 1) AS DECIMAL(20,6))
+             |        - CAST(ln(nt + 64) AS DECIMAL(20,6))
+             |        - CAST(ln(coalesce(cq, 0) + 1) AS DECIMAL(20,6))
+             |        + CAST(ln(nq + 64) AS DECIMAL(20,6)) AS lam
+             |        FROM ct FULL JOIN cq USING (b) CROSS JOIN nt CROSS JOIN nq),
+             |perdoc AS (SELECT doc_id, b, count(*) AS c FROM tok GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, sum(c) AS n_tokens,
+             |               CAST(sum(c * lam) AS DOUBLE) AS log_w
+             |        FROM perdoc JOIN lam USING (b) GROUP BY 1)
+             |SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+             |       a.log_w, coalesce(a.log_w > 0.0, FALSE) AS selected
+             |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // C2 — mixture weighting: each source down-sampled to its recipe rate
     // (0/25/50/75/100% across src0..src19), decided by the same
     // deterministic hash at 1/10000 resolution. Thresholds are integers on

@@ -1009,6 +1009,117 @@ object TrainingData {
              |ORDER BY vec_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // E15 — MMR diversified retrieval (Carbonell & Goldstein 1998): exact
+    // top-8 shortlist, then the greedy lambda*rel - (1-lambda)*max-sim
+    // re-rank down to 4. The greedy loop is a row-local HOF fold over the
+    // PACKED shortlist — parallel across queries, zero shuffle beyond the
+    // shortlist groupBy. lambda = 0.75 so both lambda and 1-lambda are
+    // EXACT doubles (1.0 - 0.7 would be 0.30000000000000004 — a literal
+    // "0.3" in the oracle would hash-mismatch); the oracle unrolls the 4
+    // greedy steps as CTEs with the identical double ops at every step,
+    // so scores and tie-breaks agree bit-for-bit (e1's pattern).
+    Q(
+      "e15_mmr_rerank",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.mmrRerank(emb.filter(col("vec_id") < 6), emb,
+          kShortlist = 8, kSelect = 4, lambdaRel = 0.75)
+      },
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v,v)) AS qn
+             |      FROM emb WHERE vec_id < 6),
+             |c AS (SELECT vec_id AS nid, v AS cv, sqrt(list_dot_product(v,v)) AS cn FROM emb),
+             |sc AS (SELECT query_id, nid, cv, cn, list_dot_product(qv, cv)/(qn*cn) AS rel
+             |       FROM c, q WHERE nid <> query_id),
+             |shortlist AS (SELECT query_id, nid, cv, cn, rel FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |                                 ORDER BY rel DESC, nid) AS rn
+             |    FROM sc WHERE NOT isnan(rel)) WHERE rn <= 8),
+             |psim AS (SELECT a.query_id, a.nid AS a_id, b.nid AS b_id,
+             |                list_dot_product(a.cv, b.cv)/(a.cn*b.cn) AS sim
+             |         FROM shortlist a JOIN shortlist b
+             |           ON a.query_id = b.query_id AND a.nid <> b.nid),
+             |sel1 AS (SELECT query_id, nid, rel, 0.75*rel - 0.25*0.0 AS score FROM (
+             |    SELECT query_id, nid, rel, row_number() OVER (PARTITION BY query_id
+             |        ORDER BY 0.75*rel - 0.25*0.0 DESC, nid) AS rn2
+             |    FROM shortlist) WHERE rn2 = 1),
+             |m1 AS (SELECT p.query_id, p.a_id, max(p.sim) AS ms
+             |       FROM psim p JOIN sel1 s ON p.query_id = s.query_id AND p.b_id = s.nid
+             |       GROUP BY 1, 2),
+             |sel2 AS (SELECT query_id, nid, rel, score FROM (
+             |    SELECT sl.query_id, sl.nid, sl.rel, 0.75*sl.rel - 0.25*m1.ms AS score,
+             |           row_number() OVER (PARTITION BY sl.query_id
+             |               ORDER BY 0.75*sl.rel - 0.25*m1.ms DESC, sl.nid) AS rn2
+             |    FROM shortlist sl JOIN m1 ON m1.query_id = sl.query_id AND m1.a_id = sl.nid
+             |    WHERE NOT EXISTS (SELECT 1 FROM sel1 x
+             |                      WHERE x.query_id = sl.query_id AND x.nid = sl.nid)
+             |  ) WHERE rn2 = 1),
+             |s2all AS (SELECT query_id, nid FROM sel1 UNION ALL
+             |          SELECT query_id, nid FROM sel2),
+             |m2 AS (SELECT p.query_id, p.a_id, max(p.sim) AS ms
+             |       FROM psim p JOIN s2all s ON p.query_id = s.query_id AND p.b_id = s.nid
+             |       GROUP BY 1, 2),
+             |sel3 AS (SELECT query_id, nid, rel, score FROM (
+             |    SELECT sl.query_id, sl.nid, sl.rel, 0.75*sl.rel - 0.25*m2.ms AS score,
+             |           row_number() OVER (PARTITION BY sl.query_id
+             |               ORDER BY 0.75*sl.rel - 0.25*m2.ms DESC, sl.nid) AS rn2
+             |    FROM shortlist sl JOIN m2 ON m2.query_id = sl.query_id AND m2.a_id = sl.nid
+             |    WHERE NOT EXISTS (SELECT 1 FROM s2all x
+             |                      WHERE x.query_id = sl.query_id AND x.nid = sl.nid)
+             |  ) WHERE rn2 = 1),
+             |s3all AS (SELECT query_id, nid FROM s2all UNION ALL
+             |          SELECT query_id, nid FROM sel3),
+             |m3 AS (SELECT p.query_id, p.a_id, max(p.sim) AS ms
+             |       FROM psim p JOIN s3all s ON p.query_id = s.query_id AND p.b_id = s.nid
+             |       GROUP BY 1, 2),
+             |sel4 AS (SELECT query_id, nid, rel, score FROM (
+             |    SELECT sl.query_id, sl.nid, sl.rel, 0.75*sl.rel - 0.25*m3.ms AS score,
+             |           row_number() OVER (PARTITION BY sl.query_id
+             |               ORDER BY 0.75*sl.rel - 0.25*m3.ms DESC, sl.nid) AS rn2
+             |    FROM shortlist sl JOIN m3 ON m3.query_id = sl.query_id AND m3.a_id = sl.nid
+             |    WHERE NOT EXISTS (SELECT 1 FROM s3all x
+             |                      WHERE x.query_id = sl.query_id AND x.nid = sl.nid)
+             |  ) WHERE rn2 = 1)
+             |SELECT query_id, CAST(sel_rank AS BIGINT) AS sel_rank, nid AS neighbor_id,
+             |       rel AS relevance, score AS mmr_score
+             |FROM (SELECT query_id, 1 AS sel_rank, nid, rel, score FROM sel1
+             |      UNION ALL SELECT query_id, 2, nid, rel, score FROM sel2
+             |      UNION ALL SELECT query_id, 3, nid, rel, score FROM sel3
+             |      UNION ALL SELECT query_id, 4, nid, rel, score FROM sel4)
+             |ORDER BY query_id, sel_rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // E16 — hard-negative mining: each query's top-3 most-similar
+    // DIFFERENT-label vectors (the contrastive-training complement of
+    // e12's same-label filtered search). Label inequality can't be a join
+    // key, so the pair loop keeps e1's broadcast shape and filters before
+    // the bounded-heap TopK. Bit-exact e1-pattern oracle.
+    Q(
+      "e16_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 8), emb, k = 3)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine", "q_label", "neg_label")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+             |                  CAST(embedding AS DOUBLE[]) AS qv
+             |           FROM embeddings WHERE vec_id < 8),
+             |c AS (SELECT vec_id AS neighbor_id, label AS neg_label,
+             |             CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             |sc AS (SELECT query_id, q_label, neighbor_id, neg_label,
+             |              list_dot_product(qv, cv) /
+             |              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+             |       FROM c, q WHERE neg_label <> q_label),
+             |r AS (SELECT query_id, q_label, neighbor_id, neg_label, cosine,
+             |             CAST(row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+             |      FROM sc)
+             |SELECT query_id, rnk, neighbor_id, cosine, q_label, neg_label
+             |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T1 — heuristic language ID histogram (stopword-hit argmax).
     Q(
       "t1_lang_id",

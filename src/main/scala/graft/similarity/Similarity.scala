@@ -124,6 +124,32 @@ object Similarity {
     topKPerQuery(cand, k, extra = filterCols)
   }
 
+  /** Hard-negative mining for contrastive training: each query's top-k
+    * most-similar corpus rows with a DIFFERENT label — the "hardest"
+    * negatives are the highest-cosine wrong-label neighbors. The exact
+    * complement of [[filteredTopK]]'s same-label constraint; unlike that
+    * equi-join, label INEQUALITY can't be a join key, so this keeps
+    * [[bruteForceTopK]]'s broadcast-queries shape and filters the pair
+    * loop (at IVF scale: probe cells as usual and drop same-label rows
+    * before the heap — the filter is still pre-TopK, so k never
+    * underfills against eligible candidates). Output carries both labels
+    * for auditability.
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame, k: Int, labelCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"), col(labelCol).as("q_label"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"), col(labelCol).as("neg_label"))
+    val cand = c.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("q_label"))
+      .withColumn("cosine", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    topKPerQuery(cand, k, extra = Seq("q_label", "neg_label"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed) for LSH bucketing. */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -931,4 +957,134 @@ object Similarity {
     semDedupWith(vectors,
       kmeansCentroids(vectors, nClusters, trainIters, idCol, vecCol),
       tau, idCol, vecCol)
+
+  // -------------------------------------------------------------------
+  // MMR — Maximal Marginal Relevance (Carbonell & Goldstein 1998):
+  // diversified top-k. Retrieval for curation (picking exemplars,
+  // building eval sets, dedup-aware sampling) wants the k results to be
+  // relevant AND mutually dissimilar; plain top-k happily returns k
+  // near-copies. Greedy MMR picks argmax of
+  //   lambda * rel(c) - (1 - lambda) * max_{s in selected} sim(c, s)
+  // one result at a time.
+  //
+  // Scale shape: the greedy loop is inherently sequential IN k but
+  // embarrassingly parallel ACROSS queries, and it only ever touches the
+  // per-query shortlist (kShortlist rows), never the corpus. So: exact
+  // (or ANN) top-kShortlist first — the corpus-sized, Catalyst-planned
+  // part — then pack each query's shortlist into ONE row and run the
+  // O(kSelect * kShortlist * kSelect) selection as a row-local
+  // higher-order-function fold. At 100 TB the expensive stage is the
+  // retrieval (already bounded-heap TopK); the re-rank adds one
+  // |queries|-row map stage with zero shuffle beyond the shortlist
+  // groupBy. HOF lambdas evaluate interpreted, which is exactly right
+  // here: the fold runs once per QUERY (not per corpus row), and the
+  // inner dot products use the compiled [[dot]] expression.
+
+  /** Greedy MMR re-rank of each query's exact top-`kShortlist` down to
+    * `kSelect` diversified results. Output: (query_id, sel_rank,
+    * neighbor_id, relevance, mmr_score), where relevance is the
+    * query-candidate cosine and mmr_score the selection-time objective
+    * (first pick's max-sim term is 0, so its score is lambda * rel).
+    * Ties break on lower neighbor_id; double arithmetic mirrors the
+    * DuckDB oracle op-for-op (e1's pattern), so e15 hash-matches.
+    */
+  def mmrRerank(
+      queries: DataFrame, corpus: DataFrame, kShortlist: Int, kSelect: Int,
+      lambdaRel: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kSelect >= 1 && kSelect <= kShortlist, "need 1 <= kSelect <= kShortlist")
+    val short = bruteForceTopK(queries, corpus, kShortlist, idCol, vecCol)
+    // Re-attach candidate vectors (and their norms, same formula that
+    // produced `cosine`) for the pair-sim term: corpus-side hash join
+    // against the small broadcast shortlist.
+    val cvecs = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_nrm"))
+    val cand = cvecs.join(broadcast(short), "neighbor_id")
+    // One row per query: candidates sorted by retrieval rank (struct sort
+    // on the leading field), so the fold's scan order is deterministic.
+    val packed = cand.groupBy("query_id").agg(
+      sort_array(collect_list(struct(
+        col("rank"), col("neighbor_id").as("id"), col("cosine").as("rel"),
+        col("n_vec").as("vec"), col("n_nrm").as("nrm")))).as("cands"))
+
+    val lam = lit(lambdaRel)
+    val oneMinusLam = lit(1.0 - lambdaRel)
+    def selStruct(score: Column, c: Column): Column = struct(
+      score.as("score"), c("id").as("id"), c("rel").as("rel"),
+      c("vec").as("vec"), c("nrm").as("nrm"))
+    // Correctly-typed EMPTY accumulator without spelling the struct type:
+    // an empty slice of a transform over the candidates themselves.
+    val emptySel = slice(transform(col("cands"), c => selStruct(lit(0.0), c)), 1, 0)
+    // score desc, id asc — double compare, then long compare.
+    def byScore(l: Column, r: Column): Column =
+      when(l("score") > r("score"), -1).when(l("score") < r("score"), 1)
+        .when(l("id") < r("id"), -1).when(l("id") > r("id"), 1)
+        .otherwise(0).cast("int")
+    val selected = aggregate(
+      sequence(lit(1), lit(kSelect)),
+      emptySel,
+      (acc, _) => {
+        val accIds = transform(acc, s => s("id"))
+        val remaining = filter(col("cands"), c => !array_contains(accIds, c("id")))
+        val scored = transform(remaining, c => {
+          val maxSim = array_max(transform(acc, s =>
+            dot(c("vec"), s("vec")) / (c("nrm") * s("nrm"))))
+          selStruct(lam * c("rel") - oneMinusLam * coalesce(maxSim, lit(0.0)), c)
+        })
+        concat(acc, slice(array_sort(scored, byScore _), 1, 1))
+      })
+    packed
+      .select(col("query_id"), posexplode(selected).as(Seq("__pos", "__s")))
+      .select(
+        col("query_id"),
+        (col("__pos") + 1).cast("long").as("sel_rank"),
+        col("__s.id").as("neighbor_id"),
+        col("__s.rel").as("relevance"),
+        col("__s.score").as("mmr_score"))
+      .orderBy("query_id", "sel_rank")
+  }
+
+  /** Semantic decontamination: screen a training corpus against a (small)
+    * eval/benchmark set in EMBEDDING space — the semantic complement of
+    * [[graft.curation.Curation.decontaminate]]'s lexical n-gram overlap
+    * (paraphrased eval leakage has zero shingle overlap but cosine ~1).
+    * Emits one auditable row per training vector: (idCol, n_hits,
+    * max_cos, kept) with n_hits = #eval vectors within `tau` and kept =
+    * (n_hits == 0).
+    *
+    * Scale shape: eval sets are small BY NATURE (thousands of rows), so
+    * the whole screen is the packed-broadcast form — the eval set is
+    * aggregated into ONE row (array of (vec, nrm)), broadcast, and each
+    * training row scores it with a row-local HOF over the compiled
+    * [[dot]]: a 100 TB corpus pays one map-side pass with NO shuffle and
+    * no per-pair join rows at all (the |train| x |test| product exists
+    * only inside the per-row loop). For eval sets too big to pack,
+    * compose the LSH-bucketed screen
+    * ([[graft.streaming.CorpusIngest.embScreenReport]]) instead.
+    * Zero-norm vectors on either side make cosine 0/0 = NaN; those sims
+    * are nulled out (never hits, never max) on BOTH engines.
+    */
+  def semanticDecontaminate(
+      train: DataFrame, test: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val packed = test.agg(collect_list(struct(
+      col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))).as("tests"))
+    val scored = train
+      .select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__nrm"))
+      .crossJoin(broadcast(packed)) // 1-row build side: a metadata attach, not a join
+      .withColumn("__cos", transform(col("tests"), t => {
+        // Zero-norm on either side => null, tested BEFORE dividing: ANSI
+        // mode (Spark 4 default) makes x/0 an error, not a NaN, so the
+        // guard must short-circuit the division, not inspect its result.
+        val denom = col("__nrm") * t("nrm")
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("__v"), t("vec")) / denom)
+      }))
+    scored.select(
+      col(idCol),
+      size(filter(col("__cos"), c => c >= lit(tau))).cast("long").as("n_hits"),
+      array_max(col("__cos")).as("max_cos"))
+      .withColumn("kept", col("n_hits") === 0)
+      .orderBy(idCol)
+  }
 }

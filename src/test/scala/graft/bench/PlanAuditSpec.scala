@@ -58,7 +58,18 @@ class PlanAuditSpec extends SparkTestBase {
     // one-row vocabulary-size side of the smoothed-probability join
     "t20_lm_perplexity_filter",
     // one-row weight-total side of the temperature-share computation
-    "c18_temperature_mixture")
+    "c18_temperature_mixture",
+    // e1-shape broadcast query sets: MMR's retrieval stage and the
+    // cross-label hard-negative pair loop (label INEQUALITY cannot be an
+    // equi-join key — the filter runs before the bounded-heap TopK)
+    "e15_mmr_rerank",
+    "e16_hard_negatives",
+    // ONE-ROW packed eval set (the whole point: a map-side screen with
+    // no shuffle and no per-pair join rows)
+    "c22_semantic_decontaminate",
+    // two ONE-ROW total-token-count sides (Nt, Nq) of the lambda table —
+    // the lambda join itself is an equi-join on the bucket id
+    "c23_dsir_importance")
 
   test("no registered query plans a cartesian or an unaccounted nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"

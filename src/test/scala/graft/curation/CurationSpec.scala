@@ -441,4 +441,41 @@ class CurationSpec extends SparkTestBase {
     assert(thrOf(base, "a") == 5000L && thrOf(base, "b") == 5000L)
     assert(thrOf(grown, "a") == 3333L && thrOf(grown, "b") == 1666L)
   }
+
+  test("dsirImportance: target-like docs score positive, alien docs negative") {
+    import spark.implicits._
+    // Target vocabulary {alpha beta gamma}; background adds an alien
+    // vocabulary {zork quux blarg}. Counts must be large relative to the
+    // add-one smoothing mass (B=64 pseudo-counts) or the ratio washes
+    // out — 10 docs x 15 tokens per vocabulary gives ln-ratios ~+-0.5+
+    // per token, far clear of zero.
+    val docs = ((1L to 10L).map(i => (i, Seq.fill(5)("alpha beta gamma").mkString(" "))) ++
+      (11L to 20L).map(i => (i, Seq.fill(5)("zork quux blarg").mkString(" "))) ++
+      Seq((21L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") <= 10)
+    val rep = Curation.dsirImportance(docs, target, buckets = 64, salt = "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))).toMap
+    assert(rep.size == 21, "one row per input doc")
+    (1L to 10L).foreach { id =>
+      assert(rep(id)._2.exists(_ > 0) && rep(id)._3, s"target-like $id: ${rep(id)}")
+    }
+    (11L to 20L).foreach { id =>
+      assert(rep(id)._2.exists(_ < 0) && !rep(id)._3, s"alien $id: ${rep(id)}")
+    }
+    assert(rep(21L) == ((0L, None, false)), s"null text: ${rep(21L)}")
+  }
+
+  test("dsirImportance is repartition-stable (exact decimal accumulation)") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, Seq.tabulate(20)(j => s"w${(i * 7 + j * 3) % 40}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 5 === 0)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.dsirImportance(d, target, buckets = 32, salt = "s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(run(docs) == run(docs.repartition(13)),
+      "per-doc sums must not depend on partial-aggregation order")
+  }
 }

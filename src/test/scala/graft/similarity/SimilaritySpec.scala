@@ -469,4 +469,128 @@ class SimilaritySpec extends SparkTestBase {
     assert(rep.forall(_.getBoolean(3)), "random embeddings share no dup at ~1.0 tau")
     assert(rep.forall(_.getLong(2) == 0L))
   }
+
+  // ----------------------------------------------------------------- MMR
+
+  test("mmr: dense sel_ranks, distinct picks, all drawn from the shortlist") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = Similarity.mmrRerank(queries, emb, kShortlist = 6, kSelect = 4,
+      lambdaRel = 0.75).collect()
+    val short = Similarity.bruteForceTopK(queries, emb, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 3)
+    byQ.values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(Array(1L, 2L, 3L, 4L)))
+      assert(g.map(_.getLong(2)).distinct.length == 4, "no repeated picks")
+    }
+    assert(out.forall(r => short((r.getLong(0), r.getLong(2)))),
+      "every pick comes from the retrieval shortlist")
+  }
+
+  test("mmr: first pick is the plain top-1; lambda=1 reduces to top-k order") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val plain = Similarity.bruteForceTopK(queries, emb, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val diversified = Similarity.mmrRerank(queries, emb,
+      kShortlist = 6, kSelect = 4, lambdaRel = 0.75).collect()
+    diversified.filter(_.getLong(1) == 1L).foreach { r =>
+      assert(r.getLong(2) == plain((r.getLong(0), 1L)), "first pick = top-1")
+    }
+    // lambda = 1.0: the penalty term vanishes, so greedy selection replays
+    // the retrieval order exactly, scores equal to relevance.
+    val degenerate = Similarity.mmrRerank(queries, emb,
+      kShortlist = 6, kSelect = 4, lambdaRel = 1.0).collect()
+    degenerate.foreach { r =>
+      assert(r.getLong(2) == plain((r.getLong(0), r.getLong(1))))
+      assert(r.getDouble(4) == r.getDouble(3), "score = 1.0*rel - 0.0*maxsim")
+    }
+  }
+
+  test("mmr diversifies: a near-exact dup of the first pick is skipped") {
+    import spark.implicits._
+    val q = Seq((100L, Seq(1.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      10L -> Seq(0.95f, 1.0f, 0.0f, 0.0f),
+      11L -> Seq(0.9500002f, 1.0000001f, 0.0f, 0.0f), // near-exact dup of 10
+      12L -> Seq(0.0f, 0.0f, 1.0f, 0.0f) // orthogonal to both
+    ).toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(q, corpus, k = 2)
+      .collect().map(_.getLong(2)).toSeq
+    assert(plain == Seq(11L, 10L), "plain top-2 returns the dup pair")
+    // At lambda=0.5 the dup's penalty (sim ~1 to pick #1) exceeds its
+    // relevance, while the orthogonal candidate's penalty is exactly 0.
+    val mmr = Similarity.mmrRerank(q, corpus, kShortlist = 3, kSelect = 2,
+      lambdaRel = 0.5).collect().map(_.getLong(2)).toSeq
+    assert(mmr == Seq(11L, 12L), s"mmr skips the near-dup: $mmr")
+  }
+
+  // ------------------------------------------------------- hard negatives
+
+  test("hardNegatives returns only cross-label neighbors, k per query, ranked") {
+    val out = Similarity.hardNegatives(emb.filter(col("vec_id") < 4), emb, k = 3)
+      .collect()
+    assert(out.length == 4 * 3)
+    out.foreach { r =>
+      assert(r.getInt(4) != r.getInt(5), "q_label must differ from neg_label")
+    }
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(Array(1L, 2L, 3L)))
+      // ranks follow cosine desc
+      val sorted = g.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("hardNegatives: the hardest negative dominates same-label dups") {
+    import spark.implicits._
+    // Query label 0; corpus holds an EXACT copy with the same label (must
+    // never appear) and a near-copy with a different label (must be #1).
+    val q = Seq((100L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0), // same label: excluded
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 1), // hardest negative
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(q, corpus, k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(1L -> 2L, 2L -> 3L), s"got ${out.toSeq}")
+  }
+
+  // ----------------------------------- semantic decontamination (c22 core)
+
+  test("semanticDecontaminate drops every train row within tau of the eval set") {
+    import spark.implicits._
+    val train = Seq(
+      1L -> Seq(1.0f, 0.0f, 0.0f, 0.0f), // == eval vector: cosine 1
+      2L -> Seq(0.0f, 1.0f, 0.0f, 0.0f), // orthogonal: cosine 0
+      3L -> Seq(2.0f, 0.0f, 0.0f, 0.0f) // same DIRECTION as eval: cosine 1
+    ).toDF("vec_id", "embedding")
+    val evalSet = Seq(Tuple1(Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("embedding")
+    val rep = Similarity.semanticDecontaminate(train, evalSet, tau = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(rep(1L) == ((1L, 1.0, false)), s"exact copy dropped: ${rep(1L)}")
+    assert(rep(2L) == ((0L, 0.0, true)), s"orthogonal kept: ${rep(2L)}")
+    assert(rep(3L)._1 == 1L && !rep(3L)._3, "scaled copy dropped (cosine 1)")
+  }
+
+  test("semanticDecontaminate: zero-norm vectors are never hits on either side") {
+    import spark.implicits._
+    val train = Seq(
+      1L -> Seq(0.0f, 0.0f), // zero-norm train row: all sims NaN -> null
+      2L -> Seq(1.0f, 0.0f)
+    ).toDF("vec_id", "embedding")
+    val evalSet = Seq(
+      Tuple1(Seq(0.0f, 0.0f)), // zero-norm eval row: contributes no sims
+      Tuple1(Seq(1.0f, 0.0f))
+    ).toDF("embedding")
+    val rep = Similarity.semanticDecontaminate(train, evalSet, tau = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(rep(1L) == ((0L, None, true)), s"zero-norm train row: ${rep(1L)}")
+    assert(rep(2L) == ((1L, Some(1.0), false)),
+      s"real row still screened against the real eval vector: ${rep(2L)}")
+  }
 }
