@@ -31,22 +31,33 @@ import graft.util.CacheScope
   */
 object CharNgramLangId {
 
-  /** Character bigrams of `text` as an array column. Callers must filter
-    * length >= 2 first: Spark's `sequence(1, 0)` runs DESCENDING, so an
-    * unguarded length-1 text would fabricate grams. Positions are Java
-    * chars — BMP-safe, which covers the corpus.
+  /** Character bigrams from a STAGED char array: adjacent-pair concat via
+    * zip_with of the array against its own 1-shifted slice — one linear
+    * pass per document. The substr-per-position form
+    * (transform(sequence(1, len-1), i -> substr(text, i, 2))) is O(n^2):
+    * UTF8String re-walks the string to find each position (same trap
+    * Entropy.charEntropy had; ~2x on this corpus). The char array must be
+    * a BOUND column, not an inline split — a repeated inline split
+    * re-runs per slice reference (the staging pitfall
+    * TextFunctions.shinglesFromTokens documents).
     */
-  private def charBigrams(text: Column): Column =
-    transform(
-      sequence(lit(1), length(text) - 1),
-      i => text.substr(i, lit(2)))
+  private def charBigramsFromChars(chs: Column): Column =
+    zip_with(
+      slice(chs, lit(1), size(chs) - 1),
+      slice(chs, lit(2), size(chs) - 1),
+      (a, b) => concat(a, b))
 
-  /** (id, gram, c_doc) exploded bigram counts. */
+  /** (id, gram, c_doc) exploded bigram counts. Length >= 2 is filtered
+    * first so the shifted slices are never empty-vs-negative.
+    */
   private def docGrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .filter(col(textCol).isNotNull && length(col(textCol)) >= 2)
+      // split keeps ONE trailing empty element (limit -1) — drop it here,
+      // while the array is built, so the bigrams never see it.
       .select(col(idCol).as("id"),
-        explode(charBigrams(col(textCol))).as("gram"))
+        filter(split(col(textCol), "(?!^)"), c => c =!= "").as("__chs"))
+      .select(col("id"), explode(charBigramsFromChars(col("__chs"))).as("gram"))
       .groupBy("id", "gram")
       .agg(count(lit(1)).as("c_doc"))
 
@@ -67,7 +78,8 @@ object CharNgramLangId {
         .filter(col(textCol).isNotNull && col(langCol).isNotNull &&
           length(col(textCol)) >= 2)
         .select(col(langCol).as("plang"),
-          explode(charBigrams(col(textCol))).as("gram"))
+          filter(split(col(textCol), "(?!^)"), c => c =!= "").as("__chs"))
+        .select(col("plang"), explode(charBigramsFromChars(col("__chs"))).as("gram"))
         .groupBy("plang", "gram")
         .agg(count(lit(1)).as("c_lang")))
     val totals = profile.groupBy("plang").agg(sum(col("c_lang")).as("n_lang"))
