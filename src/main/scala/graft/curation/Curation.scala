@@ -705,13 +705,24 @@ object Curation {
   // and the doc rollup is linear. The target corpus is typically tiny
   // (a curated domain) — its pass is negligible next to the raw scan.
 
-  /** Per-document DSIR importance weight of `docs` against `target`:
-    * (idCol, n_tokens, log_w, selected = log_w > 0 — i.e. the document
-    * looks more target-like than background). Null-text documents emit
-    * n_tokens=0, null log_w, selected=false.
+  private def dsirBucketed(
+      d: DataFrame, buckets: Int, salt: String,
+      idCol: String, textCol: String): DataFrame = d
+    .filter(col(textCol).isNotNull)
+    .select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    .select(col("id"), hashBucket(col("term"), buckets, salt).as("b"))
+
+  /** The TRAIN face: the B-row lambda table (b, lam) with
+    * lam(b) = [ln(ct+1) - ln(Nt+B)] - [ln(cq+1) - ln(Nq+B)] — target
+    * counts vs `reference` (the raw-pool distribution q). Every ln is
+    * grid-rounded, every subtraction exact decimal. This table IS the
+    * model: store it once and scoring any future crawl (or micro-batch —
+    * [[graft.streaming.CorpusIngest.ingestBatchDsirGate]]) is one
+    * map-side pass, the train-once/score-cheap shape of NgramLm.
     */
-  def dsirImportance(
-      docs: DataFrame,
+  def dsirLambdas(
+      reference: DataFrame,
       target: DataFrame,
       buckets: Int,
       salt: String,
@@ -719,34 +730,44 @@ object Curation {
       textCol: String = "text"): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     def lnDec(x: Column): Column = log(x).cast("decimal(20,6)")
-    def bucketed(d: DataFrame): DataFrame = d
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .select(col("id"), hashBucket(col("term"), buckets, salt).as("b"))
-    // The raw-side token stream feeds both the background counts and the
-    // per-doc counts — one explode, persisted, two consumers.
-    val docTok = graft.util.CacheScope.persist(bucketed(docs))
-    val tgtTok = bucketed(target)
+    val tgtTok = dsirBucketed(target, buckets, salt, idCol, textCol)
+    val refTok = dsirBucketed(reference, buckets, salt, idCol, textCol)
     val ct = tgtTok.groupBy("b").agg(count(lit(1)).as("ct"))
-    val cq = docTok.groupBy("b").agg(count(lit(1)).as("cq"))
+    val cq = refTok.groupBy("b").agg(count(lit(1)).as("cq"))
     val nt = tgtTok.agg(count(lit(1)).as("nt"))
-    val nq = docTok.agg(count(lit(1)).as("nq"))
-    // lambda(b) = [ln(ct+1) - ln(Nt+B)] - [ln(cq+1) - ln(Nq+B)], every ln
-    // grid-rounded, every subtraction exact decimal. Full outer: a bucket
-    // seen only in the target still scores docs... (it can't appear in a
-    // doc, but the symmetric form keeps the table total either way).
-    val lam = ct.join(cq, Seq("b"), "full")
+    val nq = refTok.agg(count(lit(1)).as("nq"))
+    // Full outer: a bucket seen only in the target still gets a row — it
+    // can't appear in a reference doc, but the symmetric form keeps the
+    // table total either way (and scoring joins tolerate missing rows).
+    ct.join(cq, Seq("b"), "full")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nq))
       .select(col("b"),
         (lnDec(coalesce(col("ct"), lit(0L)) + 1) - lnDec(col("nt") + buckets)
           - lnDec(coalesce(col("cq"), lit(0L)) + 1) + lnDec(col("nq") + buckets))
           .as("lam"))
-    val perDoc = docTok.groupBy("id", "b").agg(count(lit(1)).as("c"))
-      .join(lam, Seq("b")) // doc buckets are a subset of cq's support
+  }
+
+  /** The SCORE face: weight `docs` under a stored lambda table.
+    * (idCol, n_tokens, log_w, selected = log_w > 0). Null-text documents
+    * emit n_tokens=0, null log_w, selected=false. Buckets absent from the
+    * lambda table contribute nothing (left join + zero fill) — they carry
+    * no evidence either way.
+    */
+  def dsirScoreWith(
+      docs: DataFrame,
+      lambdas: DataFrame,
+      buckets: Int,
+      salt: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perDoc = dsirBucketed(docs, buckets, salt, idCol, textCol)
+      .groupBy("id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(lambdas), Seq("b"), "left")
       .groupBy("id")
       .agg(sum(col("c")).as("n_tokens"),
-        sum(col("c") * col("lam")).cast("double").as("log_w"))
+        sum(col("c") * coalesce(col("lam"),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(20,6)")))
+          .cast("double").as("log_w"))
     docs.select(col(idCol).as("id")).distinct()
       .join(perDoc, Seq("id"), "left")
       .select(
@@ -755,6 +776,22 @@ object Curation {
         col("log_w"),
         coalesce(col("log_w") > 0.0, lit(false)).as("selected"))
   }
+
+  /** Per-document DSIR importance weight of `docs` against `target`, with
+    * `docs` itself as the reference (raw-pool) distribution — the batch
+    * face: [[dsirLambdas]] ∘ [[dsirScoreWith]], so the oracled query and
+    * the streaming gate score with the SAME code.
+    */
+  def dsirImportance(
+      docs: DataFrame,
+      target: DataFrame,
+      buckets: Int,
+      salt: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    dsirScoreWith(docs,
+      dsirLambdas(docs, target, buckets, salt, idCol, textCol),
+      buckets, salt, idCol, textCol)
 
   // -------------------------------------------------------------------
   // PII scrubbing: ASCII-only patterns chosen to mean the same thing in

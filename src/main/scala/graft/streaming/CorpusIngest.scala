@@ -433,4 +433,50 @@ object CorpusIngest {
         ingestBatchEmbDedup(batch, historyDir, batchId, planes, minCosine)
       }
       .start()
+
+  // -------------------------------------------------------------------
+  // DSIR gate at ingest — the quality-screen sibling of the dedup
+  // frontiers: a PRE-TRAINED lambda table (the B-row model
+  // Curation.dsirLambdas builds offline from a target domain + reference
+  // pool) scores every incoming document map-side, and only docs with
+  // log_w >= minLogW land. Unlike the dedup screens the state is STATIC —
+  // no growing history to probe, so each micro-batch costs one broadcast
+  // equi-join on the bucket id, nothing else. Scoring is
+  // Curation.dsirScoreWith — the same code the oracled batch face (c23)
+  // runs, so the gate's semantics sit under the DuckDB oracle by
+  // construction.
+
+  /** One micro-batch through the DSIR gate: docs scoring >= `minLogW`
+    * under `lambdas` land at `historyDir/batch=<batchId>` with their
+    * score attached. Replay-idempotent: the dir overwrite depends only on
+    * the batch content and the (static) model.
+    */
+  def ingestBatchDsirGate(
+      batch: DataFrame, lambdas: DataFrame, historyDir: String, batchId: Long,
+      buckets: Int, salt: String, minLogW: Double = 0.0): Unit = {
+    val kept = graft.curation.Curation
+      .dsirScoreWith(batch, lambdas, buckets, salt)
+      .filter(col("log_w") >= minLogW)
+      .select(col("doc_id"), col("log_w"))
+    batch.select("doc_id", "text")
+      .join(kept, Seq("doc_id"))
+      .write.mode("overwrite")
+      .parquet(s"$historyDir/batch=$batchId")
+  }
+
+  def startDsirGate(
+      docs: DataFrame, lambdas: DataFrame, historyDir: String,
+      checkpointDir: String, buckets: Int, salt: String,
+      minLogW: Double = 0.0): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchDsirGate(batch, lambdas, historyDir, batchId,
+          buckets, salt, minLogW)
+      }
+      .start()
+
+  def readDsirGated(spark: SparkSession, historyDir: String): DataFrame =
+    spark.read.schema("doc_id LONG, text STRING, log_w DOUBLE")
+      .parquet(historyDir + "/batch=*")
 }

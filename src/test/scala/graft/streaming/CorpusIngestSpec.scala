@@ -261,4 +261,47 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(historyScans.exists(l => l.contains("text_hash") && !l.contains("text:")),
       s"history scan not pruned to text_hash:\n${historyScans.mkString("\n")}")
   }
+
+  test("dsir gate: only target-like docs land, scores match the batch face, replay idempotent") {
+    import graft.curation.Curation
+    val trainPool = ((1L to 10L).map(i => (i, Seq.fill(5)("alpha beta gamma").mkString(" "))) ++
+      (11L to 20L).map(i => (i, Seq.fill(5)("zork quux blarg").mkString(" "))))
+      .toDF("doc_id", "text")
+    val lambdas = Curation
+      .dsirLambdas(trainPool, trainPool.filter($"doc_id" <= 10), buckets = 64, salt = "g")
+      .cache() // the static model: trained once, reused per batch
+    val hist = tmp("dsir-hist")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusIngest.startDsirGate(
+      mem.toDF.toDF("doc_id", "text"), lambdas, hist, tmp("dsir-ckpt"),
+      buckets = 64, salt = "g")
+    mem.addData((100L, "alpha beta gamma alpha beta gamma"), (101L, "zork quux blarg zork"))
+    q.processAllAvailable()
+    mem.addData((102L, "beta gamma beta gamma"), (103L, "quux quux blarg"))
+    q.processAllAvailable()
+    q.stop()
+    val landed = CorpusIngest.readDsirGated(spark, hist)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(landed == Seq(100L, 102L), s"only target-like docs land: $landed")
+    // the gate's scores ARE dsirScoreWith's (c23's oracled code path)
+    val batchFace = Curation.dsirScoreWith(
+      Seq((100L, "alpha beta gamma alpha beta gamma"),
+        (101L, "zork quux blarg zork")).toDF("doc_id", "text"),
+      lambdas, buckets = 64, salt = "g")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val gateScores = CorpusIngest.readDsirGated(spark, hist)
+      .filter($"doc_id" === 100L).select("log_w").as[Double].head()
+    assert(gateScores == batchFace(100L), "gate score == batch-face score, bit-exact")
+    assert(batchFace(101L) < 0, "the screened doc scored negative")
+    // replay: re-running batch 0 rewrites its dir with identical content
+    CorpusIngest.ingestBatchDsirGate(
+      Seq((100L, "alpha beta gamma alpha beta gamma"),
+        (101L, "zork quux blarg zork")).toDF("doc_id", "text"),
+      lambdas, hist, batchId = 0L, buckets = 64, salt = "g")
+    val after = CorpusIngest.readDsirGated(spark, hist)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after == Seq(100L, 102L), s"replay must not double or drop: $after")
+    lambdas.unpersist()
+  }
 }
