@@ -19,11 +19,13 @@ import graft.text.TextFunctions
   * [[GraftExtensions.register]] does the same for a live session.
   *
   *   dot_product(arr, arr)   native codegen dot product (ANN hot loop)
+  *   cosine_sim(arr, arr)    cosine similarity (dot / norm product)
   *   lang_id(text)           stopword-argmax language guess
   *   token_count(text)       whitespace token count
   *   simhash64(text)         64-bit packed simhash
   *   hamming64(a, b)         popcount(a XOR b) for packed simhashes
   *   text_fingerprint(text)  64-bit document content hash
+  *   minhash_sig(shingles, k)  k-long MinHash signature (row-local native)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -51,7 +53,21 @@ object GraftExtensions {
     "token_count" -> columnFn("token_count", 1)(a => TextFunctions.nTokens(a.head)),
     "simhash64" -> columnFn("simhash64", 1)(a => TextFunctions.simhashBitVector(a.head)),
     "hamming64" -> columnFn("hamming64", 2)(a => TextFunctions.hamming(a.head, a(1))),
-    "text_fingerprint" -> columnFn("text_fingerprint", 1)(a => TextFunctions.fingerprint(a.head)))
+    "text_fingerprint" -> columnFn("text_fingerprint", 1)(a => TextFunctions.fingerprint(a.head)),
+    "cosine_sim" -> columnFn("cosine_sim", 2)(a =>
+      graft.similarity.Similarity.cosine(a.head, a(1))),
+    // k must be a foldable int literal — it sizes the signature buffer.
+    "minhash_sig" -> { args =>
+      require(args.length == 2, s"minhash_sig expects 2 arguments, got ${args.length}")
+      val k = args(1) match {
+        case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+          e.eval().asInstanceOf[Int]
+        case other =>
+          throw new IllegalArgumentException(
+            s"minhash_sig k must be an INT literal, got $other")
+      }
+      org.apache.spark.sql.graftnative.MinHashSig(args.head, k)
+    })
 
   private[graft] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

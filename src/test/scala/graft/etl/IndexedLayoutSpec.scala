@@ -51,4 +51,19 @@ class IndexedLayoutSpec extends SparkTestBase {
     assert(r.getInt(3) > 0)
     assert(r.getBoolean(4))
   }
+
+  test("cosine_sim and minhash_sig registered via extensions") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(2.0D, 0.0D)) AS c,
+        |       minhash_sig(array('aa bb', 'bb cc'), 4) AS sig
+        |""".stripMargin).head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getSeq[Long](1).length == 4)
+    // a non-literal k is a registration-time contract violation
+    val e = intercept[Exception](
+      spark.sql("SELECT minhash_sig(array('x'), CAST(rand() * 4 AS INT))").collect())
+    assert(String.valueOf(e.getMessage).toLowerCase.contains("literal") ||
+      String.valueOf(e.getMessage).toLowerCase.contains("int"))
+  }
 }
