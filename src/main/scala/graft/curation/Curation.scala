@@ -793,6 +793,57 @@ object Curation {
       dsirLambdas(docs, target, buckets, salt, idCol, textCol),
       buckets, salt, idCol, textCol)
 
+  /** Curriculum phases: order the corpus easy→hard by `scoreCol` and cut
+    * it into `phases` contiguous spans of EQUAL TOKEN BUDGET — phase 1 of
+    * a curriculum is "the first 1/N of the tokens the model will see",
+    * not the first 1/N of the documents (doc-count phases skew when easy
+    * docs are short). Output: (idCol, scoreCol, tokensCol, cum_tokens,
+    * phase).
+    *
+    * The cumulative token sum is the c11 two-phase shape: range-bucket on
+    * floor(bucketScale·score) — any monotone function of the sort key
+    * preserves the global order across buckets — then a per-bucket
+    * running window plus a tiny broadcast per-bucket offset table. Never
+    * one global single-partition window: at 100 TB the per-bucket windows
+    * parallelize across executors and only the B-row offset table is
+    * serial. The phase test is pure integer compares (N·tokens_before vs
+    * k·total) — no division, so any SQL mirror agrees exactly.
+    *
+    * Callers must drop null/NaN scores first (they would sort to one end
+    * and silently absorb budget).
+    */
+  def curriculumPhases(
+      df: DataFrame,
+      scoreCol: String,
+      tokensCol: String,
+      idCol: String = "doc_id",
+      phases: Int = 3,
+      bucketScale: Double = 4.0): DataFrame = {
+    require(phases >= 1, s"phases must be >= 1, got $phases")
+    require(bucketScale > 0, s"bucketScale must be positive, got $bucketScale")
+    val base = df.select(col(idCol), col(scoreCol), col(tokensCol))
+      .withColumn("__b", floor(col(scoreCol) * bucketScale).cast("long"))
+    val offW = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("__b").agg(sum(col(tokensCol)).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(offW), lit(0L)))
+      .drop("__bn")
+    val runW = Window.partitionBy("__b").orderBy(col(scoreCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val total = base.agg(sum(col(tokensCol)).cast("long").as("__total"))
+    val phased = base.join(broadcast(offsets), Seq("__b"))
+      .withColumn("cum_tokens",
+        (col("__off") + sum(col(tokensCol)).over(runW)).cast("long"))
+      .crossJoin(broadcast(total))
+    val before = (col("cum_tokens") - col(tokensCol)) * phases
+    val phase = (1 until phases).foldLeft(lit(1L)) { (acc, p) =>
+      acc + when(before >= col("__total") * p, 1L).otherwise(0L)
+    }
+    phased
+      .withColumn("phase", phase)
+      .select(col(idCol), col(scoreCol), col(tokensCol),
+        col("cum_tokens"), col("phase"))
+  }
+
   // -------------------------------------------------------------------
   // PII scrubbing: ASCII-only patterns chosen to mean the same thing in
   // Java regex (Spark) and RE2 (DuckDB oracle). Order matters: emails are

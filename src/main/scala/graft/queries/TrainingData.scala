@@ -12,7 +12,7 @@ import graft.similarity.Similarity
 import graft.tables.Tables
 import graft.graph.{LabelPropagation, Triangles}
 import graft.streaming.CorpusIngest
-import graft.text.{Bm25, Bpe, CharNgramLangId, Chunker, Entropy, HeavyHitters, InvertedIndex, LineFilter, NaiveBayes, NgramLm, TextFunctions}
+import graft.text.{Bm25, Bpe, CharNgramLangId, Chunker, Entropy, Fusion, HeavyHitters, InvertedIndex, LineFilter, NaiveBayes, NgramLm, TextFunctions}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, exact shingle-Jaccard,
@@ -212,6 +212,44 @@ object TrainingData {
       |           row_number() OVER (PARTITION BY id
       |             ORDER BY score DESC, cls) AS rk
       |         FROM sc)""".stripMargin
+
+  /** The t20/t32/c24 oracle's shared CTE chain: the bigram LM trained on
+    * the 2/3 split, every doc scored under it on the DECIMAL(20,6) log
+    * grid, summed into `agg` (doc_id, n_bigrams, n_unseen, slp). Final
+    * select differs per entry (filter verdict / ntile bands / curriculum
+    * positions).
+    */
+  private val sqlPerplexityCtes =
+    """WITH train AS (SELECT doc_id, text FROM documents
+      |               WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+      |tg AS (SELECT unnest(list_transform(
+      |                range(len(string_split(text,' ')) - 1),
+      |                i -> array_to_string((string_split(text,' '))[i+1:i+2], ' '))) AS gram
+      |       FROM train WHERE len(string_split(text,' ')) >= 2),
+      |tp AS (SELECT split_part(gram, ' ', 1) AS w1,
+      |              split_part(gram, ' ', 2) AS w2 FROM tg),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM tp GROUP BY 1, 2),
+      |uni AS (SELECT w1, count(*) AS c1 FROM tp GROUP BY 1),
+      |vv AS (SELECT count(*) AS v FROM uni),
+      |dg AS (SELECT doc_id, unnest(list_transform(
+      |                range(len(string_split(text,' ')) - 1),
+      |                i -> array_to_string((string_split(text,' '))[i+1:i+2], ' '))) AS gram
+      |       FROM documents
+      |       WHERE text IS NOT NULL AND len(string_split(text,' ')) >= 2),
+      |dp AS (SELECT doc_id, split_part(gram, ' ', 1) AS w1,
+      |              split_part(gram, ' ', 2) AS w2 FROM dg),
+      |sc AS (SELECT dp.doc_id,
+      |              CAST(ln(coalesce(b.c12, 0) + 1) AS DECIMAL(20,6))
+      |              - CAST(ln(coalesce(u.c1, 0) + vv.v) AS DECIMAL(20,6)) AS logp,
+      |              CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS unseen
+      |       FROM dp
+      |       LEFT JOIN big b ON dp.w1 = b.w1 AND dp.w2 = b.w2
+      |       LEFT JOIN uni u ON dp.w1 = u.w1
+      |       CROSS JOIN vv),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |               CAST(sum(unseen) AS BIGINT) AS n_unseen,
+      |               sum(logp) AS slp
+      |        FROM sc GROUP BY 1)""".stripMargin
 
   /** The t26/t26b oracle's shared CTE chain: tf/df/dl/corpus stats, the
     * 5-query literal set, and the exact rational fixed-point per-(query,
@@ -1457,37 +1495,9 @@ object TrainingData {
           maxCrossEntropy = 3.4)
           .orderBy("doc_id")
       },
-      Some("""WITH train AS (SELECT doc_id, text FROM documents
-             |               WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
-             |tg AS (SELECT unnest(list_transform(
-             |                range(len(string_split(text,' ')) - 1),
-             |                i -> array_to_string((string_split(text,' '))[i+1:i+2], ' '))) AS gram
-             |       FROM train WHERE len(string_split(text,' ')) >= 2),
-             |tp AS (SELECT split_part(gram, ' ', 1) AS w1,
-             |              split_part(gram, ' ', 2) AS w2 FROM tg),
-             |big AS (SELECT w1, w2, count(*) AS c12 FROM tp GROUP BY 1, 2),
-             |uni AS (SELECT w1, count(*) AS c1 FROM tp GROUP BY 1),
-             |vv AS (SELECT count(*) AS v FROM uni),
-             |dg AS (SELECT doc_id, unnest(list_transform(
-             |                range(len(string_split(text,' ')) - 1),
-             |                i -> array_to_string((string_split(text,' '))[i+1:i+2], ' '))) AS gram
-             |       FROM documents
-             |       WHERE text IS NOT NULL AND len(string_split(text,' ')) >= 2),
-             |dp AS (SELECT doc_id, split_part(gram, ' ', 1) AS w1,
-             |              split_part(gram, ' ', 2) AS w2 FROM dg),
-             |sc AS (SELECT dp.doc_id,
-             |              CAST(ln(coalesce(b.c12, 0) + 1) AS DECIMAL(20,6))
-             |              - CAST(ln(coalesce(u.c1, 0) + vv.v) AS DECIMAL(20,6)) AS logp,
-             |              CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS unseen
-             |       FROM dp
-             |       LEFT JOIN big b ON dp.w1 = b.w1 AND dp.w2 = b.w2
-             |       LEFT JOIN uni u ON dp.w1 = u.w1
-             |       CROSS JOIN vv),
-             |agg AS (SELECT doc_id, count(*) AS n_bigrams,
-             |               CAST(sum(unseen) AS BIGINT) AS n_unseen,
-             |               sum(logp) AS slp
-             |        FROM sc GROUP BY 1)
-             |SELECT d.doc_id,
+      Some(sqlPerplexityCtes +
+        """
+          |SELECT d.doc_id,
              |       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
              |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
              |       -CAST(a.slp AS DOUBLE) / a.n_bigrams AS cross_entropy,
@@ -3229,6 +3239,192 @@ object TrainingData {
              |FROM chunks c
              |JOIN dd ON md5(c.chunk_text) = dd.h
              |JOIN sc s2 ON s2.h = dd.h AND s2.doc_id = dd.sd
-             |ORDER BY c.doc_id, c.chunk_id""".stripMargin))
+             |ORDER BY c.doc_id, c.chunk_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // G5 — connected components as a first-class graph query: min-id
+    // component labels over the g3/g4 co-occurrence graph via the same
+    // alternating large-star/small-star engine the dedup collapse uses
+    // (O(log n) rounds even on chain graphs, edge set distributed end to
+    // end — never a driver-side union-find). The oracle is DuckDB's
+    // recursive-CTE transitive closure + min — exponentially more
+    // expensive than the star rounds (Σ|C|² closure rows), which is
+    // exactly why the Spark side doesn't compute it that way.
+    Q(
+      "g5_connected_components",
+      (s, dir) =>
+        ClusterCollapse.connectedComponents(
+          coOccurrenceEdges(s, dir), idACol = "src", idBCol = "dst")
+          .orderBy("id"),
+      Some("""WITH RECURSIVE occ AS (SELECT DISTINCT user_id, event_type,
+             |                    date_trunc('minute', ts) AS mb FROM events),
+             |e AS (SELECT DISTINCT o1.user_id AS lo, o2.user_id AS hi
+             |      FROM occ o1 JOIN occ o2
+             |        ON o1.event_type = o2.event_type AND o1.mb = o2.mb
+             |       AND o1.user_id < o2.user_id),
+             |nbr AS (SELECT lo AS v, hi AS u FROM e
+             |        UNION ALL SELECT hi, lo FROM e),
+             |walk(v, u) AS (
+             |  SELECT v, v FROM (SELECT DISTINCT v FROM nbr)
+             |  UNION
+             |  SELECT w.v, n.u FROM walk w JOIN nbr n ON n.v = w.u)
+             |SELECT v AS id, min(u) AS cluster_id FROM walk
+             |GROUP BY 1 ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T31 — hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    // 2009): the BM25 lexical top-20 and the dense cosine top-20 fused as
+    // Σ 1/(60+rank) — the standard RAG-stack first stage, where lexical
+    // recall catches exact terms and dense recall catches paraphrase.
+    // Each query carries BOTH a text (the t26 literal set) and a dense
+    // vector (its embedding-table row). RRF is rank-only, so the fused
+    // score needs no cross-leg score calibration — and both legs' ranks
+    // are already engine-exact (t26's integer grid, e1's double cosine),
+    // so 1.0/(60+rank) is the same IEEE division on both engines and the
+    // fusion sum is ONE addition in a fixed order: bit-identical. Scale:
+    // each leg is its own bounded top-k (heap-bounded, broadcast-query);
+    // the fusion joins two k·|queries|-row sides — never corpus-sized.
+    Q(
+      "t31_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (1L, "fast hash join"),
+          (2L, "window sort order"),
+          (3L, "spark stream batch"),
+          (4L, "slow scan filter"),
+          (5L, "vector data table")).toDF("query_id", "query_text")
+        val lex = Bm25.search(Tables.documents(s, dir), qs, k = 20)
+          .select(col("query_id"), col("doc_id"), col("rk").as("rank"))
+        val emb = Tables.embeddings(s, dir)
+        val den = Similarity.bruteForceTopK(
+            emb.filter(col("vec_id").between(1L, 5L)), emb, k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank"))
+        Fusion.rrf(Seq("lex" -> lex, "dense" -> den), k = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(sqlBm25Ctes +
+        """
+          |, lrk AS (SELECT query_id, doc_id,
+          |            row_number() OVER (PARTITION BY query_id
+          |              ORDER BY score_fp6 DESC, doc_id) AS lr FROM sc),
+          |lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+          |               CAST(lr AS BIGINT) AS lr
+          |        FROM lrk WHERE lr <= 20),
+          |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |       FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+          |cve AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
+          |        FROM embeddings),
+          |dsc AS (SELECT query_id, doc_id,
+          |          list_dot_product(qv, cv) /
+          |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |        FROM qv, cve WHERE doc_id <> query_id),
+          |drk AS (SELECT query_id, doc_id,
+          |            row_number() OVER (PARTITION BY query_id
+          |              ORDER BY cosine DESC, doc_id) AS dr FROM dsc),
+          |den AS (SELECT query_id, doc_id, CAST(dr AS BIGINT) AS dr
+          |        FROM drk WHERE dr <= 20),
+          |fused AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+          |            coalesce(l.doc_id, d.doc_id) AS doc_id,
+          |            coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + l.lr),
+          |                     CAST(0 AS DOUBLE)) +
+          |            coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + d.dr),
+          |                     CAST(0 AS DOUBLE)) AS rrf,
+          |            l.lr AS lex_rank, d.dr AS dense_rank
+          |          FROM lex l FULL OUTER JOIN den d
+          |            ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+          |rked AS (SELECT query_id, doc_id, rrf, lex_rank, dense_rank,
+          |            row_number() OVER (PARTITION BY query_id
+          |              ORDER BY rrf DESC, doc_id) AS rk FROM fused)
+          |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf,
+          |       lex_rank, dense_rank
+          |FROM rked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T32 — CCNet-style perplexity banding (Wenzek et al. 2020): per
+    // language, rank every doc by its LM cross-entropy (the t20 model)
+    // and cut the corpus into head/middle/tail thirds — the standard
+    // quality stratification a crawl pipeline ships alongside the hard
+    // filter. ntile(3) with a full (cross_entropy, doc_id) tiebreak is
+    // deterministic and SQL-standard on both engines; the entropy values
+    // are t20's decimal-grid doubles, so ordering can't diverge. Shape:
+    // the scoring pass + one per-language window — no extra corpus scan.
+    Q(
+      "t32_perplexity_buckets",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "lang", "text")
+        val ce = NgramLm.crossEntropy(
+            d.select("doc_id", "text"),
+            d.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text"),
+            maxCrossEntropy = 3.4)
+          .filter(col("cross_entropy").isNotNull)
+          .select("doc_id", "cross_entropy")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("cross_entropy"), col("doc_id"))
+        d.select("doc_id", "lang").join(ce, Seq("doc_id"))
+          .withColumn("bucket", ntile(3).over(w).cast("long"))
+          .withColumn("band",
+            when(col("bucket") === 1, "head")
+              .when(col("bucket") === 2, "middle")
+              .otherwise("tail"))
+          .select("doc_id", "lang", "cross_entropy", "bucket", "band")
+          .orderBy("doc_id")
+      },
+      Some(sqlPerplexityCtes +
+        """
+          |, ce AS (SELECT d.doc_id, d.lang,
+          |           -CAST(a.slp AS DOUBLE) / a.n_bigrams AS cross_entropy
+          |         FROM documents d JOIN agg a USING (doc_id)
+          |         WHERE d.text IS NOT NULL),
+          |nt AS (SELECT doc_id, lang, cross_entropy,
+          |         ntile(3) OVER (PARTITION BY lang
+          |           ORDER BY cross_entropy, doc_id) AS b FROM ce)
+          |SELECT doc_id, lang, cross_entropy, CAST(b AS BIGINT) AS bucket,
+          |       CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle'
+          |            ELSE 'tail' END AS band
+          |FROM nt ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // C24 — curriculum phases: order the corpus easy→hard by LM
+    // cross-entropy and split it into three phases of EQUAL TOKEN BUDGET
+    // (not equal doc count — phase 1 of a curriculum is "the first third
+    // of the tokens the model will see"). The cumulative token sum uses
+    // the c11 two-phase shape — range-bucket on floor(4·entropy) (any
+    // monotone function of the sort key works), per-bucket window + tiny
+    // broadcast offsets — never one global single-partition window. The
+    // phase test is pure integer compares (3·tokens_before vs k·total):
+    // no division anywhere, so both engines agree exactly.
+    Q(
+      "c24_curriculum_phases",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val ce = NgramLm.crossEntropy(d, d.filter(col("doc_id") % 3 =!= 0),
+            maxCrossEntropy = 3.4)
+          .filter(col("cross_entropy").isNotNull)
+          .select("doc_id", "cross_entropy")
+        val toks = d.select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+        Curation.curriculumPhases(
+            ce.join(toks, Seq("doc_id")), "cross_entropy", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some(sqlPerplexityCtes +
+        """
+          |, ce AS (SELECT d.doc_id,
+          |           -CAST(a.slp AS DOUBLE) / a.n_bigrams AS cross_entropy,
+          |           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+          |         FROM documents d JOIN agg a USING (doc_id)
+          |         WHERE d.text IS NOT NULL),
+          |cum AS (SELECT doc_id, cross_entropy, n_tokens,
+          |          sum(n_tokens) OVER (ORDER BY cross_entropy, doc_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+          |          sum(n_tokens) OVER () AS total FROM ce)
+          |SELECT doc_id, cross_entropy, n_tokens,
+          |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+          |       CAST(CASE WHEN (cum_tokens - n_tokens) * 3 >= total * 2 THEN 3
+          |                 WHEN (cum_tokens - n_tokens) * 3 >= total THEN 2
+          |                 ELSE 1 END AS BIGINT) AS phase
+          |FROM cum ORDER BY doc_id""".stripMargin))
   )
 }

@@ -69,7 +69,17 @@ class PlanAuditSpec extends SparkTestBase {
     "c22_semantic_decontaminate",
     // two ONE-ROW total-token-count sides (Nt, Nq) of the lambda table —
     // the lambda join itself is an equi-join on the bucket id
-    "c23_dsir_importance")
+    "c23_dsir_importance",
+    // hybrid fusion's legs: the t26 one-row BM25 corpus-stats side and
+    // the e1-shape broadcast dense query set; the fusion joins are
+    // equi-joins on (query_id, doc_id) over bounded top-k sides
+    "t31_hybrid_rrf",
+    // t20's one-row vocabulary-size side (the scoring pass is shared)
+    "t32_perplexity_buckets",
+    // t20's one-row V side + the ONE-ROW corpus token total the phase
+    // thresholds compare against (the cumsum joins are equi-joins on the
+    // range-bucket id)
+    "c24_curriculum_phases")
 
   test("no registered query plans a cartesian or an unaccounted nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"

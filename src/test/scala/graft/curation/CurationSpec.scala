@@ -478,4 +478,56 @@ class CurationSpec extends SparkTestBase {
     assert(run(docs) == run(docs.repartition(13)),
       "per-doc sums must not depend on partial-aggregation order")
   }
+
+  test("curriculumPhases: bucketed cumsum equals the single sorted prefix sum") {
+    import spark.implicits._
+    // scores spread across several floor(4*score) buckets; varying lengths
+    val docs = (0L until 120L).map(i =>
+      (i, 1.0 + (i * 37 % 100) / 25.0, 5L + i % 13)).toDF("doc_id", "score", "n_toks")
+    val got = Curation.curriculumPhases(docs, "score", "n_toks")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    // reference: plain Scala sort by (score, id) + running sum + thirds
+    val sorted = docs.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    val total = sorted.map(_._3).sum
+    var cum = 0L
+    val expect = sorted.map { case (id, sc, n) =>
+      val before = cum; cum += n
+      val phase = 1L + (if (before * 3 >= total) 1L else 0L) +
+        (if (before * 3 >= total * 2) 1L else 0L)
+      (id, sc, n, cum, phase)
+    }.sortBy(_._1).toSeq
+    assert(got == expect)
+  }
+
+  test("curriculumPhases: token budgets per phase are balanced within one max-doc") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i =>
+      (i, (i * 13 % 50) / 10.0, 1L + i % 20)).toDF("doc_id", "score", "n_toks")
+    val byPhase = Curation.curriculumPhases(docs, "score", "n_toks")
+      .groupBy("phase").agg(sum("n_toks").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = byPhase.values.sum
+    val maxDoc = 20L
+    assert(byPhase.keySet == Set(1L, 2L, 3L))
+    byPhase.foreach { case (p, t) =>
+      assert(math.abs(t - total / 3.0) <= maxDoc,
+        s"phase $p holds $t of $total tokens (want ~${total / 3})")
+    }
+  }
+
+  test("curriculumPhases: repartition-stable; phases=1 keeps everything in phase 1") {
+    import spark.implicits._
+    val docs = (0L until 80L).map(i =>
+      (i, (i % 7).toDouble, 3L + i % 5)).toDF("doc_id", "score", "n_toks")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.curriculumPhases(d, "score", "n_toks")
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(run(docs) == run(docs.repartition(11)))
+    val single = Curation.curriculumPhases(docs, "score", "n_toks", phases = 1)
+      .select("phase").distinct().as[Long].collect().toSeq
+    assert(single == Seq(1L))
+  }
 }
