@@ -3242,6 +3242,52 @@ object TrainingData {
              |ORDER BY c.doc_id, c.chunk_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // E17 — scalar-quantized (SQ8) ANN: one byte per dimension against
+    // per-dim [min,max] corpus ranges, scored asymmetrically (full-
+    // precision query vs decoded corpus vector) — the 4x-less-scan-IO
+    // point between e1 (float32 brute force) and e9 (PQ). floor-based
+    // codes have no rounding halfway cases and the decode is three
+    // exact-mirrorable double ops, so unlike e2/e5/e9 this approximate
+    // index needs NO golden: the whole round trip is under the DuckDB
+    // oracle bit-for-bit.
+    Q(
+      "e17_ann_sq8",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.sq8TopK(emb.filter(col("vec_id") < 8), emb, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |            FROM embeddings),
+             |dims AS (SELECT i, min(e[i+1]) AS mn, max(e[i+1]) AS mx
+             |         FROM (SELECT e, unnest(range(64)) AS i FROM ex)
+             |         GROUP BY 1),
+             |st AS (SELECT list(mn ORDER BY i) AS mins,
+             |              list(mx - mn ORDER BY i) AS rng FROM dims),
+             |enc AS (SELECT vec_id, list_transform(range(64), i ->
+             |          CASE WHEN rng[i+1] = 0 THEN 0
+             |               ELSE least(CAST(floor((e[i+1] - mins[i+1]) * 255
+             |                            / rng[i+1]) AS BIGINT), 255) END) AS codes
+             |        FROM ex, st),
+             |dec AS (SELECT vec_id, list_transform(range(64), i ->
+             |          mins[i+1] + codes[i+1] * rng[i+1] / 255.0) AS cv
+             |        FROM enc, st),
+             |sc AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             |              list_dot_product(q.e, d.cv) /
+             |              (sqrt(list_dot_product(q.e, q.e)) *
+             |               sqrt(list_dot_product(d.cv, d.cv))) AS cosine
+             |       FROM dec d, (SELECT vec_id, e FROM ex WHERE vec_id < 8) q
+             |       WHERE d.vec_id <> q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |             CAST(row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+             |      FROM sc)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM r
+             |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // G5 — connected components as a first-class graph query: min-id
     // component labels over the g3/g4 co-occurrence graph via the same
     // alternating large-star/small-star engine the dedup collapse uses

@@ -150,6 +150,96 @@ object Similarity {
     topKPerQuery(cand, k, extra = Seq("q_label", "neg_label"))
   }
 
+  // -------------------------------------------------------------------
+  // Scalar quantization (SQ8): one byte per dimension against per-dim
+  // [min, max] ranges learned from the corpus — the memory-bound ANN
+  // point between full-precision brute force (e1, 4 bytes/dim) and
+  // product quantization (e9, ~bits/dim): 4x less scan IO with
+  // near-exact recall, decoded on the fly inside the scan projection.
+  //
+  //   code_d = min(floor((v_d - min_d) * 255 / (max_d - min_d)), 255)
+  //
+  // floor, not round — no halfway cases, so a SQL mirror agrees
+  // bit-for-bit. Constant dimensions (range 0) encode to 0 and decode
+  // exactly to min_d. Scoring is ASYMMETRIC (full-precision query vs
+  // decoded corpus vector) — the standard SQ setup.
+  //
+  // Scale shape: the stats pass is one posexplode + dim-row groupBy
+  // packed into ONE broadcast row; encode/decode are row-local
+  // projections of that row (accounted BNLJ); scoring keeps
+  // bruteForceTopK's broadcast-queries + bounded-heap shape. At 100 TB
+  // the CODES table is what you store (train stats on a sample, freeze
+  // them with the index); this demo query carries encode+decode in one
+  // plan so the oracle can see the whole round trip.
+
+  /** One row: (mins: array<double>, ranges: array<double>) per dimension,
+    * positions aligned with the vector layout.
+    */
+  def sq8Stats(corpus: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val dims = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
+      .groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
+    dims
+      .agg(
+        array_sort(collect_list(struct(col("i"), col("mn")))).as("__mn"),
+        array_sort(collect_list(struct(col("i"), col("mx")))).as("__mx"))
+      .select(
+        transform(col("__mn"), s => s.getField("mn")).as("mins"),
+        zip_with(
+          transform(col("__mn"), s => s.getField("mn")),
+          transform(col("__mx"), s => s.getField("mx")),
+          (mn, mx) => mx - mn).as("ranges"))
+  }
+
+  /** (idCol, codes: array<long> in [0,255]) — `stats` is [[sq8Stats]]'
+    * one-row output, broadcast into the per-row projection.
+    */
+  def sq8Encode(
+      df: DataFrame, stats: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.crossJoin(broadcast(stats))
+      .select(
+        col(idCol),
+        zip_with(
+          zip_with(col(vecCol).cast("array<double>"), col("mins"), (v, m) => v - m),
+          col("ranges"),
+          (d, r) => when(r === 0.0, 0L)
+            .otherwise(least(floor(d * 255 / r), lit(255L)))).as("codes"))
+
+  /** Decode codes back to doubles: min_d + code_d * range_d / 255. */
+  def sq8Decode(
+      codes: DataFrame, stats: DataFrame,
+      idCol: String = "vec_id", codesCol: String = "codes"): DataFrame =
+    codes.crossJoin(broadcast(stats))
+      .select(
+        col(idCol),
+        zip_with(
+          zip_with(col(codesCol), col("ranges"), (c, r) => c * r / 255.0),
+          col("mins"),
+          (x, m) => m + x).as("dec_vec"))
+
+  /** Asymmetric SQ8 top-k: full-precision queries scored against the
+    * encode→decode round trip of the corpus. Same output shape as
+    * [[bruteForceTopK]] (query_id, rank, neighbor_id, cosine).
+    */
+  def sq8TopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val stats = sq8Stats(corpus, vecCol)
+    val dec = sq8Decode(sq8Encode(corpus, stats, idCol, vecCol), stats, idCol)
+      .select(
+        col(idCol).as("neighbor_id"), col("dec_vec").as("c_vec"),
+        norm(col("dec_vec")).as("c_norm"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val cand = dec.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    topKPerQuery(cand, k)
+  }
+
   /** Deterministic random hyperplanes (fixed seed) for LSH bucketing. */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

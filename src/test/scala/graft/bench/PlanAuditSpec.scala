@@ -76,6 +76,9 @@ class PlanAuditSpec extends SparkTestBase {
     "t31_hybrid_rrf",
     // t20's one-row vocabulary-size side (the scoring pass is shared)
     "t32_perplexity_buckets",
+    // SQ8: the ONE-ROW packed (mins, ranges) stats side of encode/decode
+    // plus the e1-shape broadcast query set for the asymmetric scoring
+    "e17_ann_sq8",
     // t20's one-row V side + the ONE-ROW corpus token total the phase
     // thresholds compare against (the cumsum joins are equi-joins on the
     // range-bucket id)

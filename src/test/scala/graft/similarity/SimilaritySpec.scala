@@ -593,4 +593,63 @@ class SimilaritySpec extends SparkTestBase {
     assert(rep(2L) == ((1L, Some(1.0), false)),
       s"real row still screened against the real eval vector: ${rep(2L)}")
   }
+
+  test("sq8: codes stay in [0,255]; corpus min/max rows hit the band edges") {
+    val stats = Similarity.sq8Stats(emb)
+    val codes = Similarity.sq8Encode(emb, stats)
+      .select(explode(col("codes")).as("c"))
+    assert(codes.filter(col("c") < 0 || col("c") > 255).count() == 0)
+    // some dimension's minimum encodes to 0 and some maximum to 255
+    val bounds = codes.agg(min("c"), max("c")).head()
+    assert(bounds.getLong(0) == 0L && bounds.getLong(1) == 255L)
+  }
+
+  test("sq8: constant dimensions decode exactly; reconstruction error is bounded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f, 5.0f, 2.0f)),
+      (2L, Array(0.0f, 3.0f, 5.0f, 6.0f)),
+      (3L, Array(0.0f, 2.0f, 5.0f, 4.0f))).toDF("vec_id", "embedding")
+    val stats = Similarity.sq8Stats(vecs)
+    val dec = Similarity.sq8Decode(Similarity.sq8Encode(vecs, stats), stats)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    // dims 0 and 2 are constant across the corpus -> exact round trip
+    dec.foreach { case (_, v) =>
+      assert(v(0) == 0.0 && v(2) == 5.0, s"constant dims must be exact: $v")
+    }
+    // varying dims reconstruct within one quantization step (range/255)
+    val orig = Map(1L -> Seq(0.0, 1.0, 5.0, 2.0), 2L -> Seq(0.0, 3.0, 5.0, 6.0),
+      3L -> Seq(0.0, 2.0, 5.0, 4.0))
+    dec.foreach { case (id, v) =>
+      v.zip(orig(id)).zipWithIndex.foreach { case ((got, want), i) =>
+        val step = if (i == 1) 2.0 / 255 else if (i == 3) 4.0 / 255 else 0.0
+        assert(math.abs(got - want) <= step + 1e-12,
+          s"vec $id dim $i: $got vs $want (step $step)")
+      }
+    }
+  }
+
+  test("sq8 top-k closely tracks the exact brute-force ranking") {
+    val qs = emb.filter(col("vec_id") < 4)
+    def ranks(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = ranks(Similarity.bruteForceTopK(qs, emb, k = 5)
+      .select("query_id", "rank", "neighbor_id"))
+    val sq = ranks(Similarity.sq8TopK(qs, emb, k = 5)
+      .select("query_id", "rank", "neighbor_id"))
+    // recall@5 >= 80% on the tiny sf0.001 corpus (SQ8 is near-exact)
+    val hits = exact.count { case (k, v) => sq.get(k).contains(v) ||
+      sq.exists { case ((q2, _), n2) => q2 == k._1 && n2 == v } }
+    assert(hits >= (exact.size * 4) / 5, s"recall too low: $hits/${exact.size}")
+  }
+
+  test("sq8TopK is repartition-stable") {
+    val qs = emb.filter(col("vec_id") < 3)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.sq8TopK(qs, c, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(emb) == run(emb.repartition(7)))
+  }
 }
