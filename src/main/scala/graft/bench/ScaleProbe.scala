@@ -375,6 +375,44 @@ object ScaleProbe {
         }
       }
     }
+    // SQ8 ANN: fixed queries, growing corpus — stats is one 64-row
+    // rollup, encode/decode are row-local, scoring is the e1 broadcast
+    // scan over DECODED vectors. Healthy = ~linear, tracking brute force
+    // (locally SQ8 pays decode flops for the IO it saves on a cluster).
+    for ((label, e) <- Seq("1x" -> emb1, s"${n}x" -> embN)) {
+      val queries = emb1.limit(8)
+      time(s"ann_sq8 $label")(Similarity.sq8TopK(queries, e, k = 5).count())
+    }
+    // Hybrid RRF: both legs are corpus-linear retrievals; the fusion
+    // joins two k·|queries|-row sides. Healthy = tracking the legs'
+    // growth with the fusion itself invisible.
+    {
+      import spark.implicits._
+      val fuseQs = Seq((1L, "fast hash join"), (2L, "window sort order"),
+        (3L, "slow scan filter")).toDF("query_id", "query_text")
+      for ((label, d, e) <- Seq(("1x", docs1, emb1), (s"${n}x", docsN, embN))) {
+        time(s"hybrid_rrf $label") {
+          val lex = Bm25.search(d, fuseQs, k = 20)
+            .select(col("query_id"), col("doc_id"), col("rk").as("rank"))
+          val den = Similarity.bruteForceTopK(
+              emb1.filter(col("vec_id").between(1L, 3L)), e, k = 20)
+            .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+          graft.text.Fusion.rrf(Seq("lex" -> lex, "dense" -> den), k = 10).count()
+        }
+      }
+    }
+    // Curriculum phases: the bucketed two-phase cumsum over a synthetic
+    // score (the machinery, not the scorer — lm_crossentropy probes that
+    // separately). Healthy = ~linear; the per-bucket windows parallelize
+    // and only the bucket-count offset table is serial.
+    for ((label, d) <- Seq("1x" -> docs1, s"${n}x" -> docsN)) {
+      time(s"curriculum_phases $label")(
+        Curation.curriculumPhases(
+          d.select(col("doc_id"),
+            (col("doc_id") % 100 / 10.0).as("score"),
+            size(split(col("text"), " ")).cast("long").as("n_toks")),
+          "score", "n_toks").count())
+    }
     spark.stop()
   }
 }

@@ -12,7 +12,7 @@ import graft.similarity.Similarity
 import graft.tables.Tables
 import graft.graph.{LabelPropagation, Triangles}
 import graft.streaming.CorpusIngest
-import graft.text.{Bm25, Bpe, CharNgramLangId, Chunker, Entropy, Fusion, HeavyHitters, InvertedIndex, LineFilter, NaiveBayes, NgramLm, TextFunctions}
+import graft.text.{Bm25, Bpe, CharNgramLangId, Chunker, CorpusStats, Entropy, Fusion, HeavyHitters, InvertedIndex, LineFilter, NaiveBayes, NgramLm, TextFunctions}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, exact shingle-Jaccard,
@@ -3240,6 +3240,66 @@ object TrainingData {
              |JOIN dd ON md5(c.chunk_text) = dd.h
              |JOIN sc s2 ON s2.h = dd.h AND s2.doc_id = dd.sd
              |ORDER BY c.doc_id, c.chunk_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T33 — Zipf rank-frequency fit over the top-200 terms: the dataset-
+    // card diagnostic (natural text ⇒ slope ≈ −1; templated/duplicated
+    // corpora bend it). Top-N is a bounded-heap aggregation (freq desc,
+    // term), never a global window over the vocabulary — at crawl scale
+    // the vocab is billions of terms. Every ln is of an INTEGER (rank or
+    // freq) rounded once onto the DECIMAL(8,6) grid (t20's contract), so
+    // the regression sums are exact and the slope/intercept are one fixed
+    // double expression over them — engine-identical.
+    Q(
+      "t33_zipf_fit",
+      (s, dir) =>
+        CorpusStats.zipfFit(Tables.documents(s, dir), topN = 200)
+          .orderBy("rank"),
+      Some("""WITH tf AS (SELECT term, count(*) AS freq FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+             |    GROUP BY 1),
+             |rk AS (SELECT term, freq,
+             |         row_number() OVER (ORDER BY freq DESC, term) AS rank FROM tf),
+             |top AS (SELECT CAST(rank AS BIGINT) AS rank, term, freq,
+             |          CAST(ln(rank) AS DECIMAL(8,6)) AS x,
+             |          CAST(ln(freq) AS DECIMAL(8,6)) AS y
+             |        FROM rk WHERE rank <= 200),
+             |sm AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |              CAST(sum(x) AS DOUBLE) AS sx,
+             |              CAST(sum(y) AS DOUBLE) AS sy,
+             |              CAST(sum(x*y) AS DOUBLE) AS sxy,
+             |              CAST(sum(x*x) AS DOUBLE) AS sxx FROM top)
+             |SELECT rank, term, freq,
+             |       (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+             |       (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept
+             |FROM top, sm ORDER BY rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T34 — Heaps vocabulary-growth curve: per doc-id decile, the terms
+    // FIRST seen there and the cumulative vocabulary — distinct-terms vs
+    // corpus-prefix without per-prefix distinct counts: one explode +
+    // min-per-term rollup, then integer math turns each term's first doc
+    // into its decile. The long/long division is the same IEEE double op
+    // on both engines and the quotient sits ≥2e-7 from any integer while
+    // double error is ~1e-15 — floor can't straddle.
+    Q(
+      "t34_heaps_curve",
+      (s, dir) =>
+        CorpusStats.heapsCurve(Tables.documents(s, dir)),
+      Some("""WITH fd AS (SELECT term, min(doc_id) AS f FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |    FROM documents) GROUP BY 1),
+             |dd AS (SELECT max(doc_id) + 1 AS d FROM documents),
+             |dec AS (SELECT CAST(floor((f * 10) / d) AS BIGINT) + 1 AS decile,
+             |               count(*) AS new_terms
+             |        FROM fd, dd GROUP BY 1),
+             |sp AS (SELECT unnest(range(1, 11)) AS decile)
+             |SELECT CAST(sp.decile AS BIGINT) AS decile,
+             |       CAST(coalesce(dec.new_terms, 0) AS BIGINT) AS new_terms,
+             |       CAST(sum(coalesce(dec.new_terms, 0)) OVER (ORDER BY sp.decile
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+             |FROM sp LEFT JOIN dec USING (decile)
+             |ORDER BY decile""".stripMargin)),
 
     // ------------------------------------------------------------------
     // E17 — scalar-quantized (SQ8) ANN: one byte per dimension against

@@ -76,6 +76,10 @@ class PlanAuditSpec extends SparkTestBase {
     "t31_hybrid_rrf",
     // t20's one-row vocabulary-size side (the scoring pass is shared)
     "t32_perplexity_buckets",
+    // the ONE-ROW regression-sums side repeated onto the 200 fit rows
+    "t33_zipf_fit",
+    // the ONE-ROW (max doc id + 1) denominator of the decile math
+    "t34_heaps_curve",
     // SQ8: the ONE-ROW packed (mins, ranges) stats side of encode/decode
     // plus the e1-shape broadcast query set for the asymmetric scoring
     "e17_ann_sq8",
