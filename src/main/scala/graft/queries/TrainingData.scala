@@ -3242,6 +3242,95 @@ object TrainingData {
              |ORDER BY c.doc_id, c.chunk_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // E18 — binary sign-embedding retrieval: each vector's sign pattern
+    // packed into two non-negative 32-bit words (8 B vs 256 B float32),
+    // ranked by Hamming distance = popcount of per-word XOR. Unlike the
+    // hash-seeded LSH family this binary index is integer-exact end to
+    // end, so it sits fully under the DuckDB oracle. In-word bits are
+    // disjoint powers of two, so SUM == OR — the pack needs no bit
+    // aggregate and mirrors as a plain list_sum.
+    Q(
+      "e18_ann_hamming",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.hammingTopK(emb.filter(col("vec_id") < 8), emb, k = 5, dim = 64)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "hamming")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |            FROM embeddings),
+             |pk AS (SELECT vec_id,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN e[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w0,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN e[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w1
+             |       FROM ex),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         CAST(bit_count(xor(q.w0, c.w0))
+             |            + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+             |       FROM pk c, (SELECT * FROM pk WHERE vec_id < 8) q
+             |       WHERE c.vec_id <> q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, hamming,
+             |             CAST(row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY hamming, neighbor_id) AS BIGINT) AS rnk
+             |      FROM sc)
+             |SELECT query_id, rnk, neighbor_id, hamming FROM r
+             |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // E18b — the binary pipeline's serving shape: Hamming shortlist (20)
+    // → exact cosine re-rank to 5. The popcount scan touches 8 B/vector;
+    // full-precision vectors are fetched only for the bounded shortlist —
+    // and because BOTH stages are exact-mirrorable, the whole two-stage
+    // pipeline is under the oracle (the e10b refine idea without the
+    // hash-seeded parts).
+    Q(
+      "e18b_hamming_refined",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.hammingRefinedTopK(emb.filter(col("vec_id") < 8), emb,
+            k = 5, kShortlist = 20, dim = 64)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |            FROM embeddings),
+             |pk AS (SELECT vec_id,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN e[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w0,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN e[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w1
+             |       FROM ex),
+             |hm AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         bit_count(xor(q.w0, c.w0))
+             |           + bit_count(xor(q.w1, c.w1)) AS hamming
+             |       FROM pk c, (SELECT * FROM pk WHERE vec_id < 8) q
+             |       WHERE c.vec_id <> q.vec_id),
+             |sl AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id,
+             |                row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY hamming, neighbor_id) AS hrk
+             |         FROM hm) WHERE hrk <= 20),
+             |sc AS (SELECT sl.query_id, sl.neighbor_id,
+             |         list_dot_product(q.e, c.e) /
+             |         (sqrt(list_dot_product(q.e, q.e)) *
+             |          sqrt(list_dot_product(c.e, c.e))) AS cosine
+             |       FROM sl JOIN ex q ON q.vec_id = sl.query_id
+             |       JOIN ex c ON c.vec_id = sl.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |             CAST(row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+             |      FROM sc)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM r
+             |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T33 — Zipf rank-frequency fit over the top-200 terms: the dataset-
     // card diagnostic (natural text ⇒ slope ≈ −1; templated/duplicated
     // corpora bend it). Top-N is a bounded-heap aggregation (freq desc,

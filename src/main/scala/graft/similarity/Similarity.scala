@@ -240,6 +240,104 @@ object Similarity {
     topKPerQuery(cand, k)
   }
 
+  // -------------------------------------------------------------------
+  // Binary sign embeddings: pack each vector's sign pattern into
+  // ceil(dim/32) non-negative long words and rank by Hamming distance
+  // (popcount of XOR) — the 32x-compression retrieval tier below SQ8.
+  // 32 bits per word, NOT 64: bit 63 is the long sign bit, and keeping
+  // words non-negative keeps every engine's integer semantics (and ANSI
+  // overflow rules) out of the picture. Bits within a word are disjoint
+  // powers of two, so their SUM equals their OR — summing makes the pack
+  // exactly mirrorable in SQL with no bit-aggregate needed.
+
+  /** One bit-packed word: signs of `vec[w*32 .. w*32+bits-1]`. 2^i via
+    * pow(2.0, i) — exact in double through i=31 — because shiftleft's
+    * Scala signature wants a literal shift and the lambda index is a
+    * column.
+    */
+  private def signWord(vec: Column, w: Int, bits: Int): Column =
+    aggregate(
+      zip_with(
+        slice(vec.cast("array<double>"), w * 32 + 1, bits),
+        sequence(lit(0L), lit(bits - 1L)),
+        (v, i) => when(v > 0.0, pow(lit(2.0), i).cast("long")).otherwise(0L)),
+      lit(0L),
+      (acc, b) => acc + b)
+
+  /** (idCol, w0..w{n-1}): the packed sign signature. At 100 TB this is
+    * the STORED form — 8 bytes per 64 dims vs 256 for float32.
+    */
+  def signPack(
+      df: DataFrame, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val words = (dim + 31) / 32
+    df.select(
+      col(idCol) +: (0 until words).map { w =>
+        signWord(col(vecCol), w, math.min(32, dim - w * 32)).as(s"w$w")
+      }: _*)
+  }
+
+  /** Hamming top-k over packed sign signatures: popcount of per-word XOR,
+    * summed — integer-exact, so fully SQL-mirrorable unlike the
+    * hash-seeded LSH family. Ties break toward the lower neighbor id.
+    * Scale shape: broadcast packed queries against the packed corpus scan
+    * (8 B/row), bounded-heap top-k — the cheap first stage of a binary
+    * retrieval pipeline ([[hammingRefinedTopK]] is the full two-stage).
+    */
+  def hammingTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val words = (dim + 31) / 32
+    val q = signPack(queries, dim, idCol, vecCol)
+      .select(col(idCol).as("query_id") +:
+        (0 until words).map(w => col(s"w$w").as(s"qw$w")): _*)
+    val c = signPack(corpus, dim, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id") +:
+        (0 until words).map(w => col(s"w$w").as(s"cw$w")): _*)
+    val cand = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (0 until words)
+          .map(w => bit_count(col(s"qw$w").bitwiseXOR(col(s"cw$w"))))
+          .reduce(_ + _).cast("long"))
+    val item = struct(col("hamming").as("hamming"), col("neighbor_id").as("neighbor_id"))
+    cand
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graftnative.TopK
+        .collectTopK(item, k, reverse = true).as("__top"))
+      .select(col("query_id"), posexplode(array_sort(col("__top"))).as(Seq("__pos", "__it")))
+      .select(
+        col("query_id"),
+        (col("__pos") + 1).cast("long").as("rank"),
+        col("__it.neighbor_id").as("neighbor_id"),
+        col("__it.hamming").as("hamming"))
+  }
+
+  /** Two-stage binary retrieval: Hamming shortlist (`kShortlist`) →
+    * exact cosine re-rank to `k` — the standard binary-embedding serving
+    * shape: the popcount scan touches 8 B/vector; full-precision vectors
+    * are fetched only for the bounded shortlist. Both stages are
+    * integer/IEEE-exact, so the whole pipeline is SQL-mirrorable.
+    */
+  def hammingRefinedTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, kShortlist: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kShortlist >= k, s"kShortlist ($kShortlist) must be >= k ($k)")
+    val shortlist = hammingTopK(queries, corpus, kShortlist, dim, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
+    val cand = shortlist
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    topKPerQuery(cand, k)
+  }
+
   /** Deterministic random hyperplanes (fixed seed) for LSH bucketing. */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -80,6 +80,10 @@ class PlanAuditSpec extends SparkTestBase {
     "t33_zipf_fit",
     // the ONE-ROW (max doc id + 1) denominator of the decile math
     "t34_heaps_curve",
+    // the broadcast packed-query set of the Hamming scan (8 B/row on the
+    // corpus side; the e1 shape over 32x smaller data)
+    "e18_ann_hamming",
+    "e18b_hamming_refined",
     // SQ8: the ONE-ROW packed (mins, ranges) stats side of encode/decode
     // plus the e1-shape broadcast query set for the asymmetric scoring
     "e17_ann_sq8",

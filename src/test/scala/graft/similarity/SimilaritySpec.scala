@@ -644,6 +644,57 @@ class SimilaritySpec extends SparkTestBase {
     assert(hits >= (exact.size * 4) / 5, s"recall too low: $hits/${exact.size}")
   }
 
+  test("signPack packs known sign patterns into the expected words") {
+    import spark.implicits._
+    // dims 0,2 positive in word0; dim 33 positive in word1
+    val v = Array.fill(64)(-1.0f)
+    v(0) = 1.0f; v(2) = 1.0f; v(33) = 1.0f
+    val packed = Similarity.signPack(Seq((7L, v)).toDF("vec_id", "embedding"), dim = 64)
+      .head()
+    assert(packed.getLong(1) == (1L | (1L << 2)), s"w0: ${packed.getLong(1)}")
+    assert(packed.getLong(2) == (1L << 1), s"w1: ${packed.getLong(2)}")
+    // zeros are NOT positive: all-zero vector packs to (0, 0)
+    val zero = Similarity.signPack(
+      Seq((1L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"), dim = 64).head()
+    assert(zero.getLong(1) == 0L && zero.getLong(2) == 0L)
+  }
+
+  test("hammingTopK: distances count exactly the flipped signs; ties break by id") {
+    import spark.implicits._
+    def vec(flips: Int*) = {
+      val v = Array.fill(64)(1.0f); flips.foreach(i => v(i) = -1.0f); v
+    }
+    val df = Seq(
+      (0L, vec()), (1L, vec(5)), (2L, vec(5, 40)), (3L, vec(1, 2, 3))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hammingTopK(df.filter(col("vec_id") === 0), df, k = 3, dim = 64)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 3L)), s"got $got")
+  }
+
+  test("hammingRefinedTopK with a full shortlist equals exact brute force") {
+    val qs = emb.filter(col("vec_id") < 4)
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val exact = rows(Similarity.bruteForceTopK(qs, emb, k = 5))
+    val refined = rows(Similarity.hammingRefinedTopK(qs, emb,
+      k = 5, kShortlist = n, dim = 64))
+    assert(refined == exact)
+  }
+
+  test("hamming family is repartition-stable") {
+    val qs = emb.filter(col("vec_id") < 3)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.hammingTopK(qs, c, k = 4, dim = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(emb) == run(emb.repartition(7)))
+  }
+
   test("sq8TopK is repartition-stable") {
     val qs = emb.filter(col("vec_id") < 3)
     def run(c: org.apache.spark.sql.DataFrame) =
