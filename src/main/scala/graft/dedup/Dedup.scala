@@ -370,7 +370,42 @@ object Dedup {
   def jaccardShinglePairs(
       docs: DataFrame, shingleN: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Int] = None,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shinglePairCounts(docs, shingleN, maxDocFreq, idCol, textCol)
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+
+  /** Exact shingle CONTAINMENT pairs (Broder 1997): directional
+    * |A∩B|/|A| and |A∩B|/|B|, kept where either direction reaches the
+    * threshold — the "document A is a quote/excerpt/subset of B" detector
+    * Jaccard structurally misses: a 15-token excerpt of a 200-token doc
+    * has containment 1.0 but Jaccard ~0.07, far below any sane dedup
+    * threshold. Same inverted-index core and df-cap scale knob as
+    * [[jaccardShinglePairs]].
+    */
+  def containmentShinglePairs(
+      docs: DataFrame, shingleN: Int = 3, threshold: Double = 0.9,
+      maxDocFreq: Option[Int] = None,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ca = col("n_common").cast("double") / col("n_a")
+    val cb = col("n_common").cast("double") / col("n_b")
+    shinglePairCounts(docs, shingleN, maxDocFreq, idCol, textCol)
+      .withColumn("cont_a_in_b", ca)
+      .withColumn("cont_b_in_a", cb)
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b",
+        "cont_a_in_b", "cont_b_in_a")
+  }
+
+  /** The shared inverted-index core of [[jaccardShinglePairs]] /
+    * [[containmentShinglePairs]]: (id_a, id_b, n_common, n_a, n_b) for
+    * every pair sharing at least one (df-surviving) distinct shingle.
+    */
+  private def shinglePairCounts(
+      docs: DataFrame, shingleN: Int, maxDocFreq: Option[Int],
+      idCol: String, textCol: String): DataFrame = {
     // Persisted for the same broadcast-recompute reason as minhashLshPairs:
     // the index feeds the self-join's both sides, the df cap, and the
     // per-doc sizes — without it the shingle pipeline re-runs per consumer.
@@ -398,9 +433,5 @@ object Dedup {
     common
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 }

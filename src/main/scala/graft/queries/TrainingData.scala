@@ -45,6 +45,21 @@ object TrainingData {
         .withColumn("doc_id", col("doc_id") + 1000000L))
   }
 
+  /** Every 10th doc ∪ 15-token excerpts (tokens 4..18, id+2e6) of every
+    * 20th — the quote/subset scenario containment detection exists for:
+    * the excerpt's shingles are a strict subset of its source's, so
+    * containment is 1.0 while Jaccard sits far below any dedup threshold.
+    */
+  private def docsWithContainedDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.filter(col("doc_id") % 10 === 0).unionByName(
+      d.filter(col("doc_id") % 20 === 0)
+        .select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ",
+            slice(TextFunctions.tokens(col("text")), 4, 15)).as("text")))
+  }
+
   /** 4 axis-contrast LSH hyperplanes (+1 at dim 2i, -1 at dim 2i+1) for
     * e14: deliberately NOT randomPlanes — the sign of a full sequential
     * dot against a mostly-zero plane is exactly the sign of the double
@@ -3240,6 +3255,71 @@ object TrainingData {
              |JOIN dd ON md5(c.chunk_text) = dd.h
              |JOIN sc s2 ON s2.h = dd.h AND s2.doc_id = dd.sd
              |ORDER BY c.doc_id, c.chunk_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // D14 — shingle CONTAINMENT pairs (Broder 1997): the quote/excerpt
+    // detector. The fixture plants 15-token excerpts of every 20th doc;
+    // their containment in the source is exactly 1.0 while their Jaccard
+    // (~13/(n_a+n_b-13)) sits far below d4's 0.5 threshold — the case
+    // symmetric dedup structurally misses. Same inverted-index core and
+    // df-cap scale knob as d4/d5 (one shared shinglePairCounts).
+    Q(
+      "d14_containment_pairs",
+      (s, dir) =>
+        Dedup.containmentShinglePairs(docsWithContainedDups(s, dir),
+            threshold = 0.9)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+             |              WHERE doc_id % 10 = 0
+             |              UNION ALL
+             |              SELECT doc_id + 2000000,
+             |                     array_to_string(
+             |                       (string_split(text, ' '))[4:18], ' ')
+             |              FROM documents WHERE doc_id % 20 = 0),
+             |sh AS (SELECT doc_id,
+             |              unnest(list_distinct(list_transform(
+             |                range(len(string_split(text,' ')) - 2),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' ')))) AS shingle
+             |       FROM docs WHERE len(string_split(text,' ')) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+             |common AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+             |           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             |           GROUP BY 1, 2)
+             |SELECT id_a, id_b, n_common, a.n_sh AS n_a, b.n_sh AS n_b,
+             |       CAST(n_common AS DOUBLE) / a.n_sh AS cont_a_in_b,
+             |       CAST(n_common AS DOUBLE) / b.n_sh AS cont_b_in_a
+             |FROM common
+             |JOIN sizes a ON a.doc_id = id_a
+             |JOIN sizes b ON b.doc_id = id_b
+             |WHERE greatest(CAST(n_common AS DOUBLE) / a.n_sh,
+             |               CAST(n_common AS DOUBLE) / b.n_sh) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T36 — per-source unigram KL divergence from the corpus pool: the
+    // mixture drift alarm (a template flood or broken crawl spikes its
+    // source's KL before anything else notices). Each term contributes
+    // c_st·(ln c_st − ln N_s − ln c_t + ln N), every ln of an INTEGER on
+    // the DECIMAL(12,6) grid, the sum exact decimal, ONE double division
+    // per source at the end — engine-identical by construction. Only
+    // (source, term) rows that exist contribute: never a dense
+    // |sources|×|vocab| grid.
+    Q(
+      "t36_source_divergence",
+      (s, dir) => CorpusStats.sourceDivergence(Tables.documents(s, dir)),
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+             |             FROM documents),
+             |cst AS (SELECT source, term, count(*) AS c_st FROM tok GROUP BY 1, 2),
+             |ct AS (SELECT term, count(*) AS c_t FROM tok GROUP BY 1),
+             |ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+             |nn AS (SELECT count(*) AS n FROM tok),
+             |contrib AS (SELECT cst.source, ns.n_s,
+             |    CAST(cst.c_st AS DECIMAL(12,0)) *
+             |    (CAST(ln(cst.c_st) AS DECIMAL(12,6)) - CAST(ln(ns.n_s) AS DECIMAL(12,6))
+             |     - CAST(ln(ct.c_t) AS DECIMAL(12,6)) + CAST(ln(nn.n) AS DECIMAL(12,6))) AS w
+             |  FROM cst JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN nn)
+             |SELECT source, n_s AS n_tokens, CAST(sum(w) AS DOUBLE) / n_s AS kl
+             |FROM contrib GROUP BY source, n_s ORDER BY source""".stripMargin)),
 
     // ------------------------------------------------------------------
     // E18 — binary sign-embedding retrieval: each vector's sign pattern

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,5 +89,53 @@ object CorpusStats {
       .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
       .withColumn("vocab", sum(col("new_terms")).over(w).cast("long"))
       .orderBy("decile")
+  }
+
+  /** Per-source unigram KL divergence from the corpus-wide distribution —
+    * the source-drift / contamination alarm of a multi-source mixture:
+    * KL(P_s ‖ P) = Σ_t (c_st/N_s)·ln((c_st/N_s)/(c_t/N)). A source whose
+    * vocabulary distribution wanders from the pool (a crawl gone bad, a
+    * template flood) spikes its KL long before eyeballing catches it.
+    *
+    * Exactness: rewrite each term's contribution as
+    * c_st·(ln c_st − ln N_s − ln c_t + ln N) — every ln is of an INTEGER
+    * count, rounded once onto the DECIMAL(12,6) grid; the product against
+    * the integer c_st and the per-source sum are exact decimal arithmetic
+    * (scale 6 throughout, max precision 38 — no rounding anywhere), and
+    * the single division by N_s happens once, in double, at the end.
+    * KL ≥ 0 up to the 1e-6 grid (Gibbs); only terms the source actually
+    * uses contribute (c_st > 0), so the sum is over the source's own
+    * vocabulary — never a dense |sources|×|vocab| grid.
+    *
+    * Shape: three map-side-combined rollups off one explode + an equi-join
+    * on term (the corpus count table) + a broadcast |sources|-row and
+    * ONE-ROW total side — corpus-linear, no window, no driver loop.
+    */
+  def sourceDivergence(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    def lnDec(x: Column): Column = log(x).cast("decimal(12,6)")
+    val tok = docs.select(col(sourceCol).as("source"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val cst = tok.groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+    val ct = tok.groupBy("term").agg(count(lit(1)).as("c_t"))
+    val ns = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val nn = tok.agg(count(lit(1)).as("n"))
+    cst
+      .join(ct, Seq("term"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nn))
+      .select(col("source"), col("n_s"),
+        (col("c_st").cast("decimal(12,0)") *
+          (lnDec(col("c_st")) - lnDec(col("n_s")) -
+            lnDec(col("c_t")) + lnDec(col("n")))).as("__w"))
+      .groupBy("source", "n_s")
+      .agg(sum(col("__w")).as("__sw"))
+      .select(
+        col("source"),
+        col("n_s").as("n_tokens"),
+        (col("__sw").cast("double") / col("n_s")).as("kl"))
+      .orderBy("source")
   }
 }

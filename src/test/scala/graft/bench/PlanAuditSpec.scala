@@ -80,6 +80,9 @@ class PlanAuditSpec extends SparkTestBase {
     "t33_zipf_fit",
     // the ONE-ROW (max doc id + 1) denominator of the decile math
     "t34_heaps_curve",
+    // the ONE-ROW corpus token total of the KL rewrite (the |sources|-row
+    // N_s side is an equi-join on source)
+    "t36_source_divergence",
     // the broadcast packed-query set of the Hamming scan (8 B/row on the
     // corpus side; the e1 shape over 32x smaller data)
     "e18_ann_hamming",

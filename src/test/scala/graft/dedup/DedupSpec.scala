@@ -186,4 +186,38 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
     assert(capped == Set((10L, 0L, false)))
   }
+
+  test("containment catches a full excerpt that Jaccard misses") {
+    import spark.implicits._
+    // doc 2 = a 6-token excerpt of the 20-token doc 1 -> 4 shingles,
+    // all contained; doc 3 unrelated.
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")
+    val excerpt = (5 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, excerpt), (3L, "x y z q r s"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentShinglePairs(docs, threshold = 0.9)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))
+    assert(cont.toSeq == Seq((1L, 2L, 4L, 18L, 4L, 4.0 / 18, 1.0)),
+      s"got ${cont.toSeq}")
+    // symmetric Jaccard on the same pair: 4/18 -- far under 0.5
+    val jac = Dedup.jaccardShinglePairs(docs, threshold = 0.5).count()
+    assert(jac == 0L, "Jaccard at the standard threshold must miss the excerpt")
+  }
+
+  test("containment pairs respect the df cap and are repartition-stable") {
+    import spark.implicits._
+    val base = (0L until 40L).map(i =>
+      (i, (0 to 8).map(j => s"t${(i * 3 + j) % 50}").mkString(" ")))
+    val docs = (base ++ Seq((100L, base(4)._2.split(" ").take(5).mkString(" "))))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.containmentShinglePairs(d, threshold = 0.8, maxDocFreq = Some(10))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5), r.getDouble(6)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(docs) == run(docs.repartition(7)))
+    assert(run(docs).exists { case (a, b, _, cb) => a == 4L && b == 100L && cb == 1.0 })
+  }
 }

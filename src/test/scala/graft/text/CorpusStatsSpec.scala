@@ -56,6 +56,36 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(got.map(_._2).distinct == Seq(20L))
   }
 
+  test("sourceDivergence: a drifted source spikes; matching sources sit near zero") {
+    // src0/src1 share one uniform vocabulary; src2 speaks a disjoint one
+    val docs = (0L until 300L).map { i =>
+      val src = s"src${i % 3}"
+      val text =
+        if (i % 3 == 2) (0 to 9).map(j => s"alien${(i + j) % 20}").mkString(" ")
+        else (0 to 9).map(j => s"common${(i * 7 + j) % 20}").mkString(" ")
+      (i, src, text)
+    }.toDF("doc_id", "source", "text")
+    val kl = CorpusStats.sourceDivergence(docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // Gibbs: KL >= 0 up to the 1e-6 decimal grid
+    kl.values.foreach(v => assert(v >= -1e-4, s"negative KL: $kl"))
+    assert(kl("src2") > kl("src0") + 0.1 && kl("src2") > kl("src1") + 0.1,
+      s"drifted source must dominate: $kl")
+    // one-third of the pool diverging costs the matching sources a bit of
+    // KL too (the PAIR drifts from the pooled mixture) but far less
+    assert(kl("src0") < 0.6 * kl("src2"), s"got $kl")
+  }
+
+  test("sourceDivergence is exactly repartition-stable (decimal sums)") {
+    val docs = (0L until 200L).map(i =>
+      (i, s"s${i % 4}", (0 to (i % 11).toInt).map(j => s"w${(i + j * 5) % 40}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.sourceDivergence(d)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+
   test("both diagnostics are repartition-stable") {
     val docs = (0L until 200L).map(i =>
       (i, (0 to (i % 17).toInt).map(j => s"w${(i + j * 7) % 60}").mkString(" ")))
