@@ -10,7 +10,7 @@ import graft.dedup.{ClusterCollapse, Dedup, SpanDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
-import graft.graph.{LabelPropagation, Triangles}
+import graft.graph.{KCore, LabelPropagation, Triangles}
 import graft.streaming.CorpusIngest
 import graft.text.{Bm25, Bpe, CharNgramLangId, Chunker, CorpusStats, Entropy, Fusion, HeavyHitters, InvertedIndex, LineFilter, NaiveBayes, NgramLm, TextFunctions}
 
@@ -3255,6 +3255,53 @@ object TrainingData {
              |JOIN dd ON md5(c.chunk_text) = dd.h
              |JOIN sc s2 ON s2.h = dd.h AND s2.doc_id = dd.sd
              |ORDER BY c.doc_id, c.chunk_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // G6 — k-core peeling (Seidman 1983) over the co-occurrence graph:
+    // FOUR synchronous peel rounds toward the 3-core (the g4 fixed-round
+    // pattern — pinned rounds are what a SQL mirror can unroll; the
+    // function's default runs to the true fixpoint and KCoreSpec pins
+    // that 4 rounds REACH it on this graph). Each round is two degree
+    // rollups + a survivor semi-join — the edge set never leaves the
+    // cluster, no driver-side peeling.
+    Q(
+      "g6_kcore",
+      (s, dir) =>
+        KCore.kCore(coOccurrenceEdges(s, dir), k = 3, rounds = Some(4))
+          .orderBy("vertex"),
+      Some("""WITH occ AS (SELECT DISTINCT user_id, event_type,
+             |                    date_trunc('minute', ts) AS mb FROM events),
+             |e0 AS (SELECT DISTINCT o1.user_id AS lo, o2.user_id AS hi
+             |      FROM occ o1 JOIN occ o2
+             |        ON o1.event_type = o2.event_type AND o1.mb = o2.mb
+             |       AND o1.user_id < o2.user_id),
+             |d1 AS (SELECT n, count(*) AS d FROM (
+             |         SELECT lo AS n FROM e0 UNION ALL SELECT hi FROM e0)
+             |       GROUP BY 1),
+             |k1 AS (SELECT n FROM d1 WHERE d >= 3),
+             |e1 AS (SELECT lo, hi FROM e0
+             |       WHERE lo IN (SELECT n FROM k1) AND hi IN (SELECT n FROM k1)),
+             |d2 AS (SELECT n, count(*) AS d FROM (
+             |         SELECT lo AS n FROM e1 UNION ALL SELECT hi FROM e1)
+             |       GROUP BY 1),
+             |k2 AS (SELECT n FROM d2 WHERE d >= 3),
+             |e2 AS (SELECT lo, hi FROM e1
+             |       WHERE lo IN (SELECT n FROM k2) AND hi IN (SELECT n FROM k2)),
+             |d3 AS (SELECT n, count(*) AS d FROM (
+             |         SELECT lo AS n FROM e2 UNION ALL SELECT hi FROM e2)
+             |       GROUP BY 1),
+             |k3 AS (SELECT n FROM d3 WHERE d >= 3),
+             |e3 AS (SELECT lo, hi FROM e2
+             |       WHERE lo IN (SELECT n FROM k3) AND hi IN (SELECT n FROM k3)),
+             |d4 AS (SELECT n, count(*) AS d FROM (
+             |         SELECT lo AS n FROM e3 UNION ALL SELECT hi FROM e3)
+             |       GROUP BY 1),
+             |k4 AS (SELECT n FROM d4 WHERE d >= 3),
+             |e4 AS (SELECT lo, hi FROM e3
+             |       WHERE lo IN (SELECT n FROM k4) AND hi IN (SELECT n FROM k4))
+             |SELECT n AS vertex, count(*) AS degree FROM (
+             |  SELECT lo AS n FROM e4 UNION ALL SELECT hi FROM e4)
+             |GROUP BY 1 ORDER BY vertex""".stripMargin)),
 
     // ------------------------------------------------------------------
     // D14 — shingle CONTAINMENT pairs (Broder 1997): the quote/excerpt
