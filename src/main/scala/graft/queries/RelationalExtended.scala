@@ -1020,6 +1020,44 @@ object RelationalExtended {
              |         FROM missing)
              |SELECT min(m) AS gap_start, max(m) AS gap_end,
              |       count(*) AS n_minutes
-             |FROM grps GROUP BY grp ORDER BY gap_start""".stripMargin))
+             |FROM grps GROUP BY grp ORDER BY gap_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q54 — XML source roundtrip (Spark 4 native `xml` datasource — the
+    // fourth interchange format after CSV/JSON/ORC): write a nation
+    // projection as XML rows, read it back under an explicit schema, and
+    // gate losslessness with the same aggregate-vs-parquet-original trick
+    // as q48/q49/q52 (any value corrupted in transit moves a sum or a
+    // count). Strings here are alphanumeric-with-spaces, so XML escaping
+    // round-trips identity.
+    Q(
+      "q54_xml_roundtrip",
+      (s, dir) => {
+        // app-id-suffixed: a fixed shared path would let two concurrent
+        // harness runs delete each other's files mid-query.
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_xml_${s.sparkContext.applicationId}"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
+        Tables.customer(s, dir)
+          .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+          .write.option("rowTag", "customer").format("xml").save(tmp)
+        s.read.option("rowTag", "customer")
+          .schema("c_custkey LONG, c_nationkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+          .format("xml").load(tmp)
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("c_custkey")).as("key_sum"),
+            sum(col("c_nationkey")).as("nation_sum"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("bal_sum"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |       CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+             |       CAST(sum(c_nationkey) AS BIGINT) AS nation_sum,
+             |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
