@@ -3257,6 +3257,52 @@ object TrainingData {
              |ORDER BY c.doc_id, c.chunk_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // E19 — Matryoshka prefix-dimension retrieval (Kusupati et al. 2022):
+    // coarse cosine over the FIRST 16 of 64 dims (an MRL embedding
+    // front-loads information — the prefix scan costs 4x less IO/flops),
+    // exact full-dim re-rank of the 20-row shortlist. Dimension-axis
+    // sibling of e17 (precision) and e18b (bits); every stage IEEE-exact
+    // ⇒ fully oracled.
+    Q(
+      "e19_ann_matryoshka",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.prefixRefinedTopK(emb.filter(col("vec_id") < 8), emb,
+            k = 5, kShortlist = 20, prefixDim = 16)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |            FROM embeddings),
+             |px AS (SELECT vec_id, e[1:16] AS p FROM ex),
+             |ps AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.p, c.p) /
+             |         (sqrt(list_dot_product(q.p, q.p)) *
+             |          sqrt(list_dot_product(c.p, c.p))) AS pcos
+             |       FROM px c, (SELECT * FROM px WHERE vec_id < 8) q
+             |       WHERE c.vec_id <> q.vec_id),
+             |sl AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id,
+             |                row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY pcos DESC, neighbor_id) AS prk
+             |         -- zero-norm prefixes: Spark's heap drops NaN before
+             |         -- ranking; mirror or a regen could flake the rank
+             |         FROM ps WHERE NOT isnan(pcos)) WHERE prk <= 20),
+             |sc AS (SELECT sl.query_id, sl.neighbor_id,
+             |         list_dot_product(q.e, c.e) /
+             |         (sqrt(list_dot_product(q.e, q.e)) *
+             |          sqrt(list_dot_product(c.e, c.e))) AS cosine
+             |       FROM sl JOIN ex q ON q.vec_id = sl.query_id
+             |       JOIN ex c ON c.vec_id = sl.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |             CAST(row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+             |      FROM sc)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM r
+             |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // G6 — k-core peeling (Seidman 1983) over the co-occurrence graph:
     // FOUR synchronous peel rounds toward the 3-core (the g4 fixed-round
     // pattern — pinned rounds are what a SQL mirror can unroll; the

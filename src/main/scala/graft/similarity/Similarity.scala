@@ -326,6 +326,38 @@ object Similarity {
     require(kShortlist >= k, s"kShortlist ($kShortlist) must be >= k ($k)")
     val shortlist = hammingTopK(queries, corpus, kShortlist, dim, idCol, vecCol)
       .select("query_id", "neighbor_id")
+    rerankExact(shortlist, queries, corpus, k, idCol, vecCol)
+  }
+
+  /** Matryoshka-style prefix-dimension retrieval (Kusupati et al. 2022):
+    * coarse cosine ranking in the first `prefixDim` dimensions — an MRL
+    * embedding front-loads information, so a 16-dim prefix scan costs
+    * dim/prefixDim less IO/flops — then exact full-dimension re-rank of
+    * the bounded shortlist. The dimension-axis sibling of [[sq8TopK]]
+    * (precision axis) and [[hammingRefinedTopK]] (bit axis); like them,
+    * every stage is IEEE-exact and SQL-mirrorable.
+    */
+  def prefixRefinedTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, kShortlist: Int,
+      prefixDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kShortlist >= k, s"kShortlist ($kShortlist) must be >= k ($k)")
+    require(prefixDim > 0, s"prefixDim must be positive, got $prefixDim")
+    def prefixed(df: DataFrame) = df.select(
+      col(idCol), slice(col(vecCol).cast("array<double>"), 1, prefixDim).as(vecCol))
+    val shortlist = bruteForceTopK(
+        prefixed(queries), prefixed(corpus), kShortlist, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+    rerankExact(shortlist, queries, corpus, k, idCol, vecCol)
+  }
+
+  /** Exact cosine re-rank of a bounded (query_id, neighbor_id) shortlist
+    * to the top `k` — shared by every two-stage index here. The full-
+    * precision corpus is touched via one equi-join on the shortlist ids.
+    */
+  private def rerankExact(
+      shortlist: DataFrame, queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
     val c = corpus.select(

@@ -87,6 +87,9 @@ class PlanAuditSpec extends SparkTestBase {
     // corpus side; the e1 shape over 32x smaller data)
     "e18_ann_hamming",
     "e18b_hamming_refined",
+    // the e1-shape broadcast prefix-query set of the Matryoshka coarse
+    // stage (the rerank itself is equi-joins on the bounded shortlist)
+    "e19_ann_matryoshka",
     // SQ8: the ONE-ROW packed (mins, ranges) stats side of encode/decode
     // plus the e1-shape broadcast query set for the asymmetric scoring
     "e17_ann_sq8",

@@ -686,6 +686,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(refined == exact)
   }
 
+  test("matryoshka: a full shortlist or a full prefix recovers exact brute force") {
+    val qs = emb.filter(col("vec_id") < 4)
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val exact = rows(Similarity.bruteForceTopK(qs, emb, k = 5))
+    // shortlist = whole corpus -> the rerank IS brute force
+    assert(rows(Similarity.prefixRefinedTopK(qs, emb,
+      k = 5, kShortlist = n, prefixDim = 16)) == exact)
+    // prefix = full dim -> the coarse stage already ranks exactly
+    assert(rows(Similarity.prefixRefinedTopK(qs, emb,
+      k = 5, kShortlist = 5, prefixDim = 64)) == exact)
+  }
+
+  test("matryoshka recall is high when information is front-loaded (the MRL premise)") {
+    import spark.implicits._
+    // an MRL-trained embedding concentrates signal in the prefix; fake
+    // that by damping dims 16.. to 5% — on UNtrained random vectors the
+    // prefix is just 25% of the signal and shortlist recall is ~40%,
+    // which is exactly why this index assumes an MRL encoder.
+    val rows = emb.limit(100).collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      (r.getLong(0), v.zipWithIndex.map { case (x, i) =>
+        if (i < 16) x else x * 0.05f })
+    }.toSeq
+    val mrlEmb = rows.toDF("vec_id", "embedding")
+    val qs = mrlEmb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(qs, mrlEmb, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mrl = Similarity.prefixRefinedTopK(qs, mrlEmb, k = 5, kShortlist = 20,
+        prefixDim = 16)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = exact.count(mrl.contains)
+    assert(hits >= (exact.size * 4) / 5,
+      s"recall too low for a 20-wide shortlist on front-loaded vectors: $hits/${exact.size}")
+  }
+
   test("hamming family is repartition-stable") {
     val qs = emb.filter(col("vec_id") < 3)
     def run(c: org.apache.spark.sql.DataFrame) =
