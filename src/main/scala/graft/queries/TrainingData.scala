@@ -105,16 +105,24 @@ object TrainingData {
           count(lit(1)).as("n_queries"))
         .select(lit(name).as("method"), col("mean_recall"),
           col("min_recall"), col("n_queries"))
-    // The three one-pass legs: LSH, multiprobe LSH, sample-centroid IVF.
-    // Flat PQ is NOT one of them — even untrained, its codebook-init +
-    // encode + ADC stack is ~2.4 s of jobs at sf0.1 (e9's own in-session
-    // cost), so it rides with the trained legs in the full eval.
+    // The six one-pass legs: LSH, multiprobe LSH, sample-centroid IVF,
+    // plus the three exact-mirrorable compression indexes (SQ8, binary
+    // Hamming+rerank, Matryoshka prefix+rerank) — each is a single scan
+    // with no training stage. Flat PQ is NOT one of them — even
+    // untrained, its codebook-init + encode + ADC stack is ~2.4 s of
+    // jobs at sf0.1 (e9's own in-session cost), so it rides with the
+    // trained legs in the full eval.
     val cheap = Seq(
       leg("1_lsh", Similarity.lshTopK(queries, emb, planes, k = 5)),
       leg("2_lsh_multiprobe",
         Similarity.lshTopKMultiProbe(queries, emb, planes, k = 5)),
       leg("3_ivf", Similarity.ivfTopK(queries, emb, nCentroids = 16,
-        nProbe = 4, k = 5)))
+        nProbe = 4, k = 5)),
+      leg("4_sq8", Similarity.sq8TopK(queries, emb, k = 5)),
+      leg("5_hamming_refined", Similarity.hammingRefinedTopK(
+        queries, emb, k = 5, kShortlist = 20, dim = dim)),
+      leg("6_matryoshka", Similarity.prefixRefinedTopK(
+        queries, emb, k = 5, kShortlist = 20, prefixDim = dim / 4)))
     val legs =
       if (!trainedLegs) cheap
       else {
@@ -131,15 +139,15 @@ object TrainingData {
         val trained = Similarity.kmeansCentroids(emb, nCentroids = 16,
           iters = 1)
         cheap ++ Seq(
-          leg("4_pq_flat", Similarity.pqTopK(queries, emb,
+          leg("7_pq_flat", Similarity.pqTopK(queries, emb,
             m = 4, ksub = 16, k = 5, trainIters = 0)),
-          leg("5_ivf_trained",
+          leg("8_ivf_trained",
             Similarity.ivfTopKWith(queries, emb, trained, nProbe = 4, k = 5)),
           // The deployable composed index: trained cells + residual PQ +
           // the e10b refine stage (ADC top-4k re-scored exactly) — the
           // recall number that tells a user whether e8/e10's layout is
           // safe to ship.
-          leg("6_ivfpq_refined", Similarity.refineTopK(
+          leg("9_ivfpq_refined", Similarity.refineTopK(
             Similarity.ivfPqTopKWithCells(queries, emb, trained,
               nProbe = 4, m = 4, ksub = 16, k = 20, trainIters = 1),
             queries, emb, k = 5)))
