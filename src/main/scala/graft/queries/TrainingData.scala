@@ -3265,6 +3265,60 @@ object TrainingData {
              |ORDER BY c.doc_id, c.chunk_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T37 — pseudo-relevance feedback (RM3-style): BM25 pass 1, harvest
+    // the 2 strongest NEW terms from each query's top-3 docs (total-tf
+    // DESC, corpus-df ASC, term — pure integer ordering, no relevance-
+    // model floats), re-run BM25 with the expanded query. The classic
+    // recall-widening loop; both passes share the engine-exact
+    // fixed-point scoring, so the whole two-pass pipeline hash-matches.
+    Q(
+      "t37_bm25_prf",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (1L, "fast hash join"),
+          (2L, "window sort order"),
+          (3L, "spark stream batch"),
+          (4L, "slow scan filter"),
+          (5L, "vector data table")).toDF("query_id", "query_text")
+        Bm25.searchPrf(Tables.documents(s, dir), qs, k = 8)
+          .orderBy("query_id", "rk")
+      },
+      Some(sqlBm25Ctes +
+        """
+          |, fbr AS (SELECT query_id, doc_id,
+          |            row_number() OVER (PARTITION BY query_id
+          |              ORDER BY score_fp6 DESC, doc_id) AS rk FROM sc),
+          |fb AS (SELECT query_id, doc_id FROM fbr WHERE rk <= 3),
+          |cand AS (SELECT f.query_id, t.term, CAST(sum(t.tf) AS BIGINT) AS ftf
+          |         FROM fb f JOIN tf t ON t.doc_id = f.doc_id GROUP BY 1, 2),
+          |expn AS (SELECT query_id, term FROM (
+          |          SELECT c.query_id, c.term,
+          |                 row_number() OVER (PARTITION BY c.query_id
+          |                   ORDER BY c.ftf DESC, d.df, c.term) AS rk
+          |          FROM cand c JOIN df d USING (term)
+          |          WHERE NOT EXISTS (SELECT 1 FROM qt
+          |                            WHERE qt.query_id = c.query_id
+          |                              AND qt.term = c.term))
+          |         WHERE rk <= 2),
+          |eq AS (SELECT query_id, term FROM qt
+          |       UNION SELECT query_id, term FROM expn),
+          |per2 AS (SELECT eq.query_id, tf.doc_id,
+          |          floor(CAST((2*n_docs - 2*df.df + 1) * 22 * tf.tf * l_tokens AS DOUBLE)
+          |            / ((2*df.df + 1) * (10*l_tokens*tf.tf + 3*l_tokens + 9*dl.dl*n_docs))
+          |            * 1e6) AS s
+          |        FROM eq JOIN df USING (term) JOIN tf USING (term)
+          |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
+          |sc2 AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp6
+          |        FROM per2 GROUP BY 1, 2),
+          |rked AS (SELECT query_id, doc_id, score_fp6,
+          |          row_number() OVER (PARTITION BY query_id
+          |            ORDER BY score_fp6 DESC, doc_id) AS rk FROM sc2)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
+          |       doc_id, score_fp6
+          |FROM rked WHERE rk <= 8 ORDER BY query_id, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // E19 — Matryoshka prefix-dimension retrieval (Kusupati et al. 2022):
     // coarse cosine over the FIRST 16 of 64 dims (an MRL embedding
     // front-loads information — the prefix scan costs 4x less IO/flops),

@@ -231,4 +231,65 @@ object Bm25 {
         (col("score_fp6") + lit(phraseBonusFp6) * col("__nph")).as("score_fp6"))
     rankTopK(rescored, k, idCol)
   }
+
+  /** Pseudo-relevance feedback (RM3-style two-pass retrieval): run BM25,
+    * treat each query's top `fbDocs` documents as relevant, harvest the
+    * `fbTerms` strongest NEW terms from them, and re-run BM25 with the
+    * expanded query — the classic recall-widening loop (Lavrenko & Croft
+    * 2001; Jaleel et al. 2004's RM3) that pulls in documents using
+    * vocabulary the original query never said.
+    *
+    * Expansion-term strength stays on the integer grid: candidates rank
+    * by (total tf across the feedback docs DESC, corpus df ASC, term) —
+    * frequent-in-feedback, rare-in-corpus — so selection is exactly
+    * mirrorable with no relevance-model floats. The expanded query is
+    * literally the original text plus the chosen terms: the scoring pass
+    * takes DISTINCT query terms, so text-level concatenation IS set
+    * union, and both passes share one engine-exact scoring formula.
+    *
+    * Scale shape: pass 1 is [[search]] (bounded top-k); the harvest
+    * joins the fbDocs·|queries| winners against the tf table (equi-join
+    * on doc id); pass 2 is [[search]] again over ≤ |q|+fbTerms terms per
+    * query. Two corpus-linear passes — the designed price of PRF.
+    */
+  def searchPrf(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      fbDocs: Int = 3,
+      fbTerms: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 0, s"fbTerms must be >= 0, got $fbTerms")
+    val tf = docs
+      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val fb = search(docs, queries, fbDocs, idCol, textCol)
+      .select(col("query_id"), col(idCol).as("id"))
+    val qTerms = queries.select(col("query_id"),
+      explode(TextFunctions.tokens(col("query_text"))).as("term")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("ftf").desc, col("df"), col("term"))
+    val expansion = fb
+      .join(tf, Seq("id"))
+      .groupBy("query_id", "term")
+      .agg(sum(col("tf")).as("ftf"))
+      .join(qTerms, Seq("query_id", "term"), "left_anti")
+      .join(broadcast(df), Seq("term"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= fbTerms)
+      .groupBy("query_id")
+      .agg(array_join(array_sort(collect_list(col("term"))), " ").as("__exp"))
+    val expanded = queries
+      .join(expansion, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        when(col("__exp").isNull, col("query_text"))
+          .otherwise(concat_ws(" ", col("query_text"), col("__exp")))
+          .as("query_text"))
+    search(docs, expanded, k, idCol, textCol)
+  }
 }

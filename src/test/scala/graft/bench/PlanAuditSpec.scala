@@ -50,6 +50,8 @@ class PlanAuditSpec extends SparkTestBase {
     // one-row (n_docs, l_tokens) corpus-stats side of the BM25 scoring join
     "t26_bm25_search",
     "t26b_bm25_phrase_rescored",
+    // both PRF passes carry the same one-row corpus-stats side
+    "t37_bm25_prf",
     "t26c_bm25f_fielded",
     "t26d_bm25f_dl_unweighted",
     // |classes|-row (denom, prior) constant side of the NB dense term
