@@ -171,4 +171,45 @@ class Bm25Spec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
     assert(run(docs) == run(docs.repartition(7)))
   }
+
+  test("PRF pulls in a document that shares no term with the original query") {
+    // "apple" retrieves only doc 1; doc 1's terms include "tree";
+    // doc 5 speaks ONLY of trees — invisible to pass 1, found by pass 2.
+    val corpus = docs.unionByName(Seq((5L, "tree tree grove")).toDF("doc_id", "text"))
+    val q = Seq((1L, "apple")).toDF("query_id", "query_text")
+    val plain = Bm25.search(corpus, q, k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!plain.contains(5L), "sanity: pass 1 cannot see doc 5")
+    val prf = Bm25.searchPrf(corpus, q, k = 5, fbDocs = 1, fbTerms = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(prf.contains(5L),
+      s"expansion from doc 1 must retrieve the tree-only doc: $prf")
+  }
+
+  test("PRF with fbTerms=0 degenerates to plain search") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    assert(rows(Bm25.searchPrf(docs, queries, k = 4, fbTerms = 0)) ==
+      rows(Bm25.search(docs, queries, k = 4)))
+  }
+
+  test("PRF expansion excludes original query terms and is deterministic") {
+    // feedback doc for "apple" is doc 1 ("the apple tree"): candidates
+    // are {the, tree} — both df-checked, tf=1 each within the doc, so the
+    // tie breaks (df ASC) toward the rarer "tree" at fbTerms=1; "apple"
+    // itself must never expand.
+    val q = Seq((1L, "apple")).toDF("query_id", "query_text")
+    def run() = Bm25.searchPrf(docs, q, k = 4, fbDocs = 1, fbTerms = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run() == run())
+    // with "tree" expanded, doc 1 keeps rank 1 (apple + tree) and the
+    // ranking includes no "the"-driven inflation of docs 2-4: their
+    // scores stay 0 because neither "apple" nor "tree" occurs there.
+    val got = Bm25.searchPrf(docs, q, k = 4, fbDocs = 1, fbTerms = 1)
+      .collect()
+    assert(got.head.getLong(2) == 1L, s"doc 1 must stay on top: ${got.toSeq}")
+    assert(got.length == 1,
+      s"only doc 1 scores — 'the' must NOT have been expanded: ${got.toSeq}")
+  }
 }
