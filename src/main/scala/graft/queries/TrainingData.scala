@@ -2701,6 +2701,43 @@ object TrainingData {
 
     // ------------------------------------------------------------------
     // M5 — perceptual-hash image dedup over the stub-decoded corpus:
+    // M6 — raw-file multimodal ingest via Spark's built-in `binaryFile`
+    // source: (path, length, content) per file — how image/audio corpora
+    // actually enter a pipeline before any decode. 20 deterministic blobs
+    // are written driver-side (bounded fixture setup), read back through
+    // the source, and fingerprinted; the oracle regenerates the SAME
+    // bytes from the formula without touching the filesystem, so the
+    // gate proves the source delivers every byte intact (length + md5).
+    Q(
+      "m6_binaryfile_ingest",
+      (s, dir) => {
+        val tmp = new java.io.File(
+          s"${System.getProperty("java.io.tmpdir")}/graft_gate_bin_${s.sparkContext.applicationId}")
+        tmp.mkdirs()
+        tmp.deleteOnExit()
+        (0 until 20).foreach { i =>
+          val f = new java.io.File(tmp, f"f$i%02d.bin")
+          f.deleteOnExit()
+          java.nio.file.Files.write(f.toPath,
+            (s"blob-$i:" + "x" * (i * 7 % 50)).getBytes("UTF-8"))
+        }
+        s.read.format("binaryFile").load(tmp.getAbsolutePath)
+          .select(
+            regexp_extract(col("path"), "f([0-9]+)\\.bin$", 1)
+              .cast("long").as("file_id"),
+            col("length"),
+            md5(col("content")).as("content_md5"))
+          .orderBy("file_id")
+      },
+      Some("""WITH f AS (SELECT unnest(range(20)) AS file_id),
+             |c AS (SELECT file_id,
+             |        'blob-' || file_id || ':' || repeat('x', (file_id * 7) % 50) AS content
+             |      FROM f)
+             |SELECT CAST(file_id AS BIGINT) AS file_id,
+             |       CAST(length(content) AS BIGINT) AS length,
+             |       md5(content) AS content_md5
+             |FROM c ORDER BY file_id""".stripMargin)),
+
     // aHash per media blob (exact groupBy = image exact-dedup; the hash
     // also feeds the hamming-blocked near-dup join). Rows-only at sf
     // scale (the stub's JVM hash is not SQL-expressible); the golden
