@@ -67,6 +67,18 @@ class FusionSpec extends SparkTestBase {
     assert(run(lex, den) == run(lex.repartition(7), den.orderBy(col("doc_id").desc)))
   }
 
+  test("three legs fuse with three rank columns and a three-term sum") {
+    val third = Seq((1L, 30L, 1L), (1L, 50L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Fusion.rrf(Seq("lex" -> lex, "dense" -> den, "phrase" -> third), k = 10)
+    assert(got.columns.toSeq ==
+      Seq("query_id", "rk", "doc_id", "rrf", "lex_rank", "dense_rank", "phrase_rank"))
+    val byDoc = got.collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    // doc 30 now carries all three legs: 1/63 + 1/63 + 1/61
+    assert(byDoc(30L) == 1.0 / 63 + 1.0 / 63 + 1.0 / 61, s"got $byDoc")
+    // doc 50 exists only in the third leg
+    assert(byDoc(50L) == 0.0 + 0.0 + 1.0 / 62, s"got $byDoc")
+  }
+
   test("duplicate leg names are rejected") {
     intercept[IllegalArgumentException] {
       Fusion.rrf(Seq("x" -> lex, "x" -> den), k = 5)
