@@ -3356,6 +3356,103 @@ object TrainingData {
           |FROM rked WHERE rk <= 8 ORDER BY query_id, rk""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T38 — the corpus REPORT capstone (t18b's composed-oracle pattern
+    // for the diagnostics family): one per-source dataset-card row
+    // joining doc/token counts, KL drift vs the pool (t36), per-language
+    // perplexity-band memberships rolled up by source (t32), and the
+    // corpus-level Zipf slope + vocabulary size (t33/t34 machinery) —
+    // every number exactly the one its standalone query reports, under
+    // ONE chained-CTE oracle.
+    Q(
+      "t38_corpus_report",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "lang", "source", "text")
+        val ce = NgramLm.crossEntropy(
+            d.select("doc_id", "text"),
+            d.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text"),
+            maxCrossEntropy = 3.4)
+          .filter(col("cross_entropy").isNotNull)
+          .select("doc_id", "cross_entropy")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("cross_entropy"), col("doc_id"))
+        val bands = d.select("doc_id", "lang", "source").join(ce, Seq("doc_id"))
+          .withColumn("b", ntile(3).over(w))
+          .groupBy("source")
+          .agg(
+            sum(when(col("b") === 1, 1L).otherwise(0L)).as("n_head"),
+            sum(when(col("b") === 2, 1L).otherwise(0L)).as("n_middle"),
+            sum(when(col("b") === 3, 1L).otherwise(0L)).as("n_tail"))
+        val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val kl = CorpusStats.sourceDivergence(d)
+        val corpus = CorpusStats.zipfFit(d, topN = 200)
+          .agg(min(col("slope")).as("zipf_slope"))
+          .crossJoin(
+            d.select(explode(TextFunctions.tokens(col("text"))).as("term"))
+              .agg(count_distinct(col("term")).as("vocab")))
+        counts
+          .join(kl, Seq("source"))
+          .join(bands, Seq("source"), "left_outer")
+          .crossJoin(broadcast(corpus))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("kl"),
+            coalesce(col("n_head"), lit(0L)).as("n_head"),
+            coalesce(col("n_middle"), lit(0L)).as("n_middle"),
+            coalesce(col("n_tail"), lit(0L)).as("n_tail"),
+            col("zipf_slope"), col("vocab"))
+          .orderBy("source")
+      },
+      Some(sqlPerplexityCtes +
+        """
+          |, ce AS (SELECT d.doc_id, d.lang, d.source,
+          |           -CAST(a.slp AS DOUBLE) / a.n_bigrams AS cross_entropy
+          |         FROM documents d JOIN agg a USING (doc_id)
+          |         WHERE d.text IS NOT NULL),
+          |nt AS (SELECT doc_id, source,
+          |         ntile(3) OVER (PARTITION BY lang
+          |           ORDER BY cross_entropy, doc_id) AS b FROM ce),
+          |bands AS (SELECT source,
+          |            CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+          |            CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+          |            CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+          |          FROM nt GROUP BY 1),
+          |cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+          |tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+          |        FROM documents),
+          |cst AS (SELECT source, term, count(*) AS c_st FROM tok GROUP BY 1, 2),
+          |ct AS (SELECT term, count(*) AS c_t FROM tok GROUP BY 1),
+          |ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+          |nn AS (SELECT count(*) AS n FROM tok),
+          |contrib AS (SELECT cst.source, ns.n_s,
+          |    CAST(cst.c_st AS DECIMAL(12,0)) *
+          |    (CAST(ln(cst.c_st) AS DECIMAL(12,6)) - CAST(ln(ns.n_s) AS DECIMAL(12,6))
+          |     - CAST(ln(ct.c_t) AS DECIMAL(12,6)) + CAST(ln(nn.n) AS DECIMAL(12,6))) AS w
+          |  FROM cst JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN nn),
+          |kl AS (SELECT source, n_s AS n_tokens,
+          |         CAST(sum(w) AS DOUBLE) / n_s AS kl
+          |       FROM contrib GROUP BY source, n_s),
+          |ztf AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1),
+          |zrk AS (SELECT term, freq,
+          |          row_number() OVER (ORDER BY freq DESC, term) AS rank FROM ztf),
+          |ztop AS (SELECT CAST(ln(rank) AS DECIMAL(8,6)) AS x,
+          |           CAST(ln(freq) AS DECIMAL(8,6)) AS y
+          |         FROM zrk WHERE rank <= 200),
+          |zsm AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+          |          CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+          |          CAST(sum(x*y) AS DOUBLE) AS sxy, CAST(sum(x*x) AS DOUBLE) AS sxx
+          |        FROM ztop),
+          |corpus AS (SELECT (n*sxy - sx*sy) / (n*sxx - sx*sx) AS zipf_slope,
+          |             (SELECT count(*) FROM ct) AS vocab
+          |           FROM zsm)
+          |SELECT cnt.source, cnt.n_docs, kl.n_tokens, kl.kl,
+          |       coalesce(bands.n_head, 0) AS n_head,
+          |       coalesce(bands.n_middle, 0) AS n_middle,
+          |       coalesce(bands.n_tail, 0) AS n_tail,
+          |       corpus.zipf_slope, corpus.vocab
+          |FROM cnt JOIN kl USING (source)
+          |LEFT JOIN bands USING (source)
+          |CROSS JOIN corpus
+          |ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // E19 — Matryoshka prefix-dimension retrieval (Kusupati et al. 2022):
     // coarse cosine over the FIRST 16 of 64 dims (an MRL embedding
     // front-loads information — the prefix scan costs 4x less IO/flops),

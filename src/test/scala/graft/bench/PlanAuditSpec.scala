@@ -78,6 +78,9 @@ class PlanAuditSpec extends SparkTestBase {
     "t31_hybrid_rrf",
     // t20's one-row vocabulary-size side (the scoring pass is shared)
     "t32_perplexity_buckets",
+    // the report capstone: t20's one-row V side + the ONE-ROW corpus
+    // (zipf_slope, vocab) side joined onto every per-source row
+    "t38_corpus_report",
     // the ONE-ROW regression-sums side repeated onto the 200 fit rows
     "t33_zipf_fit",
     // the ONE-ROW (max doc id + 1) denominator of the decile math
