@@ -3453,6 +3453,45 @@ object TrainingData {
           |ORDER BY source""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T39 — the ST10 drift monitor's oracled batch face (the e14/c23
+    // contract: the streaming gauge and the batch query share ALL code):
+    // bucketed KL of the whole corpus against the frozen src0/src1
+    // profile, add-one smoothed over the fixed 64-bucket support. The
+    // hashBucket md5 mirror is c23's; the four-integer-ln decomposition
+    // is t36's; one row out.
+    Q(
+      "t39_drift_kl",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val profile = CorpusStats.bucketProfile(
+          docs.filter(col("source").isin("src0", "src1")),
+          buckets = 64, salt = "drift")
+        CorpusStats.klDrift(docs, profile, buckets = 64, salt = "drift")
+      },
+      Some("""WITH tok AS (SELECT source,
+             |         CAST('0x' || substr(md5('drift' || term), 1, 8) AS BIGINT) % 64 AS b
+             |       FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+             |             FROM documents WHERE text IS NOT NULL)),
+             |cur AS (SELECT b, count(*) AS c FROM tok GROUP BY 1),
+             |ref AS (SELECT b, count(*) AS cr FROM tok
+             |        WHERE source IN ('src0', 'src1') GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM tok),
+             |nr AS (SELECT count(*) AS nr FROM tok
+             |       WHERE source IN ('src0', 'src1')),
+             |sp AS (SELECT unnest(range(64)) AS b),
+             |w AS (SELECT n.n,
+             |        CAST(coalesce(cur.c, 0) + 1 AS DECIMAL(12,0)) *
+             |        (CAST(ln(coalesce(cur.c, 0) + 1) AS DECIMAL(12,6))
+             |         + CAST(ln(nr.nr + 64) AS DECIMAL(12,6))
+             |         - CAST(ln(coalesce(ref.cr, 0) + 1) AS DECIMAL(12,6))
+             |         - CAST(ln(n.n + 64) AS DECIMAL(12,6))) AS w
+             |      FROM sp LEFT JOIN cur USING (b) LEFT JOIN ref USING (b)
+             |      CROSS JOIN n CROSS JOIN nr)
+             |SELECT CAST(n AS BIGINT) AS n_tokens,
+             |       CAST(sum(w) AS DOUBLE) / (n + 64) AS kl
+             |FROM w GROUP BY n""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // E19 — Matryoshka prefix-dimension retrieval (Kusupati et al. 2022):
     // coarse cosine over the FIRST 16 of 64 dims (an MRL embedding
     // front-loads information — the prefix scan costs 4x less IO/flops),

@@ -479,4 +479,43 @@ object CorpusIngest {
   def readDsirGated(spark: SparkSession, historyDir: String): DataFrame =
     spark.read.schema("doc_id LONG, text STRING, log_w DOUBLE")
       .parquet(historyDir + "/batch=*")
+
+  // -------------------------------------------------------------------
+  // ST10 — streaming distribution-drift monitor: every micro-batch's
+  // bucketed KL divergence against a FROZEN reference profile
+  // ([[graft.text.CorpusStats.bucketProfile]], trained once offline) is
+  // appended to a metrics table — the alarm that catches a crawl gone
+  // templated/broken while it is still one batch old. State is STATIC
+  // (the B-row profile broadcast); per batch the only corpus-sized work
+  // is one token explode. The batch face IS
+  // [[graft.text.CorpusStats.klDrift]], so the monitor and any oracled
+  // batch analysis can never diverge.
+
+  /** One micro-batch through the drift monitor: (batch_id, n_tokens, kl)
+    * written to `metricsDir/batch=<batchId>`. Replay-idempotent: the dir
+    * overwrite depends only on the batch content and the frozen profile.
+    */
+  def ingestBatchDriftMonitor(
+      batch: DataFrame, refProfile: DataFrame, metricsDir: String,
+      batchId: Long, buckets: Int, salt: String): Unit =
+    graft.text.CorpusStats.klDrift(batch, refProfile, buckets, salt)
+      .withColumn("batch_id", lit(batchId))
+      .select("batch_id", "n_tokens", "kl")
+      .write.mode("overwrite")
+      .parquet(s"$metricsDir/batch=$batchId")
+
+  def startDriftMonitor(
+      docs: DataFrame, refProfile: DataFrame, metricsDir: String,
+      checkpointDir: String, buckets: Int, salt: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchDriftMonitor(batch, refProfile, metricsDir, batchId,
+          buckets, salt)
+      }
+      .start()
+
+  def readDriftMetrics(spark: SparkSession, metricsDir: String): DataFrame =
+    spark.read.schema("batch_id LONG, n_tokens LONG, kl DOUBLE")
+      .parquet(metricsDir + "/batch=*")
 }

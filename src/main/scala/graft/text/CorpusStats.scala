@@ -138,4 +138,68 @@ object CorpusStats {
         (col("__sw").cast("double") / col("n_s")).as("kl"))
       .orderBy("source")
   }
+
+  /** Frozen reference profile for [[klDrift]]: (bucket, cnt) unigram
+    * counts over md5 hash buckets. Train once on the reference corpus,
+    * store the B-row table with the index — scoring any future corpus
+    * (or micro-batch) against it is one pass + one broadcast join.
+    */
+  def bucketProfile(
+      docs: DataFrame,
+      buckets: Int,
+      salt: String,
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .select(graft.curation.Curation
+        .hashBucket(col("term"), buckets, salt).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Bucketed-profile KL drift — the streaming-safe form of
+    * [[sourceDivergence]]: KL(P_docs ‖ P_ref) over the FIXED B-bucket
+    * support with add-one smoothing (finite even for tiny or disjoint
+    * batches), where the reference side is a frozen [[bucketProfile]].
+    * ONE row out: (n_tokens, kl).
+    *
+    * Exactness (the t36 contract): p_b/q_b =
+    * (c_b+1)(N_ref+B) / ((c_ref_b+1)(N+B)) decomposes into four INTEGER
+    * lns on the DECIMAL(12,6) grid; each bucket contributes
+    * (c_b+1)·(ln(c_b+1) + ln(N_ref+B) − ln(c_ref_b+1) − ln(N+B)), the
+    * B-row sum is exact decimal, and the single /(N+B) happens once in
+    * double — repartition-deterministic. The spine/profile joins are
+    * B-row (tiny); the only corpus-sized work is the token explode.
+    */
+  def klDrift(
+      docs: DataFrame,
+      refProfile: DataFrame,
+      buckets: Int,
+      salt: String,
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def lnDec(x: Column): Column = log(x).cast("decimal(12,6)")
+    val spark = docs.sparkSession
+    val cur = bucketProfile(docs, buckets, salt, textCol)
+    val nRow = cur.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+    val nrRow = refProfile.agg(coalesce(sum(col("cnt")), lit(0L)).as("nr"))
+    val spine = spark.range(buckets).select(col("id").as("bucket"))
+    spine
+      .join(cur, Seq("bucket"), "left_outer")
+      .join(refProfile.select(col("bucket").cast("long").as("bucket"),
+        col("cnt").as("__cr")), Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(nRow))
+      .crossJoin(broadcast(nrRow))
+      .select(col("n"),
+        ((coalesce(col("cnt"), lit(0L)) + 1).cast("decimal(12,0)") *
+          (lnDec(coalesce(col("cnt"), lit(0L)) + 1) +
+            lnDec(col("nr") + buckets) -
+            lnDec(coalesce(col("__cr"), lit(0L)) + 1) -
+            lnDec(col("n") + buckets))).as("__w"))
+      .groupBy("n")
+      .agg(sum(col("__w")).as("__sw"))
+      .select(
+        col("n").as("n_tokens"),
+        (col("__sw").cast("double") / (col("n") + buckets)).as("kl"))
+  }
 }

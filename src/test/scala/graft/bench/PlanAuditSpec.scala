@@ -81,6 +81,8 @@ class PlanAuditSpec extends SparkTestBase {
     // the report capstone: t20's one-row V side + the ONE-ROW corpus
     // (zipf_slope, vocab) side joined onto every per-source row
     "t38_corpus_report",
+    // the two ONE-ROW token totals (N, N_ref) of the smoothed KL rewrite
+    "t39_drift_kl",
     // the ONE-ROW regression-sums side repeated onto the 200 fit rows
     "t33_zipf_fit",
     // the ONE-ROW (max doc id + 1) denominator of the decile math

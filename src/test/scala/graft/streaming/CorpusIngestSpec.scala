@@ -304,4 +304,63 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(after == Seq(100L, 102L), s"replay must not double or drop: $after")
     lambdas.unpersist()
   }
+
+  test("drift monitor (ST10): matching batches sit low, an alien batch spikes; scores match the batch face") {
+    import graft.text.CorpusStats
+    val reference = (1L to 40L)
+      .map(i => (i, (0 to 9).map(j => s"ref${(i + j) % 25}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val profile = CorpusStats.bucketProfile(reference, buckets = 64, salt = "dm")
+      .cache() // the frozen model: trained once, reused per batch
+    val metrics = tmp("drift-metrics")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusIngest.startDriftMonitor(
+      mem.toDF.toDF("doc_id", "text"), profile, metrics, tmp("drift-ckpt"),
+      buckets = 64, salt = "dm")
+    val likeBatch = (100L to 119L)
+      .map(i => (i, (0 to 9).map(j => s"ref${(i + j) % 25}").mkString(" ")))
+    val alienBatch = (200L to 219L)
+      .map(i => (i, (0 to 9).map(j => s"alien${(i + j) % 25}").mkString(" ")))
+    mem.addData(likeBatch: _*)
+    q.processAllAvailable()
+    mem.addData(alienBatch: _*)
+    q.processAllAvailable()
+    q.stop()
+    val kls = CorpusIngest.readDriftMetrics(spark, metrics)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(kls.keySet == Set(0L, 1L), s"one metrics row per batch: $kls")
+    assert(kls(0L)._1 == 200L && kls(1L)._1 == 200L, s"token counts: $kls")
+    assert(kls(1L)._2 > kls(0L)._2 + 1.0,
+      s"the alien batch must spike the gauge: $kls")
+    // the monitor's number IS klDrift's (gate == batch face, bit-exact)
+    val direct = CorpusStats.klDrift(likeBatch.toDF("doc_id", "text"),
+      profile, buckets = 64, salt = "dm").head().getDouble(1)
+    assert(kls(0L)._2 == direct, "monitor kl == batch-face kl, bit-exact")
+    // replay: re-running batch 0 rewrites its dir, never doubles
+    CorpusIngest.ingestBatchDriftMonitor(likeBatch.toDF("doc_id", "text"),
+      profile, metrics, batchId = 0L, buckets = 64, salt = "dm")
+    assert(CorpusIngest.readDriftMetrics(spark, metrics).count() == 2L)
+    profile.unpersist()
+  }
+
+  test("klDrift is exactly repartition-stable and finite on empty input") {
+    import graft.text.CorpusStats
+    val reference = (1L to 30L)
+      .map(i => (i, (0 to 7).map(j => s"w${(i * 3 + j) % 20}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val profile = CorpusStats.bucketProfile(reference, buckets = 32, salt = "kd")
+    val batch = (50L to 79L)
+      .map(i => (i, (0 to 5).map(j => s"w${(i + j) % 26}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.klDrift(d, profile, buckets = 32, salt = "kd")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run(batch) == run(batch.repartition(7)))
+    // Gibbs up to the decimal grid
+    assert(run(batch).head._2 >= -1e-4)
+    // an empty batch is pure smoothing mass: finite, well-defined
+    val empty = run(batch.filter($"doc_id" < 0))
+    assert(empty.head._1 == 0L && !empty.head._2.isNaN && !empty.head._2.isInfinite)
+  }
 }
