@@ -1023,6 +1023,39 @@ object RelationalExtended {
              |FROM grps GROUP BY grp ORDER BY gap_start""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Q55 — event-transition (Markov) matrix: per user, each event's
+    // successor by (ts, event_id) order, rolled into from→to counts and
+    // row-normalized probabilities — the navigation/behavior model next
+    // to the funnel (q45) and retention (q46) views. The per-user lead()
+    // partitions by user (no global window); the probability divides two
+    // integers on the bounded |types|² matrix.
+    Q(
+      "q55_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val t = Tables.events(s, dir)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        t.withColumn("prob",
+            col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy("from_type")))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS next_type
+             |       FROM events),
+             |t AS (SELECT event_type AS from_type, next_type AS to_type,
+             |             count(*) AS n
+             |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS prob
+             |FROM t ORDER BY from_type, to_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Q54 — XML source roundtrip (Spark 4 native `xml` datasource — the
     // fourth interchange format after CSV/JSON/ORC): write a nation
     // projection as XML rows, read it back under an explicit schema, and
