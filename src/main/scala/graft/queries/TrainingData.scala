@@ -1181,6 +1181,44 @@ object TrainingData {
              |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // E20 — contrastive triplets (anchor, hardest same-label positive,
+    // hardest cross-label negative) with the margin — the export a
+    // triplet/InfoNCE trainer consumes; e12 ∘ e16 at k=1, one row per
+    // anchor. Fully oracled like both parents.
+    Q(
+      "e20_contrastive_triplets",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.contrastiveTriplets(emb.filter(col("vec_id") < 16), emb)
+          .orderBy("anchor_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS anchor_id, label,
+             |                  CAST(embedding AS DOUBLE[]) AS qv
+             |           FROM embeddings WHERE vec_id < 16),
+             |c AS (SELECT vec_id AS nid, label AS c_label,
+             |             CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             |sc AS (SELECT anchor_id, q.label, nid, c_label,
+             |         list_dot_product(qv, cv) /
+             |         (sqrt(list_dot_product(qv, qv)) *
+             |          sqrt(list_dot_product(cv, cv))) AS cosine
+             |       FROM c, q WHERE nid <> anchor_id),
+             |pos AS (SELECT anchor_id, label, nid AS pos_id,
+             |          cosine AS pos_cosine FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY anchor_id
+             |            ORDER BY cosine DESC, nid) AS rk
+             |          FROM sc WHERE c_label = label) WHERE rk = 1),
+             |neg AS (SELECT anchor_id, nid AS neg_id, c_label AS neg_label,
+             |          cosine AS neg_cosine FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY anchor_id
+             |            ORDER BY cosine DESC, nid) AS rk
+             |          FROM sc WHERE c_label <> label) WHERE rk = 1)
+             |SELECT p.anchor_id, p.label, p.pos_id, p.pos_cosine,
+             |       n.neg_id, n.neg_label, n.neg_cosine,
+             |       p.pos_cosine - n.neg_cosine AS margin
+             |FROM pos p JOIN neg n USING (anchor_id)
+             |ORDER BY anchor_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T1 — heuristic language ID histogram (stopword-hit argmax).
     Q(
       "t1_lang_id",

@@ -124,6 +124,30 @@ object Similarity {
     topKPerQuery(cand, k, extra = filterCols)
   }
 
+  /** Contrastive-training triplets: for each anchor, its hardest POSITIVE
+    * (highest-cosine same-label neighbor, [[filteredTopK]] k=1) and its
+    * hardest NEGATIVE (highest-cosine cross-label neighbor,
+    * [[hardNegatives]] k=1), with the margin — the (anchor, positive,
+    * negative) rows a triplet/InfoNCE trainer actually consumes, and the
+    * margin histogram is the curriculum signal (small or negative margin
+    * = the informative triplets). Anchors whose label has no second
+    * member emit no triplet (inner join) — there is nothing to contrast.
+    */
+  def contrastiveTriplets(
+      anchors: DataFrame, corpus: DataFrame, labelCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pos = filteredTopK(anchors, corpus, k = 1, filterCols = Seq(labelCol),
+        idCol, vecCol)
+      .select(col("query_id").as("anchor_id"), col(labelCol).as("label"),
+        col("neighbor_id").as("pos_id"), col("cosine").as("pos_cosine"))
+    val neg = hardNegatives(anchors, corpus, k = 1, labelCol, idCol, vecCol)
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("neg_id"), col("neg_label"),
+        col("cosine").as("neg_cosine"))
+    pos.join(neg, Seq("anchor_id"))
+      .withColumn("margin", col("pos_cosine") - col("neg_cosine"))
+  }
+
   /** Hard-negative mining for contrastive training: each query's top-k
     * most-similar corpus rows with a DIFFERENT label — the "hardest"
     * negatives are the highest-cosine wrong-label neighbors. The exact

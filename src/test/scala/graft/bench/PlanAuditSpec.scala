@@ -66,6 +66,8 @@ class PlanAuditSpec extends SparkTestBase {
     // equi-join key — the filter runs before the bounded-heap TopK)
     "e15_mmr_rerank",
     "e16_hard_negatives",
+    // the triplet export composes e16's cross-label broadcast pair loop
+    "e20_contrastive_triplets",
     // ONE-ROW packed eval set (the whole point: a map-side screen with
     // no shuffle and no per-pair join rows)
     "c22_semantic_decontaminate",

@@ -727,6 +727,33 @@ class SimilaritySpec extends SparkTestBase {
       s"recall too low for a 20-wide shortlist on front-loaded vectors: $hits/${exact.size}")
   }
 
+  test("contrastive triplets: hardest pos/neg per anchor; singleton labels emit none") {
+    import spark.implicits._
+    // label A: three colinear-ish vectors; label B: one opposite; label C: singleton
+    def v(a: Double, b: Double) = Array(a.toFloat, b.toFloat, 0f, 0f)
+    val vecs = Seq(
+      (1L, v(1, 0), 0), (2L, v(1, 0.1), 0), (3L, v(0.9, 0.2), 0),
+      (4L, v(1, 0.05), 1), // label B sits closest to the A cluster
+      (5L, v(-1, 0), 2) // singleton label C
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.contrastiveTriplets(vecs, vecs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4), r.getDouble(3),
+        r.getDouble(6), r.getDouble(7))).toMap
+    // anchor 1: hardest positive is 2 (closest same-label), hardest
+    // negative is 4 (the near-miss cross-label, NOT the far-away 5)
+    assert(got(1L)._1 == 2L && got(1L)._2 == 4L, s"got $got")
+    // singleton label 5 has no positive -> no triplet row
+    assert(!got.contains(5L), s"singleton label must emit no triplet: $got")
+    // margin is exactly the difference of the two cosines
+    got.values.foreach { case (_, _, pc, nc, m) => assert(m == pc - nc) }
+    // every triplet's negative label differs from the anchor label
+    val labels = Similarity.contrastiveTriplets(vecs, vecs)
+      .select("label", "neg_label").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    labels.foreach { case (l, nl) => assert(l != nl) }
+  }
+
   test("hamming family is repartition-stable") {
     val qs = emb.filter(col("vec_id") < 3)
     def run(c: org.apache.spark.sql.DataFrame) =
