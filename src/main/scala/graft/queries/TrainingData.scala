@@ -1219,6 +1219,86 @@ object TrainingData {
              |ORDER BY anchor_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // D15 — duplication-rate report by source: per source, the exact-dup
+    // rate (1 − distinct texts / docs) and the count of docs whose text
+    // ALSO appears in another source — the cross-source duplication
+    // signal that flags licensing/contamination risk before training.
+    // One md5 per doc, three map-side-combined rollups — never a pair
+    // join (this is the REPORT face; d1 is the collapse).
+    Q(
+      "d15_dup_rate_by_source",
+      (s, dir) => {
+        val h = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("source"), md5(col("text")).as("h"))
+        val stats = h.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("h")).as("n_distinct"))
+        val multiSrc = h.groupBy("h")
+          .agg(count_distinct(col("source")).as("__ns"))
+          .filter(col("__ns") > 1)
+          .select("h")
+        val cross = h.join(multiSrc, Seq("h"))
+          .groupBy("source").agg(count(lit(1)).as("n_cross_source"))
+        stats.join(cross, Seq("source"), "left_outer")
+          .select(col("source"), col("n_docs"), col("n_distinct"),
+            ((col("n_docs") - col("n_distinct")).cast("double") /
+              col("n_docs")).as("dup_rate"),
+            coalesce(col("n_cross_source"), lit(0L)).as("n_cross_source"))
+          .orderBy("source")
+      },
+      Some("""WITH h AS (SELECT source, md5(text) AS h FROM documents
+             |           WHERE text IS NOT NULL),
+             |stats AS (SELECT source, count(*) AS n_docs,
+             |                 count(DISTINCT h) AS n_distinct
+             |          FROM h GROUP BY 1),
+             |multi AS (SELECT h FROM (
+             |            SELECT h, count(DISTINCT source) AS ns
+             |            FROM h GROUP BY 1) WHERE ns > 1),
+             |xs AS (SELECT source, count(*) AS n_cross_source
+             |       FROM h JOIN multi USING (h) GROUP BY 1)
+             |SELECT s.source, s.n_docs, s.n_distinct,
+             |       CAST(s.n_docs - s.n_distinct AS DOUBLE) / s.n_docs AS dup_rate,
+             |       CAST(coalesce(c.n_cross_source, 0) AS BIGINT) AS n_cross_source
+             |FROM stats s LEFT JOIN xs c USING (source)
+             |ORDER BY s.source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T40 — keyword-in-context (KWIC) concordance for 'vector': every
+    // occurrence with its ±3-token context — the corpus-inspection view
+    // a curation analyst actually reads when a filter misfires. Shape:
+    // the t30b posexplode + a slice projection against the kept token
+    // array; context assembly is row-local.
+    Q(
+      "t40_concordance",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .filter(col("text").contains("vector"))
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+        toks
+          .select(col("doc_id"), col("w"),
+            posexplode(col("w")).as(Seq("p", "t")))
+          .filter(col("t") === "vector")
+          .select(
+            col("doc_id"), col("p").cast("long").as("pos"),
+            concat_ws(" ", slice(col("w"),
+              greatest(col("p") - 3, lit(0)) + 1,
+              col("p") - greatest(col("p") - 3, lit(0)))).as("left_ctx"),
+            concat_ws(" ", slice(col("w"), col("p") + 2, lit(3))).as("right_ctx"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+             |              FROM documents WHERE contains(text, 'vector')),
+             |p AS (SELECT doc_id, w, i AS pos FROM (
+             |        SELECT doc_id, w, unnest(range(len(w))) AS i FROM toks)
+             |      WHERE w[i+1] = 'vector')
+             |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             |       coalesce(array_to_string(w[greatest(pos - 3, 0) + 1 : pos], ' '),
+             |                '') AS left_ctx,
+             |       coalesce(array_to_string(w[pos + 2 : pos + 4], ' '), '') AS right_ctx
+             |FROM p ORDER BY doc_id, pos""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T1 — heuristic language ID histogram (stopword-hit argmax).
     Q(
       "t1_lang_id",
