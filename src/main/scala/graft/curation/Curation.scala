@@ -844,6 +844,56 @@ object Curation {
         col("cum_tokens"), col("phase"))
   }
 
+  /** Water-filling mixture allocation: split a token `budget` across
+    * sources proportionally to weight, capped by each source's
+    * availability, redistributing freed budget to unsaturated sources
+    * round by round — the PLANNING face of the mixture samplers (before
+    * c2/c9 execute a mix, someone must decide how many tokens each
+    * source can actually contribute when targets exceed availability).
+    *
+    * Per round: share_i = (remaining · w_i) div Σ_{unsat} w_j (integer
+    * floor — both engines agree exactly; at most Σw leftover tokens per
+    * round stay pending), grant_i = min(share_i, remaining capacity).
+    * Grants are monotone and remaining is non-increasing, so a fixed
+    * `rounds` unroll is exact (the g4/g6 pinned-round pattern a SQL
+    * mirror can reproduce); 3 rounds settle typical skews. All math is
+    * integer — hash-exact by construction. Everything is plan-side (the
+    * one-row remaining/weight-sum tables are broadcast, never collected).
+    */
+  def waterfillAllocation(
+      sources: DataFrame,
+      budget: DataFrame,
+      rounds: Int = 3,
+      sourceCol: String = "source",
+      availCol: String = "avail",
+      weightCol: String = "w"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var cur = sources.select(col(sourceCol).as("source"),
+        col(availCol).cast("long").as("avail"),
+        col(weightCol).cast("long").as("w"))
+      .withColumn("alloc", lit(0L))
+    var rem = budget.select(col("budget").cast("long").as("__r"))
+    (1 to rounds).foreach { _ =>
+      val wsum = cur.filter(col("alloc") < col("avail"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("__ws"))
+      val granted = cur
+        .crossJoin(broadcast(rem)).crossJoin(broadcast(wsum))
+        .withColumn("__need", col("avail") - col("alloc"))
+        .withColumn("__grant",
+          least(
+            when(col("__need") > 0 && col("__ws") > 0,
+              expr("__r * w div __ws")).otherwise(lit(0L)),
+            col("__need")))
+      rem = granted.agg(
+        (min(col("__r")) - coalesce(sum(col("__grant")), lit(0L))).as("__r"))
+      cur = granted.select(col("source"), col("avail"), col("w"),
+        (col("alloc") + col("__grant")).as("alloc"))
+    }
+    cur
+      .withColumn("saturated", col("alloc") === col("avail"))
+      .select("source", "avail", "w", "alloc", "saturated")
+  }
+
   // -------------------------------------------------------------------
   // PII scrubbing: ASCII-only patterns chosen to mean the same thing in
   // Java regex (Spark) and RE2 (DuckDB oracle). Order matters: emails are

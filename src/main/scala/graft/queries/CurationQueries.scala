@@ -423,6 +423,56 @@ object CurationQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // C26 — water-filling mixture allocation (the PLANNING face of the
+    // mixture samplers): 40% of the corpus's tokens split uniformly
+    // across the 20 sources, availability-capped, with freed budget
+    // redistributed over 3 pinned rounds (the g4/g6 fixed-round pattern
+    // — integer floor shares, so both engines agree bit-for-bit). Small
+    // sources saturate; the slack flows to the big ones.
+    Q(
+      "c26_mixture_waterfill",
+      (s, dir) => {
+        val av = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("source"),
+            size(TextFunctions.tokens(col("text"))).cast("long").as("__t"))
+          .groupBy("source").agg(sum(col("__t")).as("avail"))
+          .withColumn("w", lit(1L))
+        val budget = av.agg(expr("sum(avail) * 2 div 5").as("budget"))
+        Curation.waterfillAllocation(av, budget, rounds = 3)
+          .orderBy("source")
+      },
+      Some("""WITH av AS (SELECT source,
+             |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+             |       FROM documents WHERE text IS NOT NULL GROUP BY 1),
+             |b AS (SELECT (sum(avail) * 2) // 5 AS r FROM av),
+             |u1 AS (SELECT count(*) AS ws FROM av WHERE avail > 0),
+             |a1 AS (SELECT source, avail,
+             |         least(CASE WHEN avail > 0 AND ws > 0
+             |                    THEN (r * 1) // ws ELSE 0 END, avail) AS alloc
+             |       FROM av CROSS JOIN b CROSS JOIN u1),
+             |r1 AS (SELECT b.r - (SELECT sum(alloc) FROM a1) AS r FROM b),
+             |u2 AS (SELECT count(*) AS ws FROM a1 WHERE alloc < avail),
+             |a2 AS (SELECT source, avail, alloc +
+             |         least(CASE WHEN avail - alloc > 0 AND ws > 0
+             |                    THEN (r * 1) // ws ELSE 0 END,
+             |               avail - alloc) AS alloc
+             |       FROM a1 CROSS JOIN r1 CROSS JOIN u2),
+             |r2 AS (SELECT r1.r - (SELECT sum(a2.alloc - a1.alloc)
+             |                      FROM a2 JOIN a1 USING (source)) AS r
+             |       FROM r1),
+             |u3 AS (SELECT count(*) AS ws FROM a2 WHERE alloc < avail),
+             |a3 AS (SELECT source, avail, alloc +
+             |         least(CASE WHEN avail - alloc > 0 AND ws > 0
+             |                    THEN (r * 1) // ws ELSE 0 END,
+             |               avail - alloc) AS alloc
+             |       FROM a2 CROSS JOIN r2 CROSS JOIN u3)
+             |SELECT source, avail, CAST(1 AS BIGINT) AS w,
+             |       CAST(alloc AS BIGINT) AS alloc,
+             |       alloc = avail AS saturated
+             |FROM a3 ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // C2 — mixture weighting: each source down-sampled to its recipe rate
     // (0/25/50/75/100% across src0..src19), decided by the same
     // deterministic hash at 1/10000 resolution. Thresholds are integers on

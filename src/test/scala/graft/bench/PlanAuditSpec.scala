@@ -85,6 +85,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t38_corpus_report",
     // the two ONE-ROW token totals (N, N_ref) of the smoothed KL rewrite
     "t39_drift_kl",
+    // per round, the ONE-ROW remaining-budget and unsat-weight-sum sides
+    "c26_mixture_waterfill",
     // the ONE-ROW regression-sums side repeated onto the 200 fit rows
     "t33_zipf_fit",
     // the ONE-ROW (max doc id + 1) denominator of the decile math

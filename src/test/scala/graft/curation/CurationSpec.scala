@@ -479,6 +479,39 @@ class CurationSpec extends SparkTestBase {
       "per-doc sums must not depend on partial-aggregation order")
   }
 
+  test("waterfill: caps at availability, redistributes slack, respects weights") {
+    import spark.implicits._
+    // tiny source saturates at 100; its unused share flows to the others
+    val src = Seq(("a", 100L, 1L), ("b", 100000L, 1L), ("c", 100000L, 2L))
+      .toDF("source", "avail", "w")
+    val budget = Seq(40000L).toDF("budget")
+    val got = Curation.waterfillAllocation(src, budget, rounds = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got("a") == ((100L, true)), s"tiny source saturates: $got")
+    // round 1: shares 10000/10000/20000 -> a grants 100; 9900 slack
+    // redistributes 1:2 across b and c in round 2
+    assert(got("b")._1 == 10000L + 9900 / 3, s"got $got")
+    assert(got("c")._1 == 20000L + (9900 * 2) / 3, s"got $got")
+    val total = got.values.map(_._1).sum
+    assert(total <= 40000L, s"never over budget: $total")
+    assert(40000L - total <= 3, "leftover is only integer-floor dust")
+  }
+
+  test("waterfill: allocation is monotone in rounds and never exceeds avail") {
+    import spark.implicits._
+    val src = (0 until 8).map(i => (s"s$i", (i + 1) * 50L, 1L))
+      .toDF("source", "avail", "w")
+    val budget = Seq(2000L).toDF("budget")
+    def alloc(r: Int) = Curation.waterfillAllocation(src, budget, rounds = r)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    val r1 = alloc(1); val r3 = alloc(3); val r6 = alloc(6)
+    r1.foreach { case (s, a) => assert(a <= r3(s) && r3(s) <= r6(s)) }
+    val avail = src.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    r6.foreach { case (s, a) => assert(a <= avail(s)) }
+    // budget exceeds total availability (1800): everything saturates
+    assert(r6.values.sum == 1800L, s"got $r6")
+  }
+
   test("curriculumPhases: bucketed cumsum equals the single sorted prefix sum") {
     import spark.implicits._
     // scores spread across several floor(4*score) buckets; varying lengths
