@@ -1056,6 +1056,40 @@ object RelationalExtended {
              |FROM t ORDER BY from_type, to_type""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Q56 — incremental aggregate maintenance (materialized-view
+    // refresh): a per-customer order summary maintained across 5 delta
+    // batches by MERGING each delta's partial aggregates into the state
+    // (state ⊎ delta → re-aggregate) — the O(delta + |state|) refresh
+    // pattern, distinct from q12's last-write-wins row upsert. Counts
+    // and decimal sums are mergeable, so 5 incremental folds must equal
+    // one full recompute — which IS the oracle. At scale each fold
+    // shuffles only (key, partial) rows, never order lines.
+    Q(
+      "q56_incremental_aggregate",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        def partial(delta: org.apache.spark.sql.DataFrame) = delta
+          .groupBy("o_custkey")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("__tp"))
+        val state = (0 until 5)
+          .map(i => partial(orders.filter(col("o_orderkey") % 5 === i)))
+          .reduce { (acc, delta) =>
+            acc.unionByName(delta)
+              .groupBy("o_custkey")
+              .agg(sum(col("n_orders")).as("n_orders"), sum(col("__tp")).as("__tp"))
+          }
+        state
+          .select(col("o_custkey"), col("n_orders"),
+            col("__tp").cast("double").as("total_price"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Q54 — XML source roundtrip (Spark 4 native `xml` datasource — the
     // fourth interchange format after CSV/JSON/ORC): write a nation
     // projection as XML rows, read it back under an explicit schema, and
