@@ -821,8 +821,12 @@ object Curation {
       bucketScale: Double = 4.0): DataFrame = {
     require(phases >= 1, s"phases must be >= 1, got $phases")
     require(bucketScale > 0, s"bucketScale must be positive, got $bucketScale")
-    val base = df.select(col(idCol), col(scoreCol), col(tokensCol))
-      .withColumn("__b", floor(col(scoreCol) * bucketScale).cast("long"))
+    // base feeds three consumers (offsets rollup, total agg, the phased
+    // join) — persist or the caller's upstream scoring pipeline (c24: the
+    // whole bigram LM pass) re-executes per consumer.
+    val base = graft.util.CacheScope.persist(
+      df.select(col(idCol), col(scoreCol), col(tokensCol))
+        .withColumn("__b", floor(col(scoreCol) * bucketScale).cast("long")))
     val offW = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy("__b").agg(sum(col(tokensCol)).as("__bn"))
       .withColumn("__off", coalesce(sum(col("__bn")).over(offW), lit(0L)))

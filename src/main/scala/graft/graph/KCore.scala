@@ -45,6 +45,9 @@ object KCore {
       .scopedCheckpoint()
     var done = false
     var r = 0
+    // carried across rounds: last round's `after` IS this round's edge
+    // count — one count job per round, not two.
+    var before = e.count()
     val maxRounds = rounds.getOrElse(Int.MaxValue)
     while (!done && r < maxRounds) {
       val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
@@ -55,7 +58,7 @@ object KCore {
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
         .select("u", "v")
         .scopedCheckpoint()
-      val (before, after) = (e.count(), next.count())
+      val after = next.count()
       graft.util.CacheScope.releaseCheckpoint(e)
       e = next
       r += 1
@@ -63,6 +66,7 @@ object KCore {
       // (degrees only change via edge deletions), so stop — except under
       // pinned `rounds`, where the caller asked for exactly r peels.
       done = rounds.isEmpty && after == before
+      before = after
     }
     // Endpoints of the surviving edge set with their induced degrees. At
     // the fixpoint every degree is >= k by definition; under pinned

@@ -72,11 +72,13 @@ object TrainingData {
 
   /** e13's eval body: each approximate index leg scored against the exact
     * brute-force top-5 over the same queries. `trainedLegs = true` (the
-    * default) is the full six-leg pre-deployment eval — the Lloyd-trained
-    * IVF and the composed IVF-PQ+refine index a user would actually ship;
-    * `false` is the bench-session face: the four one-pass legs rank the
-    * index FAMILIES at a fraction of the cost, skipping training
-    * entirely. Both faces pinned by AnnRecallEvalSpec.
+    * default) is the full nine-leg pre-deployment eval — adding flat PQ,
+    * the Lloyd-trained IVF, and the composed IVF-PQ+refine index a user
+    * would actually ship; `false` is the bench-session face: the six
+    * one-pass legs (LSH, multiprobe, sample-IVF, SQ8, Hamming+rerank,
+    * Matryoshka+rerank) rank the index FAMILIES at a fraction of the
+    * cost, skipping training entirely. Both faces pinned by
+    * AnnRecallEvalSpec.
     */
   private[graft] def annRecallEval(
       s: SparkSession, dir: String, trainedLegs: Boolean = true): DataFrame = {
@@ -3320,19 +3322,21 @@ object TrainingData {
 
     // ------------------------------------------------------------------
     // E13 — ANN recall evaluation: every approximate index in the stack
-    // (LSH, multiprobe LSH, trained IVF, IVF-PQ) scored against the exact
-    // brute-force top-5 — the eval a deployment runs to pick its
-    // recall/cost point. Hash-seeded candidates ⇒ rows-only (one row per
-    // method); the recall ALGEBRA is spec-pinned (brute vs itself = 1.0,
-    // exhaustive-probe IVF = 1.0, multiprobe ⊇ single-bucket LSH).
+    // (LSH, multiprobe LSH, SQ8, Hamming+rerank, Matryoshka+rerank,
+    // trained IVF, IVF-PQ) scored against the exact brute-force top-5 —
+    // the eval a deployment runs to pick its recall/cost point.
+    // Hash-seeded candidates ⇒ rows-only (one row per method); the
+    // recall ALGEBRA is spec-pinned (brute vs itself = 1.0,
+    // exhaustive-probe IVF = 1.0, multiprobe ⊇ single-bucket LSH,
+    // SQ8 ≥ single-bucket LSH).
     //
-    // The SESSION face runs the four one-pass legs (trainedLegs = false):
-    // the Lloyd-trained legs are ~60% of the eval's wall-clock (one
+    // The SESSION face runs the six one-pass legs (trainedLegs = false):
+    // the Lloyd-trained legs are the bulk of the eval's wall-clock (one
     // training + assignment + residual-codebook + refine stack) and were
-    // the per-round bench's designed floor at ~6-7.5 s; the full six-leg
-    // eval stays [[annRecallEval]]'s DEFAULT, one call away for a
-    // pre-deployment run, and AnnRecallEvalSpec pins both faces (6 vs 4
-    // method rows, cheap ⊂ full) so the trained legs can't rot.
+    // the per-round bench's designed floor at ~6-7.5 s; the full
+    // nine-leg eval stays [[annRecallEval]]'s DEFAULT, one call away for
+    // a pre-deployment run, and AnnRecallEvalSpec pins both faces (9 vs
+    // 6 method rows, cheap ⊂ full) so the trained legs can't rot.
     Q(
       "e13_ann_recall",
       (s, dir) => annRecallEval(s, dir, trainedLegs = false)),

@@ -247,10 +247,12 @@ object Bm25 {
     * takes DISTINCT query terms, so text-level concatenation IS set
     * union, and both passes share one engine-exact scoring formula.
     *
-    * Scale shape: pass 1 is [[search]] (bounded top-k); the harvest
-    * joins the fbDocs·|queries| winners against the tf table (equi-join
-    * on doc id); pass 2 is [[search]] again over ≤ |q|+fbTerms terms per
-    * query. Two corpus-linear passes — the designed price of PRF.
+    * Scale shape: ONE posting-table (tf) build feeds everything — the
+    * pass-1 scoring, the harvest (an equi-join of the fbDocs·|queries|
+    * winners on doc id), and the pass-2 scoring ([[searchFromTf]]
+    * persists it; the df/dl/corpus rollups per pass are aggregates over
+    * the cached table, not corpus re-scans). One corpus-linear tokenize
+    * + two bounded scoring joins — the designed price of PRF.
     */
   def searchPrf(
       docs: DataFrame,
@@ -267,7 +269,7 @@ object Bm25 {
       .groupBy("id", "term")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val fb = search(docs, queries, fbDocs, idCol, textCol)
+    val fb = searchFromTf(tf, queries, fbDocs, idCol)
       .select(col("query_id"), col(idCol).as("id"))
     val qTerms = queries.select(col("query_id"),
       explode(TextFunctions.tokens(col("query_text"))).as("term")).distinct()
@@ -290,6 +292,6 @@ object Bm25 {
         when(col("__exp").isNull, col("query_text"))
           .otherwise(concat_ws(" ", col("query_text"), col("__exp")))
           .as("query_text"))
-    search(docs, expanded, k, idCol, textCol)
+    searchFromTf(tf, expanded, k, idCol)
   }
 }
