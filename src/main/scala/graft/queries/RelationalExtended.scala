@@ -1056,6 +1056,74 @@ object RelationalExtended {
              |FROM t ORDER BY from_type, to_type""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Q57 — referential-integrity audit: orphan counts for every FK
+    // relation in the star schema, one row per relation — the
+    // constraint check a lake runs because parquet won't (q38 gates
+    // values, q41 profiles columns; this audits the JOINS). Each
+    // relation is a left-anti join rolled to one row; the six tiny
+    // one-row sides union into the report.
+    Q(
+      "q57_fk_orphans",
+      (s, dir) => {
+        def audit(name: String, child: org.apache.spark.sql.DataFrame,
+            key: String, parent: org.apache.spark.sql.DataFrame,
+            pkey: String) = {
+          val n = child.agg(count(lit(1)).as("n_child"))
+          val o = child
+            .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          n.crossJoin(o).select(lit(name).as("relation"),
+            col("n_child"), col("n_orphans"))
+        }
+        val li = Tables.lineitem(s, dir)
+        Seq(
+          audit("customer->nation", Tables.customer(s, dir), "c_nationkey",
+            Tables.nation(s, dir), "n_nationkey"),
+          audit("lineitem->orders", li, "l_orderkey",
+            Tables.orders(s, dir), "o_orderkey"),
+          audit("lineitem->part", li, "l_partkey",
+            Tables.part(s, dir), "p_partkey"),
+          audit("lineitem->supplier", li, "l_suppkey",
+            Tables.supplier(s, dir), "s_suppkey"),
+          audit("nation->region", Tables.nation(s, dir), "n_regionkey",
+            Tables.region(s, dir), "r_regionkey"),
+          audit("orders->customer", Tables.orders(s, dir), "o_custkey",
+            Tables.customer(s, dir), "c_custkey"))
+          .reduce(_ unionByName _)
+          .orderBy("relation")
+      },
+      Some("""SELECT 'customer->nation' AS relation,
+             |       (SELECT count(*) FROM customer) AS n_child,
+             |       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+             |          (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+             |UNION ALL
+             |SELECT 'lineitem->orders',
+             |       (SELECT count(*) FROM lineitem),
+             |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             |UNION ALL
+             |SELECT 'lineitem->part',
+             |       (SELECT count(*) FROM lineitem),
+             |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |          (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+             |UNION ALL
+             |SELECT 'lineitem->supplier',
+             |       (SELECT count(*) FROM lineitem),
+             |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |          (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+             |UNION ALL
+             |SELECT 'nation->region',
+             |       (SELECT count(*) FROM nation),
+             |       (SELECT count(*) FROM nation n WHERE NOT EXISTS
+             |          (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+             |UNION ALL
+             |SELECT 'orders->customer',
+             |       (SELECT count(*) FROM orders),
+             |       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             |          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             |ORDER BY relation""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Q56 — incremental aggregate maintenance (materialized-view
     // refresh): a per-customer order summary maintained across 5 delta
     // batches by MERGING each delta's partial aggregates into the state

@@ -87,6 +87,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t39_drift_kl",
     // per round, the ONE-ROW remaining-budget and unsat-weight-sum sides
     "c26_mixture_waterfill",
+    // per relation, the ONE-ROW (n_child) x ONE-ROW (n_orphans) pairing
+    "q57_fk_orphans",
     // the ONE-ROW regression-sums side repeated onto the 200 fit rows
     "t33_zipf_fit",
     // the ONE-ROW (max doc id + 1) denominator of the decile math
