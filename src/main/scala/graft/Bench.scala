@@ -58,8 +58,14 @@ object Bench {
     // also persist the complete record as a file artifact: every per-query
     // number survives the round regardless of log retention.
     try {
-      val out = java.nio.file.Paths.get("target", "bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
+      // Anchored via SPARK_GRAFT_BENCH_OUT when the launcher's cwd is not
+      // the repo root (spark-submit from elsewhere would otherwise drop
+      // the artifact into a scratch dir and the round collector would
+      // silently find nothing).
+      val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse(java.nio.file.Paths.get("target", "bench.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out,
         fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }

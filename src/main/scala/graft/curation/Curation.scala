@@ -732,10 +732,12 @@ object Curation {
     def lnDec(x: Column): Column = log(x).cast("decimal(20,6)")
     val tgtTok = dsirBucketed(target, buckets, salt, idCol, textCol)
     val refTok = dsirBucketed(reference, buckets, salt, idCol, textCol)
-    val ct = tgtTok.groupBy("b").agg(count(lit(1)).as("ct"))
-    val cq = refTok.groupBy("b").agg(count(lit(1)).as("cq"))
-    val nt = tgtTok.agg(count(lit(1)).as("nt"))
-    val nq = refTok.agg(count(lit(1)).as("nq"))
+    val ct = graft.util.CacheScope.persist(tgtTok.groupBy("b").agg(count(lit(1)).as("ct")))
+    val cq = graft.util.CacheScope.persist(refTok.groupBy("b").agg(count(lit(1)).as("cq")))
+    // N = Σ bucket counts — a B-row aggregate over the tables just built,
+    // NOT a second corpus-sized tokenize+explode pass per side.
+    val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    val nq = cq.agg(coalesce(sum(col("cq")), lit(0L)).as("nq"))
     // Full outer: a bucket seen only in the target still gets a row — it
     // can't appear in a reference doc, but the symmetric form keeps the
     // table total either way (and scoring joins tolerate missing rows).

@@ -40,6 +40,13 @@ object RelationalExtended {
     * their warehouse directories persist; clear both or the second run
     * dies with LOCATION_ALREADY_EXISTS.
     */
+  /** Which (session, sfDir) the gate_b_* tables were last written for —
+    * q25b's reuse guard. Table existence alone is NOT enough: in a shared
+    * session a later call with a DIFFERENT sf dir would silently join the
+    * stale tables while its oracle reads the new dir's parquet.
+    */
+  private var bucketedGateFor: Option[(org.apache.spark.sql.SparkSession, String)] = None
+
   private def writeBucketedGateTables(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
@@ -54,6 +61,7 @@ object RelationalExtended {
     graft.etl.Load.writeBucketedTable(
       Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment"),
       "gate_b_customer", Seq("c_custkey"), 8, Seq("c_custkey"))
+    bucketedGateFor = Some((s, dir))
   }
 
   /** The co-located equi-join over the q25 catalog tables. */
@@ -390,8 +398,11 @@ object RelationalExtended {
     Q(
       "q25b_bucketed_join_read",
       (s, dir) => {
+        // rewrite when absent OR when written for a different session/sf
+        // dir — stale-table reuse would silently join the wrong dataset
         if (!s.catalog.tableExists("gate_b_orders") ||
-          !s.catalog.tableExists("gate_b_customer"))
+          !s.catalog.tableExists("gate_b_customer") ||
+          !bucketedGateFor.contains((s, dir)))
           writeBucketedGateTables(s, dir)
         bucketedGateJoin(s)
       },

@@ -53,10 +53,8 @@ object CharNgramLangId {
   private def docGrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .filter(col(textCol).isNotNull && length(col(textCol)) >= 2)
-      // split keeps ONE trailing empty element (limit -1) — drop it here,
-      // while the array is built, so the bigrams never see it.
       .select(col(idCol).as("id"),
-        filter(split(col(textCol), "(?!^)"), c => c =!= "").as("__chs"))
+        TextFunctions.chars(col(textCol)).as("__chs"))
       .select(col("id"), explode(charBigramsFromChars(col("__chs"))).as("gram"))
       .groupBy("id", "gram")
       .agg(count(lit(1)).as("c_doc"))
@@ -78,7 +76,7 @@ object CharNgramLangId {
         .filter(col(textCol).isNotNull && col(langCol).isNotNull &&
           length(col(textCol)) >= 2)
         .select(col(langCol).as("plang"),
-          filter(split(col(textCol), "(?!^)"), c => c =!= "").as("__chs"))
+          TextFunctions.chars(col(textCol)).as("__chs"))
         .select(col("plang"), explode(charBigramsFromChars(col("__chs"))).as("gram"))
         .groupBy("plang", "gram")
         .agg(count(lit(1)).as("c_lang")))

@@ -36,15 +36,13 @@ object Entropy {
       textCol: String = "text"): DataFrame =
     docs
       .filter(col(textCol).isNotNull && length(col(textCol)) >= 1)
-      // One linear pass per document: the zero-width "(?!^)" split breaks
-      // between every pair of characters. The tempting
-      // transform(sequence(1, length), i -> substr(text, i, 1)) form is
-      // O(n^2) per document — UTF8String.substr re-walks the string per
-      // character (measured ~2x slower on this corpus, worse on long docs).
-      // Spark's split keeps ONE trailing empty element (limit -1); drop it
-      // post-explode — empty can never collide with a real character.
+      // One linear pass per document (see TextFunctions.CharSplitRegex
+      // for the O(n) vs O(n^2) rationale); the trailing empty Spark's
+      // limit=-1 split keeps is dropped POST-explode — that filter stays
+      // whole-stage-codegen where the staged-array HOF form would run an
+      // interpreted lambda per character.
       .select(col(idCol).as("id"),
-        explode(split(col(textCol), "(?!^)")).as("ch"))
+        explode(split(col(textCol), TextFunctions.CharSplitRegex)).as("ch"))
       .filter(col("ch") =!= "")
       .groupBy("id", "ch")
       .agg(count(lit(1)).as("c"))

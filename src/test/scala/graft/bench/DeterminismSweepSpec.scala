@@ -38,7 +38,7 @@ class DeterminismSweepSpec extends SparkTestBase {
           catch {
             case e: Throwable =>
               graft.util.CacheScope.releaseAll()
-              mismatches += s"${q.name}: failed to run (${String.valueOf(e.getMessage).linesIterator.next()})"
+              mismatches += s"${q.name}: failed to run (${String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse("<no message>")})"
               Nil
           }
         if (runs.nonEmpty && runs.head != runs.last) {

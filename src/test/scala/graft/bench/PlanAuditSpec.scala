@@ -122,7 +122,7 @@ class PlanAuditSpec extends SparkTestBase {
           // String.valueOf: getMessage is null for e.g. bare NPEs, and a
           // null here would crash the Failure branch itself.
           Some(s"${q.name}: plan build FAILED — " +
-            String.valueOf(e.getMessage).linesIterator.next())
+            String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse("<no message>"))
         case scala.util.Success(plan) =>
           if (plan.contains("CartesianProduct"))
             Some(s"${q.name}: CartesianProduct")
