@@ -1067,6 +1067,62 @@ object RelationalExtended {
              |FROM t ORDER BY from_type, to_type""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Q58 — time-series profile similarity: each user's 24-dim
+    // hour-of-day activity histogram, cosine top-3 most-similar users
+    // per probe — the behavioral nearest-neighbor view (EDBT'19-style
+    // streaming-series similarity, batch face) beside q55's transition
+    // matrix. The series build is one explode (user × 24 hours, NO
+    // join for the spine) + a left join on counts + a sort_array
+    // collect; counts are INTEGERS so the vectors — and e1's exact
+    // cosine over them — mirror bit-for-bit.
+    Q(
+      "q58_ts_user_similarity",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cnt = ev
+          .groupBy(col("user_id"), hour(col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        val spine = ev.select("user_id").distinct()
+          .select(col("user_id"), explode(sequence(lit(0), lit(23))).as("h"))
+        val series = spine
+          .join(cnt, Seq("user_id", "h"), "left_outer")
+          .withColumn("c", coalesce(col("c"), lit(0L)).cast("double"))
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(struct(col("h"), col("c")))).as("__hc"))
+          .select(col("user_id"),
+            transform(col("__hc"), x => x.getField("c")).as("v"))
+        graft.similarity.Similarity.bruteForceTopK(
+            series.filter(col("user_id") < 5), series, k = 3,
+            idCol = "user_id", vecCol = "v")
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH cnt AS (SELECT user_id, CAST(hour(ts) AS INT) AS h,
+             |                    count(*) AS c
+             |             FROM events GROUP BY 1, 2),
+             |sp AS (SELECT u.user_id, r.h
+             |       FROM (SELECT DISTINCT user_id FROM events) u,
+             |            (SELECT CAST(unnest(range(24)) AS INT) AS h) r),
+             |ful AS (SELECT sp.user_id, sp.h,
+             |          CAST(coalesce(cnt.c, 0) AS DOUBLE) AS c
+             |        FROM sp LEFT JOIN cnt USING (user_id, h)),
+             |ser AS (SELECT user_id, list(c ORDER BY h) AS v
+             |        FROM ful GROUP BY 1),
+             |sc AS (SELECT q.user_id AS query_id, c.user_id AS neighbor_id,
+             |         list_dot_product(q.v, c.v) /
+             |         (sqrt(list_dot_product(q.v, q.v)) *
+             |          sqrt(list_dot_product(c.v, c.v))) AS cosine
+             |       FROM ser c, (SELECT * FROM ser WHERE user_id < 5) q
+             |       WHERE c.user_id <> q.user_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |             CAST(row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+             |      FROM sc)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM r
+             |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Q57 — referential-integrity audit: orphan counts for every FK
     // relation in the star schema, one row per relation — the
     // constraint check a lake runs because parquet won't (q38 gates

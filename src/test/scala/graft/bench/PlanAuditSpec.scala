@@ -89,6 +89,8 @@ class PlanAuditSpec extends SparkTestBase {
     "c26_mixture_waterfill",
     // per relation, the ONE-ROW (n_child) x ONE-ROW (n_orphans) pairing
     "q57_fk_orphans",
+    // the e1-shape broadcast probe set over the per-user series table
+    "q58_ts_user_similarity",
     // the ONE-ROW regression-sums side repeated onto the 200 fit rows
     "t33_zipf_fit",
     // the ONE-ROW (max doc id + 1) denominator of the decile math
