@@ -1067,6 +1067,52 @@ object RelationalExtended {
              |FROM t ORDER BY from_type, to_type""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Q59 — ABC / Pareto analysis: customers ranked by revenue with
+    // cumulative share and the classic A (≤80%) / B (≤95%) / C bands —
+    // the concentration view every revenue (or token-contribution)
+    // report ships. The window runs over the AGGREGATED per-customer
+    // table, never order lines; class boundaries are exact decimal
+    // compares (cum·5 ≤ total·4, cum·20 ≤ total·19), no float
+    // thresholds. (At billion-customer scale, swap the single window
+    // for the c11 two-phase cumsum — the per-key rollup stays as-is.)
+    Q(
+      "q59_abc_pareto",
+      (s, dir) => {
+        val rev = Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("__rev"))
+        val w = Window.orderBy(col("__rev").desc, col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val total = rev.agg(sum(col("__rev")).as("__total"))
+        rev
+          .withColumn("__cum", sum(col("__rev")).over(w))
+          .crossJoin(broadcast(total))
+          .select(
+            col("o_custkey"),
+            col("__rev").cast("double").as("revenue"),
+            (col("__cum").cast("double") / col("__total").cast("double"))
+              .as("cum_share"),
+            when(col("__cum") * 5 <= col("__total") * 4, "A")
+              .when(col("__cum") * 20 <= col("__total") * 19, "B")
+              .otherwise("C").as("abc_class"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+             |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+             |       FROM orders GROUP BY 1),
+             |t AS (SELECT sum(r) AS total FROM rev),
+             |c AS (SELECT o_custkey, r,
+             |        sum(r) OVER (ORDER BY r DESC, o_custkey
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM rev)
+             |SELECT o_custkey, CAST(r AS DOUBLE) AS revenue,
+             |       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+             |       CASE WHEN cum * 5 <= total * 4 THEN 'A'
+             |            WHEN cum * 20 <= total * 19 THEN 'B'
+             |            ELSE 'C' END AS abc_class
+             |FROM c CROSS JOIN t ORDER BY o_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Q58 — time-series profile similarity: each user's 24-dim
     // hour-of-day activity histogram, cosine top-3 most-similar users
     // per probe — the behavioral nearest-neighbor view (EDBT'19-style

@@ -91,6 +91,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q57_fk_orphans",
     // the e1-shape broadcast probe set over the per-user series table
     "q58_ts_user_similarity",
+    // the ONE-ROW revenue-total side the class boundaries compare against
+    "q59_abc_pareto",
     // the ONE-ROW regression-sums side repeated onto the 200 fit rows
     "t33_zipf_fit",
     // the ONE-ROW (max doc id + 1) denominator of the decile math
