@@ -375,6 +375,22 @@ object ScaleProbe {
         }
       }
     }
+    // BPE apply at DEPTH (word-local replay): plan depth is constant in
+    // merge count — one codegen projection — so 64 -> 256 merges at 1x
+    // must be ~flat, and the Nx run must track corpus growth only. The
+    // pre-r12 window-chain form could not even ANALYZE a 256-merge plan
+    // (3 window stages per merge).
+    {
+      def chain(w: String): Seq[(String, String)] =
+        (1 until w.length).map(i => (w.substring(0, i), w.substring(i, i + 1)))
+      val d64 = Seq("customer", "vector", "window", "stream", "filter",
+        "column", "query", "spark", "batch", "order", "table", "merge",
+        "the", "hash", "join").flatMap(chain)
+      val d256 = d64 ++ (0 until (256 - d64.size)).map(k => (s"zz$k", "q"))
+      time("bpe_apply_d64 1x")(graft.text.Bpe.applyBpe(docs1, d64).count())
+      for ((label, d) <- Seq("1x" -> docs1, s"${n}x" -> docsN))
+        time(s"bpe_apply_d256 $label")(graft.text.Bpe.applyBpe(d, d256).count())
+    }
     // SQ8 ANN: fixed queries, growing corpus — stats is one 64-row
     // rollup, encode/decode are row-local, scoring is the e1 broadcast
     // scan over DECODED vectors. Healthy = ~linear, tracking brute force

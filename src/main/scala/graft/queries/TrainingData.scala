@@ -504,6 +504,25 @@ object TrainingData {
   private val bpeMerges: Seq[(String, String)] =
     Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("s", "c"), ("a", "n"))
 
+  /** t19d's literal 64-merge table: full left-to-right cascades for 15
+    * corpus words (7 levels deep for "customer"), generated as code so
+    * rank order (prefix before extension) holds by construction. Deep
+    * tables are exactly what the r11 window-chain apply path could not
+    * plan — the word-local replay runs this (or 32k merges) as ONE
+    * projection, and the unrolled DuckDB oracle still replays all 64
+    * sequential passes independently.
+    */
+  private val bpeDeepMerges: Seq[(String, String)] = {
+    def chain(w: String): Seq[(String, String)] =
+      (1 until w.length).map(i => (w.substring(0, i), w.substring(i, i + 1)))
+    val ms = Seq("customer", "vector", "window", "stream", "filter",
+      "column", "query", "spark", "batch", "order", "table", "merge",
+      "the", "hash", "join").flatMap(chain)
+    require(ms.size == 64 && ms.distinct.size == 64,
+      s"deep merge table must be 64 distinct pairs, got ${ms.size}")
+    ms
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // D1 — exact dedup: hash-groupBy, min-id survivor. The md5 group key
@@ -1621,6 +1640,50 @@ object TrainingData {
           .orderBy("doc_id")
       },
       Some(Bpe.bpeTokenIdsOracleSql(nMerges = 8, vocabSize = 16))),
+
+    // ------------------------------------------------------------------
+    // T19d — BPE apply AT DEPTH: the literal 64-merge cascade table
+    // (7-deep for "customer") replayed word-locally in ONE projection —
+    // the r11 verdict's scale-killer shape (plan depth linear in merges)
+    // retired and pinned under the FULL oracle: DuckDB independently
+    // replays all 64 sequential passes as unrolled window CTEs with the
+    // identical leftmost-first parity rule. Same generator as t19, 12.8x
+    // the table depth, same bounded Spark plan.
+    Q(
+      "t19d_bpe_deep_apply",
+      (s, dir) =>
+        Bpe.applyBpe(Tables.documents(s, dir), bpeDeepMerges).orderBy("doc_id"),
+      Some(Bpe.applyBpeOracleSql(bpeDeepMerges))),
+
+    // ------------------------------------------------------------------
+    // T19e — the tokenizer END-TO-END AT DEPTH: learn up to 64 merges
+    // BATCHED (M=8 — ~8 pair-count rounds instead of 64) and re-segment
+    // the corpus with the learned table through the word-local replay.
+    // Output: per-merge rows (the learned ranking) plus a per-corpus
+    // compression footer row. Joins the trained/rows-only family for the
+    // same reason e8's k-means tiers do — the batched greedy selection is
+    // data-dependent state a SQL mirror cannot replay without porting
+    // the algorithm; BpeSpec pins M=1-equivalence, batch non-interaction,
+    // exact round-start frequencies, and repartition-stability, and the
+    // apply leg inherits t19/t19d's oracled semantics.
+    Q(
+      "t19e_bpe_learned_deep",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val learned = Bpe.learnMergesBatched(docs, nMerges = 64, batchM = 8)
+        val merges = learned.map { case (_, l, r, _) => (l, r) }
+        val nSyms = Bpe.applyBpe(docs, merges)
+          .select(sum(when(col("bpe_text") === "", 0)
+            .otherwise(size(split(col("bpe_text"), " ")))))
+          .head.getLong(0)
+        learned.map { case (rank, l, r, f) => (rank.toLong, l, r, f) }
+          .toDF("rank", "lhs", "rhs", "pair_freq")
+          .union(Seq((-1L, "<n_syms_after_apply>", "", nSyms))
+            .toDF("rank", "lhs", "rhs", "pair_freq"))
+          .orderBy("rank")
+      },
+      None),
 
     // ------------------------------------------------------------------
     // T20 — n-gram LM perplexity filter (the CCNet/KenLM-style quality

@@ -107,6 +107,56 @@ class BpeSpec extends SparkTestBase {
     assert(nSyms < nChars, s"nSyms=$nSyms nChars=$nChars")
   }
 
+  test("segmentWordsLocal: bit-identical to the window chain on parity, cascade and unicode cases") {
+    import spark.implicits._
+    val words = Seq(
+      "aaa", "aaaa", "aaaaa", "xaay", "xaaay", "aa", "a",
+      "table", "tab", "stable", "let", "lettable",
+      "scan", "scans", "banana", "tatata",
+      "héé", "a𝌆b", "𝌆𝌆𝌆", // surrogate pairs stay whole code points
+      "low", "lower", "lowest", "new", "newer", "widest")
+    val merges = Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("s", "c"),
+      ("a", "n"), ("a", "a"), ("é", "é"), ("𝌆", "𝌆"))
+    val chain = Bpe.segmentWords(words.toDF("word"), merges)
+      .groupBy("word")
+      .agg(array_join(sort_array(collect_list(struct(col("pos"), col("sym"))))
+        .getField("sym"), " ").as("word_bpe"))
+    val local = Bpe.segmentWordsLocal(words.toDF("word"), merges)
+    assert(local.collect().map(r => r.getString(0) -> r.getString(1)).toMap ==
+      chain.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+  }
+
+  test("segmentWordsLocal: a 256-merge table is one projection, no window stages") {
+    import spark.implicits._
+    // A deep cascading table the window chain cannot plan: merge rank k
+    // glues one more 'a' onto the run ("aa", then ("aa","a") -> "aaa", ...)
+    // plus filler rules that never match — depth is what's under test.
+    val deep = ("a", "a") +: (1 until 64).map(k => ("a" * (k + 1), "a")) ++:
+      (0 until 192).map(k => (s"zz$k", "q"))
+    assert(deep.size == 256)
+    val got = Bpe.segmentWordsLocal(
+      Seq("a" * 65, "a" * 64, "a" * 7, "b").toDF("word"), deep)
+    val m = got.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // Sequential replay: ("a","a") leaves runs of "aa" pairs; each later
+    // rank can fire at most once per word (leftmost), so 65 a's collapse
+    // leftward one rule at a time.
+    assert(m("b") == "b")
+    assert(m("a" * 64).split(" ").forall(_.forall(_ == 'a')))
+    assert(m("a" * 64).replace(" ", "") == "a" * 64)
+    assert(m("a" * 65).replace(" ", "") == "a" * 65)
+    // The whole point: plan depth is constant — no WindowExec anywhere.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window stage leaked into the local path:\n$plan")
+  }
+
+  test("applyBpe inherits the bounded plan: no window stages at any merge depth") {
+    import spark.implicits._
+    val docs = Seq((1L, "table let table"), (2L, "tab")).toDF("doc_id", "text")
+    val plan = Bpe.applyBpe(docs, Seq(("t", "a"), ("ta", "b"), ("l", "e")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"applyBpe plans a window stage:\n$plan")
+  }
+
   test("learnMerges is repartition-stable and its merges feed applyBpe") {
     import spark.implicits._
     val docs = Seq(
