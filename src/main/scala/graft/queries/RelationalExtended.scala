@@ -570,24 +570,48 @@ object RelationalExtended {
     // ------------------------------------------------------------------
     // Q37 — ranking-function family: ntile/percent_rank/cume_dist over a
     // deterministic total order (spend desc, customer key breaks ties).
-    // percent_rank = (rank-1)/(n-1) and cume_dist = rank/n are single
-    // IEEE divisions of integers — exact in both engines. The global
-    // window runs over the PER-CUSTOMER rollup (cardinality already
-    // reduced by the aggregate), not raw rows — rank-everything over an
-    // unaggregated 100 TB table would need the two-phase numbering trick
-    // (globalPositions) instead.
+    // Spark's native global-window forms funnel every row through ONE
+    // task, so the rank comes from the c11 TWO-PHASE numbering
+    // (range-bucket on -floor(spend/4096), per-bucket row_number + a
+    // bucket-count offsets table) and the three functions are their exact
+    // CLOSED FORMS from (rank, N) — legal because the order is TIE-FREE
+    // (custkey breaks all ties), making rank ≡ row_number, cume_dist ≡
+    // r/N, percent_rank ≡ (r-1)/(N-1) (single IEEE divisions of
+    // integers — exactly what the native implementations compute), and
+    // ntile(4) the standard remainder-first fill from (r, N). Identical
+    // output, no single-task stage anywhere.
     Q(
       "q37_rank_functions",
       (s, dir) => {
         val spend = Tables.orders(s, dir)
           .groupBy("o_custkey")
           .agg(dsum(col("o_totalprice")).as("spend"))
-        val w = org.apache.spark.sql.expressions.Window
+          .withColumn("__b", -floor(col("spend") / 4096).cast("long"))
+        val offW = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = spend.groupBy("__b").agg(count(lit(1)).as("__n"))
+          .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+          .drop("__n")
+        val total = spend.agg(count(lit(1)).as("__N"))
+        val rnW = Window.partitionBy("__b")
           .orderBy(col("spend").desc, col("o_custkey"))
-        spend
-          .withColumn("quartile", ntile(4).over(w))
-          .withColumn("pct_rank", percent_rank().over(w))
-          .withColumn("cume", cume_dist().over(w))
+        spend.join(broadcast(offsets), Seq("__b"))
+          .withColumn("__r", col("__off") + row_number().over(rnW))
+          .crossJoin(broadcast(total))
+          .withColumn("__q", expr("__N div 4"))
+          .withColumn("__m", col("__N") % 4)
+          // ntile(4) remainder-first fill: tiles 1..m carry q+1 rows, the
+          // rest carry q; the otherwise branch divides by __q only when
+          // r > m(q+1), which is unreachable while q = 0 (CASE is lazy).
+          .withColumn("quartile",
+            when(col("__r") <= col("__m") * (col("__q") + 1),
+              expr("(__r - 1) div (__q + 1) + 1"))
+              .otherwise(expr("__m + (__r - __m * (__q + 1) - 1) div __q + 1"))
+              .cast("int"))
+          .withColumn("pct_rank",
+            when(col("__N") === 1, lit(0.0))
+              .otherwise((col("__r") - 1).cast("double") / (col("__N") - 1)))
+          .withColumn("cume", col("__r").cast("double") / col("__N"))
+          .select("o_custkey", "spend", "quartile", "pct_rank", "cume")
           .orderBy("o_custkey")
       },
       Some("""WITH spend AS (SELECT o_custkey,
@@ -994,9 +1018,12 @@ object RelationalExtended {
     // from the stream's own bounds, anti-joined against observed minutes,
     // collapsed to maximal gap runs (the q33 islands trick inverted) —
     // the monitoring query every ingestion pipeline runs. The spine is
-    // calendar-bounded (~526k minutes/year), so the single-partition
-    // islands window is bounded no matter how big the event volume gets;
-    // the anti-join is the only data-sized operation.
+    // calendar-bounded (~526k minutes/year) and the anti-join is the only
+    // data-sized operation; the islands numbering is still the c11
+    // two-phase shape (bucket = the minute's DAY, per-day row_number +
+    // a days-count offsets table) so no single task ever funnels the
+    // whole spine — grp = idx - global_rn is identical because the
+    // bucket key is a monotone prefix of the idx order.
     Q(
       "q53_ingestion_gaps",
       (s, dir) => {
@@ -1008,10 +1035,17 @@ object RelationalExtended {
           .select(explode(sequence(col("lo"), col("hi"),
             expr("interval 1 minute"))).as("m"))
         val present = ev.select(date_trunc("minute", col("ts")).as("m")).distinct()
-        val w = Window.orderBy(col("idx"))
-        spine.join(present, Seq("m"), "left_anti")
+        val missing = spine.join(present, Seq("m"), "left_anti")
           .withColumn("idx", (col("m").cast("long") / 60).cast("long"))
-          .withColumn("grp", col("idx") - row_number().over(w))
+          .withColumn("__b", (col("idx") / 1440).cast("long"))
+        val offW = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = missing.groupBy("__b").agg(count(lit(1)).as("__n"))
+          .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+          .drop("__n")
+        val rnW = Window.partitionBy("__b").orderBy("idx")
+        missing.join(broadcast(offsets), Seq("__b"))
+          .withColumn("grp",
+            col("idx") - (col("__off") + row_number().over(rnW)))
           .groupBy("grp")
           .agg(
             min(col("m")).as("gap_start"),
@@ -1070,22 +1104,35 @@ object RelationalExtended {
     // Q59 — ABC / Pareto analysis: customers ranked by revenue with
     // cumulative share and the classic A (≤80%) / B (≤95%) / C bands —
     // the concentration view every revenue (or token-contribution)
-    // report ships. The window runs over the AGGREGATED per-customer
-    // table, never order lines; class boundaries are exact decimal
-    // compares (cum·5 ≤ total·4, cum·20 ≤ total·19), no float
-    // thresholds. (At billion-customer scale, swap the single window
-    // for the c11 two-phase cumsum — the per-key rollup stays as-is.)
+    // report ships. The rank-ordered cumsum is the c11/c24 TWO-PHASE
+    // shape, never one global window: range-bucket on a monotone
+    // function of the sort key (-floor(rev/4096) — the double cast is
+    // fine, bucketing needs monotonicity, not exactness; equal revenues
+    // always share a bucket so the custkey tie-break stays intra-bucket),
+    // then per-bucket running windows plus a broadcast offsets table
+    // whose own cumsum is over BUCKET-COUNT rows (value-range/4096 —
+    // bounded by the revenue range, not the customer count). Class
+    // boundaries are exact decimal compares (cum·5 ≤ total·4,
+    // cum·20 ≤ total·19), no float thresholds.
     Q(
       "q59_abc_pareto",
       (s, dir) => {
         val rev = Tables.orders(s, dir)
           .groupBy("o_custkey")
           .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("__rev"))
-        val w = Window.orderBy(col("__rev").desc, col("o_custkey"))
+          .withColumn("__b", -floor(col("__rev").cast("double") / 4096).cast("long"))
+        val offW = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = rev.groupBy("__b").agg(sum(col("__rev")).as("__bn"))
+          .withColumn("__off", coalesce(sum(col("__bn")).over(offW),
+            lit(0).cast(DecimalType(28, 2))))
+          .drop("__bn")
+        val runW = Window.partitionBy("__b")
+          .orderBy(col("__rev").desc, col("o_custkey"))
           .rowsBetween(Window.unboundedPreceding, 0)
         val total = rev.agg(sum(col("__rev")).as("__total"))
         rev
-          .withColumn("__cum", sum(col("__rev")).over(w))
+          .join(broadcast(offsets), Seq("__b"))
+          .withColumn("__cum", col("__off") + sum(col("__rev")).over(runW))
           .crossJoin(broadcast(total))
           .select(
             col("o_custkey"),

@@ -93,6 +93,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q58_ts_user_similarity",
     // the ONE-ROW revenue-total side the class boundaries compare against
     "q59_abc_pareto",
+    // the ONE-ROW customer-count side the closed-form rank functions
+    // (ntile/percent_rank/cume_dist) compare against
+    "q37_rank_functions",
     // the ONE-ROW regression-sums side repeated onto the 200 fit rows
     "t33_zipf_fit",
     // the ONE-ROW (max doc id + 1) denominator of the decile math
@@ -114,6 +117,32 @@ class PlanAuditSpec extends SparkTestBase {
     // thresholds compare against (the cumsum joins are equi-joins on the
     // range-bucket id)
     "c24_curriculum_phases")
+
+  /** Intended partition-less windows, each over a BOUNDED table (never the
+    * data-sized input): the two-phase cumsum users' offsets tables (one
+    * row per range bucket — ≤256 md5 buckets or value-range/step), ntile
+    * cut-point tables (one row per quantile), calendar spines, per-source
+    * / per-round rollups, and literal fixture frames. A query NOT on this
+    * list that plans a WindowExec with an empty partitionSpec funnels its
+    * whole input through ONE task — the q59-at-r11 shape this gate exists
+    * to catch.
+    */
+  private val accountedGlobalWindow: Set[String] = Set(
+    // c11 two-phase numbering/cumsum users: the partition-less window is
+    // the per-bucket OFFSETS rollup — ≤256 md5-prefix buckets (c11; also
+    // inside t18/t18b via globalPositions) or value-range/step buckets
+    // (c24 score grid, q37/q59 revenue grids), never the data-sized input.
+    "c11_global_positions",
+    "q37_rank_functions",
+    "c24_curriculum_phases",
+    "t18_curation_pipeline_v2",
+    "t18b_curation_pipeline_v3",
+    "q59_abc_pareto",
+    // per-day offsets of the missing-minute islands numbering — bounded
+    // by the calendar span of the stream, not event volume
+    "q53_ingestion_gaps",
+    // the 10-row decile table of the Heaps-law growth curve
+    "t34_heaps_curve")
 
   test("no registered query plans a cartesian or an unaccounted nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"
@@ -139,9 +168,35 @@ class PlanAuditSpec extends SparkTestBase {
       s"scale-killer plan shapes found:\n${offenders.mkString("\n")}")
   }
 
+  test("no registered query plans an unaccounted partition-less window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+    // The OPTIMIZED LOGICAL plan, not executedPlan: AQE wraps the physical
+    // tree in AdaptiveSparkPlanExec (no children — collect() sees nothing),
+    // and the logical Window node carries the partitionSpec either way.
+    val sfDir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.allQueries.flatMap { q =>
+      scala.util.Try(q.run(spark, sfDir).queryExecution.optimizedPlan) match {
+        case scala.util.Failure(e) =>
+          Some(s"${q.name}: plan build FAILED — " +
+            String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse("<no message>"))
+        case scala.util.Success(plan) =>
+          val global = plan.collectWithSubqueries {
+            case w: LWindow if w.partitionSpec.isEmpty => w
+            case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+          }
+          if (global.nonEmpty && !accountedGlobalWindow(q.name))
+            Some(s"${q.name}: partition-less Window (single-task funnel) " +
+              "not on the accounted whitelist")
+          else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"global-window plan shapes found:\n${offenders.mkString("\n")}")
+  }
+
   test("whitelist carries no dead entries") {
     val names = SparkEntry.allQueries.map(_.name).toSet
-    val dead = accountedBnlj.diff(names)
+    val dead = (accountedBnlj ++ accountedGlobalWindow).diff(names)
     assert(dead.isEmpty, s"whitelisted queries no longer registered: $dead")
   }
 }
