@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions
+import graft.util.CacheScope.CheckpointOps
 
 /** Corpus-curation operators a training-data pipeline runs between raw
   * ingestion and tokenization: deterministic sampling (plain + per-source
@@ -865,6 +866,14 @@ object Curation {
     * mirror can reproduce); 3 rounds settle typical skews. All math is
     * integer — hash-exact by construction. Everything is plan-side (the
     * one-row remaining/weight-sum tables are broadcast, never collected).
+    *
+    * Each round's `granted` feeds BOTH the next remaining-budget aggregate
+    * and the next state — left as lineage the unexecuted plan tree doubles
+    * per round (~2^rounds analysis cost for a caller passing a large
+    * `rounds`), so the round result is `scopedCheckpoint`ed like the
+    * KCore/BPE-learn loops (|sources| rows per round — trivial to
+    * materialize) and the previous round's blocks are released once the
+    * new round is pinned.
     */
   def waterfillAllocation(
       sources: DataFrame,
@@ -879,6 +888,7 @@ object Curation {
         col(weightCol).cast("long").as("w"))
       .withColumn("alloc", lit(0L))
     var rem = budget.select(col("budget").cast("long").as("__r"))
+    var prevCp: Option[DataFrame] = None
     (1 to rounds).foreach { _ =>
       val wsum = cur.filter(col("alloc") < col("avail"))
         .agg(coalesce(sum(col("w")), lit(0L)).as("__ws"))
@@ -890,6 +900,9 @@ object Curation {
             when(col("__need") > 0 && col("__ws") > 0,
               expr("__r * w div __ws")).otherwise(lit(0L)),
             col("__need")))
+        .scopedCheckpoint()
+      prevCp.foreach(graft.util.CacheScope.releaseCheckpoint)
+      prevCp = Some(granted)
       rem = granted.agg(
         (min(col("__r")) - coalesce(sum(col("__grant")), lit(0L))).as("__r"))
       cur = granted.select(col("source"), col("avail"), col("w"),

@@ -290,15 +290,26 @@ object Similarity {
 
   /** (idCol, w0..w{n-1}): the packed sign signature. At 100 TB this is
     * the STORED form — 8 bytes per 64 dims vs 256 for float32.
+    *
+    * `dim` is cross-checked against each vector's actual length and a
+    * mismatch FAILS LOUDLY: an understated dim would silently ignore tail
+    * dims and an overstated one would zip_with-null-pad them into sign
+    * bits of 0 — plausible-but-wrong Hamming distances, the worst failure
+    * mode. Nulls pass through (null words), matching the rest of the ANN
+    * family's null contract.
     */
   def signPack(
       df: DataFrame, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val words = (dim + 31) / 32
+    val vec = when(col(vecCol).isNull || size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"signPack: dim=$dim but vector length "),
+        size(col(vecCol)).cast("string"))))
     df.select(
       col(idCol) +: (0 until words).map { w =>
-        signWord(col(vecCol), w, math.min(32, dim - w * 32)).as(s"w$w")
+        signWord(vec, w, math.min(32, dim - w * 32)).as(s"w$w")
       }: _*)
   }
 

@@ -143,9 +143,14 @@ object Bm25 {
     */
   private def searchFromTf(
       tfRaw: DataFrame, queries: DataFrame, k: Int, idCol: String,
-      dlOverride: Option[DataFrame] = None): DataFrame = {
+      dlOverride: Option[DataFrame] = None,
+      dfOverride: Option[DataFrame] = None): DataFrame = {
     val tf = CacheScope.persist(tfRaw)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // dfOverride: a caller running MULTIPLE scoring passes over the same
+    // posting table (PRF) persists one df and threads it through — three
+    // identical vocabulary-sized aggregates collapse to one.
+    val df = dfOverride.getOrElse(
+      tf.groupBy("term").agg(count(lit(1)).as("df")))
     // dl feeds both the per-doc join and the corpus rollup — and deriving
     // (N, L) from it replaces a countDistinct over the full tf table
     // (expand + second shuffle) with a count over one row per doc.
@@ -247,12 +252,12 @@ object Bm25 {
     * takes DISTINCT query terms, so text-level concatenation IS set
     * union, and both passes share one engine-exact scoring formula.
     *
-    * Scale shape: ONE posting-table (tf) build feeds everything — the
-    * pass-1 scoring, the harvest (an equi-join of the fbDocs·|queries|
-    * winners on doc id), and the pass-2 scoring ([[searchFromTf]]
-    * persists it; the df/dl/corpus rollups per pass are aggregates over
-    * the cached table, not corpus re-scans). One corpus-linear tokenize
-    * + two bounded scoring joins — the designed price of PRF.
+    * Scale shape: ONE posting-table (tf) build and ONE persisted df feed
+    * everything — the pass-1 scoring, the harvest (an equi-join of the
+    * fbDocs·|queries| winners on doc id, with the BOUNDED candidate-term
+    * side broadcast into the vocabulary-sized df lookup, never the
+    * reverse), and the pass-2 scoring. One corpus-linear tokenize + two
+    * bounded scoring joins — the designed price of PRF.
     */
   def searchPrf(
       docs: DataFrame,
@@ -264,24 +269,33 @@ object Bm25 {
       textCol: String = "text"): DataFrame = {
     require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
     require(fbTerms >= 0, s"fbTerms must be >= 0, got $fbTerms")
-    val tf = docs
+    val tf = CacheScope.persist(docs
       .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("id", "term")
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val fb = searchFromTf(tf, queries, fbDocs, idCol)
+      .agg(count(lit(1)).as("tf")))
+    // ONE persisted df serves pass-1 scoring, expansion ranking, and
+    // pass-2 scoring (dfOverride) — not three identical vocabulary-sized
+    // aggregates.
+    val df = CacheScope.persist(
+      tf.groupBy("term").agg(count(lit(1)).as("df")))
+    val fb = searchFromTf(tf, queries, fbDocs, idCol, dfOverride = Some(df))
       .select(col("query_id"), col(idCol).as("id"))
     val qTerms = queries.select(col("query_id"),
       explode(TextFunctions.tokens(col("query_text"))).as("term")).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("ftf").desc, col("df"), col("term"))
+    // The BOUNDED side of the df lookup is the candidate term set (terms
+    // of fbDocs·|queries| winning docs) — broadcast THAT; df is the
+    // corpus-wide vocabulary (billions of terms at crawl scale) and must
+    // stay the streamed/build-partitioned side.
     val expansion = fb
       .join(tf, Seq("id"))
       .groupBy("query_id", "term")
       .agg(sum(col("tf")).as("ftf"))
       .join(qTerms, Seq("query_id", "term"), "left_anti")
-      .join(broadcast(df), Seq("term"))
+      .hint("broadcast")
+      .join(df, Seq("term"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= fbTerms)
       .groupBy("query_id")
@@ -292,6 +306,6 @@ object Bm25 {
         when(col("__exp").isNull, col("query_text"))
           .otherwise(concat_ws(" ", col("query_text"), col("__exp")))
           .as("query_text"))
-    searchFromTf(tf, expanded, k, idCol)
+    searchFromTf(tf, expanded, k, idCol, dfOverride = Some(df))
   }
 }
