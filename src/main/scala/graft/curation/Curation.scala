@@ -558,6 +558,34 @@ object Curation {
         greatest(col("band_lo"), least(col("band_hi"), col(valueCol))))
   }
 
+  /** Per-source MAD (median-absolute-deviation) outlier flag: a row is an
+    * outlier when |x − median_s| > k·MAD_s — the robust tail test
+    * (Hampel-style) beside [[winsorize]]'s clipping: winsorize PINS
+    * values, this LABELS them, and median/MAD stay meaningful under
+    * exactly the heavy-tailed length/score distributions that break
+    * mean±k·stddev z-scores. Two tiny per-source aggregates broadcast
+    * back over one cached scan (the qualityFloor shape — map-side flag,
+    * no data shuffle); interpolated `percentile` mirrors quantile_cont
+    * exactly and deviations are integer-minus-exact-half doubles, so the
+    * flag is engine-exact. Adds (med, mad, adev, is_outlier).
+    */
+  def madOutliers(
+      df: DataFrame,
+      sourceCol: String,
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = graft.util.CacheScope.persist(df)
+    val med = base.groupBy(sourceCol)
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val dev = base.join(broadcast(med), Seq(sourceCol))
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(sourceCol)
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq(sourceCol))
+      .withColumn("is_outlier", col("adev") > lit(k) * col("mad"))
+  }
+
   /** Temperature-weighted mixture (the multilingual/multi-source
     * up-sampling rule of mT5/XLM-R): sampling shares proportional to
     * n_source^alpha at alpha = 1/2, so small sources are boosted toward —

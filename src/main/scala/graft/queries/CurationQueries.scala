@@ -1061,6 +1061,33 @@ object CurationQueries {
              |ORDER BY d.source, d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // C27 — robust per-source outlier labels: |n_chars − median| > 3·MAD
+    // (the Hampel test) — c14 CLIPS the tails, this FLAGS them for the
+    // triage report, and median/MAD shrug off exactly the heavy tails
+    // that poison mean±3σ. Two per-source aggregates broadcast over one
+    // scan; interpolated percentile ≡ quantile_cont (the q26 pattern), so
+    // the boolean is engine-exact.
+    Q(
+      "c27_mad_outliers",
+      (s, dir) =>
+        Curation.madOutliers(
+          Tables.documents(s, dir).select("source", "doc_id", "n_chars"),
+          sourceCol = "source", valueCol = "n_chars")
+          .select("source", "doc_id", "n_chars", "med", "mad", "is_outlier")
+          .orderBy("source", "doc_id"),
+      Some("""WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+             |             FROM documents GROUP BY 1),
+             |dev AS (SELECT d.source, d.doc_id, d.n_chars, m.med,
+             |               abs(d.n_chars - m.med) AS adev
+             |        FROM documents d JOIN med m USING (source)),
+             |mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad
+             |        FROM dev GROUP BY 1)
+             |SELECT d.source, d.doc_id, d.n_chars, d.med, a.mad,
+             |       d.adev > 3.0 * a.mad AS is_outlier
+             |FROM dev d JOIN mad a USING (source)
+             |ORDER BY d.source, d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Q38 — data-quality gate: not-null / range / pattern / uniqueness
     // expectations over an orders variant with injected violations (null
     // statuses, negated prices, malformed priorities, duplicated keys).

@@ -1285,6 +1285,56 @@ object TrainingData {
              |ORDER BY s.source""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // D16 — cross-source duplicate-PAIR matrix: for every source pair
+    // (a <= b), how many exact-dup document pairs span them — d15 says
+    // HOW MUCH of a source is duplicated, this says WITH WHOM (the
+    // licensing/provenance triage view). Shape: collapse to (hash,
+    // source, count) FIRST — the self-join runs on the group table (one
+    // row per (text, source)), never on documents, and pair counts are
+    // closed forms (c_a·c_b across sources, c(c−1)/2 within) — never an
+    // all-pairs doc join.
+    Q(
+      "d16_cross_source_dups",
+      (s, dir) => {
+        // The d1-style injected fixture, with the copies landing in a
+        // DIFFERENT source ("mirror") so the cross-source cells are
+        // non-empty at any sf.
+        val base = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select("doc_id", "source", "text")
+        val docs = base.unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("mirror").as("source"), col("text")))
+        val g = docs
+          .groupBy(md5(col("text")).as("h"), col("source").as("src"))
+          .agg(count(lit(1)).as("c"))
+        g.as("a").join(g.as("b"),
+            col("a.h") === col("b.h") && col("a.src") <= col("b.src"))
+          .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
+            when(col("a.src") === col("b.src"),
+              expr("a.c * (a.c - 1) div 2"))
+              .otherwise(col("a.c") * col("b.c")).as("np"))
+          .filter(col("np") > 0)
+          .groupBy("source_a", "source_b")
+          .agg(sum(col("np")).as("dup_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, 'mirror', text FROM documents
+             |  WHERE text IS NOT NULL AND doc_id % 10 = 0),
+             |g AS (SELECT md5(text) AS h, source AS src, count(*) AS c
+             |      FROM docs GROUP BY 1, 2),
+             |p AS (SELECT a.src AS source_a, b.src AS source_b,
+             |             CASE WHEN a.src = b.src THEN a.c * (a.c - 1) // 2
+             |                  ELSE a.c * b.c END AS np
+             |      FROM g a JOIN g b ON a.h = b.h AND a.src <= b.src)
+             |SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS dup_pairs
+             |FROM p WHERE np > 0 GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T40 — keyword-in-context (KWIC) concordance for 'vector': every
     // occurrence with its ±3-token context — the corpus-inspection view
     // a curation analyst actually reads when a filter misfires. Shape:
@@ -3922,6 +3972,60 @@ object TrainingData {
              |      FROM sc)
              |SELECT query_id, rnk, neighbor_id, cosine FROM r
              |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // E21 — the k-NN GRAPH as a batch artifact: top-3 cosine neighbors
+    // for EVERY vector (what SemDeDup-style pipelines, graph rerankers
+    // and cluster diagnostics consume). All-queries brute force is an N²
+    // loop; candidates here are vectors agreeing on >=1 of the eight
+    // 8-bit SIGN BANDS of the packed signature — an EQUI self-join on
+    // (band, key), the d2 banding shape — then only deduped pairs pay
+    // e1's exact cosine and the per-vector bounded-heap top-k. Sign
+    // bands are deterministic integers (no seeded hashes), so the whole
+    // graph build sits under the full DuckDB oracle, unlike the LSH
+    // families.
+    Q(
+      "e21_knn_graph",
+      (s, dir) =>
+        Similarity.knnGraph(Tables.embeddings(s, dir), k = 3, dim = 64)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine")
+          .orderBy("query_id", "rnk"),
+      Some("""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |            FROM embeddings),
+             |pk AS (SELECT vec_id,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN e[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w0,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN e[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w1
+             |       FROM ex),
+             |bands AS (SELECT vec_id, b.band,
+             |            CASE WHEN b.band < 4
+             |                 THEN (w0 >> CAST(b.band * 8 AS INTEGER)) & 255
+             |                 ELSE (w1 >> CAST((b.band - 4) * 8 AS INTEGER)) & 255
+             |            END AS key
+             |          FROM pk, (SELECT unnest(range(8)) AS band) b),
+             |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+             |          FROM bands a JOIN bands b2
+             |            ON a.band = b2.band AND a.key = b2.key
+             |           AND a.vec_id < b2.vec_id),
+             |dir2 AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM pairs
+             |         UNION ALL
+             |         SELECT id_b, id_a FROM pairs),
+             |sc AS (SELECT d.query_id, d.neighbor_id,
+             |         list_dot_product(q.e, c.e) /
+             |         (sqrt(list_dot_product(q.e, q.e)) *
+             |          sqrt(list_dot_product(c.e, c.e))) AS cosine
+             |       FROM dir2 d JOIN ex q ON q.vec_id = d.query_id
+             |       JOIN ex c ON c.vec_id = d.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |             CAST(row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+             |      FROM sc)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM r
+             |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T33 — Zipf rank-frequency fit over the top-200 terms: the dataset-

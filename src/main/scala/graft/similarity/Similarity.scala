@@ -349,6 +349,60 @@ object Similarity {
         col("__it.hamming").as("hamming"))
   }
 
+  /** Approximate k-NN GRAPH over the whole corpus — top-`k` cosine
+    * neighbors for EVERY vector, the batch artifact SemDeDup-style
+    * pipelines, graph-based rerankers and cluster diagnostics consume.
+    * All-queries brute force would be an N² broadcast loop; instead
+    * candidate pairs are vectors agreeing on at least one 8-bit SIGN BAND
+    * (byte `b` of the packed [[signPack]] signature — dim/8 bands): the
+    * bands table self-joins as an EQUI-join on (band, key), the classic
+    * LSH-banding shape (d2) with ~N²/256 expected pairs per band instead
+    * of all-pairs, and only the deduped candidate pairs pay the exact
+    * cosine re-rank (per-vector norms computed once, not per pair).
+    * Per-vector top-k is the bounded heap. Unlike the seeded-hyperplane
+    * families every step here is deterministic integer/IEEE math — sign
+    * bits, popcount-free band keys, e1's cosine — so the whole graph
+    * build sits under the DuckDB oracle.
+    *
+    * At 100 TB: the bands join shuffles (band, key)-partitioned — skewed
+    * bands (all-positive sign bytes) can be salted by splitting a hot
+    * (band, key) bucket, and recall tightens by widening bands to 2 bytes
+    * or adding a second signature family; both leave the shape intact.
+    */
+  def knnGraph(
+      corpus: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % 8 == 0, s"dim must be a multiple of 8, got $dim")
+    val nBands = dim / 8
+    val packed = signPack(corpus, dim, idCol, vecCol)
+    val bands = packed.select(
+      col(idCol).as("id"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col(s"w${b / 4}"), (b % 4) * 8)
+            .bitwiseAND(lit(255L)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
+    val scored = pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select("id_a", "id_b", "cosine")
+    val directed = scored
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cosine"))
+      .unionByName(scored
+        .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cosine")))
+    topKPerQuery(directed, k)
+  }
+
   /** Two-stage binary retrieval: Hamming shortlist (`kShortlist`) →
     * exact cosine re-rank to `k` — the standard binary-embedding serving
     * shape: the popcount scan touches 8 B/vector; full-precision vectors

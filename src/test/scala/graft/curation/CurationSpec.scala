@@ -563,4 +563,23 @@ class CurationSpec extends SparkTestBase {
       .select("phase").distinct().as[Long].collect().toSeq
     assert(single == Seq(1L))
   }
+
+  test("madOutliers: hand-computed median/MAD, only the spike flagged") {
+    import spark.implicits._
+    // src a: values 10,10,10,10,1000 -> med 10, adevs (0,0,0,0,990),
+    // MAD 0 -> any deviation > 0 is an outlier (the degenerate-MAD
+    // contract: a constant source flags EVERY deviant row).
+    // src b: 1..5 -> med 3, adevs (2,1,0,1,2), MAD 1 -> |x-3| > 3 never
+    // fires (max adev 2) -> no outliers.
+    val df = (Seq.fill(4)(10L) :+ 1000L).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+      .++((1L to 5L).zipWithIndex.map { case (v, i) => ("b", 10L + i, v) })
+      .toDF("source", "id", "v")
+    val got = Curation.madOutliers(df, "source", "v")
+      .select("id", "is_outlier")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got(4L))                       // the 1000 spike
+    assert((0L to 3L).forall(!got(_)))    // constant rows: adev 0, not > 0
+    assert((10L to 14L).forall(!got(_)))  // src b: nothing beyond 3*MAD
+    graft.util.CacheScope.releaseAll()
+  }
 }

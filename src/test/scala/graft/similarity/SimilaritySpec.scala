@@ -771,4 +771,30 @@ class SimilaritySpec extends SparkTestBase {
         .sortBy(t => (t._1, t._2)).toSeq
     assert(run(emb) == run(emb.repartition(7)))
   }
+
+  test("knnGraph: an exact duplicate vector is always its twin's top-1") {
+    // A duplicate shares ALL sign bands, so banding can never miss it,
+    // and cosine 1.0 ranks first.
+    val dup = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"), col("label"))
+    val g = Similarity.knnGraph(emb.unionByName(dup), k = 3, dim = 64)
+    val top1 = g.filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1(0L) == 5000L)
+    assert(top1(5000L) == 0L)
+  }
+
+  test("knnGraph: symmetric candidate set, no self-edges, repartition-stable") {
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.knnGraph(c, k = 2, dim = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val rows = run(emb)
+    assert(rows.forall { case (q, _, n, _) => q != n })
+    // rank-1 neighbors of rank-1 neighbors exist as queries too (both
+    // directions of every candidate pair were scored).
+    val queries = rows.map(_._1).toSet
+    assert(rows.map(_._3).toSet.subsetOf(queries))
+    assert(run(emb.repartition(7)) == rows)
+  }
 }
