@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated per-group percentiles computed DISTRIBUTED — the
+  * scale face of the native `percentile` aggregate (q26's declarative
+  * face, the q25/q25b pairing pattern).
+  *
+  * Why: Spark's exact `percentile` is a sort-based aggregate whose buffer
+  * holds every (value, count) of a group on ONE task — fine for the
+  * per-source rollups (c10/c14/c27: thousands of rows per source), an OOM
+  * at a 100 TB table with a handful of giant groups (q26's shape: 5
+  * priorities × billions of orders). Here the rank comes from the c11
+  * two-phase numbering instead, bucketed on (group, floor(value/width)):
+  * per-bucket row_number windows parallelize across executors, the
+  * per-group offsets table is bucket-count-sized (value-range/width), and
+  * only the 2·|qs| ranked rows per group are ever fetched. No task holds
+  * a group.
+  *
+  * Values are BIT-IDENTICAL to the native aggregate: position
+  * q·(n_g − 1), result (hi − pos)·v_lo + (pos − lo)·v_hi — Spark
+  * `Percentile`'s own interpolation applied to the two globally-ranked
+  * rows (DuckDB's quantile_cont agrees wherever the native face does;
+  * ties are harmless because tied ranks carry equal values).
+  * ExactPercentilesSpec pins equality against the native aggregate,
+  * including tied values and the integral-position edge.
+  */
+object ExactPercentiles {
+
+  /** One row per group: (groupCol, n, <name per q>). `qs` are
+    * (outputName, percentile) pairs; `bucketWidth` sets the value-range
+    * bucketing granularity (offsets table size = range/width per group).
+    * Null values are excluded, like the native aggregate.
+    */
+  def perGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qs: Seq[(String, Double)],
+      bucketWidth: Double): DataFrame = {
+    require(qs.nonEmpty, "need at least one percentile")
+    require(qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 },
+      s"percentiles out of [0,1]: $qs")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val v = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("__b", floor(col("v") / bucketWidth).cast("long"))
+    val offW = Window.partitionBy("g").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = v.groupBy("g", "__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+      .drop("__n")
+    val rnW = Window.partitionBy("g", "__b").orderBy("v")
+    val ranked = v.join(broadcast(offsets), Seq("g", "__b"))
+      .withColumn("__r", col("__off") + row_number().over(rnW) - 1)
+      .select("g", "__r", "v")
+    val counts = v.groupBy("g").agg(count(lit(1)).as("n"))
+    // One row per (group, requested percentile) with its two target ranks.
+    val targets = counts.select(
+      col("g"), col("n"),
+      explode(array(qs.map { case (name, q) =>
+        struct(lit(name).as("qname"),
+          (lit(q) * (col("n") - 1).cast("double")).as("pos"))
+      }: _*)).as("t"))
+      .select(col("g"), col("n"), col("t.qname").as("qname"), col("t.pos").as("pos"))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+    val picked = broadcast(targets)
+      .join(ranked.select(col("g"), col("__r").as("lo"), col("v").as("vlo")), Seq("g", "lo"))
+      .join(ranked.select(col("g"), col("__r").as("hi"), col("v").as("vhi")), Seq("g", "hi"))
+      .withColumn("value",
+        when(col("lo") === col("hi"), col("vlo"))
+          .otherwise((col("hi") - col("pos")) * col("vlo") +
+            (col("pos") - col("lo")) * col("vhi")))
+    picked
+      .groupBy(col("g").as(groupCol))
+      .agg(
+        max(col("n")).as("n"),
+        qs.map { case (name, _) =>
+          max(when(col("qname") === name, col("value"))).as(name)
+        }: _*)
+  }
+}

@@ -431,6 +431,30 @@ object RelationalExtended {
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Q26b — the SAME percentiles computed DISTRIBUTED (the q25/q25b
+    // declarative-face/scale-face pairing): the native exact `percentile`
+    // aggregate buffers a whole group's values on one task — fine for
+    // per-source rollups, an OOM for q26's shape at 100 TB (5 priority
+    // groups × billions of orders). ExactPercentiles ranks values with
+    // the c11 two-phase numbering bucketed on (group, value-range) and
+    // interpolates the two target-rank rows per (group, q) — identical
+    // values (same oracle as q26), no task ever holds a group.
+    Q(
+      "q26b_percentiles_distributed",
+      (s, dir) =>
+        graft.operators.ExactPercentiles.perGroup(
+          Tables.orders(s, dir), groupCol = "o_orderpriority",
+          valueCol = "o_totalprice",
+          qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)),
+          bucketWidth = 4096.0)
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |       quantile_cont(o_totalprice, 0.5) AS p50,
+             |       quantile_cont(o_totalprice, 0.9) AS p90,
+             |       quantile_cont(o_totalprice, 0.99) AS p99
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Q27 — batch sessionization (SURVEY §2.8 ST6's semantics under the
     // oracle gate): a 30-minute inactivity gap starts a new session;
     // session id = running count of gap boundaries per user. The streaming
