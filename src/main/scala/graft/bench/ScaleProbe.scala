@@ -381,11 +381,10 @@ object ScaleProbe {
     // pre-r12 window-chain form could not even ANALYZE a 256-merge plan
     // (3 window stages per merge).
     {
-      def chain(w: String): Seq[(String, String)] =
-        (1 until w.length).map(i => (w.substring(0, i), w.substring(i, i + 1)))
-      val d64 = Seq("customer", "vector", "window", "stream", "filter",
-        "column", "query", "spark", "batch", "order", "table", "merge",
-        "the", "hash", "join").flatMap(chain)
+      // t19d's exact gated table (single definition — the probe must
+      // measure the same merges the oracle pins), padded to depth 256
+      // with never-matching filler (depth is what's under test).
+      val d64 = graft.queries.TrainingData.bpeDeepMerges
       val d256 = d64 ++ (0 until (256 - d64.size)).map(k => (s"zz$k", "q"))
       time("bpe_apply_d64 1x")(graft.text.Bpe.applyBpe(docs1, d64).count())
       for ((label, d) <- Seq("1x" -> docs1, s"${n}x" -> docsN))

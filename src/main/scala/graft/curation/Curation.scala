@@ -463,12 +463,8 @@ object Curation {
     val keyed = df
       .withColumn("order_key", md5(concat(lit(salt), col(idCol).cast("string"))))
       .withColumn("__b", conv(substring(col("order_key"), 1, 2), 16, 10).cast("int"))
-    val offW = Window.partitionBy(sourceCol).orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed
-      .groupBy(col(sourceCol), col("__b"))
-      .agg(sum(col(nTokensCol)).as("__bt"))
-      .withColumn("__off", coalesce(sum(col("__bt")).over(offW), lit(0L)))
+    val offsets = graft.operators.TwoPhase
+      .offsets(keyed, "__b", sum(col(nTokensCol)), partitionCols = Seq(sourceCol))
       .drop("__bt")
     val cumW = Window.partitionBy(col(sourceCol), col("__b")).orderBy("order_key")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -494,11 +490,8 @@ object Curation {
     val keyed = df
       .withColumn("order_key", md5(concat(lit(salt), col(idCol).cast("string"))))
       .withColumn("__b", conv(substring(col("order_key"), 1, 2), 16, 10).cast("int"))
-    val offW = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed
-      .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
-      .drop("__n")
+    val offsets = graft.operators.TwoPhase.offsets(keyed, "__b", count(lit(1)))
+      .drop("__bt")
     val rnW = Window.partitionBy(col("__b")).orderBy("order_key")
     keyed
       .join(broadcast(offsets), Seq("__b"))
@@ -858,10 +851,8 @@ object Curation {
     val base = graft.util.CacheScope.persist(
       df.select(col(idCol), col(scoreCol), col(tokensCol))
         .withColumn("__b", floor(col(scoreCol) * bucketScale).cast("long")))
-    val offW = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("__b").agg(sum(col(tokensCol)).as("__bn"))
-      .withColumn("__off", coalesce(sum(col("__bn")).over(offW), lit(0L)))
-      .drop("__bn")
+    val offsets = graft.operators.TwoPhase.offsets(base, "__b", sum(col(tokensCol)))
+      .drop("__bt")
     val runW = Window.partitionBy("__b").orderBy(col(scoreCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     val total = base.agg(sum(col(tokensCol)).cast("long").as("__total"))

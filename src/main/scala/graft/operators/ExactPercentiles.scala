@@ -48,16 +48,16 @@ object ExactPercentiles {
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
       .withColumn("__b", floor(col("v") / bucketWidth).cast("long"))
-    val offW = Window.partitionBy("g").orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = v.groupBy("g", "__b").agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
-      .drop("__n")
+    // ONE aggregation pass over the data: the bucket rollup (persisted —
+    // bucket-count-sized) yields both the prefix offsets and the per-group
+    // totals; the only other data-sized pass is the ranked join itself.
+    val offsets = graft.util.CacheScope.persist(
+      TwoPhase.offsets(v, "__b", count(lit(1)), partitionCols = Seq("g")))
     val rnW = Window.partitionBy("g", "__b").orderBy("v")
-    val ranked = v.join(broadcast(offsets), Seq("g", "__b"))
+    val ranked = v.join(broadcast(offsets.drop("__bt")), Seq("g", "__b"))
       .withColumn("__r", col("__off") + row_number().over(rnW) - 1)
       .select("g", "__r", "v")
-    val counts = v.groupBy("g").agg(count(lit(1)).as("n"))
+    val counts = offsets.groupBy("g").agg(sum(col("__bt")).as("n"))
     // One row per (group, requested percentile) with its two target ranks.
     val targets = counts.select(
       col("g"), col("n"),

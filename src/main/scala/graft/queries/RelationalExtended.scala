@@ -611,10 +611,8 @@ object RelationalExtended {
           .groupBy("o_custkey")
           .agg(dsum(col("o_totalprice")).as("spend"))
           .withColumn("__b", -floor(col("spend") / 4096).cast("long"))
-        val offW = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = spend.groupBy("__b").agg(count(lit(1)).as("__n"))
-          .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
-          .drop("__n")
+        val offsets = graft.operators.TwoPhase.offsets(spend, "__b", count(lit(1)))
+          .drop("__bt")
         val total = spend.agg(count(lit(1)).as("__N"))
         val rnW = Window.partitionBy("__b")
           .orderBy(col("spend").desc, col("o_custkey"))
@@ -1062,10 +1060,8 @@ object RelationalExtended {
         val missing = spine.join(present, Seq("m"), "left_anti")
           .withColumn("idx", (col("m").cast("long") / 60).cast("long"))
           .withColumn("__b", (col("idx") / 1440).cast("long"))
-        val offW = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = missing.groupBy("__b").agg(count(lit(1)).as("__n"))
-          .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
-          .drop("__n")
+        val offsets = graft.operators.TwoPhase.offsets(missing, "__b", count(lit(1)))
+          .drop("__bt")
         val rnW = Window.partitionBy("__b").orderBy("idx")
         missing.join(broadcast(offsets), Seq("__b"))
           .withColumn("grp",
@@ -1145,11 +1141,8 @@ object RelationalExtended {
           .groupBy("o_custkey")
           .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("__rev"))
           .withColumn("__b", -floor(col("__rev").cast("double") / 4096).cast("long"))
-        val offW = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = rev.groupBy("__b").agg(sum(col("__rev")).as("__bn"))
-          .withColumn("__off", coalesce(sum(col("__bn")).over(offW),
-            lit(0).cast(DecimalType(28, 2))))
-          .drop("__bn")
+        val offsets = graft.operators.TwoPhase.offsets(rev, "__b", sum(col("__rev")))
+          .drop("__bt")
         val runW = Window.partitionBy("__b")
           .orderBy(col("__rev").desc, col("o_custkey"))
           .rowsBetween(Window.unboundedPreceding, 0)

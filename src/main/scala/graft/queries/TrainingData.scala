@@ -512,7 +512,7 @@ object TrainingData {
     * projection, and the unrolled DuckDB oracle still replays all 64
     * sequential passes independently.
     */
-  private val bpeDeepMerges: Seq[(String, String)] = {
+  private[graft] val bpeDeepMerges: Seq[(String, String)] = {
     def chain(w: String): Seq[(String, String)] =
       (1 until w.length).map(i => (w.substring(0, i), w.substring(i, i + 1)))
     val ms = Seq("customer", "vector", "window", "stream", "filter",

@@ -78,10 +78,11 @@ object Bpe {
   /** Segment distinct words by replaying `merges` in order as the
     * DECLARATIVE window chain: (word, pos, sym) — the per-word subword
     * sequence. Plan depth grows linearly in merge count (3 windows per
-    * merge), so this face exists for the learn loop (which applies at most
-    * batchM merges between checkpoints) and as the differential pin for
-    * [[segmentWordsLocal]] — apply paths over real merge tables use the
-    * local face, whose plan is ONE projection regardless of table depth.
+    * merge), so nothing in `main` executes this face anymore: it exists
+    * as the readable specification the unrolled DuckDB oracle mirrors
+    * pass-for-pass, and as BpeSpec's differential pin for the native
+    * replay ([[segmentWordsLocal]] / BpeMergeSyms) that the apply path
+    * AND the learn loop actually run.
     */
   def segmentWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
     merges.foldLeft(charState(words.select("word").distinct())) {
@@ -181,8 +182,10 @@ object Bpe {
     *     match occurrences the batch's start-of-round count never saw).
     * Under those two rules the accepted pairs' match sets and frequencies
     * are exactly what sequential application in rank order yields, so the
-    * batch IS its own sequential replay (applied via foldLeft of
-    * [[applyOne]] — one lineage, one checkpoint, one count job per round).
+    * batch IS its own sequential replay (applied through the native
+    * [[org.apache.spark.sql.graftnative.BpeMergeSyms]] replay over the
+    * symbol-array state — one projection, one checkpoint, one count job
+    * per round).
     *
     * M=1 degenerates to the textbook loop bit-for-bit (the t19b oracle
     * path — pinned by BpeSpec). M>1 is the documented approximation every

@@ -29,11 +29,17 @@ object CacheScope {
   private val liveCp = new ConcurrentLinkedQueue[DataFrame]()
 
   /** Persist `df` (MEMORY_AND_DISK — the only level operators here use)
-    * and register it for the next [[releaseAll]].
+    * and register it for the next [[releaseAll]]. Idempotent: a frame the
+    * caller already persisted (a pre-cached tf table handed to a scoring
+    * pass that defensively persists its input) is returned as-is instead
+    * of being re-registered — re-persisting would log cache warnings and
+    * triple-count the frame in [[liveCount]]/releaseAll.
     */
   def persist(df: DataFrame): DataFrame = {
-    df.persist(StorageLevel.MEMORY_AND_DISK)
-    live.add(df)
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      live.add(df)
+    }
     df
   }
 

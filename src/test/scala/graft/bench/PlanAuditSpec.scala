@@ -118,30 +118,19 @@ class PlanAuditSpec extends SparkTestBase {
     // range-bucket id)
     "c24_curriculum_phases")
 
-  /** Intended partition-less windows, each over a BOUNDED table (never the
-    * data-sized input): the two-phase cumsum users' offsets tables (one
-    * row per range bucket — ≤256 md5 buckets or value-range/step), ntile
-    * cut-point tables (one row per quantile), calendar spines, per-source
-    * / per-round rollups, and literal fixture frames. A query NOT on this
-    * list that plans a WindowExec with an empty partitionSpec funnels its
-    * whole input through ONE task — the q59-at-r11 shape this gate exists
-    * to catch.
+  /** Partition-less windows a query may plan WITHOUT being an offense:
+    * ONLY the two-phase pattern's offsets rollup, recognized by its
+    * convention — the window orders by exactly the range-bucket column
+    * `__b` (TwoPhase.offsets), whose input is one row per bucket, never
+    * the data. Everything else needs an entry here, each justified as
+    * running over a BOUNDED table. Name-based whitelisting alone would
+    * let a whitelisted query silently regress to the q59-at-r11 shape (a
+    * global window over the data-sized table) — the `__b` rule keeps the
+    * gate meaningful for the two-phase users too, since their data-sized
+    * windows are all bucket-partitioned.
     */
   private val accountedGlobalWindow: Set[String] = Set(
-    // c11 two-phase numbering/cumsum users: the partition-less window is
-    // the per-bucket OFFSETS rollup — ≤256 md5-prefix buckets (c11; also
-    // inside t18/t18b via globalPositions) or value-range/step buckets
-    // (c24 score grid, q37/q59 revenue grids), never the data-sized input.
-    "c11_global_positions",
-    "q37_rank_functions",
-    "c24_curriculum_phases",
-    "t18_curation_pipeline_v2",
-    "t18b_curation_pipeline_v3",
-    "q59_abc_pareto",
-    // per-day offsets of the missing-minute islands numbering — bounded
-    // by the calendar span of the stream, not event volume
-    "q53_ingestion_gaps",
-    // the 10-row decile table of the Heaps-law growth curve
+    // the 10-row decile spine of the Heaps-law growth curve
     "t34_heaps_curve")
 
   test("no registered query plans a cartesian or an unaccounted nested-loop join") {
@@ -180,13 +169,17 @@ class PlanAuditSpec extends SparkTestBase {
           Some(s"${q.name}: plan build FAILED — " +
             String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse("<no message>"))
         case scala.util.Success(plan) =>
+          def isOffsetsWindow(order: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder]) =
+            order.nonEmpty && order.forall(_.child.references.map(_.name).toSet == Set("__b"))
           val global = plan.collectWithSubqueries {
-            case w: LWindow if w.partitionSpec.isEmpty => w
-            case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+            case w: LWindow if w.partitionSpec.isEmpty &&
+              !isOffsetsWindow(w.orderSpec) => w
+            case w: WindowGroupLimit if w.partitionSpec.isEmpty &&
+              !isOffsetsWindow(w.orderSpec) => w
           }
           if (global.nonEmpty && !accountedGlobalWindow(q.name))
             Some(s"${q.name}: partition-less Window (single-task funnel) " +
-              "not on the accounted whitelist")
+              "not ordered by the __b bucket convention nor whitelisted")
           else None
       }
     }
