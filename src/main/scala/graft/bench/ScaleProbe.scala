@@ -390,6 +390,29 @@ object ScaleProbe {
       for ((label, d) <- Seq("1x" -> docs1, s"${n}x" -> docsN))
         time(s"bpe_apply_d256 $label")(graft.text.Bpe.applyBpe(d, d256).count())
     }
+    // Distributed exact percentiles: the two-phase rank over (group,
+    // value-bucket). Healthy = ~linear in rows (two data passes: bucket
+    // rollup + ranked join); the native-percentile hazard it replaces is
+    // MEMORY (one task buffers a group), which a wall-clock probe can't
+    // show — this pins the throughput side.
+    {
+      val o1 = Tables.orders(spark, sfDir)
+      val oN = replicate(o1, n, "o_orderkey")
+      for ((label, o) <- Seq("1x" -> o1, s"${n}x" -> oN))
+        time(s"pctl_distributed $label")(
+          graft.operators.ExactPercentiles.perGroup(o, "o_orderpriority",
+            "o_totalprice", Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)),
+            bucketWidth = 4096.0).count())
+    }
+    // kNN graph via sign-band blocking. NOTE the replica sweep is the
+    // ADVERSARIAL case: id-offset copies have IDENTICAL signatures, so
+    // every copy collides in every band and candidate pairs grow ~N² per
+    // duplicate cluster (real corpora pay ~N²/256 per band only within
+    // genuinely-similar neighborhoods). Healthy here = completes with
+    // pair growth tracking the duplicate structure, not a hang; the skew
+    // salting noted in knnGraph's doc is the 100 TB lever.
+    for ((label, e) <- Seq("1x" -> emb1, "3x" -> replicate(emb1, 3, "vec_id")))
+      time(s"knn_graph $label")(Similarity.knnGraph(e, k = 3, dim = 64).count())
     // SQ8 ANN: fixed queries, growing corpus — stats is one 64-row
     // rollup, encode/decode are row-local, scoring is the e1 broadcast
     // scan over DECODED vectors. Healthy = ~linear, tracking brute force
