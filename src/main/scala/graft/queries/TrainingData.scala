@@ -1370,6 +1370,48 @@ object TrainingData {
              |FROM p ORDER BY doc_id, pos""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T41 — fuzzy word matching (typo/OCR normalization): every
+    // edit-distance-1 pair in the vocabulary via DELETION-NEIGHBORHOOD
+    // blocking (SymSpell/FastSS) — candidates are an equi self-join on
+    // single-deletion variant keys (distance-1 pairs MUST share one),
+    // never the quadratic all-pairs levenshtein; the exact integer
+    // levenshtein (same DP in both engines) screens the blocked pairs.
+    // The corpus vocabulary is typo-free by construction, so the fixture
+    // injects last-char-clipped forms of the long words — deterministic
+    // distance-1 partners, mirrored verbatim in the oracle.
+    Q(
+      "t41_fuzzy_word_join",
+      (s, dir) => {
+        val vocab = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+          .filter(length(col("word")) > 0)
+          .distinct()
+        val withTypos = vocab.unionByName(
+          vocab.filter(length(col("word")) >= 6)
+            .select(col("word").substr(lit(1), length(col("word")) - 1).as("word")))
+          .distinct()
+        graft.text.Fuzzy.editDistance1Pairs(withTypos)
+          .orderBy("word_a", "word_b")
+      },
+      Some("""WITH w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+             |           FROM documents WHERE text IS NOT NULL),
+             |wx AS (SELECT word FROM w WHERE len(word) > 0
+             |       UNION
+             |       SELECT substr(word, 1, len(word) - 1) FROM w WHERE len(word) >= 6),
+             |v AS (SELECT word, unnest(list_append(
+             |        list_transform(range(len(word)), i ->
+             |          substr(word, 1, i) || substr(word, i + 2)),
+             |        word)) AS vv
+             |      FROM wx WHERE len(word) >= 2),
+             |p AS (SELECT DISTINCT a.word AS word_a, b.word AS word_b
+             |      FROM v a JOIN v b ON a.vv = b.vv AND a.word < b.word)
+             |SELECT word_a, word_b,
+             |       CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
+             |FROM p WHERE levenshtein(word_a, word_b) <= 1
+             |ORDER BY word_a, word_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T1 — heuristic language ID histogram (stopword-hit argmax).
     Q(
       "t1_lang_id",
