@@ -281,18 +281,21 @@ object TrainingData {
     * doc) BM25 micro-scores summed into `sc`. Final ranking differs per
     * entry.
     */
-  private val sqlBm25Ctes =
-    """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+  /** The BM25 scoring chain with a pluggable query source: `qCtes` is a
+    * CTE fragment ending in a CTE named `q(query_id, query_text)` —
+    * the literal VALUES list for t26/t26b/t31/t37, the typo-correction
+    * pipeline for t42. It may reference the earlier `tf` CTE (t42's
+    * vocabulary does).
+    */
+  private def sqlBm25CtesFor(qCtes: String) =
+    s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |    FROM documents) GROUP BY 1, 2),
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
       |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs,
       |                  CAST(sum(tf) AS BIGINT) AS l_tokens FROM tf),
-      |q(query_id, query_text) AS (VALUES
-      |  (1, 'fast hash join'), (2, 'window sort order'),
-      |  (3, 'spark stream batch'), (4, 'slow scan filter'),
-      |  (5, 'vector data table')),
+      |$qCtes,
       |qt AS (SELECT DISTINCT query_id, term FROM (
       |    SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q)),
       |per AS (SELECT qt.query_id, tf.doc_id,
@@ -303,6 +306,12 @@ object TrainingData {
       |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
       |sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp6
       |       FROM per GROUP BY 1, 2)""".stripMargin
+
+  private val sqlBm25Ctes = sqlBm25CtesFor(
+    """q(query_id, query_text) AS (VALUES
+      |  (1, 'fast hash join'), (2, 'window sort order'),
+      |  (3, 'spark stream batch'), (4, 'slow scan filter'),
+      |  (5, 'vector data table'))""".stripMargin)
 
   /** The t26c oracle: BM25F over a (title, body) split of each document
     * (first 6 tokens / rest), title weight 3, body weight 1. The fields
@@ -1410,6 +1419,80 @@ object TrainingData {
              |       CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
              |FROM p WHERE levenshtein(word_a, word_b) <= 1
              |ORDER BY word_a, word_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T42 — "did-you-mean" retrieval: t26's five queries arrive with one
+    // deliberately-misspelled term each (hsh/windw/strem/scann/vectr —
+    // one deletion or insertion from a vocabulary word); the t41
+    // deletion-neighborhood join corrects each OOV term to its best
+    // distance-1 vocabulary candidate (min dist, then max corpus
+    // frequency, then word — the classic rule), and the REPAIRED queries
+    // run the standard engine-exact BM25. Family composition under ONE
+    // oracle: the correction CTEs feed the shared scoring chain via
+    // sqlBm25CtesFor, so a drift anywhere in variants, candidate
+    // ranking, query reassembly, or BM25 breaks the hash. (On this
+    // corpus every typo recovers its original, so the ranking equals
+    // t26's — computed independently by both engines, not assumed.)
+    Q(
+      "t42_bm25_didyoumean",
+      (s, dir) => {
+        import s.implicits._
+        val typo = Seq(
+          (1L, "fast hsh join"),
+          (2L, "windw sort order"),
+          (3L, "spark strem batch"),
+          (4L, "slow scann filter"),
+          (5L, "vectr data table")).toDF("query_id", "query_text")
+        val docs = Tables.documents(s, dir)
+        val vocab = docs
+          .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("ctf"))
+        Bm25.search(docs, graft.text.Fuzzy.correctTerms(typo, vocab), k = 8)
+          .orderBy("query_id", "rk")
+      },
+      Some(sqlBm25CtesFor(
+        """tq(query_id, query_text) AS (VALUES
+          |  (1, 'fast hsh join'), (2, 'windw sort order'),
+          |  (3, 'spark strem batch'), (4, 'slow scann filter'),
+          |  (5, 'vectr data table')),
+          |tqt AS (SELECT query_id, i AS widx, w[i+1] AS term FROM (
+          |    SELECT query_id, string_split(query_text, ' ') AS w,
+          |           unnest(range(len(string_split(query_text, ' ')))) AS i FROM tq)),
+          |vt AS (SELECT term AS word, CAST(sum(tf) AS BIGINT) AS ctf
+          |       FROM tf GROUP BY 1),
+          |oov AS (SELECT t.* FROM tqt t ANTI JOIN vt v ON t.term = v.word),
+          |qv AS (SELECT query_id, widx, term, unnest(list_append(
+          |         list_transform(range(len(term)), i ->
+          |           substr(term, 1, i) || substr(term, i + 2)),
+          |         term)) AS vv FROM oov),
+          |wv AS (SELECT word, ctf, unnest(list_append(
+          |         list_transform(range(len(word)), i ->
+          |           substr(word, 1, i) || substr(word, i + 2)),
+          |         word)) AS vv FROM vt),
+          |cand AS (SELECT DISTINCT query_id, widx, term, word, ctf,
+          |                levenshtein(term, word) AS dist
+          |         FROM qv JOIN wv USING (vv)
+          |         WHERE levenshtein(term, word) <= 1),
+          |best AS (SELECT query_id, widx, word FROM (
+          |           SELECT *, row_number() OVER (PARTITION BY query_id, widx
+          |             ORDER BY dist, ctf DESC, word) AS rn FROM cand)
+          |         WHERE rn = 1),
+          |corr AS (SELECT t.query_id, t.widx,
+          |           CASE WHEN v.word IS NOT NULL THEN t.term
+          |                ELSE coalesce(b.word, t.term) END AS term
+          |         FROM tqt t LEFT JOIN vt v ON t.term = v.word
+          |         LEFT JOIN best b ON b.query_id = t.query_id
+          |                         AND b.widx = t.widx),
+          |q AS (SELECT query_id, string_agg(term, ' ' ORDER BY widx) AS query_text
+          |      FROM corr GROUP BY 1)""".stripMargin) +
+        """
+          |, rked AS (SELECT query_id, doc_id, score_fp6,
+          |           row_number() OVER (PARTITION BY query_id
+          |             ORDER BY score_fp6 DESC, doc_id) AS rk
+          |         FROM sc)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
+          |       doc_id, score_fp6
+          |FROM rked WHERE rk <= 8 ORDER BY query_id, rk""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T1 — heuristic language ID histogram (stopword-hit argmax).

@@ -48,4 +48,47 @@ object Fuzzy {
       .withColumn("dist", levenshtein(col("word_a"), col("word_b")).cast("long"))
       .filter(col("dist") <= 1)
   }
+
+  /** Did-you-mean query correction: rewrite each query term to its best
+    * vocabulary match. In-vocabulary terms stay; OOV terms map through
+    * the deletion-neighborhood join to the distance-1 candidate with
+    * (min dist, max corpus frequency, min word) — the classic
+    * did-you-mean rule — and OOV terms with no candidate stay unchanged.
+    * `queries` = (query_id, query_text); `vocab` = (word, ctf).
+    * Returns (query_id, query_text) with terms corrected in place.
+    *
+    * Shape: variants are vocabulary- and query-sized, never
+    * corpus-sized; the best-candidate window partitions by
+    * (query_id, term position). Composes with [[graft.text.Bm25]] as
+    * the retrieval front-end (t42).
+    */
+  def correctTerms(queries: DataFrame, vocab: DataFrame): DataFrame = {
+    val qt = queries.select(col("query_id"),
+      posexplode(TextFunctions.tokens(col("query_text"))).as(Seq("widx", "term")))
+    val inVocab = vocab.select(col("word").as("term"), lit(true).as("__iv"))
+    val oov = qt.join(inVocab, Seq("term"), "left_anti")
+    val qv = oov.select(col("query_id"), col("widx"), col("term"),
+      explode(delVariants(col("term"))).as("vv"))
+    val wv = vocab.select(col("word"), col("ctf"),
+      explode(delVariants(col("word"))).as("vv"))
+    val cand = qv.join(wv, Seq("vv"))
+      .select("query_id", "widx", "term", "word", "ctf").distinct()
+      .withColumn("dist", levenshtein(col("term"), col("word")))
+      .filter(col("dist") <= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id", "widx")
+      .orderBy(col("dist"), col("ctf").desc, col("word"))
+    val best = cand
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("query_id"), col("widx"), col("word").as("__corr"))
+    qt.join(inVocab, Seq("term"), "left_outer")
+      .join(best, Seq("query_id", "widx"), "left_outer")
+      .withColumn("__t",
+        when(col("__iv").isNotNull, col("term"))
+          .otherwise(coalesce(col("__corr"), col("term"))))
+      .groupBy("query_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("widx"), col("__t")))),
+          x => x.getField("__t")), " ").as("query_text"))
+  }
 }

@@ -50,6 +50,8 @@ class PlanAuditSpec extends SparkTestBase {
     // one-row (n_docs, l_tokens) corpus-stats side of the BM25 scoring join
     "t26_bm25_search",
     "t26b_bm25_phrase_rescored",
+    // same one-row BM25 corpus-stats side behind the did-you-mean front-end
+    "t42_bm25_didyoumean",
     // both PRF passes carry the same one-row corpus-stats side
     "t37_bm25_prf",
     "t26c_bm25f_fielded",
