@@ -4153,6 +4153,73 @@ object TrainingData {
              |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // E22 — GRAPH-BASED semantic dedup (SemDeDup by collapse): e21's
+    // sign-band candidate stage thresholded into near-dup EDGES
+    // (cosine >= 0.999), collapsed with the g5 min-id connected
+    // components, reported as (cluster_id = survivor, size, max member).
+    // The d12/e14 fixture injects every 7th vector rescaled x2 —
+    // float-EXACT (x2 bumps the exponent, no rounding), so the pair's
+    // cosine is exactly 1.0 in both engines and the double-cast-then-x2
+    // oracle mirror is bit-identical. Full-oracle composition across
+    // three machines: banding (e21) -> exact cosine (e1) -> recursive
+    // min-id walk (g5).
+    Q(
+      "e22_graph_semdedup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val dups = emb.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        val edges = Similarity.signBandEdges(
+          emb.unionByName(dups), dim = 64, minCosine = 0.999)
+        graft.dedup.ClusterCollapse.connectedComponents(edges)
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH RECURSIVE ex0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |            FROM embeddings),
+             |ex AS (SELECT * FROM ex0
+             |       UNION ALL
+             |       SELECT vec_id + 100000, list_transform(e, x -> x * 2)
+             |       FROM ex0 WHERE vec_id % 7 = 0),
+             |pk AS (SELECT vec_id,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN e[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w0,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN e[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w1
+             |       FROM ex),
+             |bands AS (SELECT vec_id, b.band,
+             |            CASE WHEN b.band < 4
+             |                 THEN (w0 >> CAST(b.band * 8 AS INTEGER)) & 255
+             |                 ELSE (w1 >> CAST((b.band - 4) * 8 AS INTEGER)) & 255
+             |            END AS key
+             |          FROM pk, (SELECT unnest(range(8)) AS band) b),
+             |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+             |          FROM bands a JOIN bands b2
+             |            ON a.band = b2.band AND a.key = b2.key
+             |           AND a.vec_id < b2.vec_id),
+             |sc AS (SELECT p.id_a, p.id_b,
+             |         list_dot_product(qa.e, qb.e) /
+             |         (sqrt(list_dot_product(qa.e, qa.e)) *
+             |          sqrt(list_dot_product(qb.e, qb.e))) AS cosine
+             |       FROM pairs p JOIN ex qa ON qa.vec_id = p.id_a
+             |       JOIN ex qb ON qb.vec_id = p.id_b),
+             |e2 AS (SELECT id_a AS lo, id_b AS hi FROM sc WHERE cosine >= 0.999),
+             |nbr AS (SELECT lo AS v, hi AS u FROM e2
+             |        UNION ALL SELECT hi, lo FROM e2),
+             |walk(v, u) AS (
+             |  SELECT v, v FROM (SELECT DISTINCT v FROM nbr)
+             |  UNION
+             |  SELECT w.v, n.u FROM walk w JOIN nbr n ON n.v = w.u),
+             |cc AS (SELECT v AS id, min(u) AS cluster_id FROM walk GROUP BY 1)
+             |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             |       max(id) AS max_member
+             |FROM cc GROUP BY 1 ORDER BY cluster_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T33 — Zipf rank-frequency fit over the top-200 terms: the dataset-
     // card diagnostic (natural text ⇒ slope ≈ −1; templated/duplicated
     // corpora bend it). Top-N is a bounded-heap aggregation (freq desc,

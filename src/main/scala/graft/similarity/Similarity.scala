@@ -372,6 +372,35 @@ object Similarity {
   def knnGraph(
       corpus: DataFrame, k: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = signBandScoredPairs(corpus, dim, idCol, vecCol)
+    val directed = scored
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cosine"))
+      .unionByName(scored
+        .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cosine")))
+    topKPerQuery(directed, k)
+  }
+
+  /** Sign-band-blocked NEAR-DUP EDGES: candidate pairs from the band
+    * self-join, kept when exact cosine >= `minCosine` — the edge list a
+    * graph-based semantic dedup (SemDeDup by collapse: e22) feeds into
+    * connected components. Same shape and determinism as [[knnGraph]];
+    * only the tail differs (threshold filter instead of per-vertex
+    * top-k).
+    */
+  def signBandEdges(
+      corpus: DataFrame, dim: Int, minCosine: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    signBandScoredPairs(corpus, dim, idCol, vecCol)
+      .filter(col("cosine") >= minCosine)
+
+  /** Shared candidate stage of [[knnGraph]]/[[signBandEdges]]:
+    * (id_a, id_b, cosine) for every unordered pair agreeing on >= 1 of
+    * the dim/8 8-bit sign bands, with e1's exact cosine (per-vector
+    * norms computed once).
+    */
+  private def signBandScoredPairs(
+      corpus: DataFrame, dim: Int,
+      idCol: String, vecCol: String): DataFrame = {
     require(dim % 8 == 0, s"dim must be a multiple of 8, got $dim")
     val nBands = dim / 8
     val packed = signPack(corpus, dim, idCol, vecCol)
@@ -391,16 +420,11 @@ object Similarity {
       .distinct()
     val vecs = corpus.select(
       col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
-    val scored = pairs
+    pairs
       .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), Seq("id_b"))
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .select("id_a", "id_b", "cosine")
-    val directed = scored
-      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cosine"))
-      .unionByName(scored
-        .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cosine")))
-    topKPerQuery(directed, k)
   }
 
   /** Two-stage binary retrieval: Hamming shortlist (`kShortlist`) →
