@@ -32,7 +32,9 @@ object ExactPercentiles {
   /** One row per group: (groupCol, n, <name per q>). `qs` are
     * (outputName, percentile) pairs; `bucketWidth` sets the value-range
     * bucketing granularity (offsets table size = range/width per group).
-    * Null values are excluded, like the native aggregate.
+    * Null values are excluded, like the native aggregate; a null GROUP
+    * key is a group like any other (null-safe joins carry it through to
+    * one output row, as the native aggregate does).
     */
   def perGroup(
       df: DataFrame,
@@ -54,7 +56,15 @@ object ExactPercentiles {
     val offsets = graft.util.CacheScope.persist(
       TwoPhase.offsets(v, "__b", count(lit(1)), partitionCols = Seq("g")))
     val rnW = Window.partitionBy("g", "__b").orderBy("v")
-    val ranked = v.join(broadcast(offsets.drop("__bt")), Seq("g", "__b"))
+    // Null-SAFE (<=>) on the group key everywhere it joins: a null group
+    // must flow through to the output exactly like the native percentile
+    // aggregate (and DuckDB's quantile_cont GROUP BY) emits it — a plain
+    // equi-join would silently drop the null group's rows. EqualNullSafe
+    // is still a hash-join key, so the broadcast plan shape is unchanged.
+    val off = broadcast(offsets.drop("__bt"))
+      .withColumnRenamed("g", "__og").withColumnRenamed("__b", "__ob")
+    val ranked = v
+      .join(off, col("g") <=> col("__og") && col("__b") === col("__ob"))
       .withColumn("__r", col("__off") + row_number().over(rnW) - 1)
       .select("g", "__r", "v")
     val counts = offsets.groupBy("g").agg(sum(col("__bt")).as("n"))
@@ -68,9 +78,11 @@ object ExactPercentiles {
       .select(col("g"), col("n"), col("t.qname").as("qname"), col("t.pos").as("pos"))
       .withColumn("lo", floor(col("pos")).cast("long"))
       .withColumn("hi", ceil(col("pos")).cast("long"))
+    val rlo = ranked.select(col("g").as("__lg"), col("__r").as("__lr"), col("v").as("vlo"))
+    val rhi = ranked.select(col("g").as("__hg"), col("__r").as("__hr"), col("v").as("vhi"))
     val picked = broadcast(targets)
-      .join(ranked.select(col("g"), col("__r").as("lo"), col("v").as("vlo")), Seq("g", "lo"))
-      .join(ranked.select(col("g"), col("__r").as("hi"), col("v").as("vhi")), Seq("g", "hi"))
+      .join(rlo, col("g") <=> col("__lg") && col("lo") === col("__lr"))
+      .join(rhi, col("g") <=> col("__hg") && col("hi") === col("__hr"))
       .withColumn("value",
         when(col("lo") === col("hi"), col("vlo"))
           .otherwise((col("hi") - col("pos")) * col("vlo") +

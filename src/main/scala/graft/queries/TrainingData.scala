@@ -4167,8 +4167,13 @@ object TrainingData {
       "e22_graph_semdedup",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        // Injected ids live in the NEGATIVE space (-id-1): disjoint from
+        // the real non-negative ids at ANY scale factor, unlike a fixed
+        // +offset that a large-enough corpus would collide with (ADVICE
+        // r12). min-id CC therefore elects the injected copy as
+        // cluster_id for dup clusters — mirrored in the oracle.
         val dups = emb.filter(col("vec_id") % 7 === 0)
-          .select((col("vec_id") + 100000L).as("vec_id"),
+          .select((-col("vec_id") - 1L).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
         val edges = Similarity.signBandEdges(
           emb.unionByName(dups), dim = 64, minCosine = 0.999)
@@ -4181,7 +4186,7 @@ object TrainingData {
              |            FROM embeddings),
              |ex AS (SELECT * FROM ex0
              |       UNION ALL
-             |       SELECT vec_id + 100000, list_transform(e, x -> x * 2)
+             |       SELECT -vec_id - 1, list_transform(e, x -> x * 2)
              |       FROM ex0 WHERE vec_id % 7 = 0),
              |pk AS (SELECT vec_id,
              |         CAST(list_sum(list_transform(range(32), i ->

@@ -173,11 +173,28 @@ class PlanAuditSpec extends SparkTestBase {
         case scala.util.Success(plan) =>
           def isOffsetsWindow(order: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder]) =
             order.nonEmpty && order.forall(_.child.references.map(_.name).toSet == Set("__b"))
+          // The __b convention is only trustworthy when the window really
+          // runs over the bucket ROLLUP (bucket-count rows), not merely a
+          // column renamed __b: walk the child chain through
+          // cardinality-preserving unary nodes and require an Aggregate —
+          // the TwoPhase.offsets shape — at the bottom.
+          import org.apache.spark.sql.catalyst.plans.logical.{
+            Aggregate, Filter, LogicalPlan, Project, Sort, SubqueryAlias}
+          @annotation.tailrec
+          def rollupBelow(p: LogicalPlan): Boolean = p match {
+            case _: Aggregate => true
+            case pr: Project => rollupBelow(pr.child)
+            case f: Filter => rollupBelow(f.child)
+            case s: Sort => rollupBelow(s.child)
+            case sa: SubqueryAlias => rollupBelow(sa.child)
+            case w: LWindow => rollupBelow(w.child)
+            case _ => false
+          }
           val global = plan.collectWithSubqueries {
             case w: LWindow if w.partitionSpec.isEmpty &&
-              !isOffsetsWindow(w.orderSpec) => w
+              !(isOffsetsWindow(w.orderSpec) && rollupBelow(w.child)) => w
             case w: WindowGroupLimit if w.partitionSpec.isEmpty &&
-              !isOffsetsWindow(w.orderSpec) => w
+              !(isOffsetsWindow(w.orderSpec) && rollupBelow(w.child)) => w
           }
           if (global.nonEmpty && !accountedGlobalWindow(q.name))
             Some(s"${q.name}: partition-less Window (single-task funnel) " +

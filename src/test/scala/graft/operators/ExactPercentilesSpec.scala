@@ -32,6 +32,21 @@ class ExactPercentilesSpec extends SparkTestBase {
     assert(rows(got) == rows(native(df)))
   }
 
+  test("a null GROUP key flows through to one output row like the native aggregate") {
+    import spark.implicits._
+    val df = ((0 until 60).map(k => (Option(s"g${k % 2}"), (k % 11).toDouble)) ++
+      (0 until 30).map(k => (Option.empty[String], (k % 7).toDouble + 0.5)))
+      .toDF("g", "v")
+    val got = ExactPercentiles.perGroup(df, "g", "v",
+      Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)), bucketWidth = 3.0)
+    assert(got.count() == 3) // g0, g1, and the null group
+    val key = (r: org.apache.spark.sql.Row) =>
+      (Option(r.getString(0)), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val gotRows = got.select("g", "n", "p50", "p90", "p99").collect().map(key).sortBy(_._1)
+    val natRows = native(df).select("g", "n", "p50", "p90", "p99").collect().map(key).sortBy(_._1)
+    assert(gotRows.toSeq == natRows.toSeq)
+  }
+
   test("repartition-stable and null values excluded like the native aggregate") {
     import spark.implicits._
     val df = ((0 until 100).map(k => ("a", Some((k % 13).toDouble))) :+ (("a", None)))
