@@ -677,6 +677,51 @@ object RelationalExtended {
              |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Q60 — pivot as unpivot's exact inverse: q39's long form re-widened
+    // with `pivot` back to the original four measure columns (q20 is the
+    // counting pivot; this is the value-restoring one — melt ∘ pivot =
+    // identity). The pivot VALUES are passed explicitly: with an explicit
+    // list Spark skips the eager driver-side `distinct` discovery pass —
+    // at 100 TB dynamic pivot would scan the table once just to learn the
+    // column set. One shuffle on the group keys with map-side partial
+    // max; each (key, measure) holds exactly one row, so max IS the
+    // value and both engines agree deterministically (first() would not).
+    Q(
+      "q60_pivot_roundtrip",
+      (s, dir) => {
+        val long = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 50 === 0)
+          .select("l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "measure", "value")
+        long.groupBy("l_orderkey", "l_linenumber")
+          .pivot("measure",
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .agg(max(col("value")))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0),
+             |long AS (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM f
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM f
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM f
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM f)
+             |SELECT l_orderkey, l_linenumber,
+             |       max(value) FILTER (WHERE measure = 'l_quantity') AS l_quantity,
+             |       max(value) FILTER (WHERE measure = 'l_extendedprice') AS l_extendedprice,
+             |       max(value) FILTER (WHERE measure = 'l_discount') AS l_discount,
+             |       max(value) FILTER (WHERE measure = 'l_tax') AS l_tax
+             |FROM long GROUP BY 1, 2
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Q40 — calendar arithmetic surface: part extraction, month-end,
     // clamped month addition, day difference. Parts chosen for identical
     // cross-engine definitions (dayofweek/weekofyear conventions differ
