@@ -409,10 +409,35 @@ object ScaleProbe {
     // every copy collides in every band and candidate pairs grow ~N² per
     // duplicate cluster (real corpora pay ~N²/256 per band only within
     // genuinely-similar neighborhoods). Healthy here = completes with
-    // pair growth tracking the duplicate structure, not a hang; the skew
-    // salting noted in knnGraph's doc is the 100 TB lever.
+    // pair growth tracking the duplicate structure, not a hang.
     for ((label, e) <- Seq("1x" -> emb1, "3x" -> replicate(emb1, 3, "vec_id")))
       time(s"knn_graph $label")(Similarity.knnGraph(e, k = 3, dim = 64).count())
+    // The r12 skew exposure, probed head-on: an ANISOTROPIC corpus (a
+    // shared direction pins band 0's sign bits — every vector lands in
+    // ONE (band, key) bucket) drives the unguarded candidate stage to
+    // exactly N(N-1)/2 pairs. rotate+cap first dissolves the pinned
+    // band (hdDecorrelate spreads the direction's energy), then the cap
+    // hard-bounds what bias survives: guarded pairs can never exceed
+    // bands·256·cap²/2 REGARDLESS of N. Healthy = the guarded count is
+    // orders of magnitude under the unguarded N²/2 with the gap
+    // widening at 2x (observed 45x -> 82x, guarded growth 2.2x at 2x N).
+    locally {
+      def aniso(n: Int) = spark.range(n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0L), lit(63L)), j => {
+          // hash noise, not a linear grid — see SignBandSkewSpec
+          val u = (pmod(hash(col("id"), j), lit(7)) - 3).cast("double")
+          when(j < 8, lit(5.0) + u).otherwise(u)
+        }).cast("array<float>").as("embedding"))
+      for ((label, n) <- Seq("1x" -> 2000, "2x" -> 4000)) {
+        time(s"band_skew_unguarded $label")(
+          Similarity.signBandEdges(aniso(n), dim = 64, minCosine = -1.0,
+            maxBucket = None).count())
+        time(s"band_skew_guarded $label")(
+          Similarity.signBandEdges(aniso(n), dim = 64, minCosine = -1.0,
+            rotate = true, maxBucket = Some(64)).count())
+      }
+    }
     // SQ8 ANN: fixed queries, growing corpus — stats is one 64-row
     // rollup, encode/decode are row-local, scoring is the e1 broadcast
     // scan over DECODED vectors. Healthy = ~linear, tracking brute force

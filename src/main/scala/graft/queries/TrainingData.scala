@@ -4108,32 +4108,50 @@ object TrainingData {
     // e1's exact cosine and the per-vector bounded-heap top-k. Sign
     // bands are deterministic integers (no seeded hashes), so the whole
     // graph build sits under the full DuckDB oracle, unlike the LSH
-    // families.
+    // families. r13: the two skew guards are ON and MIRRORED — the
+    // fixed Walsh–Hadamard-with-diagonal decorrelation before packing
+    // (hdDecorrelate; same coefficient formula, same sequential sums in
+    // both engines) and the maxBucket=64 hot-bucket cap (HAVING-count
+    // anti-join in the oracle) — so the hash now pins the 100 TB
+    // anti-skew path, not just the happy one.
     Q(
       "e21_knn_graph",
       (s, dir) =>
-        Similarity.knnGraph(Tables.embeddings(s, dir), k = 3, dim = 64)
+        Similarity.knnGraph(Tables.embeddings(s, dir), k = 3, dim = 64,
+            rotate = true, maxBucket = Some(64))
           .withColumnRenamed("rank", "rnk")
           .select("query_id", "rnk", "neighbor_id", "cosine")
           .orderBy("query_id", "rnk"),
       Some("""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
              |            FROM embeddings),
+             |rot AS (SELECT vec_id, e,
+             |          list_transform(range(64), i ->
+             |            list_dot_product(e, list_transform(range(64), j ->
+             |              CAST((1 - 2 * (bit_count(i & j) % 2))
+             |                 * (1 - 2 * (bit_count(j * 2654435769) % 2))
+             |                   AS DOUBLE)))) AS r
+             |        FROM ex),
              |pk AS (SELECT vec_id,
              |         CAST(list_sum(list_transform(range(32), i ->
-             |           CASE WHEN e[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |           CASE WHEN r[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
              |                ELSE 0 END)) AS BIGINT) AS w0,
              |         CAST(list_sum(list_transform(range(32), i ->
-             |           CASE WHEN e[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |           CASE WHEN r[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
              |                ELSE 0 END)) AS BIGINT) AS w1
-             |       FROM ex),
+             |       FROM rot),
              |bands AS (SELECT vec_id, b.band,
              |            CASE WHEN b.band < 4
              |                 THEN (w0 >> CAST(b.band * 8 AS INTEGER)) & 255
              |                 ELSE (w1 >> CAST((b.band - 4) * 8 AS INTEGER)) & 255
              |            END AS key
              |          FROM pk, (SELECT unnest(range(8)) AS band) b),
+             |bover AS (SELECT band, key FROM bands
+             |          GROUP BY 1, 2 HAVING count(*) > 64),
+             |bk AS (SELECT * FROM bands b WHERE NOT EXISTS
+             |         (SELECT 1 FROM bover o
+             |          WHERE o.band = b.band AND o.key = b.key)),
              |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-             |          FROM bands a JOIN bands b2
+             |          FROM bk a JOIN bk b2
              |            ON a.band = b2.band AND a.key = b2.key
              |           AND a.vec_id < b2.vec_id),
              |dir2 AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM pairs
@@ -4176,7 +4194,8 @@ object TrainingData {
           .select((-col("vec_id") - 1L).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
         val edges = Similarity.signBandEdges(
-          emb.unionByName(dups), dim = 64, minCosine = 0.999)
+          emb.unionByName(dups), dim = 64, minCosine = 0.999,
+          rotate = true, maxBucket = Some(64))
         graft.dedup.ClusterCollapse.connectedComponents(edges)
           .groupBy("cluster_id")
           .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
@@ -4188,22 +4207,34 @@ object TrainingData {
              |       UNION ALL
              |       SELECT -vec_id - 1, list_transform(e, x -> x * 2)
              |       FROM ex0 WHERE vec_id % 7 = 0),
+             |rot AS (SELECT vec_id, e,
+             |          list_transform(range(64), i ->
+             |            list_dot_product(e, list_transform(range(64), j ->
+             |              CAST((1 - 2 * (bit_count(i & j) % 2))
+             |                 * (1 - 2 * (bit_count(j * 2654435769) % 2))
+             |                   AS DOUBLE)))) AS r
+             |        FROM ex),
              |pk AS (SELECT vec_id,
              |         CAST(list_sum(list_transform(range(32), i ->
-             |           CASE WHEN e[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |           CASE WHEN r[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
              |                ELSE 0 END)) AS BIGINT) AS w0,
              |         CAST(list_sum(list_transform(range(32), i ->
-             |           CASE WHEN e[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |           CASE WHEN r[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
              |                ELSE 0 END)) AS BIGINT) AS w1
-             |       FROM ex),
+             |       FROM rot),
              |bands AS (SELECT vec_id, b.band,
              |            CASE WHEN b.band < 4
              |                 THEN (w0 >> CAST(b.band * 8 AS INTEGER)) & 255
              |                 ELSE (w1 >> CAST((b.band - 4) * 8 AS INTEGER)) & 255
              |            END AS key
              |          FROM pk, (SELECT unnest(range(8)) AS band) b),
+             |bover AS (SELECT band, key FROM bands
+             |          GROUP BY 1, 2 HAVING count(*) > 64),
+             |bk AS (SELECT * FROM bands b WHERE NOT EXISTS
+             |         (SELECT 1 FROM bover o
+             |          WHERE o.band = b.band AND o.key = b.key)),
              |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-             |          FROM bands a JOIN bands b2
+             |          FROM bk a JOIN bk b2
              |            ON a.band = b2.band AND a.key = b2.key
              |           AND a.vec_id < b2.vec_id),
              |sc AS (SELECT p.id_a, p.id_b,
@@ -4223,6 +4254,59 @@ object TrainingData {
              |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
              |       max(id) AS max_member
              |FROM cc GROUP BY 1 ORDER BY cluster_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // E23 — the sign-band bucket-occupancy REPORT (the no-silent-caps
+    // face of e21/e22's maxBucket knob): one row per band with bucket
+    // count, hottest bucket, the closed-form candidate-pair total
+    // Σ n(n−1)/2, and what a cap of 64 would drop (buckets/rows/pairs).
+    // This is the query an operator runs BEFORE a 100 TB graph build to
+    // size the cap — it aggregates the (band,key) rollup (≤ dim/8 × 256
+    // rows), never the pair join. Same rotated banding as e21 so the
+    // numbers describe exactly the path the graph build takes.
+    Q(
+      "e23_band_bucket_stats",
+      (s, dir) =>
+        Similarity.signBandBucketStats(Tables.embeddings(s, dir), dim = 64,
+            maxBucket = Some(64), rotate = true)
+          .orderBy("band"),
+      Some("""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |            FROM embeddings),
+             |rot AS (SELECT vec_id,
+             |          list_transform(range(64), i ->
+             |            list_dot_product(e, list_transform(range(64), j ->
+             |              CAST((1 - 2 * (bit_count(i & j) % 2))
+             |                 * (1 - 2 * (bit_count(j * 2654435769) % 2))
+             |                   AS DOUBLE)))) AS r
+             |        FROM ex),
+             |pk AS (SELECT vec_id,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN r[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w0,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN r[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w1
+             |       FROM rot),
+             |bands AS (SELECT vec_id, CAST(b.band AS INTEGER) AS band,
+             |            CASE WHEN b.band < 4
+             |                 THEN (w0 >> CAST(b.band * 8 AS INTEGER)) & 255
+             |                 ELSE (w1 >> CAST((b.band - 4) * 8 AS INTEGER)) & 255
+             |            END AS key
+             |          FROM pk, (SELECT unnest(range(8)) AS band) b),
+             |bsz AS (SELECT band, key, count(*) AS n
+             |        FROM bands GROUP BY 1, 2)
+             |SELECT band,
+             |       count(*) AS n_buckets,
+             |       max(n) AS max_bucket,
+             |       CAST(sum(n) AS BIGINT) AS n_rows,
+             |       CAST(sum(n * (n - 1) / 2) AS BIGINT) AS pairs_all,
+             |       CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS buckets_capped,
+             |       CAST(sum(CASE WHEN n > 64 THEN n ELSE 0 END) AS BIGINT)
+             |         AS rows_capped,
+             |       CAST(sum(CASE WHEN n > 64 THEN n * (n - 1) / 2 ELSE 0 END)
+             |         AS BIGINT) AS pairs_capped
+             |FROM bsz GROUP BY band ORDER BY band""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T33 — Zipf rank-frequency fit over the top-200 terms: the dataset-

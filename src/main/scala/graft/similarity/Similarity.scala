@@ -313,6 +313,73 @@ object Similarity {
       }: _*)
   }
 
+  /** Deterministic sign-spectrum DECORRELATION before sign packing: the
+    * Walsh–Hadamard transform with a fixed ±1 diagonal pre-flip,
+    * y_i = Σ_j x_j · s_j · (-1)^popcount(i & j), s_j = (-1)^popcount(j·K)
+    * for the fixed odd constant K = 2654435769 (the 32-bit golden-ratio
+    * multiplier). Real embedding corpora are ANISOTROPIC — a dominant
+    * direction concentrated on a few coordinates pins those sign bits
+    * identically across the corpus, and any 8-bit band made of pinned
+    * bits degenerates to ONE (band, key) bucket: the N²-per-bucket hot
+    * spot [[signBandScoredPairs]]'s cap guards against. H·D spreads a
+    * concentrated direction's energy across all `dim` coordinates (each
+    * output coordinate mixes every input), so per-coordinate bias drops
+    * below the noise floor and band keys re-spread. Unlike seeded random
+    * rotations this is a FIXED integer-indexed transform: both engines
+    * evaluate the same coefficient formula, the inner product uses the
+    * same sequential order as [[dot]]/list_dot_product, and the whole
+    * candidate stage stays under the DuckDB oracle.
+    *
+    * Scaling is irrelevant downstream (only signs are consumed; exact
+    * cosine always runs on ORIGINAL vectors), so no 1/√dim factor.
+    * An exact duplicate (or any positive scalar multiple) maps to a
+    * positive multiple — H·D·(c·x) = c·(H·D·x) — so dup pairs still
+    * collide in EVERY band after decorrelation. O(dim²) per row in
+    * whole-stage codegen; at larger dims a native blocked-WHT expression
+    * is the lever (kept naive here so the summation order is
+    * SQL-mirrorable term by term).
+    */
+  def hdDecorrelate(vec: Column, dim: Int): Column = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"hdDecorrelate needs a power-of-two dim, got $dim")
+    transform(sequence(lit(0L), lit(dim - 1L)), i =>
+      aggregate(
+        zip_with(vec.cast("array<double>"), sequence(lit(0L), lit(dim - 1L)),
+          (v, j) => v *
+            (lit(1L) - lit(2L) * (bit_count(i.bitwiseAND(j)) % 2)).cast("double") *
+            (lit(1L) - lit(2L) * (bit_count(j * lit(2654435769L)) % 2)).cast("double")),
+        lit(0.0),
+        (acc, v) => acc + v))
+  }
+
+  /** Per-band bucket-occupancy report for the sign-band families — the
+    * "report what was capped" face of [[knnGraph]]/[[signBandEdges]]'s
+    * `maxBucket` knob (the no-silent-caps rule): one row per band with
+    * the bucket count, the largest bucket, the closed-form candidate-pair
+    * total Σ n·(n−1)/2, and — under `maxBucket` — how many buckets/rows/
+    * pairs the cap would drop. Run this BEFORE a 100 TB graph build to
+    * size the cap; the whole report is one groupBy over the (≤ dim/8 ×
+    * 256)-bucket table, never the pair join itself.
+    */
+  def signBandBucketStats(
+      corpus: DataFrame, dim: Int, maxBucket: Option[Int] = None,
+      rotate: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bands = signBands(corpus, dim, idCol, vecCol, rotate)
+    val cap = lit(maxBucket.map(_.toLong).getOrElse(Long.MaxValue))
+    bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(col("n")).as("n_rows"),
+        sum(col("n") * (col("n") - 1) / 2).cast("long").as("pairs_all"),
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("buckets_capped"),
+        sum(when(col("n") > cap, col("n")).otherwise(0L)).as("rows_capped"),
+        sum(when(col("n") > cap, col("n") * (col("n") - 1) / 2)
+          .otherwise(lit(0L))).cast("long").as("pairs_capped"))
+      .orderBy("band")
+  }
+
   /** Hamming top-k over packed sign signatures: popcount of per-word XOR,
     * summed — integer-exact, so fully SQL-mirrorable unlike the
     * hash-seeded LSH family. Ties break toward the lower neighbor id.
@@ -364,15 +431,21 @@ object Similarity {
     * bits, popcount-free band keys, e1's cosine — so the whole graph
     * build sits under the DuckDB oracle.
     *
-    * At 100 TB: the bands join shuffles (band, key)-partitioned — skewed
-    * bands (all-positive sign bytes) can be salted by splitting a hot
-    * (band, key) bucket, and recall tightens by widening bands to 2 bytes
-    * or adding a second signature family; both leave the shape intact.
+    * At 100 TB: the bands join shuffles (band, key)-partitioned. Hot
+    * buckets (anisotropic corpora pin sign bits — the r12 skew exposure)
+    * are handled by the `maxBucket` cap (default ON; hard-bounds
+    * per-bucket work, reported via [[signBandBucketStats]], never
+    * silent) and the `rotate` decorrelator ([[hdDecorrelate]], spreads
+    * the common direction so the cap rarely bites); recall tightens by
+    * widening bands to 2 bytes or adding a second signature family —
+    * all four levers leave the join shape intact.
     */
   def knnGraph(
       corpus: DataFrame, k: Int, dim: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = signBandScoredPairs(corpus, dim, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rotate: Boolean = false,
+      maxBucket: Option[Int] = Some(4096)): DataFrame = {
+    val scored = signBandScoredPairs(corpus, dim, idCol, vecCol, rotate, maxBucket)
     val directed = scored
       .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cosine"))
       .unionByName(scored
@@ -389,22 +462,27 @@ object Similarity {
     */
   def signBandEdges(
       corpus: DataFrame, dim: Int, minCosine: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    signBandScoredPairs(corpus, dim, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rotate: Boolean = false,
+      maxBucket: Option[Int] = Some(4096)): DataFrame =
+    signBandScoredPairs(corpus, dim, idCol, vecCol, rotate, maxBucket)
       .filter(col("cosine") >= minCosine)
 
-  /** Shared candidate stage of [[knnGraph]]/[[signBandEdges]]:
-    * (id_a, id_b, cosine) for every unordered pair agreeing on >= 1 of
-    * the dim/8 8-bit sign bands, with e1's exact cosine (per-vector
-    * norms computed once).
+  /** The exploded (id, band, key) table both sign-band consumers and the
+    * [[signBandBucketStats]] report share; `rotate` runs
+    * [[hdDecorrelate]] before packing (signs only — downstream cosine
+    * always reads the original vectors).
     */
-  private def signBandScoredPairs(
+  private def signBands(
       corpus: DataFrame, dim: Int,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String, rotate: Boolean): DataFrame = {
     require(dim % 8 == 0, s"dim must be a multiple of 8, got $dim")
     val nBands = dim / 8
-    val packed = signPack(corpus, dim, idCol, vecCol)
-    val bands = packed.select(
+    val packInput =
+      if (rotate) corpus.select(col(idCol), hdDecorrelate(col(vecCol), dim).as(vecCol))
+      else corpus.select(col(idCol), col(vecCol))
+    val packed = signPack(packInput, dim, idCol, vecCol)
+    packed.select(
       col(idCol).as("id"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
@@ -412,6 +490,43 @@ object Similarity {
             .bitwiseAND(lit(255L)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Shared candidate stage of [[knnGraph]]/[[signBandEdges]]:
+    * (id_a, id_b, cosine) for every unordered pair agreeing on >= 1 of
+    * the dim/8 8-bit sign bands, with e1's exact cosine (per-vector
+    * norms computed once).
+    *
+    * SKEW GUARDS (the 100 TB exposure named in r12): band keys take only
+    * 256 values, and on anisotropic corpora — a dominant shared direction
+    * pinning a band's 8 sign bits — a hot (band, key) bucket degenerates
+    * toward N²-per-bucket pairs on one task pair. Two levers, both
+    * SQL-mirrorable so the oracle composition survives:
+    *   - `maxBucket` (DEFAULT ON at 4096, the d5 df-cap analog): buckets
+    *     over the cap are excluded from the pair join — the per-bucket
+    *     work is then hard-bounded by cap²/2. Never silent:
+    *     [[signBandBucketStats]] reports exactly which bands/buckets/
+    *     pair-counts a cap drops. A pair is lost only if EVERY band it
+    *     collides in is over cap (exact dups share all bands, so they
+    *     survive any cap that leaves one band breathing).
+    *   - `rotate` ([[hdDecorrelate]]): spreads a concentrated common
+    *     direction across all coordinates before packing, re-spreading
+    *     the band keys so the cap rarely bites in the first place.
+    */
+  private def signBandScoredPairs(
+      corpus: DataFrame, dim: Int,
+      idCol: String, vecCol: String,
+      rotate: Boolean = false,
+      maxBucket: Option[Int] = Some(4096)): DataFrame = {
+    val bandsAll = signBands(corpus, dim, idCol, vecCol, rotate)
+    val bands = maxBucket.fold(bandsAll) { cap =>
+      // The over-cap bucket list is at most (dim/8)·256 rows — broadcast
+      // anti-join, no extra shuffle of the bands table.
+      val over = bandsAll.groupBy("band", "key")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select("band", "key")
+      bandsAll.join(broadcast(over), Seq("band", "key"), "left_anti")
+    }
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
