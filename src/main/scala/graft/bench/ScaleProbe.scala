@@ -390,12 +390,31 @@ object ScaleProbe {
       for ((label, d) <- Seq("1x" -> docs1, s"${n}x" -> docsN))
         time(s"bpe_apply_d256 $label")(graft.text.Bpe.applyBpe(d, d256).count())
     }
+    // Unigram-LM tokenizer over a GROWING DISTINCT-WORD corpus (the real
+    // work is distinct-words-sized, so replicating the fixture — whose
+    // 31-word vocabulary replication cannot grow — would probe nothing):
+    // synthetic docs of 8 hex words each, vocabulary ~8 per doc. Healthy
+    // = learn ~linear in distinct words (seed explode + 2 bounded-vocab
+    // EM segmentation passes), apply tracking it (one more Viterbi pass
+    // + the assembly join).
+    locally {
+      def synth(nDocs: Int) = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map(k =>
+          substring(md5(concat(lit(k * 1000003), col("id"))), 1, 6)): _*)
+          .as("text"))
+      for ((label, nd) <- Seq("1x" -> 2000, "3x" -> 6000)) {
+        time(s"unigram_learn $label")(graft.text.Unigram.learn(synth(nd)).count())
+        time(s"unigram_apply $label")(
+          graft.text.Unigram.learnApply(synth(nd)).count())
+      }
+    }
     // Distributed exact percentiles: the two-phase rank over (group,
     // value-bucket). Healthy = ~linear in rows (two data passes: bucket
     // rollup + ranked join); the native-percentile hazard it replaces is
     // MEMORY (one task buffers a group), which a wall-clock probe can't
     // show — this pins the throughput side.
-    {
+    locally {
       val o1 = Tables.orders(spark, sfDir)
       val oN = replicate(o1, n, "o_orderkey")
       for ((label, o) <- Seq("1x" -> o1, s"${n}x" -> oN))

@@ -12,7 +12,7 @@ import graft.similarity.Similarity
 import graft.tables.Tables
 import graft.graph.{KCore, LabelPropagation, Triangles}
 import graft.streaming.CorpusIngest
-import graft.text.{Bm25, Bpe, CharNgramLangId, Chunker, CorpusStats, Entropy, Fusion, HeavyHitters, InvertedIndex, LineFilter, NaiveBayes, NgramLm, TextFunctions}
+import graft.text.{Bm25, Bpe, CharNgramLangId, Chunker, CorpusStats, Entropy, Fusion, HeavyHitters, InvertedIndex, LineFilter, NaiveBayes, NgramLm, TextFunctions, Unigram}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, exact shingle-Jaccard,
@@ -1859,6 +1859,37 @@ object TrainingData {
           .orderBy("rank")
       },
       None),
+
+    // ------------------------------------------------------------------
+    // T43 — unigram-LM tokenizer, LEARN (Kudo, ACL 2018 — the
+    // SentencePiece algorithm's other half beside BPE): seed counts over
+    // all substrings of the distinct-word table, two hard-EM rounds
+    // (Viterbi E-step under integer-micro decimal-ln costs, recount
+    // M-step with the character floor), prune to the final vocabulary.
+    // FULL oracle: every Viterbi is unrolled as 16 Bellman-Ford
+    // relaxations per round in DuckDB with the identical
+    // (cost, n_pieces, piece-sequence) tie-break — the chr(1) path join
+    // makes binary string order equal sequence order — so the
+    // data-dependent EM recursion is replayed, not told the answer.
+    Q(
+      "t43_unigram_learn",
+      (s, dir) =>
+        Unigram.learn(Tables.documents(s, dir))
+          .select("piece", "cnt", "cost_micro"),
+      Some(Unigram.learnOracleSql())),
+
+    // ------------------------------------------------------------------
+    // T44 — unigram-LM tokenizer, APPLY: the t43 vocabulary segmenting
+    // every document (one native-DP pass per DISTINCT word, the
+    // tokenizer-cache assembly join; t19's applyBpe contract for
+    // null/empty docs). The oracle chains t43's learn CTEs into a third
+    // Viterbi block under the final costs — drift anywhere in seed, EM,
+    // prune, or segmentation breaks the hash.
+    Q(
+      "t44_unigram_apply",
+      (s, dir) =>
+        Unigram.learnApply(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(Unigram.learnApplyOracleSql())),
 
     // ------------------------------------------------------------------
     // T20 — n-gram LM perplexity filter (the CCNet/KenLM-style quality

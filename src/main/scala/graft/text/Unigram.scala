@@ -1,0 +1,347 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.CacheScope.CheckpointOps
+
+/** Unigram-LM subword tokenizer (Kudo, "Subword Regularization: Improving
+  * Neural Network Translation Models with Multiple Subword Candidates",
+  * ACL 2018 — the SentencePiece unigram algorithm), the other major
+  * subword scheme beside BPE (`Bpe.scala`): instead of replaying learned
+  * merges, pieces carry unigram log-probabilities and a word's
+  * segmentation is the Viterbi argmax over all piece tilings.
+  *
+  * This is the HARD-EM (Viterbi-EM) variant: the E-step segments each
+  * word with the current piece costs and counts pieces from the single
+  * best tiling; the M-step re-estimates costs from those counts. The
+  * full algorithm's forward-backward E-step sums over all tilings —
+  * hard-EM is its standard deterministic specialization, chosen here
+  * because the argmax path (unlike posterior expectations) rides the
+  * exact-integer cost grid end to end and therefore sits under the full
+  * DuckDB oracle, which soft-EM's float posteriors cannot.
+  *
+  * EXACTNESS CONTRACT (what makes t43/t44 fully oracleable): piece costs
+  * are BIGINT "micros" of the decimal(12,6)-grid ln — cost(p) =
+  * micros(ln Σcounts) − micros(ln count(p)), ln only ever of an INTEGER
+  * (the t20 contract) — so Viterbi totals are exact integer sums, the
+  * (cost, n_pieces, piece-sequence) tie-break is total, and DuckDB
+  * reproduces every segmentation with an unrolled relaxation using
+  * binary string collation (= Spark's UTF-8 order).
+  *
+  * SCALE SHAPE (same as the BPE family): everything word-local runs over
+  * the DISTINCT-word table weighted by occurrence count — Zipf makes
+  * that orders of magnitude smaller than the corpus. Segmentation is one
+  * codegen projection per round ([[org.apache.spark.sql.graftnative.UnigramSegment]]
+  * bakes the vocabulary in — constant plan depth at any vocab size, the
+  * BpeSegment lesson); per-round vocab collects are bounded by
+  * seedVocab + |alphabet| rows. Documents are assembled by joining
+  * occurrences back to per-word segmentations (the tokenizer-cache
+  * join). At 100 TB the only corpus-sized passes are the initial word
+  * count and the final assembly join.
+  */
+object Unigram {
+
+  /** (word, freq) over non-empty whitespace tokens. */
+  def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Seed candidate counts: every substring of length 1..maxPieceLen of
+    * every word, occurrences (overlapping included) weighted by word
+    * frequency — the flat-count stand-in for SentencePiece's
+    * suffix-array seeding. One explode over the distinct-word table.
+    */
+  def seedCounts(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words
+      .select(col("freq"), explode(flatten(
+        transform(sequence(lit(0), length(col("word")) - 1), i =>
+          transform(
+            sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i)),
+            l => col("word").substr(i + 1, l))))).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+
+  /** Integer-micro costs for a (piece, cnt) table: cost = micros(lnDec
+    * total) − micros(lnDec cnt), both lns of integers rounded ONCE onto
+    * the decimal(12,6) grid then scaled exactly (the product is
+    * integral, so the BIGINT cast cannot round).
+    */
+  def withCosts(counts: DataFrame): DataFrame = {
+    val lnMicros = (x: Column) =>
+      (log(x).cast("decimal(12,6)") * 1000000).cast("long")
+    val total = counts.agg(sum(col("cnt")).cast("long").as("__t"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("cost_micro", lnMicros(col("__t")) - lnMicros(col("cnt")))
+      .drop("__t")
+  }
+
+  /** Distinct words segmented under a collected (piece, cost_micro)
+    * vocabulary: (word, word_uni) with pieces space-joined — ONE codegen
+    * projection regardless of vocabulary size.
+    */
+  def segmentWordsLocal(words: DataFrame, vocab: Seq[(String, Long)]): DataFrame =
+    words.select("word").distinct()
+      .withColumn("word_uni",
+        org.apache.spark.sql.graftnative.UnigramSegment(col("word"), vocab))
+
+  /** Learn the piece vocabulary: seed → `emRounds` hard-EM rounds →
+    * prune to `finalVocab` (single characters always kept — coverage).
+    * Returns (piece, cnt, cost_micro) under the FINAL normalization,
+    * ordered (cnt desc, piece).
+    */
+  def learn(
+      docs: DataFrame,
+      emRounds: Int = 2,
+      maxPieceLen: Int = 6,
+      seedVocab: Int = 256,
+      finalVocab: Int = 128,
+      textCol: String = "text"): DataFrame = {
+    require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
+    val spark = docs.sparkSession
+    val words = wordFreqs(docs, textCol).scopedCheckpoint()
+    // All corpus characters — the coverage floor every round preserves.
+    val chars = words
+      .select(explode(split(col("word"), "")).as("piece"))
+      .filter(length(col("piece")) > 0).distinct()
+      .scopedCheckpoint()
+    val seed = seedCounts(words, maxPieceLen)
+    var counts = pruneTop(seed, chars, seedVocab).scopedCheckpoint()
+    (1 to emRounds).foreach { _ =>
+      val vocab = collectVocab(counts)
+      val seg = segmentWordsLocal(words, vocab)
+      val used = seg
+        .join(words, "word")
+        .select(col("freq"), explode(split(col("word_uni"), " ")).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      counts = floorChars(used, chars).scopedCheckpoint()
+    }
+    withCosts(pruneTop(counts, chars, finalVocab))
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  /** Segment a corpus under a learned vocabulary: (idCol, n_pieces,
+    * uni_text) — every document as its space-joined piece sequence (''
+    * and 0 for null/empty docs, the applyBpe contract). One Viterbi pass
+    * per DISTINCT word, one assembly join.
+    */
+  def applyUnigram(
+      docs: DataFrame, vocab: Seq[(String, Long)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val occ = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("widx", "word")))
+      .filter(length(col("word")) > 0)
+    val wordUni = segmentWordsLocal(occ.select("word"), vocab)
+    val perDoc = occ.join(wordUni, "word")
+      .groupBy(col("id").as(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("widx"), col("word_uni")))),
+          x => x.getField("word_uni")), " ").as("uni_text"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("uni_text"), lit("")).as("uni_text"))
+      .withColumn("n_pieces",
+        when(col("uni_text") === "", 0L)
+          .otherwise(size(split(col("uni_text"), " ")).cast("long")))
+      .select(idCol, "n_pieces", "uni_text")
+  }
+
+  /** Learn then apply in one call — the t44 shape. */
+  def learnApply(
+      docs: DataFrame,
+      emRounds: Int = 2,
+      maxPieceLen: Int = 6,
+      seedVocab: Int = 256,
+      finalVocab: Int = 128,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val vocab = collectVocab(
+      learn(docs, emRounds, maxPieceLen, seedVocab, finalVocab, textCol)
+        .select("piece", "cnt", "cost_micro"))
+    applyUnigram(docs, vocab, idCol, textCol)
+  }
+
+  /** Top-`v` pieces by (cnt desc, piece asc) UNION all single characters
+    * (with their own counts) — the pruning rule of both the seed and the
+    * final vocabulary.
+    */
+  private def pruneTop(counts: DataFrame, chars: DataFrame, v: Int): DataFrame = {
+    val ranked = counts
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("piece"))))
+    // The global row_number window runs over the candidate-piece table
+    // (≤ distinct substrings of the DISTINCT-word table, itself pruned
+    // to seedVocab from round one) — vocabulary-sized, never the corpus.
+    ranked.filter(col("__rn") <= v).select("piece", "cnt")
+      .unionByName(
+        counts.join(chars, Seq("piece"), "left_semi").select("piece", "cnt"))
+      .distinct()
+  }
+
+  /** E-step counts with the character floor: multi-char pieces keep
+    * their used counts (unused ⇒ dropped); every corpus character stays
+    * with max(used, 1).
+    */
+  private def floorChars(used: DataFrame, chars: DataFrame): DataFrame =
+    used.filter(length(col("piece")) > 1)
+      .unionByName(
+        chars.join(used, Seq("piece"), "left_outer")
+          .select(col("piece"),
+            greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt")))
+
+  /** Bounded driver collect of a (piece, cnt, ...) table's costs —
+    * seedVocab + |alphabet| rows at most.
+    */
+  def collectVocab(counts: DataFrame): Seq[(String, Long)] = {
+    val withC =
+      if (counts.columns.contains("cost_micro")) counts else withCosts(counts)
+    withC.select("piece", "cost_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle (t43/t44): the whole learn loop — seed, hard-EM
+  // rounds, prune — unrolled as a CTE chain, with each round's Viterbi
+  // reproduced by `relaxRounds` Bellman-Ford relaxations over the
+  // word-position DAG. The (cost, np, path) triple is minimized per
+  // (word, j) via row_number; `path` carries pieces joined by chr(1),
+  // which sorts below every text byte, so binary string order on the
+  // joined path EQUALS piece-sequence order (same np ⇒ same piece
+  // count). All arithmetic is BIGINT micros — bit-identical to the
+  // native DP. relaxRounds bounds the max pieces per word (= max word
+  // length when all-singles is optimal); 16 doubles the fixture's
+  // longest word.
+  // ------------------------------------------------------------------
+
+  /** One Viterbi pass as CTE text: edges from `costCte`, `relaxRounds`
+    * relaxations, ending in `fin<tag>`(word, path) for fully-segmented
+    * words (path = pieces joined by chr(1), no leading separator).
+    */
+  private def viterbiCtes(tag: String, costCte: String, relaxRounds: Int): String = {
+    val rounds = (1 to relaxRounds).map { k =>
+      s"""d$tag$k AS MATERIALIZED (SELECT word, j, cost, np, path FROM (
+         |  SELECT word, j, cost, np, path,
+         |         row_number() OVER (PARTITION BY word, j
+         |                            ORDER BY cost, np, path) AS rn
+         |  FROM (SELECT word, j, cost, np, path FROM d$tag${k - 1}
+         |        UNION ALL
+         |        SELECT d.word, e.j, d.cost + e.cost, d.np + 1,
+         |               d.path || chr(1) || e.piece
+         |        FROM d$tag${k - 1} d
+         |        JOIN e$tag e ON e.word = d.word AND e.i = d.j))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    s"""e$tag AS MATERIALIZED (SELECT p.word, p.i, p.i + length(v.piece) AS j,
+       |              v.cost, v.piece
+       |       FROM pos p JOIN $costCte v
+       |         ON substr(p.word, CAST(p.i + 1 AS INTEGER),
+       |                   CAST(length(v.piece) AS INTEGER)) = v.piece),
+       |d${tag}0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS j,
+       |              CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS path FROM w),
+       |${rounds.mkString(",\n")},
+       |fin$tag AS MATERIALIZED (SELECT d.word, substr(d.path, 2) AS path
+       |        FROM d$tag$relaxRounds d
+       |        JOIN w ON w.word = d.word AND d.j = length(w.word))""".stripMargin
+  }
+
+  /** cost CTE text: (piece, cnt, cost) from a counts CTE — micros of the
+    * decimal(12,6) ln grid, the product integral before the BIGINT cast.
+    */
+  private def costCte(name: String, src: String): String =
+    s"""$name AS MATERIALIZED (SELECT piece, cnt,
+       |    CAST(CAST(ln((SELECT CAST(SUM(cnt) AS BIGINT) FROM $src))
+       |         AS DECIMAL(12,6)) * 1000000 AS BIGINT)
+       |  - CAST(CAST(ln(cnt) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS cost
+       |  FROM $src)""".stripMargin
+
+  /** The shared CTE chain up to the FINAL pruned-and-normalized
+    * vocabulary CTE `costf`(piece, cnt, cost).
+    */
+  private def learnCtes(
+      emRounds: Int, maxPieceLen: Int, seedVocab: Int, finalVocab: Int,
+      relaxRounds: Int): String = {
+    val emBlocks = (1 to emRounds).map { r =>
+      s"""${viterbiCtes(s"r$r", s"cost${r - 1}", relaxRounds)},
+         |used$r AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT w.freq, unnest(string_split(f.path, chr(1))) AS piece
+         |    FROM finr$r f JOIN w USING (word)) GROUP BY 1),
+         |c$r AS MATERIALIZED (SELECT piece, cnt FROM used$r WHERE length(piece) > 1
+         |        UNION ALL
+         |        SELECT c.piece,
+         |               greatest(coalesce(u.cnt, CAST(0 AS BIGINT)),
+         |                        CAST(1 AS BIGINT)) AS cnt
+         |        FROM chars c LEFT JOIN used$r u USING (piece)),
+         |${costCte(s"cost$r", s"c$r")}""".stripMargin
+    }
+    s"""occ AS MATERIALIZED (SELECT doc_id, i AS widx, ws[i+1] AS word
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+       |                     unnest(range(len(string_split(text, ' ')))) AS i
+       |              FROM documents WHERE text IS NOT NULL AND len(text) > 0)
+       |        WHERE len(ws[i+1]) > 0),
+       |w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM occ GROUP BY 1),
+       |chars AS MATERIALIZED (SELECT DISTINCT cs[i+1] AS piece
+       |          FROM (SELECT string_split(word, '') AS cs,
+       |                       unnest(range(len(string_split(word, '')))) AS i
+       |                FROM w)),
+       |seed AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, substr(word, CAST(i + 1 AS INTEGER),
+       |                        CAST(l AS INTEGER)) AS piece
+       |    FROM (SELECT word, freq, i,
+       |                 unnest(range(1, least($maxPieceLen,
+       |                                       length(word) - i) + 1)) AS l
+       |          FROM (SELECT word, freq, unnest(range(length(word))) AS i
+       |                FROM w))) GROUP BY 1),
+       |c0 AS MATERIALIZED (SELECT piece, cnt FROM (
+       |         SELECT piece, cnt,
+       |                row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |         FROM seed) WHERE rn <= $seedVocab
+       |       UNION
+       |       SELECT s.piece, s.cnt FROM seed s JOIN chars c USING (piece)),
+       |${costCte("cost0", "c0")},
+       |pos AS MATERIALIZED (SELECT word, CAST(i AS BIGINT) AS i
+       |        FROM (SELECT word, unnest(range(length(word))) AS i FROM w)),
+       |${emBlocks.mkString(",\n")},
+       |cf AS MATERIALIZED (SELECT piece, cnt FROM (
+       |         SELECT piece, cnt,
+       |                row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |         FROM c$emRounds) WHERE rn <= $finalVocab
+       |       UNION
+       |       SELECT s.piece, s.cnt FROM c$emRounds s
+       |       JOIN chars c USING (piece)),
+       |${costCte("costf", "cf")}""".stripMargin
+  }
+
+  /** Full-oracle SQL for [[learn]] with the same parameters. */
+  def learnOracleSql(
+      emRounds: Int = 2, maxPieceLen: Int = 6,
+      seedVocab: Int = 256, finalVocab: Int = 128,
+      relaxRounds: Int = 16): String =
+    s"""WITH ${learnCtes(emRounds, maxPieceLen, seedVocab, finalVocab, relaxRounds)}
+       |SELECT piece, cnt, cost AS cost_micro FROM costf
+       |ORDER BY cnt DESC, piece""".stripMargin
+
+  /** Full-oracle SQL for [[learnApply]]: the learn chain plus one more
+    * Viterbi pass under the final costs and the per-doc assembly join.
+    */
+  def learnApplyOracleSql(
+      emRounds: Int = 2, maxPieceLen: Int = 6,
+      seedVocab: Int = 256, finalVocab: Int = 128,
+      relaxRounds: Int = 16): String =
+    s"""WITH ${learnCtes(emRounds, maxPieceLen, seedVocab, finalVocab, relaxRounds)},
+       |${viterbiCtes("f", "costf", relaxRounds)},
+       |wt AS MATERIALIZED (SELECT word, replace(path, chr(1), ' ') AS word_uni FROM finf),
+       |agg AS MATERIALIZED (SELECT doc_id, string_agg(word_uni, ' ' ORDER BY widx) AS uni_text
+       |        FROM occ JOIN wt USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CASE WHEN coalesce(a.uni_text, '') = '' THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(len(string_split(a.uni_text, ' ')) AS BIGINT)
+       |       END AS n_pieces,
+       |       coalesce(a.uni_text, '') AS uni_text
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+}

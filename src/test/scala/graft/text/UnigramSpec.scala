@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.UnigramViterbi
+
+import graft.SparkTestBase
+
+class UnigramSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  /** All tilings of `word` from `vocab` (piece -> cost), scored
+    * (cost, np, pieces) — the exponential reference the DP must match.
+    */
+  private def bruteBest(
+      word: String, vocab: Map[String, Long]): Option[(Long, Int, List[String])] = {
+    def tilings(s: String): Seq[List[String]] =
+      if (s.isEmpty) Seq(Nil)
+      else (1 to s.length).flatMap { l =>
+        val p = s.substring(0, l)
+        if (vocab.contains(p)) tilings(s.substring(l)).map(p :: _) else Nil
+      }
+    val all = tilings(word)
+    if (all.isEmpty) None
+    else {
+      implicit val ord: Ordering[(Long, Int, List[String])] =
+        Ordering.by { case (c, n, p) =>
+          // UTF-8 byte order per piece = plain compare for ASCII fixtures
+          (c, n, p.mkString(""))
+        }
+      Some(all.map(p => (p.map(vocab).sum, p.length, p)).min)
+    }
+  }
+
+  test("Viterbi DP equals exponential brute force for every corpus word under the learned vocab") {
+    val learned = Unigram.learn(docs)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toList
+    val vocab = learned.toMap
+    val seg = new UnigramViterbi(
+      learned.map(_._1).toArray, learned.map(_._2).toArray)
+    val words = Unigram.wordFreqs(docs).select("word").collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      val got = seg.segmentJava(w)
+      val want = bruteBest(w, vocab).get._3.mkString(" ")
+      assert(got == want, s"word '$w': DP '$got' != brute '$want'")
+    }
+  }
+
+  test("tie-breaks: equal cost prefers fewer pieces, then the UTF-8-lex piece sequence") {
+    val fewer = new UnigramViterbi(Array("ab", "a", "b"), Array(10L, 5L, 5L))
+    assert(fewer.segmentJava("ab") == "ab") // 10 == 5+5, np 1 < 2
+    val lex = new UnigramViterbi(Array("ab", "c", "a", "bc"), Array(5L, 5L, 5L, 5L))
+    assert(lex.segmentJava("abc") == "a bc") // both np=2 cost=10; (a,bc) < (ab,c)
+  }
+
+  test("a word with an unseen character falls back to code points") {
+    val seg = new UnigramViterbi(Array("a"), Array(1L))
+    assert(seg.segmentJava("az") == "a z")
+    assert(seg.segmentJava("") == "")
+  }
+
+  test("learn keeps every corpus character (coverage floor) and respects the vocab cap") {
+    val out = Unigram.learn(docs, finalVocab = 16).collect()
+    val pieces = out.map(_.getString(0)).toSet
+    val chars = Unigram.wordFreqs(docs)
+      .select(explode(split(col("word"), "")).as("c"))
+      .filter(length(col("c")) > 0).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(chars.subsetOf(pieces), s"missing chars: ${chars.diff(pieces)}")
+    assert(out.count(_.getString(0).length > 1) <= 16)
+    // costs are the final normalization: monotone in count (higher count
+    // never costs more) and strictly positive for non-total pieces
+    val byCnt = out.map(r => (r.getLong(1), r.getLong(2)))
+    byCnt.sliding(2).foreach {
+      case Array((c1, k1), (c2, k2)) if c1 >= c2 => assert(k1 <= k2)
+      case _ =>
+    }
+  }
+
+  test("applyUnigram: null/empty docs yield ('', 0) and word order is preserved") {
+    import spark.implicits._
+    val d = Seq((1L, "ab ab ba"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val vocab = Seq(("ab", 1L), ("a", 5L), ("b", 5L))
+    val r = Unigram.applyUnigram(d, vocab)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 4L && r(0).getString(2) == "ab ab b a")
+    assert(r(1).getLong(1) == 0L && r(1).getString(2) == "")
+    assert(r(2).getLong(1) == 0L && r(2).getString(2) == "")
+  }
+
+  test("learn is repartition-stable") {
+    val a = Unigram.learn(docs).collect().toSeq
+    val b = Unigram.learn(docs.repartition(7)).collect().toSeq
+    assert(a == b)
+  }
+}
