@@ -1,0 +1,205 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+import graft.text.TextFunctions
+
+/** Screen-quality evaluation for the near-duplicate family — e13's analog
+  * for dedup (r12 verdict #4): how much of the EXACT ground truth does
+  * each blocking screen recall, and how much of what it proposes is real?
+  * At 100 TB the banding parameters (k, bands, hamming budget, sign-band
+  * width) are the knobs users otherwise tune blind; this harness measures
+  * them on a bounded fixture before a full run.
+  *
+  * THE HASH SWAP THAT BUYS THE ORACLE: the production screens hash with
+  * xxhash64 (native codegen — [[org.apache.spark.sql.graftnative.MinHashSig]]
+  * / SimHashPack), which no SQL engine reproduces, so those paths are
+  * golden-pinned (d2/d3), not oracled. What recall/precision actually
+  * measure, though, is the BANDING GEOMETRY — min-over-bands collision
+  * probability as a function of true similarity — which is
+  * hash-family-agnostic (any uniform hash family gives the same expected
+  * curves; Broder 1997). The harness therefore builds the same screens
+  * over md5 (available bit-for-bit in both engines: hex strings compare
+  * as 128-bit values), putting the ENTIRE measurement — ground truth,
+  * candidates, hits, ratios — under one DuckDB oracle. The sign-band
+  * embedding screen needs no swap: it is deterministic integer math and
+  * runs here exactly as deployed (rotate + cap, the e21 configuration).
+  *
+  * Output: one row per screen — (screen, n_truth, n_cand, n_hit,
+  * recall, precision), counts exact BIGINTs, ratios single IEEE
+  * divisions.
+  *
+  * Scale shape: shingle/token tables are inverted-index joins (the d4/d5
+  * shapes); the ONLY quadratic piece is the exact-truth pair join, which
+  * is the eval's point and is bounded by the caller's fixture (the e13
+  * contract — evaluation runs on a sample, screens run on the corpus).
+  */
+object DedupEval {
+
+  private def pairKey(a: Column, b: Column): Column =
+    struct(least(a, b).as("lo"), greatest(a, b).as("hi"))
+
+  /** Exact-Jaccard ground-truth pairs (lo, hi) over distinct
+    * `shingleN`-shingles at `threshold` — complete for any threshold > 0
+    * (qualifying pairs share a shingle, so the inverted-index join sees
+    * them).
+    */
+  def exactJaccardTruth(
+      docs: DataFrame, shingleN: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+      .select(col("id"),
+        array_distinct(TextFunctions.shinglesFromTokens(col("toks"), shingleN))
+          .as("shingles"))
+    val sizes = sh.select(col("id"), size(col("shingles")).cast("long").as("n"))
+    val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("lo"), col("b.id").as("hi"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("id").as("lo"), col("n").as("n_lo")), "lo")
+      .join(sizes.select(col("id").as("hi"), col("n").as("n_hi")), "hi")
+      .filter(col("n_common").cast("double") /
+        (col("n_lo") + col("n_hi") - col("n_common")) >= threshold)
+      .select("lo", "hi")
+  }
+
+  /** md5-MinHash-LSH candidate pairs: signature element s = MIN over
+    * distinct shingles of md5(shingle || '#' || s) — fixed-width hex
+    * strings compare as 128-bit integers — banded `bands` ways (band key
+    * = the band's signature elements concatenated in seed order).
+    */
+  def md5MinhashLshCandidates(
+      docs: DataFrame, k: Int, bands: Int, shingleN: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    val inv = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+      .select(col("id"),
+        explode(array_distinct(
+          TextFunctions.shinglesFromTokens(col("toks"), shingleN))).as("shingle"))
+    val sig = inv
+      .select(col("id"), col("shingle"),
+        explode(sequence(lit(0), lit(k - 1))).as("seed"))
+      .select(col("id"), col("seed"),
+        md5(concat(col("shingle"), lit("#"), col("seed").cast("string"))).as("h"))
+      .groupBy("id", "seed").agg(min(col("h")).as("sig"))
+    val banded = sig
+      .withColumn("band", expr(s"seed div $rows"))
+      .groupBy("id", "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("sig")))),
+          x => x.getField("sig")), "").as("band_key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("lo"), col("y.id").as("hi"))
+      .distinct()
+  }
+
+  /** md5-SimHash candidate pairs over `bits`-bit keys: one vote per token
+    * OCCURRENCE from the token's md5 nibbles (bit i = bit (i mod 4) of
+    * hex digit (i div 4); ascii arithmetic, no conv()), majority strictly
+    * over half; pigeonhole blocking into `maxHamming + 1` equal blocks
+    * guarantees screen recall at the hamming budget.
+    */
+  def md5SimhashCandidates(
+      docs: DataFrame, bits: Int, maxHamming: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(bits % nBlocks == 0, s"bits=$bits not divisible by blocks=$nBlocks")
+    val blockBits = bits / nBlocks
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", md5(col("tok")))
+    val votes = toks
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("i"))
+      .withColumn("c", col("h").substr((expr("i div 4") + 1).cast("int"), lit(1)))
+      .withColumn("nib",
+        when(ascii(col("c")) >= 97, ascii(col("c")) - 87)
+          .otherwise(ascii(col("c")) - 48))
+      .withColumn("bit",
+        expr("(nib div CAST(pow(2, i % 4) AS INT)) % 2"))
+      .groupBy("id", "i")
+      .agg(sum(col("bit") * 2 - 1).as("vote"))
+    val keys = votes
+      .withColumn("b", when(col("vote") > 0, 1L).otherwise(0L))
+      .groupBy("id")
+      .agg(sum(col("b") * pow(lit(2.0), col("i"))).cast("long").as("key"))
+    val blocked = keys
+      .select(col("id"), col("key"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+      .withColumn("blk_key",
+        expr(s"(key div CAST(pow(2, $blockBits * blk) AS LONG)) % " +
+          s"CAST(pow(2, $blockBits) AS LONG)"))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.blk_key") === col("y.blk_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("lo"), col("y.id").as("hi"),
+        col("x.key").as("key_a"), col("y.key").as("key_b"))
+      .distinct()
+      .filter(bit_count(col("key_a").bitwiseXOR(col("key_b"))) <= maxHamming)
+      .select("lo", "hi")
+  }
+
+  /** One (screen, n_truth, n_cand, n_hit, recall, precision) row. */
+  private def scoreScreen(
+      name: String, truth: DataFrame, cand: DataFrame): DataFrame = {
+    val t = truth.select(col("lo"), col("hi"))
+    val c = cand.select(col("lo"), col("hi")).distinct()
+    val hit = c.join(t, Seq("lo", "hi"), "left_semi")
+    val row = t.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(c.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    row.select(
+      lit(name).as("screen"),
+      col("n_truth"), col("n_cand"), col("n_hit"),
+      when(col("n_truth") > 0,
+        col("n_hit").cast("double") / col("n_truth")).as("recall"),
+      when(col("n_cand") > 0,
+        col("n_hit").cast("double") / col("n_cand")).as("precision"))
+  }
+
+  /** The d17 report: three screens against their exact ground truths.
+    * `docs` / `emb` are the caller-built fixtures (planted near-dups).
+    */
+  def screenQuality(
+      docs: DataFrame, emb: DataFrame,
+      shingleN: Int = 3, jaccardThreshold: Double = 0.5,
+      minhashK: Int = 16, minhashBands: Int = 4,
+      simBits: Int = 16, simMaxHamming: Int = 3,
+      dim: Int = 64, cosineThreshold: Double = 0.999): DataFrame = {
+    val truthText = graft.util.CacheScope.persist(
+      exactJaccardTruth(docs, shingleN, jaccardThreshold))
+    val mh = scoreScreen("minhash_lsh_md5",
+      truthText, md5MinhashLshCandidates(docs, minhashK, minhashBands, shingleN))
+    val sim = scoreScreen("simhash_md5",
+      truthText, md5SimhashCandidates(docs, simBits, simMaxHamming))
+    // Embedding truth: exact all-pairs cosine — THE bounded-quadratic
+    // eval pass (fixture-sized by contract).
+    val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val truthE = vecs.as("a").join(vecs.as("b"), col("a.id") < col("b.id"))
+      .filter(Similarity.dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")) >= cosineThreshold)
+      .select(col("a.id").as("lo"), col("b.id").as("hi"))
+    val candE = Similarity.signBandEdges(emb, dim, minCosine = -1.0,
+        rotate = true, maxBucket = Some(64))
+      .select(pairKey(col("id_a"), col("id_b")).as("p"))
+      .select(col("p.lo").as("lo"), col("p.hi").as("hi"))
+    val sb = scoreScreen("sign_band", truthE, candE)
+    mh.unionByName(sim).unionByName(sb)
+  }
+}

@@ -1344,6 +1344,162 @@ object TrainingData {
              |ORDER BY 1, 2""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // D17 — dedup screen-quality eval (e13's analog for the dedup
+    // family, r12 verdict #4): recall/precision of three blocking
+    // screens against EXACT ground truth on the planted fixtures —
+    // md5-MinHash-LSH and md5-SimHash vs exact shingle Jaccard >= 0.5
+    // (the d4 truth), and the deployed sign-band screen (rotate + cap,
+    // e21's config) vs exact all-pairs cosine >= 0.999. The md5 swap is
+    // what buys the FULL oracle: recall/precision measure banding
+    // GEOMETRY, which is hash-family-agnostic (Broder 1997), and md5 is
+    // bit-identical in both engines where the production xxhash64 path
+    // (d2/d3, golden-pinned) is not. At 100 TB this harness runs on a
+    // sample to size (k, bands, hamming budget, cap) before the real
+    // screens run on the corpus.
+    Q(
+      "d17_dedup_screen_eval",
+      (s, dir) => {
+        val docs = docsWithNearDups(
+          Tables.documents(s, dir).select("doc_id", "text")
+            .filter(col("doc_id") % 10 === 0))
+        val sub = Tables.embeddings(s, dir).select("vec_id", "embedding")
+          .filter(col("vec_id") % 3 === 0)
+        val emb2 = sub.unionByName(
+          sub.filter(col("vec_id") % 7 === 0)
+            .select((-col("vec_id") - 1L).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        graft.dedup.DedupEval.screenQuality(docs, emb2).orderBy("screen")
+      },
+      Some(s"""$sqlNearDupCte,
+             |sh AS MATERIALIZED (SELECT doc_id,
+             |       unnest(list_distinct(list_transform(
+             |         range(len(string_split(text,' ')) - 2),
+             |         i -> array_to_string((string_split(text,' '))[i+1:i+3], ' ')))) AS shingle
+             |       FROM docs WHERE len(string_split(text,' ')) >= 3),
+             |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+             |truth_t AS MATERIALIZED (
+             |  SELECT id_a AS lo, id_b AS hi FROM (
+             |    SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+             |    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             |    GROUP BY 1, 2) c
+             |  JOIN sizes a ON a.doc_id = id_a
+             |  JOIN sizes b ON b.doc_id = id_b
+             |  WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.5),
+             |mhash AS MATERIALIZED (
+             |  SELECT doc_id, seed,
+             |         min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS sig
+             |  FROM sh, (SELECT unnest(range(16)) AS seed)
+             |  GROUP BY 1, 2),
+             |mband AS MATERIALIZED (
+             |  SELECT doc_id, seed // 4 AS band,
+             |         string_agg(sig, '' ORDER BY seed) AS band_key
+             |  FROM mhash GROUP BY 1, 2),
+             |mh_cand AS MATERIALIZED (
+             |  SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi
+             |  FROM mband x JOIN mband y
+             |    ON x.band = y.band AND x.band_key = y.band_key
+             |   AND x.doc_id < y.doc_id),
+             |stoks AS MATERIALIZED (
+             |  SELECT doc_id, md5(tok) AS h FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |    FROM docs WHERE text IS NOT NULL)
+             |  WHERE len(tok) > 0),
+             |svotes AS MATERIALIZED (
+             |  SELECT doc_id, i,
+             |         SUM(2 * ((nib // CAST(pow(2, i % 4) AS INTEGER)) % 2) - 1) AS vote
+             |  FROM (
+             |    SELECT doc_id, i,
+             |      CASE WHEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) >= 97
+             |           THEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 87
+             |           ELSE ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 48
+             |      END AS nib
+             |    FROM stoks, (SELECT unnest(range(16)) AS i))
+             |  GROUP BY 1, 2),
+             |skeys AS MATERIALIZED (
+             |  SELECT doc_id,
+             |         CAST(SUM(CASE WHEN vote > 0 THEN pow(2, i) ELSE 0 END) AS BIGINT) AS key
+             |  FROM svotes GROUP BY 1),
+             |sblk AS MATERIALIZED (
+             |  SELECT doc_id, key, blk,
+             |         (key // CAST(pow(2, 4 * blk) AS BIGINT)) % 16 AS blk_key
+             |  FROM skeys, (SELECT unnest(range(4)) AS blk)),
+             |sim_cand AS MATERIALIZED (
+             |  SELECT lo, hi FROM (
+             |    SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi,
+             |           x.key AS ka, y.key AS kb
+             |    FROM sblk x JOIN sblk y
+             |      ON x.blk = y.blk AND x.blk_key = y.blk_key
+             |     AND x.doc_id < y.doc_id)
+             |  WHERE bit_count(xor(ka, kb)) <= 3),
+             |ex0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |        FROM embeddings WHERE vec_id % 3 = 0),
+             |ex AS MATERIALIZED (SELECT * FROM ex0
+             |       UNION ALL
+             |       SELECT -vec_id - 1, list_transform(e, x -> x * 2)
+             |       FROM ex0 WHERE vec_id % 21 = 0),
+             |truth_e AS MATERIALIZED (
+             |  SELECT a.vec_id AS lo, b.vec_id AS hi
+             |  FROM ex a JOIN ex b ON a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.e, b.e) /
+             |        (sqrt(list_dot_product(a.e, a.e)) *
+             |         sqrt(list_dot_product(b.e, b.e))) >= 0.999),
+             |rot AS MATERIALIZED (SELECT vec_id,
+             |          list_transform(range(64), i ->
+             |            list_dot_product(e, list_transform(range(64), j ->
+             |              CAST((1 - 2 * (bit_count(i & j) % 2))
+             |                 * (1 - 2 * (bit_count(j * 2654435769) % 2))
+             |                   AS DOUBLE)))) AS r
+             |        FROM ex),
+             |pk AS MATERIALIZED (SELECT vec_id,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN r[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w0,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN r[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w1
+             |       FROM rot),
+             |bands AS MATERIALIZED (SELECT vec_id, b.band,
+             |            CASE WHEN b.band < 4
+             |                 THEN (w0 >> CAST(b.band * 8 AS INTEGER)) & 255
+             |                 ELSE (w1 >> CAST((b.band - 4) * 8 AS INTEGER)) & 255
+             |            END AS key
+             |          FROM pk, (SELECT unnest(range(8)) AS band) b),
+             |bover AS MATERIALIZED (SELECT band, key FROM bands
+             |          GROUP BY 1, 2 HAVING count(*) > 64),
+             |bk AS MATERIALIZED (SELECT * FROM bands b WHERE NOT EXISTS
+             |         (SELECT 1 FROM bover o
+             |          WHERE o.band = b.band AND o.key = b.key)),
+             |sb_cand AS MATERIALIZED (
+             |  SELECT DISTINCT a.vec_id AS lo, b2.vec_id AS hi
+             |  FROM bk a JOIN bk b2
+             |    ON a.band = b2.band AND a.key = b2.key
+             |   AND a.vec_id < b2.vec_id),
+             |res AS (
+             |  SELECT 'minhash_lsh_md5' AS screen,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t) AS n_truth,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM mh_cand) AS n_cand,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM mh_cand c
+             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi) AS n_hit
+             |  UNION ALL
+             |  SELECT 'simhash_md5',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM sim_cand),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM sim_cand c
+             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi)
+             |  UNION ALL
+             |  SELECT 'sign_band',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_e),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM sb_cand),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM sb_cand c
+             |     JOIN truth_e t ON c.lo = t.lo AND c.hi = t.hi))
+             |SELECT screen, n_truth, n_cand, n_hit,
+             |       CASE WHEN n_truth > 0
+             |            THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+             |       CASE WHEN n_cand > 0
+             |            THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
+             |FROM res ORDER BY screen""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T40 — keyword-in-context (KWIC) concordance for 'vector': every
     // occurrence with its ±3-token context — the corpus-inspection view
     // a curation analyst actually reads when a filter misfires. Shape:

@@ -478,10 +478,20 @@ object Similarity {
       idCol: String, vecCol: String, rotate: Boolean): DataFrame = {
     require(dim % 8 == 0, s"dim must be a multiple of 8, got $dim")
     val nBands = dim / 8
-    val packInput =
-      if (rotate) corpus.select(col(idCol), hdDecorrelate(col(vecCol), dim).as(vecCol))
-      else corpus.select(col(idCol), col(vecCol))
-    val packed = signPack(packInput, dim, idCol, vecCol)
+    val nWords = (dim + 31) / 32
+    // Rotated packing runs the FUSED native expression — the HOF
+    // hdDecorrelate form is interpreted and re-evaluates the O(dim²)
+    // rotation per downstream reference (measured 4x the whole query's
+    // wall on the sf0.1 fixture); SimilaritySpec pins the differential.
+    val packed =
+      if (rotate)
+        corpus
+          .select(col(idCol),
+            org.apache.spark.sql.graftnative.HdSignPack(
+              col(vecCol).cast("array<double>"), dim).as("__wds"))
+          .select(col(idCol) +:
+            (0 until nWords).map(w => col("__wds").getItem(w).as(s"w$w")): _*)
+      else signPack(corpus.select(col(idCol), col(vecCol)), dim, idCol, vecCol)
     packed.select(
       col(idCol).as("id"),
       explode(array((0 until nBands).map { b =>

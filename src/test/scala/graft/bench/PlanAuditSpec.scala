@@ -58,6 +58,14 @@ class PlanAuditSpec extends SparkTestBase {
     "t26d_bm25f_dl_unweighted",
     // |classes|-row (denom, prior) constant side of the NB dense term
     "t24_naive_bayes",
+    // one-row vocabulary-total side of the piece-cost normalization
+    // (Unigram.withCosts — the t10/t26 one-row shape)
+    "t43_unigram_learn",
+    // the eval harness's DESIGNED bounded quadratic: the exact all-pairs
+    // cosine ground truth over the caller's fixture sample (the e13
+    // contract — screens run on the corpus, truth on the sample), plus
+    // the one-row n_truth/n_cand/n_hit stat sides
+    "d17_dedup_screen_eval",
     "t24b_nb_confusion",
     // one-row vocabulary-size side of the smoothed-probability join
     "t20_lm_perplexity_filter",
@@ -133,7 +141,11 @@ class PlanAuditSpec extends SparkTestBase {
     */
   private val accountedGlobalWindow: Set[String] = Set(
     // the 10-row decile spine of the Heaps-law growth curve
-    "t34_heaps_curve")
+    "t34_heaps_curve",
+    // the candidate-piece ranking window runs over the VOCABULARY-sized
+    // substring table (pruned to seedVocab from round one), never the
+    // corpus — Unigram.pruneTop's documented bound
+    "t43_unigram_learn")
 
   test("no registered query plans a cartesian or an unaccounted nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"

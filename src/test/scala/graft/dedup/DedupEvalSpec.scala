@@ -1,0 +1,63 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupEvalSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    // 8 base docs + exact copies of two of them: exact copies MUST be
+    // caught by every screen (identical shingles ⇒ identical signatures
+    // ⇒ identical band keys).
+    val base = (0 until 8).map(k =>
+      (k.toLong, (0 until 12).map(j => s"w${(k * 5 + j * 3) % 17}").mkString(" ")))
+    (base ++ Seq((100L, base(2)._2), (101L, base(5)._2)))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact duplicates are recalled by every screen and counts are consistent") {
+    import spark.implicits._
+    val dupEmbBase = (0 until 40).map { k =>
+      val v = Array.tabulate(64)(j => (((k * 31 + j * 17) % 13) - 6).toFloat)
+      (k.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val dupEmb = dupEmbBase.unionByName(
+      dupEmbBase.filter(col("vec_id") % 8 === 0)
+        .select((-col("vec_id") - 1).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val r = DedupEval.screenQuality(docs, dupEmb)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3),
+          Option(x.get(4)).map(_.asInstanceOf[Double]),
+          Option(x.get(5)).map(_.asInstanceOf[Double]))).toMap
+    assert(r.keySet == Set("minhash_lsh_md5", "simhash_md5", "sign_band"))
+    r.values.foreach { case (t, c, h, rec, prec) =>
+      assert(h <= t && h <= c, "hits bounded by truth and candidates")
+      rec.foreach(v => assert(v >= 0.0 && v <= 1.0))
+      prec.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    }
+    // The two planted exact-copy text pairs are in truth AND recalled by
+    // both text screens (identical inputs ⇒ identical keys in any
+    // deterministic screen).
+    val (tt, _, th, tRec, _) = r("minhash_lsh_md5")
+    assert(tt >= 2 && th >= 2 && tRec.get > 0.0)
+    val (_, _, sh2, _, _) = r("simhash_md5")
+    assert(sh2 >= 2)
+    // Scaled copies have cosine exactly 1.0 and share every sign band:
+    // the deployed screen recalls ALL of them.
+    val (et, _, eh, eRec, _) = r("sign_band")
+    assert(et >= 5 && eh == et && eRec.contains(1.0))
+  }
+
+  test("exact-Jaccard truth is threshold-complete (pairs above 0.5 share a shingle)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), // high overlap
+      (3L, "x y z q r s")).toDF("doc_id", "text")
+    val t = DedupEval.exactJaccardTruth(d, 3, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t == Set((1L, 2L)))
+  }
+}

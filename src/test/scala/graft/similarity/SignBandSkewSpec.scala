@@ -103,6 +103,19 @@ class SignBandSkewSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("native HdSignPack is bit-identical to signPack ∘ hdDecorrelate (HOF cross-check)") {
+    val viaHof = Similarity.signPack(
+      aniso.select(col("vec_id"),
+        Similarity.hdDecorrelate(col("embedding"), 64).as("embedding")), 64)
+    val viaNative = aniso.select(
+      col("vec_id"),
+      org.apache.spark.sql.graftnative.HdSignPack(
+        col("embedding").cast("array<double>"), 64).as("__wds"))
+      .select(col("vec_id"),
+        col("__wds").getItem(0).as("w0"), col("__wds").getItem(1).as("w1"))
+    assert(viaHof.exceptAll(viaNative).isEmpty && viaNative.exceptAll(viaHof).isEmpty)
+  }
+
   test("hdDecorrelate rejects a non-power-of-two dim and preserves vector arity") {
     intercept[IllegalArgumentException] {
       Similarity.hdDecorrelate(col("embedding"), 48)
