@@ -4496,6 +4496,65 @@ object TrainingData {
              |FROM bsz GROUP BY band ORDER BY band""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // E24 — the SALT-SPLIT face of the hot-bucket guard (the verdict's
+    // "drop or split" other half): over-cap (band, key) buckets are
+    // split into s = ⌈n/cap⌉ deterministic pmod(id, s) groups and pairs
+    // form only within a group — per-bucket work drops n²/2 → ≤ n·cap/2
+    // (LINEAR in n) while ~1/s of the bucket's pairs survive instead of
+    // none. cap = 8 here so the split genuinely bites at both gate
+    // scales (sf0.1 buckets reach 16); no seeds anywhere, so the whole
+    // salted build sits under the full oracle like e21.
+    Q(
+      "e24_knn_graph_salted",
+      (s, dir) =>
+        Similarity.knnGraph(Tables.embeddings(s, dir), k = 3, dim = 64,
+            maxBucket = Some(8), saltOverCap = true)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine")
+          .orderBy("query_id", "rnk"),
+      Some("""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |            FROM embeddings),
+             |pk AS (SELECT vec_id,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN e[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w0,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN e[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w1
+             |       FROM ex),
+             |bands AS (SELECT vec_id, b.band,
+             |            CASE WHEN b.band < 4
+             |                 THEN (w0 >> CAST(b.band * 8 AS INTEGER)) & 255
+             |                 ELSE (w1 >> CAST((b.band - 4) * 8 AS INTEGER)) & 255
+             |            END AS key
+             |          FROM pk, (SELECT unnest(range(8)) AS band) b),
+             |bsz AS (SELECT band, key, (count(*) + 7) // 8 AS s
+             |        FROM bands GROUP BY 1, 2),
+             |bs AS (SELECT b.vec_id, b.band, b.key,
+             |              ((b.vec_id % z.s) + z.s) % z.s AS salt
+             |       FROM bands b JOIN bsz z
+             |         ON z.band = b.band AND z.key = b.key),
+             |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+             |          FROM bs a JOIN bs b2
+             |            ON a.band = b2.band AND a.key = b2.key
+             |           AND a.salt = b2.salt AND a.vec_id < b2.vec_id),
+             |dir2 AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM pairs
+             |         UNION ALL
+             |         SELECT id_b, id_a FROM pairs),
+             |sc AS (SELECT d.query_id, d.neighbor_id,
+             |         list_dot_product(q.e, c.e) /
+             |         (sqrt(list_dot_product(q.e, q.e)) *
+             |          sqrt(list_dot_product(c.e, c.e))) AS cosine
+             |       FROM dir2 d JOIN ex q ON q.vec_id = d.query_id
+             |       JOIN ex c ON c.vec_id = d.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |             CAST(row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+             |      FROM sc)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM r
+             |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T33 — Zipf rank-frequency fit over the top-200 terms: the dataset-
     // card diagnostic (natural text ⇒ slope ≈ −1; templated/duplicated
     // corpora bend it). Top-N is a bounded-heap aggregation (freq desc,

@@ -444,8 +444,10 @@ object Similarity {
       corpus: DataFrame, k: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       rotate: Boolean = false,
-      maxBucket: Option[Int] = Some(4096)): DataFrame = {
-    val scored = signBandScoredPairs(corpus, dim, idCol, vecCol, rotate, maxBucket)
+      maxBucket: Option[Int] = Some(4096),
+      saltOverCap: Boolean = false): DataFrame = {
+    val scored =
+      signBandScoredPairs(corpus, dim, idCol, vecCol, rotate, maxBucket, saltOverCap)
     val directed = scored
       .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cosine"))
       .unionByName(scored
@@ -464,8 +466,9 @@ object Similarity {
       corpus: DataFrame, dim: Int, minCosine: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       rotate: Boolean = false,
-      maxBucket: Option[Int] = Some(4096)): DataFrame =
-    signBandScoredPairs(corpus, dim, idCol, vecCol, rotate, maxBucket)
+      maxBucket: Option[Int] = Some(4096),
+      saltOverCap: Boolean = false): DataFrame =
+    signBandScoredPairs(corpus, dim, idCol, vecCol, rotate, maxBucket, saltOverCap)
       .filter(col("cosine") >= minCosine)
 
   /** The exploded (id, band, key) table both sign-band consumers and the
@@ -519,6 +522,14 @@ object Similarity {
     *     pair-counts a cap drops. A pair is lost only if EVERY band it
     *     collides in is over cap (exact dups share all bands, so they
     *     survive any cap that leaves one band breathing).
+    *   - `saltOverCap`: instead of DROPPING an over-cap bucket, SPLIT it
+    *     into s = ⌈n/cap⌉ deterministic salt groups (pmod(id, s) — no
+    *     seeds, SQL-mirrorable) and pair only within a group: per-bucket
+    *     work drops from n²/2 to ≤ n·cap/2 (linear in n) while ~1/s of
+    *     the bucket's pairs survive instead of none — the degrade-not-
+    *     drop option for corpora where hot buckets still carry signal.
+    *     Under-cap buckets get s = 1: behavior identical to the plain
+    *     cap path.
     *   - `rotate` ([[hdDecorrelate]]): spreads a concentrated common
     *     direction across all coordinates before packing, re-spreading
     *     the band keys so the cap rarely bites in the first place.
@@ -527,20 +538,33 @@ object Similarity {
       corpus: DataFrame, dim: Int,
       idCol: String, vecCol: String,
       rotate: Boolean = false,
-      maxBucket: Option[Int] = Some(4096)): DataFrame = {
+      maxBucket: Option[Int] = Some(4096),
+      saltOverCap: Boolean = false): DataFrame = {
     val bandsAll = signBands(corpus, dim, idCol, vecCol, rotate)
+    // The bucket-size table is at most (dim/8)·256 rows — broadcast
+    // anti-join / size-join, no extra shuffle of the bands table.
     val bands = maxBucket.fold(bandsAll) { cap =>
-      // The over-cap bucket list is at most (dim/8)·256 rows — broadcast
-      // anti-join, no extra shuffle of the bands table.
-      val over = bandsAll.groupBy("band", "key")
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
-        .select("band", "key")
-      bandsAll.join(broadcast(over), Seq("band", "key"), "left_anti")
+      if (saltOverCap) {
+        val sizes = bandsAll.groupBy("band", "key")
+          .agg(count(lit(1)).as("__n"))
+        bandsAll.join(broadcast(sizes), Seq("band", "key"))
+          .withColumn("salt",
+            pmod(col("id"), expr(s"(__n + ${cap - 1}) div $cap")))
+          .drop("__n")
+      } else {
+        val over = bandsAll.groupBy("band", "key")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+          .select("band", "key")
+        bandsAll.join(broadcast(over), Seq("band", "key"), "left_anti")
+      }
     }
+    val saltEq =
+      if (saltOverCap && maxBucket.isDefined) col("a.salt") === col("b.salt")
+      else lit(true)
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+          saltEq && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val vecs = corpus.select(

@@ -74,6 +74,26 @@ class SignBandSkewSpec extends SparkTestBase {
     assert(unguarded >= N.toLong * (N - 1) / 2)
   }
 
+  test("saltOverCap degrades instead of drops: superset of the drop path, bounded below uncapped") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dropped = pairs(Similarity.signBandEdges(
+      aniso, dim = 64, minCosine = -1.0, maxBucket = Some(100)))
+    val salted = pairs(Similarity.signBandEdges(
+      aniso, dim = 64, minCosine = -1.0, maxBucket = Some(100), saltOverCap = true))
+    val uncapped = pairs(Similarity.signBandEdges(
+      aniso, dim = 64, minCosine = -1.0, maxBucket = None))
+    // under-cap buckets get s = 1, so every drop-path pair survives; the
+    // split buckets contribute ~1/s of their pairs on top — strictly
+    // between the two extremes on this fixture (band 0 splits 6 ways).
+    assert(dropped.subsetOf(salted))
+    assert(salted.subsetOf(uncapped))
+    assert(salted.size > dropped.size && salted.size < uncapped.size)
+    // the split's work bound: the degenerate band-0 bucket (n = N) adds
+    // at most n·cap/2 pairs instead of n²/2
+    assert(salted.size - dropped.size <= N.toLong * 100 / 2)
+  }
+
   test("planted exact duplicates survive rotation + cap (positive scaling preserves every band)") {
     // Every 10th vector duplicated at x2 into the disjoint negative id
     // space — H·D·(2x) = 2·(H·D·x), so the copy collides with its
