@@ -2048,6 +2048,72 @@ object TrainingData {
       Some(Unigram.learnApplyOracleSql())),
 
     // ------------------------------------------------------------------
+    // T45 — the tokenizer-family EVAL face (d17/e13's analog): BPE (the
+    // t19d 64-merge table) and the learned unigram LM segment the SAME
+    // corpus, and one oracle reports the dataset-card compression row
+    // per tokenizer — docs, words, total pieces, pieces/word, distinct
+    // pieces used. ONE composed DuckDB oracle spans both stacks: the
+    // unigram learn+apply chain (t43/t44's CTEs) plus the BPE replay
+    // chain (t19's CTEs, name-prefixed) side by side — the numbers a
+    // tokenizer choice at 100 TB actually hinges on, measured
+    // engine-exactly instead of eyeballed.
+    Q(
+      "t45_tokenizer_compare",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // Each tokenizer's output feeds TWO stat aggregations (totals +
+        // distinct-piece set) — persist or the whole learn+apply chain
+        // re-runs per aggregate (measured ~2x the query wall).
+        val uni = graft.util.CacheScope.persist(Unigram.learnApply(docs))
+        val bpe = graft.util.CacheScope.persist(Bpe.applyBpe(docs, bpeDeepMerges))
+        val words = graft.util.CacheScope.persist(Unigram.wordFreqs(docs))
+        def tstats(name: String, df: DataFrame, textCol: String): DataFrame = {
+          val perDoc = df.select(col(textCol).as("t"))
+          val agg1 = perDoc.agg(
+            sum(when(col("t") === "", 0L)
+              .otherwise(size(split(col("t"), " ")))).cast("long").as("total_pieces"),
+            count(when(col("t") =!= "", 1)).as("n_docs"))
+          val distinctP = perDoc.filter(col("t") =!= "")
+            .select(explode(split(col("t"), " ")).as("p")).distinct()
+            .agg(count(lit(1)).as("distinct_pieces"))
+          val tw = words.agg(sum("freq").cast("long").as("total_words"))
+          agg1.crossJoin(distinctP).crossJoin(tw)
+            .select(lit(name).as("tokenizer"), col("n_docs"), col("total_words"),
+              col("total_pieces"),
+              (col("total_pieces").cast("double") / col("total_words"))
+                .as("pieces_per_word"),
+              col("distinct_pieces"))
+        }
+        tstats("bpe64", bpe, "bpe_text")
+          .unionByName(tstats("unigram", uni, "uni_text"))
+          .orderBy("tokenizer")
+      },
+      Some(s"""WITH ${Unigram.learnApplyCtes()},
+             |${Bpe.applyBpeCtes(bpeDeepMerges, "b")},
+             |res AS (
+             |  SELECT 'bpe64' AS tokenizer,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM bagg) AS n_docs,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM bocc) AS total_words,
+             |    (SELECT CAST(SUM(len(string_split(bpe_text, ' '))) AS BIGINT)
+             |     FROM bagg) AS total_pieces,
+             |    (SELECT CAST(count(DISTINCT piece) AS BIGINT) FROM
+             |       (SELECT unnest(string_split(word_bpe, ' ')) AS piece
+             |        FROM bwt)) AS distinct_pieces
+             |  UNION ALL
+             |  SELECT 'unigram',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM agg),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM occ),
+             |    (SELECT CAST(SUM(len(string_split(uni_text, ' '))) AS BIGINT)
+             |     FROM agg),
+             |    (SELECT CAST(count(DISTINCT piece) AS BIGINT) FROM
+             |       (SELECT unnest(string_split(word_uni, ' ')) AS piece
+             |        FROM wt)))
+             |SELECT tokenizer, n_docs, total_words, total_pieces,
+             |       CAST(total_pieces AS DOUBLE) / total_words AS pieces_per_word,
+             |       distinct_pieces
+             |FROM res ORDER BY tokenizer""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T20 — n-gram LM perplexity filter (the CCNet/KenLM-style quality
     // gate): add-one-smoothed bigram cross-entropy under a model trained
     // on the doc_id%3<>0 slice, keep = ce <= threshold. The model IS two

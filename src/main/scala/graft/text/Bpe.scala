@@ -364,43 +364,51 @@ object Bpe {
     * Embedded next to the query registration so oracle and operator can't
     * drift silently.
     */
-  def applyBpeOracleSql(merges: Seq[(String, String)]): String = {
+  /** The merge-replay chain as composable CTE text with every CTE name
+    * prefixed by `p` (default "" keeps the t19 oracle byte-identical),
+    * ending with `<p>wt`(word, word_bpe) and `<p>agg`(doc_id, bpe_text)
+    * — shared by [[applyBpeOracleSql]] and t45's BPE leg.
+    */
+  def applyBpeCtes(merges: Seq[(String, String)], p: String = ""): String = {
     def q(s: String): String = "'" + s.replace("'", "''") + "'"
     val passes = merges.zipWithIndex.map { case ((l, r), i) =>
-      s"""m${i}_a AS (SELECT word, pos, sym,
+      s"""${p}m${i}_a AS (SELECT word, pos, sym,
          |       coalesce(sym = ${q(l)} AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = ${q(r)}, false) AS m
-         |  FROM s$i),
-         |m${i}_b AS (SELECT word, pos, sym, m,
+         |  FROM ${p}s$i),
+         |${p}m${i}_b AS (SELECT word, pos, sym, m,
          |       max(CASE WHEN NOT m THEN pos END) OVER (PARTITION BY word ORDER BY pos
          |           ROWS UNBOUNDED PRECEDING) AS b
-         |  FROM m${i}_a),
-         |m${i}_c AS (SELECT word, pos,
+         |  FROM ${p}m${i}_a),
+         |${p}m${i}_c AS (SELECT word, pos,
          |       CASE WHEN m AND (pos - coalesce(b, -1)) % 2 = 1 THEN ${q(l + r)} ELSE sym END AS sym,
          |       coalesce(lag(m AND (pos - coalesce(b, -1)) % 2 = 1)
          |                OVER (PARTITION BY word ORDER BY pos), false) AS consumed
-         |  FROM m${i}_b),
-         |s${i + 1} AS (SELECT word,
+         |  FROM ${p}m${i}_b),
+         |${p}s${i + 1} AS (SELECT word,
          |       CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS BIGINT) AS pos, sym
-         |  FROM m${i}_c WHERE NOT consumed)""".stripMargin
+         |  FROM ${p}m${i}_c WHERE NOT consumed)""".stripMargin
     }
     val n = merges.size
-    s"""WITH occ AS (SELECT doc_id, i AS widx, w[i+1] AS word
+    s"""${p}occ AS (SELECT doc_id, i AS widx, w[i+1] AS word
        |            FROM (SELECT doc_id, string_split(text, ' ') AS w,
        |                         unnest(range(len(string_split(text, ' ')))) AS i
        |                  FROM documents WHERE text IS NOT NULL AND len(text) > 0)
        |            WHERE len(w[i+1]) > 0),
-       |wd AS (SELECT DISTINCT word FROM occ),
-       |s0 AS (SELECT word, CAST(i AS BIGINT) AS pos, cs[i+1] AS sym
+       |${p}wd AS (SELECT DISTINCT word FROM ${p}occ),
+       |${p}s0 AS (SELECT word, CAST(i AS BIGINT) AS pos, cs[i+1] AS sym
        |       FROM (SELECT word, string_split(word, '') AS cs,
        |                    unnest(range(len(string_split(word, '')))) AS i
-       |             FROM wd)),
+       |             FROM ${p}wd)),
        |${passes.mkString(",\n")},
-       |wt AS (SELECT word, string_agg(sym, ' ' ORDER BY pos) AS word_bpe
-       |       FROM s$n GROUP BY word),
-       |agg AS (SELECT doc_id, string_agg(word_bpe, ' ' ORDER BY widx) AS bpe_text
-       |        FROM occ JOIN wt USING (word) GROUP BY doc_id)
+       |${p}wt AS (SELECT word, string_agg(sym, ' ' ORDER BY pos) AS word_bpe
+       |       FROM ${p}s$n GROUP BY word),
+       |${p}agg AS (SELECT doc_id, string_agg(word_bpe, ' ' ORDER BY widx) AS bpe_text
+       |        FROM ${p}occ JOIN ${p}wt USING (word) GROUP BY doc_id)""".stripMargin
+  }
+
+  def applyBpeOracleSql(merges: Seq[(String, String)]): String =
+    s"""WITH ${applyBpeCtes(merges)}
        |SELECT d.doc_id, coalesce(a.bpe_text, '') AS bpe_text
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
-  }
 }

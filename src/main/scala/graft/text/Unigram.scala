@@ -325,6 +325,20 @@ object Unigram {
        |SELECT piece, cnt, cost AS cost_micro FROM costf
        |ORDER BY cnt DESC, piece""".stripMargin
 
+  /** The full learn+apply chain as composable CTE text, ending with
+    * `wt`(word, word_uni) and `agg`(doc_id, uni_text) — t44's body and
+    * t45's unigram leg.
+    */
+  def learnApplyCtes(
+      emRounds: Int = 2, maxPieceLen: Int = 6,
+      seedVocab: Int = 256, finalVocab: Int = 128,
+      relaxRounds: Int = 16): String =
+    s"""${learnCtes(emRounds, maxPieceLen, seedVocab, finalVocab, relaxRounds)},
+       |${viterbiCtes("f", "costf", relaxRounds)},
+       |wt AS MATERIALIZED (SELECT word, replace(path, chr(1), ' ') AS word_uni FROM finf),
+       |agg AS MATERIALIZED (SELECT doc_id, string_agg(word_uni, ' ' ORDER BY widx) AS uni_text
+       |        FROM occ JOIN wt USING (word) GROUP BY doc_id)""".stripMargin
+
   /** Full-oracle SQL for [[learnApply]]: the learn chain plus one more
     * Viterbi pass under the final costs and the per-doc assembly join.
     */
@@ -332,11 +346,7 @@ object Unigram {
       emRounds: Int = 2, maxPieceLen: Int = 6,
       seedVocab: Int = 256, finalVocab: Int = 128,
       relaxRounds: Int = 16): String =
-    s"""WITH ${learnCtes(emRounds, maxPieceLen, seedVocab, finalVocab, relaxRounds)},
-       |${viterbiCtes("f", "costf", relaxRounds)},
-       |wt AS MATERIALIZED (SELECT word, replace(path, chr(1), ' ') AS word_uni FROM finf),
-       |agg AS MATERIALIZED (SELECT doc_id, string_agg(word_uni, ' ' ORDER BY widx) AS uni_text
-       |        FROM occ JOIN wt USING (word) GROUP BY doc_id)
+    s"""WITH ${learnApplyCtes(emRounds, maxPieceLen, seedVocab, finalVocab, relaxRounds)}
        |SELECT d.doc_id,
        |       CASE WHEN coalesce(a.uni_text, '') = '' THEN CAST(0 AS BIGINT)
        |            ELSE CAST(len(string_split(a.uni_text, ' ')) AS BIGINT)

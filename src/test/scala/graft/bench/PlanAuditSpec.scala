@@ -61,6 +61,9 @@ class PlanAuditSpec extends SparkTestBase {
     // one-row vocabulary-total side of the piece-cost normalization
     // (Unigram.withCosts — the t10/t26 one-row shape)
     "t43_unigram_learn",
+    // one-row tokenizer-stat sides (n_docs/total_pieces/distinct/total
+    // words) of the t45 compression report
+    "t45_tokenizer_compare",
     // the eval harness's DESIGNED bounded quadratic: the exact all-pairs
     // cosine ground truth over the caller's fixture sample (the e13
     // contract — screens run on the corpus, truth on the sample), plus
