@@ -2048,6 +2048,69 @@ object TrainingData {
       Some(Unigram.learnApplyOracleSql())),
 
     // ------------------------------------------------------------------
+    // T46 — unigram-vocabulary COVERAGE under train/serve skew (ST11's
+    // oracled batch face): the vocab is learned on the doc_id % 3 <> 0
+    // train slice (t20's held-out pattern), then gauges the FULL corpus
+    // with a planted encoding regression (every 10th doc grows a ' zx9'
+    // token — x/z/9 are outside the fixture alphabet, so it is
+    // guaranteed OOV at any sf). The oracle needs NO fallback-marker
+    // plumbing: a word with an unseen character never completes the
+    // mirror's relaxation, so its absence from the final Viterbi CTE IS
+    // the OOV bit, and the report is occurrence-weighted exact counts +
+    // two IEEE divisions.
+    Q(
+      "t46_unigram_coverage",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val vocab = Unigram.collectVocab(
+          Unigram.learn(docs.filter(col("doc_id") % 3 =!= 0))
+            .select("piece", "cnt", "cost_micro"))
+        val batch = docs.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 10 === 0, lit(" zx9")).otherwise(lit("")))
+            .as("text"))
+        Unigram.coverageReport(batch, vocab)
+      },
+      Some(s"""WITH ${Unigram.learnChainCtes(docsWhere = " AND doc_id % 3 <> 0")},
+             |abase AS MATERIALIZED (
+             |  SELECT doc_id,
+             |         text || CASE WHEN doc_id % 10 = 0 THEN ' zx9' ELSE '' END AS text
+             |  FROM documents),
+             |aocc AS MATERIALIZED (SELECT doc_id, ws[i+1] AS word
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+             |               unnest(range(len(string_split(text, ' ')))) AS i
+             |        FROM abase WHERE text IS NOT NULL AND len(text) > 0)
+             |  WHERE len(ws[i+1]) > 0),
+             |aw AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+             |  FROM aocc GROUP BY 1),
+             |apos AS MATERIALIZED (SELECT word, CAST(i AS BIGINT) AS i
+             |  FROM (SELECT word, unnest(range(length(word))) AS i FROM aw)),
+             |${Unigram.viterbiChainCtes("a", "costf", "aw", "apos")},
+             |cov AS MATERIALIZED (SELECT w.freq, f.path
+             |  FROM aw w LEFT JOIN fina f USING (word))
+             |SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM abase
+             |   WHERE text IS NOT NULL AND len(text) > 0) AS n_docs,
+             |  CAST(COALESCE(SUM(freq), 0) AS BIGINT) AS n_words,
+             |  CAST(COALESCE(SUM(CASE WHEN path IS NOT NULL THEN freq ELSE 0 END), 0)
+             |    AS BIGINT) AS n_covered_words,
+             |  CAST(COALESCE(SUM(CASE WHEN path IS NULL THEN freq ELSE 0 END), 0)
+             |    AS BIGINT) AS n_oov_words,
+             |  CASE WHEN COALESCE(SUM(freq), 0) > 0
+             |       THEN CAST(SUM(CASE WHEN path IS NULL THEN freq ELSE 0 END)
+             |            AS DOUBLE) / SUM(freq) END AS oov_rate,
+             |  CAST(COALESCE(SUM(CASE WHEN path IS NOT NULL
+             |         THEN freq * len(string_split(path, chr(1))) ELSE 0 END), 0)
+             |    AS BIGINT) AS covered_pieces,
+             |  CASE WHEN COALESCE(SUM(CASE WHEN path IS NOT NULL THEN freq ELSE 0 END), 0) > 0
+             |       THEN CAST(SUM(CASE WHEN path IS NOT NULL
+             |              THEN freq * len(string_split(path, chr(1))) ELSE 0 END)
+             |            AS DOUBLE) /
+             |            SUM(CASE WHEN path IS NOT NULL THEN freq ELSE 0 END)
+             |  END AS pieces_per_covered_word
+             |FROM cov""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T45 — the tokenizer-family EVAL face (d17/e13's analog): BPE (the
     // t19d 64-merge table) and the learned unigram LM segment the SAME
     // corpus, and one oracle reports the dataset-card compression row

@@ -518,4 +518,46 @@ object CorpusIngest {
   def readDriftMetrics(spark: SparkSession, metricsDir: String): DataFrame =
     spark.read.schema("batch_id LONG, n_tokens LONG, kl DOUBLE")
       .parquet(metricsDir + "/batch=*")
+
+  // -------------------------------------------------------------------
+  // ST11 — streaming tokenizer-coverage monitor: every micro-batch's
+  // OOV rate and compression under a FROZEN unigram vocabulary
+  // ([[graft.text.Unigram.learn]], trained once offline) — the alarm
+  // that catches a domain/language shift or an encoding regression
+  // while it is one batch old (the OOV words are exactly what the
+  // serving tokenizer would byte-fallback or drop). State is STATIC
+  // (the vocab literal baked into the native DP expression); per batch
+  // the only corpus-sized work is the word count. The batch face IS
+  // [[graft.text.Unigram.coverageReport]] (t46's full-oracle surface),
+  // so the gauge and the batch analysis can never diverge.
+
+  /** One micro-batch through the coverage monitor: the coverageReport
+    * row + batch_id written to `metricsDir/batch=<batchId>`.
+    * Replay-idempotent (content-determined overwrite).
+    */
+  def ingestBatchCoverageMonitor(
+      batch: DataFrame, vocab: Seq[(String, Long)], metricsDir: String,
+      batchId: Long): Unit =
+    graft.text.Unigram.coverageReport(batch, vocab)
+      .withColumn("batch_id", lit(batchId))
+      .select("batch_id", "n_docs", "n_words", "n_covered_words",
+        "n_oov_words", "oov_rate", "covered_pieces", "pieces_per_covered_word")
+      .write.mode("overwrite")
+      .parquet(s"$metricsDir/batch=$batchId")
+
+  def startCoverageMonitor(
+      docs: DataFrame, vocab: Seq[(String, Long)], metricsDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchCoverageMonitor(batch, vocab, metricsDir, batchId)
+      }
+      .start()
+
+  def readCoverageMetrics(spark: SparkSession, metricsDir: String): DataFrame =
+    spark.read.schema("batch_id LONG, n_docs LONG, n_words LONG, " +
+        "n_covered_words LONG, n_oov_words LONG, oov_rate DOUBLE, " +
+        "covered_pieces LONG, pieces_per_covered_word DOUBLE")
+      .parquet(metricsDir + "/batch=*")
 }

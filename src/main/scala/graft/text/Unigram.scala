@@ -151,6 +151,55 @@ object Unigram {
       .select(idCol, "n_pieces", "uni_text")
   }
 
+  /** Occurrence-weighted coverage report of a corpus under a FROZEN
+    * vocabulary — the serving-time gauge a tokenizer ships with: how
+    * many token occurrences are fully segmentable (every character
+    * known; the coverage floor makes that equivalent to Viterbi
+    * reachability) vs OOV, and the pieces/word compression on the
+    * covered part. ONE row: (n_docs, n_words, n_covered_words,
+    * n_oov_words, oov_rate, covered_pieces, pieces_per_covered_word).
+    * Per batch the only corpus-sized work is the word count; the
+    * segmentation runs once per DISTINCT word (native DP) and the
+    * vocab-char set rides as a literal. The ST11 streaming monitor's
+    * batch face — and t46's full-oracle surface (an absent word in the
+    * mirror's relaxation IS the OOV bit, so both engines agree without
+    * any fallback-marker plumbing).
+    */
+  def coverageReport(
+      docs: DataFrame, vocab: Seq[(String, Long)],
+      textCol: String = "text"): DataFrame = {
+    val vocabChars = vocab.map(_._1).filter(_.length == 1).sorted.toArray
+    val words = wordFreqs(docs, textCol)
+    val seg = segmentWordsLocal(words, vocab)
+      .withColumn("covered",
+        size(array_except(array_distinct(split(col("word"), "")),
+          typedLit(vocabChars))) === 0)
+      .withColumn("n_pieces",
+        size(split(col("word_uni"), " ")).cast("long"))
+    val nDocs = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    words.join(seg, "word")
+      .agg(
+        sum(col("freq")).as("n_words"),
+        sum(when(col("covered"), col("freq")).otherwise(0L)).as("n_covered_words"),
+        sum(when(!col("covered"), col("freq")).otherwise(0L)).as("n_oov_words"),
+        sum(when(col("covered"), col("freq") * col("n_pieces")).otherwise(0L))
+          .as("covered_pieces"))
+      .crossJoin(nDocs)
+      .select(
+        col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_covered_words"), lit(0L)).as("n_covered_words"),
+        coalesce(col("n_oov_words"), lit(0L)).as("n_oov_words"),
+        when(coalesce(col("n_words"), lit(0L)) > 0,
+          col("n_oov_words").cast("double") / col("n_words")).as("oov_rate"),
+        coalesce(col("covered_pieces"), lit(0L)).as("covered_pieces"),
+        when(coalesce(col("n_covered_words"), lit(0L)) > 0,
+          col("covered_pieces").cast("double") / col("n_covered_words"))
+          .as("pieces_per_covered_word"))
+  }
+
   /** Learn then apply in one call — the t44 shape. */
   def learnApply(
       docs: DataFrame,
@@ -218,11 +267,17 @@ object Unigram {
   // longest word.
   // ------------------------------------------------------------------
 
-  /** One Viterbi pass as CTE text: edges from `costCte`, `relaxRounds`
-    * relaxations, ending in `fin<tag>`(word, path) for fully-segmented
-    * words (path = pieces joined by chr(1), no leading separator).
+  /** One Viterbi pass as CTE text: edges from `costCte` over the words
+    * in `wCte`/`posCte`, `relaxRounds` relaxations, ending in
+    * `fin<tag>`(word, path) for fully-segmented words (path = pieces
+    * joined by chr(1), no leading separator). A word that is NOT fully
+    * segmentable (a character outside the vocabulary) never reaches
+    * j = length(word) and is simply absent from `fin<tag>` — t46 reads
+    * that absence as the OOV bit.
     */
-  private def viterbiCtes(tag: String, costCte: String, relaxRounds: Int): String = {
+  private def viterbiCtes(
+      tag: String, costCte: String, relaxRounds: Int,
+      wCte: String = "w", posCte: String = "pos"): String = {
     val rounds = (1 to relaxRounds).map { k =>
       s"""d$tag$k AS MATERIALIZED (SELECT word, j, cost, np, path FROM (
          |  SELECT word, j, cost, np, path,
@@ -238,15 +293,15 @@ object Unigram {
     }
     s"""e$tag AS MATERIALIZED (SELECT p.word, p.i, p.i + length(v.piece) AS j,
        |              v.cost, v.piece
-       |       FROM pos p JOIN $costCte v
+       |       FROM $posCte p JOIN $costCte v
        |         ON substr(p.word, CAST(p.i + 1 AS INTEGER),
        |                   CAST(length(v.piece) AS INTEGER)) = v.piece),
        |d${tag}0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS j,
-       |              CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS path FROM w),
+       |              CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS path FROM $wCte),
        |${rounds.mkString(",\n")},
        |fin$tag AS MATERIALIZED (SELECT d.word, substr(d.path, 2) AS path
        |        FROM d$tag$relaxRounds d
-       |        JOIN w ON w.word = d.word AND d.j = length(w.word))""".stripMargin
+       |        JOIN $wCte w ON w.word = d.word AND d.j = length(w.word))""".stripMargin
   }
 
   /** cost CTE text: (piece, cnt, cost) from a counts CTE — micros of the
@@ -264,7 +319,7 @@ object Unigram {
     */
   private def learnCtes(
       emRounds: Int, maxPieceLen: Int, seedVocab: Int, finalVocab: Int,
-      relaxRounds: Int): String = {
+      relaxRounds: Int, docsWhere: String = ""): String = {
     val emBlocks = (1 to emRounds).map { r =>
       s"""${viterbiCtes(s"r$r", s"cost${r - 1}", relaxRounds)},
          |used$r AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -281,7 +336,8 @@ object Unigram {
     s"""occ AS MATERIALIZED (SELECT doc_id, i AS widx, ws[i+1] AS word
        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
        |                     unnest(range(len(string_split(text, ' ')))) AS i
-       |              FROM documents WHERE text IS NOT NULL AND len(text) > 0)
+       |              FROM documents
+       |              WHERE text IS NOT NULL AND len(text) > 0$docsWhere)
        |        WHERE len(ws[i+1]) > 0),
        |w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM occ GROUP BY 1),
        |chars AS MATERIALIZED (SELECT DISTINCT cs[i+1] AS piece
@@ -324,6 +380,24 @@ object Unigram {
     s"""WITH ${learnCtes(emRounds, maxPieceLen, seedVocab, finalVocab, relaxRounds)}
        |SELECT piece, cnt, cost AS cost_micro FROM costf
        |ORDER BY cnt DESC, piece""".stripMargin
+
+  /** The learn chain (optionally on a filtered train slice, via
+    * `docsWhere` — an extra " AND ..." predicate on the documents scan)
+    * ending at `costf`, exposed for t46's coverage composition.
+    */
+  def learnChainCtes(
+      emRounds: Int = 2, maxPieceLen: Int = 6,
+      seedVocab: Int = 256, finalVocab: Int = 128,
+      relaxRounds: Int = 16, docsWhere: String = ""): String =
+    learnCtes(emRounds, maxPieceLen, seedVocab, finalVocab, relaxRounds, docsWhere)
+
+  /** One Viterbi pass over an external word table — t46's apply-side
+    * relaxation (wCte must provide (word), posCte (word, i)).
+    */
+  def viterbiChainCtes(
+      tag: String, costCte: String, wCte: String, posCte: String,
+      relaxRounds: Int = 16): String =
+    viterbiCtes(tag, costCte, relaxRounds, wCte, posCte)
 
   /** The full learn+apply chain as composable CTE text, ending with
     * `wt`(word, word_uni) and `agg`(doc_id, uni_text) — t44's body and

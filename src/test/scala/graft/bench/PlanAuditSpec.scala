@@ -64,6 +64,8 @@ class PlanAuditSpec extends SparkTestBase {
     // one-row tokenizer-stat sides (n_docs/total_pieces/distinct/total
     // words) of the t45 compression report
     "t45_tokenizer_compare",
+    // one-row n_docs side of the coverage report (the ST11 batch face)
+    "t46_unigram_coverage",
     // the eval harness's DESIGNED bounded quadratic: the exact all-pairs
     // cosine ground truth over the caller's fixture sample (the e13
     // contract — screens run on the corpus, truth on the sample), plus

@@ -363,4 +363,44 @@ class CorpusIngestSpec extends SparkTestBase {
     val empty = run(batch.filter($"doc_id" < 0))
     assert(empty.head._1 == 0L && !empty.head._2.isNaN && !empty.head._2.isInfinite)
   }
+
+  test("coverage monitor (ST11): clean batches gauge 0 OOV, a shifted batch spikes; rows match the batch face") {
+    import graft.text.Unigram
+    val reference = (1L to 40L)
+      .map(i => (i, (0 to 9).map(j => s"ref${(i + j) % 25}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val vocab = Unigram.collectVocab(
+      Unigram.learn(reference).select("piece", "cnt", "cost_micro"))
+    val metrics = tmp("cov-metrics")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusIngest.startCoverageMonitor(
+      mem.toDF.toDF("doc_id", "text"), vocab, metrics, tmp("cov-ckpt"))
+    val likeBatch = (100L to 109L)
+      .map(i => (i, (0 to 9).map(j => s"ref${(i + j) % 25}").mkString(" ")))
+    // chars x/z/9 appear in "ref.." digits? 'ref19' has 9 -> 9 IS in the
+    // reference alphabet; use chars genuinely outside it: 'zx' words
+    val shiftedBatch = (200L to 209L)
+      .map(i => (i, "ref1 ref2 zxq" + i))
+    mem.addData(likeBatch: _*)
+    q.processAllAvailable()
+    mem.addData(shiftedBatch: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = CorpusIngest.readCoverageMetrics(spark, metrics)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.keySet == Set(0L, 1L), s"one metrics row per batch: $rows")
+    assert(rows(0L)._3 == 0L && rows(0L)._4 == 0.0, s"clean batch has no OOV: $rows")
+    assert(rows(1L)._3 == 10L && rows(1L)._4 > 0.3, s"the shifted batch must spike: $rows")
+    // the monitor's row IS coverageReport's (gauge == batch face, bit-exact)
+    val direct = Unigram.coverageReport(shiftedBatch.toDF("doc_id", "text"), vocab)
+      .select("n_docs", "n_words", "n_oov_words", "oov_rate").head()
+    assert((rows(1L)._1, rows(1L)._2, rows(1L)._3, rows(1L)._4) ==
+      (direct.getLong(0), direct.getLong(1), direct.getLong(2), direct.getDouble(3)))
+    // replay: re-running batch 1 rewrites its dir, never doubles
+    CorpusIngest.ingestBatchCoverageMonitor(
+      shiftedBatch.toDF("doc_id", "text"), vocab, metrics, batchId = 1L)
+    assert(CorpusIngest.readCoverageMetrics(spark, metrics).count() == 2L)
+  }
 }
