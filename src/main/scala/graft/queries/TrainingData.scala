@@ -2111,6 +2111,78 @@ object TrainingData {
              |FROM cov""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T47 — known-item retrieval eval for the lexical-search family
+    // (e13/d17/t46's analog): every 20th document's first three tokens
+    // become its query, and BM25 must find the source doc — recall@1,
+    // recall@10 and MRR@10 over the synthetic qrels. MRR rides an EXACT
+    // grid: per query the reciprocal-rank contribution is the integer
+    // 2520/rnk (2520 = lcm(1..10)), so the sum is order-invariant and
+    // the final MRR is ONE IEEE division — a float average would
+    // hash-flake across partitions. Composes t26's engine-exact
+    // fixed-point scorer via the pluggable query CTE (the t42 pattern).
+    // The measured numbers are LOW on this fixture (sf0.1: recall@1
+    // 0.012, MRR@10 0.028) and correctly so: a 31-word vocabulary makes
+    // 3-token queries barely discriminative — which is precisely the
+    // retrievability signal this eval face exists to surface before a
+    // corpus ships.
+    Q(
+      "t47_bm25_knownitem_eval",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val toks = TextFunctions.tokens(col("text"))
+        val queries = docs
+          .filter(col("text").isNotNull && size(toks) >= 3 &&
+            col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(toks, 1, 3)).as("query_text"))
+        val self = Bm25.search(docs, queries, k = 10)
+          .filter(col("doc_id") === col("query_id"))
+          .select(col("query_id"), col("rk"))
+        queries.select("query_id")
+          .join(self, Seq("query_id"), "left_outer")
+          .agg(
+            count(lit(1)).as("n_queries"),
+            sum(when(col("rk") === 1, 1L).otherwise(0L)).as("hits_at_1"),
+            sum(when(col("rk").isNotNull, 1L).otherwise(0L)).as("hits_at_10"),
+            sum(when(col("rk").isNotNull, expr("2520 div rk")).otherwise(0L))
+              .as("__mrr_num"))
+          .select(
+            col("n_queries"), col("hits_at_1"), col("hits_at_10"),
+            (col("hits_at_1").cast("double") / col("n_queries"))
+              .as("recall_at_1"),
+            (col("hits_at_10").cast("double") / col("n_queries"))
+              .as("recall_at_10"),
+            (col("__mrr_num").cast("double") / (col("n_queries") * 2520))
+              .as("mrr_at_10"))
+      },
+      Some(s"""${sqlBm25CtesFor(
+               """q AS (SELECT doc_id AS query_id,
+                 |            array_to_string((string_split(text, ' '))[1:3], ' ') AS query_text
+                 |      FROM documents
+                 |      WHERE text IS NOT NULL
+                 |        AND len(string_split(text, ' ')) >= 3
+                 |        AND doc_id % 20 = 0)""".stripMargin)},
+             |rk AS (SELECT query_id, doc_id,
+             |         row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY score_fp6 DESC, doc_id) AS rnk
+             |       FROM sc),
+             |tgt AS (SELECT q.query_id, r.rnk
+             |        FROM q LEFT JOIN rk r
+             |          ON r.query_id = q.query_id AND r.doc_id = q.query_id
+             |         AND r.rnk <= 10)
+             |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+             |  CAST(SUM(CASE WHEN rnk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS hits_at_10,
+             |  CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             |    AS recall_at_1,
+             |  CAST(SUM(CASE WHEN rnk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS recall_at_10,
+             |  CAST(SUM(CASE WHEN rnk IS NOT NULL THEN 2520 // rnk ELSE 0 END)
+             |    AS DOUBLE) / (count(*) * 2520) AS mrr_at_10
+             |FROM tgt""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T45 — the tokenizer-family EVAL face (d17/e13's analog): BPE (the
     // t19d 64-merge table) and the learned unigram LM segment the SAME
     // corpus, and one oracle reports the dataset-card compression row

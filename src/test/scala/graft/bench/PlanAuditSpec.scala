@@ -66,6 +66,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t45_tokenizer_compare",
     // one-row n_docs side of the coverage report (the ST11 batch face)
     "t46_unigram_coverage",
+    // same one-row BM25 corpus-stats side behind the known-item eval
+    "t47_bm25_knownitem_eval",
     // the eval harness's DESIGNED bounded quadratic: the exact all-pairs
     // cosine ground truth over the caller's fixture sample (the e13
     // contract — screens run on the corpus, truth on the sample), plus
