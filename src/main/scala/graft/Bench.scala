@@ -23,6 +23,33 @@ object Bench {
       execute(name, fn)
       graft.util.CacheScope.releaseAll()
     }
+    // Machine-speed yardstick (r13 verdict #5): t27b warm x3, MIN of
+    // three — the one-minute calibration that separates machine/session
+    // drift from code regressions (r12 quiet steady state: 0.73–0.78 s;
+    // r13 burned a full adjudication cycle because a 228 s and a 176 s
+    // total were both "the bench"). Emitted into the artifact as
+    // yardstick_warm_s alongside total_normalized = total x (0.755 /
+    // yardstick), so every BENCH_r*.json self-reports how slow its
+    // machine was.
+    val yardstickName = "t27b_inverted_index_incremental"
+    val yardstickRef = 0.755
+    val yardstick = SparkEntry.queries.get(yardstickName).map { fn =>
+      val samples = Seq.fill(3) {
+        val t0 = System.nanoTime()
+        execute(yardstickName, fn)
+        (System.nanoTime() - t0) / 1e9
+      }
+      graft.util.CacheScope.releaseAll()
+      samples.min
+    }.getOrElse(Double.NaN)
+    // raw toString, not the f interpolator: %f is locale-sensitive and a
+    // comma decimal would break the JSON artifact
+    val yardstickJson =
+      if (yardstick.isNaN) "null"
+      else ((yardstick * 1000).round / 1000.0).toString
+    def normalizedJson(total: Double): String =
+      if (yardstick.isNaN || yardstick <= 0) "null"
+      else ((total * yardstickRef / yardstick * 10).round / 10.0).toString
     // Median of 3 timed runs per query: a single sample at local[32]
     // carries ±30%+ contention noise (r3/r4 both burned a judge round on
     // one-shot artifacts, e.g. q22 2.92s recorded vs 1.3s steady-state);
@@ -50,7 +77,7 @@ object Bench {
       try graft.bench.EtlBench.run(spark)
       catch { case e: Throwable => System.err.println(s"[bench] etl failed: ${e.getMessage}"); (0L, 0.0, 0.0) }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$runs","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$runs","yardstick_warm_s":$yardstickJson,"yardstick_ref_s":$yardstickRef,"total_normalized":${normalizedJson(total)},"queries":$qs,"sf":"$sfDir",""" +
       s""""etl_baseline_comparable":{"blocks":10,"transactions":$txs,"secs":$etlSecs,"tx_per_s":$txPerS,""" +
       s""""reference_tx_per_s":"200-300 (README.md:366, 12000 txs in 20-25s)"}}"""
     println(fullLine)
@@ -79,6 +106,7 @@ object Bench {
     // Distinct metric name from the full line above: a consumer keying on
     // "total" must never pick this truncated tail record or double-count.
     println(s"""{"metric":"total_tail","value":$total,"unit":"sec","stat":"median_of_$runs","n_queries":${results.size},""" +
+      s""""yardstick_warm_s":$yardstickJson,"total_normalized":${normalizedJson(total)},""" +
       s""""slowest":$slowest,"sf":"$sfDir","etl_tx_per_s":$txPerS,"etl_secs":$etlSecs}""")
     spark.stop()
   }

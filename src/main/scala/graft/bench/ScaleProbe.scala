@@ -452,9 +452,21 @@ object ScaleProbe {
         time(s"band_skew_unguarded $label")(
           Similarity.signBandEdges(aniso(n), dim = 64, minCosine = -1.0,
             maxBucket = None).count())
+        // saltOverCap = false: this leg pins the DROP-path bound
+        // (<= bands·2^bandBits·cap²/2 regardless of N); the salted leg
+        // below is the library DEFAULT (degrade, <= n·cap/2 per bucket
+        // — linear in n, so growth ~2x at 2x N instead of flat).
         time(s"band_skew_guarded $label")(
           Similarity.signBandEdges(aniso(n), dim = 64, minCosine = -1.0,
+            rotate = true, maxBucket = Some(64), saltOverCap = false).count())
+        time(s"band_skew_salted $label")(
+          Similarity.signBandEdges(aniso(n), dim = 64, minCosine = -1.0,
             rotate = true, maxBucket = Some(64)).count())
+        // The fourth lever: 16-bit bands spread the same corpus over
+        // 65,536 keys/band — occupancy collapses before any cap bites.
+        time(s"band_skew_b16 $label")(
+          Similarity.signBandEdges(aniso(n), dim = 64, minCosine = -1.0,
+            rotate = true, maxBucket = Some(64), bandBits = 16).count())
       }
     }
     // SQ8 ANN: fixed queries, growing corpus — stats is one 64-row

@@ -76,9 +76,17 @@ object DedupEval {
     */
   def md5MinhashLshCandidates(
       docs: DataFrame, k: Int, bands: Int, shingleN: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
-    val rows = k / bands
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lshBandedCandidates(
+      md5MinhashSignatures(docs, k, shingleN, idCol, textCol), k, bands)
+
+  /** The (id, seed, sig) md5-MinHash signature table — computed ONCE and
+    * shared across band configurations by [[minhashSweep]] (the banding
+    * is a regrouping of the same k signature elements).
+    */
+  private def md5MinhashSignatures(
+      docs: DataFrame, k: Int, shingleN: Int,
+      idCol: String, textCol: String): DataFrame = {
     val inv = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
@@ -86,12 +94,21 @@ object DedupEval {
       .select(col("id"),
         explode(array_distinct(
           TextFunctions.shinglesFromTokens(col("toks"), shingleN))).as("shingle"))
-    val sig = inv
+    inv
       .select(col("id"), col("shingle"),
         explode(sequence(lit(0), lit(k - 1))).as("seed"))
       .select(col("id"), col("seed"),
         md5(concat(col("shingle"), lit("#"), col("seed").cast("string"))).as("h"))
       .groupBy("id", "seed").agg(min(col("h")).as("sig"))
+  }
+
+  /** Band a signature table `bands` ways (band key = the band's elements
+    * concatenated in seed order) and self-join to candidate pairs.
+    */
+  private def lshBandedCandidates(
+      sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
     val banded = sig
       .withColumn("band", expr(s"seed div $rows"))
       .groupBy("id", "band")
@@ -103,6 +120,30 @@ object DedupEval {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("lo"), col("y.id").as("hi"))
       .distinct()
+  }
+
+  /** The d18 report: the (bands) tuning grid over the md5-MinHash screen
+    * at fixed k — recall/precision per configuration against the same
+    * exact-Jaccard truth, turning d17's single MinHash point into the
+    * actual banding curve (more bands ⇒ shorter band keys ⇒ higher
+    * collision probability at a given similarity ⇒ recall up, precision
+    * down — Broder 1997's S-curve, measured instead of guessed). One
+    * truth pass and ONE signature pass feed every configuration; each
+    * config adds only its regroup + band self-join. Same enforced
+    * eval-size contract as [[screenQuality]].
+    */
+  def minhashSweep(
+      docs: DataFrame, k: Int = 16, bandsGrid: Seq[Int] = Seq(2, 4, 8),
+      shingleN: Int = 3, jaccardThreshold: Double = 0.5,
+      maxEvalRows: Long = 50000L, sampleOverMax: Boolean = false): DataFrame = {
+    val d = boundEvalInput(docs, "doc_id", maxEvalRows, sampleOverMax, "d18d")
+    val truth = graft.util.CacheScope.persist(
+      exactJaccardTruth(d, shingleN, jaccardThreshold))
+    val sig = graft.util.CacheScope.persist(
+      md5MinhashSignatures(d, k, shingleN, "doc_id", "text"))
+    bandsGrid.map { b =>
+      scoreScreen(s"minhash_k${k}_b$b", truth, lshBandedCandidates(sig, k, b))
+    }.reduce(_ unionByName _)
   }
 
   /** md5-SimHash candidate pairs over `bits`-bit keys: one vote per token
@@ -123,8 +164,12 @@ object DedupEval {
     require(bits % nBlocks == 0, s"bits=$bits not divisible by blocks=$nBlocks")
     require(bits <= 128, s"md5 provides 128 bits, asked for $bits")
     val blockBits = bits / nBlocks
-    require(32 % blockBits == 0 || blockBits % 32 == 0,
-      s"blockBits=$blockBits would straddle the 32-bit key words")
+    // <= 32 strictly: blk_key reads ONE 32-bit word, so a 64-bit block
+    // (e.g. bits=128, maxHamming=1) would silently use only half its
+    // bits AND overflow the ANSI pow(2,64) long cast (r13 ADVICE).
+    require(blockBits <= 32 && 32 % blockBits == 0,
+      s"blockBits=$blockBits must divide 32 — a block must not straddle " +
+        "the 32-bit key words, and multi-word block keys are not assembled")
     val nWords = (bits + 31) / 32
     val toks = docs
       .filter(col(textCol).isNotNull)
@@ -190,39 +235,88 @@ object DedupEval {
         col("n_hit").cast("double") / col("n_cand")).as("precision"))
   }
 
-  /** The d17 report: three screens against their exact ground truths.
-    * `docs` / `emb` are the caller-built fixtures (planted near-dups).
+  /** ENFORCED eval-size contract (r13 verdict #1): the exact-truth
+    * stages are the harness's designed quadratics — all-pairs cosine and
+    * a df-cap-free inverted-index join — so an input beyond
+    * `maxEvalRows` must either fail LOUDLY (default; the HdSignPack
+    * dim-guard convention) or degrade to a DOCUMENTED deterministic
+    * sample (`sampleOverMax = true`): keep rows with
+    * md5-permille(id) < max(1, maxEvalRows·1000 ⌊/⌋ n) — the c1 salted
+    * md5 bucket, so the DuckDB mirror reproduces it exactly with
+    * `... % 1000 < (SELECT greatest(1, <maxEvalRows>*1000 // count(*))
+    * FROM <input>)`. The sample holds `maxEvalRows` in EXPECTATION (a
+    * permille thinning, not a hard top-N — no global sort needed).
+    * The bounded `count()` here IS the enforcement: nothing beyond the
+    * contract scale ever reaches the quadratic stages.
+    */
+  private def boundEvalInput(
+      df: DataFrame, idCol: String, maxEvalRows: Long,
+      sampleOverMax: Boolean, salt: String): DataFrame = {
+    val n = df.count()
+    if (n <= maxEvalRows) df
+    else {
+      require(sampleOverMax,
+        s"screenQuality input '$salt' has $n rows > maxEvalRows=" +
+          s"$maxEvalRows; the exact-truth stages are quadratic by design " +
+          "— raise maxEvalRows deliberately or pass sampleOverMax=true " +
+          "for the deterministic md5 permille sample")
+      val permille = math.max(1L, maxEvalRows * 1000L / n)
+      df.filter(
+        graft.curation.Curation.hashBucket(col(idCol), 1000, salt) < permille)
+    }
+  }
+
+  /** The d17 report: the blocking screens against their exact ground
+    * truths. `docs` / `emb` are the caller-built fixtures (planted
+    * near-dups), bounded by [[boundEvalInput]] before any quadratic
+    * stage runs.
     */
   def screenQuality(
       docs: DataFrame, emb: DataFrame,
       shingleN: Int = 3, jaccardThreshold: Double = 0.5,
       minhashK: Int = 16, minhashBands: Int = 4,
       simBits: Int = 16, simMaxHamming: Int = 3,
-      dim: Int = 64, cosineThreshold: Double = 0.999): DataFrame = {
+      dim: Int = 64, cosineThreshold: Double = 0.999,
+      maxEvalRows: Long = 50000L,
+      sampleOverMax: Boolean = false): DataFrame = {
+    val d = boundEvalInput(docs, "doc_id", maxEvalRows, sampleOverMax, "d17d")
+    val e = boundEvalInput(emb, "vec_id", maxEvalRows, sampleOverMax, "d17e")
     val truthText = graft.util.CacheScope.persist(
-      exactJaccardTruth(docs, shingleN, jaccardThreshold))
+      exactJaccardTruth(d, shingleN, jaccardThreshold))
     val mh = scoreScreen("minhash_lsh_md5",
-      truthText, md5MinhashLshCandidates(docs, minhashK, minhashBands, shingleN))
+      truthText, md5MinhashLshCandidates(d, minhashK, minhashBands, shingleN))
     val sim = scoreScreen("simhash_md5",
-      truthText, md5SimhashCandidates(docs, simBits, simMaxHamming))
+      truthText, md5SimhashCandidates(d, simBits, simMaxHamming))
     // The 64-bit variant the 16-bit row's precision collapse argues for
     // (same hamming budget, 16-bit pigeonhole blocks): measured side by
     // side so the key-width decision is a read-off, not a guess.
     val sim64 = scoreScreen("simhash64_md5",
-      truthText, md5SimhashCandidates(docs, bits = 64, simMaxHamming))
+      truthText, md5SimhashCandidates(d, bits = 64, simMaxHamming))
     // Embedding truth: exact all-pairs cosine — THE bounded-quadratic
-    // eval pass (fixture-sized by contract).
-    val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+    // eval pass (size enforced above).
+    val vecs = e.select(col("vec_id").as("id"), col("embedding").as("v"),
       Similarity.norm(col("embedding")).as("nrm"))
-    val truthE = vecs.as("a").join(vecs.as("b"), col("a.id") < col("b.id"))
-      .filter(Similarity.dot(col("a.v"), col("b.v")) /
-        (col("a.nrm") * col("b.nrm")) >= cosineThreshold)
-      .select(col("a.id").as("lo"), col("b.id").as("hi"))
-    val candE = Similarity.signBandEdges(emb, dim, minCosine = -1.0,
-        rotate = true, maxBucket = Some(64))
-      .select(pairKey(col("id_a"), col("id_b")).as("p"))
-      .select(col("p.lo").as("lo"), col("p.hi").as("hi"))
-    val sb = scoreScreen("sign_band", truthE, candE)
-    mh.unionByName(sim).unionByName(sim64).unionByName(sb)
+    val truthE = graft.util.CacheScope.persist(
+      vecs.as("a").join(vecs.as("b"), col("a.id") < col("b.id"))
+        .filter(Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")) >= cosineThreshold)
+        .select(col("a.id").as("lo"), col("b.id").as("hi")))
+    // The CANDIDATE set straight from the band join — not signBandEdges
+    // filtered at a >= −1 sentinel, which would drop a NaN-cosine
+    // (zero-norm) pair that the DuckDB mirror keeps (r13 ADVICE).
+    // saltOverCap = false pins the DROP path the oracle mirrors.
+    def sbCand(bandBits: Int): DataFrame =
+      Similarity.signBandCandidatePairs(e, dim,
+          rotate = true, maxBucket = Some(64), saltOverCap = false,
+          bandBits = bandBits)
+        .select(pairKey(col("id_a"), col("id_b")).as("p"))
+        .select(col("p.lo").as("lo"), col("p.hi").as("hi"))
+    val sb = scoreScreen("sign_band", truthE, sbCand(8))
+    // The band-width lever measured on the same truth: 16-bit bands =
+    // 65,536 keys (≈256× lower random occupancy per bucket) but only
+    // dim/16 bands (half the chances to collide) — the frontier row the
+    // cap-sizing e23 report pairs with.
+    val sb16 = scoreScreen("sign_band_16", truthE, sbCand(16))
+    mh.unionByName(sim).unionByName(sim64).unionByName(sb).unionByName(sb16)
   }
 }

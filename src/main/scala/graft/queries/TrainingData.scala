@@ -165,6 +165,48 @@ object TrainingData {
       |       WHERE doc_id % 20 = 0 AND len(string_split(text,' ')) > 3),
       |docs AS (SELECT * FROM base UNION ALL SELECT * FROM nd)""".stripMargin
 
+  /** The shingle → exact-Jaccard-truth → md5-MinHash-signature CTE
+    * prefix d17 and d18 share (over [[sqlNearDupCte]]'s `docs`).
+    */
+  private val sqlShingleTruthMinhashCtes =
+    """sh AS MATERIALIZED (SELECT doc_id,
+      |       unnest(list_distinct(list_transform(
+      |         range(len(string_split(text,' ')) - 2),
+      |         i -> array_to_string((string_split(text,' '))[i+1:i+3], ' ')))) AS shingle
+      |       FROM docs WHERE len(string_split(text,' ')) >= 3),
+      |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |truth_t AS MATERIALIZED (
+      |  SELECT id_a AS lo, id_b AS hi FROM (
+      |    SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+      |    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |    GROUP BY 1, 2) c
+      |  JOIN sizes a ON a.doc_id = id_a
+      |  JOIN sizes b ON b.doc_id = id_b
+      |  WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.5),
+      |mhash AS MATERIALIZED (
+      |  SELECT doc_id, seed,
+      |         min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS sig
+      |  FROM sh, (SELECT unnest(range(16)) AS seed)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Learn-once vocab store backing the t44b serving face: the first
+    * call per sf-dir learns the t43 vocabulary and persists it as a
+    * (piece, cnt, cost_micro) parquet table — the tokenizer ARTIFACT a
+    * 100 TB pipeline ships to its apply jobs; subsequent calls (Verify,
+    * the timed bench passes) only read it. Keyed by dir so gate scales
+    * never mix; learn is deterministic, so the artifact is too.
+    */
+  private val unigramVocabDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def unigramVocabPath(s: SparkSession, dir: String): String =
+    unigramVocabDirs.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_unigram_vocab").toString
+      Unigram.learn(Tables.documents(s, dir))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   /** 10-word boilerplate lines injected into the corpus for the span-dedup
     * fixture: every 5th doc gets the header prepended, every 7th the footer
     * appended — repeated chrome INSIDE otherwise-distinct documents, the
@@ -1355,14 +1397,19 @@ object TrainingData {
     // bit-identical in both engines where the production xxhash64 path
     // (d2/d3, golden-pinned) is not. At 100 TB this harness runs on a
     // sample to size (k, bands, hamming budget, cap) before the real
-    // screens run on the corpus. The four rows already map the frontier
-    // at sf0.1: SimHash-16 @ham<=3 is recall-biased (96.9% recall,
-    // 0.7% precision — 35k candidates for 261 truths), SimHash-64 at
-    // the SAME budget flips precision-biased (96.3% precision, 49.8%
-    // recall — near-dups differ in >3 of 64 bits), and
+    // screens run on the corpus — and r14 ENFORCES that contract in
+    // code: both truth inputs pass DedupEval.boundEvalInput
+    // (require(n <= maxEvalRows) with an opt-in deterministic md5
+    // permille sample) before any quadratic stage. The five rows map
+    // the frontier at sf0.1: SimHash-16 @ham<=3 is recall-biased
+    // (96.9% recall, 0.7% precision — 35k candidates for 261 truths),
+    // SimHash-64 at the SAME budget flips precision-biased (96.3%
+    // precision, 49.8% recall — near-dups differ in >3 of 64 bits),
     // MinHash-LSH(16,4) dominates both for Jaccard-type truth (97.3% /
-    // 1.000) — the hamming budget must scale with key width, which is
-    // exactly the read-off this face exists to give.
+    // 1.000) — the hamming budget must scale with key width — and
+    // sign_band vs sign_band_16 puts the band-WIDTH lever on the same
+    // axes (wider keys: fewer candidates, whatever recall survives is
+    // the price e23's occupancy savings pay).
     Q(
       "d17_dedup_screen_eval",
       (s, dir) => {
@@ -1378,25 +1425,7 @@ object TrainingData {
         graft.dedup.DedupEval.screenQuality(docs, emb2).orderBy("screen")
       },
       Some(s"""$sqlNearDupCte,
-             |sh AS MATERIALIZED (SELECT doc_id,
-             |       unnest(list_distinct(list_transform(
-             |         range(len(string_split(text,' ')) - 2),
-             |         i -> array_to_string((string_split(text,' '))[i+1:i+3], ' ')))) AS shingle
-             |       FROM docs WHERE len(string_split(text,' ')) >= 3),
-             |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-             |truth_t AS MATERIALIZED (
-             |  SELECT id_a AS lo, id_b AS hi FROM (
-             |    SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
-             |    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-             |    GROUP BY 1, 2) c
-             |  JOIN sizes a ON a.doc_id = id_a
-             |  JOIN sizes b ON b.doc_id = id_b
-             |  WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.5),
-             |mhash AS MATERIALIZED (
-             |  SELECT doc_id, seed,
-             |         min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS sig
-             |  FROM sh, (SELECT unnest(range(16)) AS seed)
-             |  GROUP BY 1, 2),
+             |$sqlShingleTruthMinhashCtes,
              |mband AS MATERIALIZED (
              |  SELECT doc_id, seed // 4 AS band,
              |         string_agg(sig, '' ORDER BY seed) AS band_key
@@ -1512,6 +1541,22 @@ object TrainingData {
              |  FROM bk a JOIN bk b2
              |    ON a.band = b2.band AND a.key = b2.key
              |   AND a.vec_id < b2.vec_id),
+             |bands16 AS MATERIALIZED (SELECT vec_id, b.band,
+             |            CASE WHEN b.band < 2
+             |                 THEN (w0 >> CAST(b.band * 16 AS INTEGER)) & 65535
+             |                 ELSE (w1 >> CAST((b.band - 2) * 16 AS INTEGER)) & 65535
+             |            END AS key
+             |          FROM pk, (SELECT unnest(range(4)) AS band) b),
+             |bover16 AS MATERIALIZED (SELECT band, key FROM bands16
+             |          GROUP BY 1, 2 HAVING count(*) > 64),
+             |bk16 AS MATERIALIZED (SELECT * FROM bands16 b WHERE NOT EXISTS
+             |         (SELECT 1 FROM bover16 o
+             |          WHERE o.band = b.band AND o.key = b.key)),
+             |sb16_cand AS MATERIALIZED (
+             |  SELECT DISTINCT a.vec_id AS lo, b2.vec_id AS hi
+             |  FROM bk16 a JOIN bk16 b2
+             |    ON a.band = b2.band AND a.key = b2.key
+             |   AND a.vec_id < b2.vec_id),
              |res AS (
              |  SELECT 'minhash_lsh_md5' AS screen,
              |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t) AS n_truth,
@@ -1535,7 +1580,86 @@ object TrainingData {
              |    (SELECT CAST(count(*) AS BIGINT) FROM truth_e),
              |    (SELECT CAST(count(*) AS BIGINT) FROM sb_cand),
              |    (SELECT CAST(count(*) AS BIGINT) FROM sb_cand c
+             |     JOIN truth_e t ON c.lo = t.lo AND c.hi = t.hi)
+             |  UNION ALL
+             |  SELECT 'sign_band_16',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_e),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM sb16_cand),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM sb16_cand c
              |     JOIN truth_e t ON c.lo = t.lo AND c.hi = t.hi))
+             |SELECT screen, n_truth, n_cand, n_hit,
+             |       CASE WHEN n_truth > 0
+             |            THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+             |       CASE WHEN n_cand > 0
+             |            THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
+             |FROM res ORDER BY screen""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // D18 — the MinHash-LSH parameter-SWEEP face (d17 gives the screen
+    // one point; this gives the tuning CURVE): the same k=16 signature
+    // table banded 2 / 4 / 8 ways against the same exact-Jaccard truth,
+    // one row per configuration. More bands ⇒ shorter band keys ⇒ a
+    // collision needs fewer agreeing elements ⇒ recall rises and
+    // precision falls (Broder 1997's S-curve — the knob users otherwise
+    // set blind at 100 TB, here measured under ONE full oracle). The
+    // truth pass and the k-element signature pass run ONCE; each config
+    // adds only a regroup + band-key self-join. Eval-size contract
+    // enforced as in d17.
+    Q(
+      "d18_minhash_sweep",
+      (s, dir) => {
+        val docs = docsWithNearDups(
+          Tables.documents(s, dir).select("doc_id", "text")
+            .filter(col("doc_id") % 10 === 0))
+        graft.dedup.DedupEval.minhashSweep(docs).orderBy("screen")
+      },
+      Some(s"""$sqlNearDupCte,
+             |$sqlShingleTruthMinhashCtes,
+             |mb2 AS MATERIALIZED (
+             |  SELECT doc_id, seed // 8 AS band,
+             |         string_agg(sig, '' ORDER BY seed) AS band_key
+             |  FROM mhash GROUP BY 1, 2),
+             |cd2 AS MATERIALIZED (
+             |  SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi
+             |  FROM mb2 x JOIN mb2 y
+             |    ON x.band = y.band AND x.band_key = y.band_key
+             |   AND x.doc_id < y.doc_id),
+             |mb4 AS MATERIALIZED (
+             |  SELECT doc_id, seed // 4 AS band,
+             |         string_agg(sig, '' ORDER BY seed) AS band_key
+             |  FROM mhash GROUP BY 1, 2),
+             |cd4 AS MATERIALIZED (
+             |  SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi
+             |  FROM mb4 x JOIN mb4 y
+             |    ON x.band = y.band AND x.band_key = y.band_key
+             |   AND x.doc_id < y.doc_id),
+             |mb8 AS MATERIALIZED (
+             |  SELECT doc_id, seed // 2 AS band,
+             |         string_agg(sig, '' ORDER BY seed) AS band_key
+             |  FROM mhash GROUP BY 1, 2),
+             |cd8 AS MATERIALIZED (
+             |  SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi
+             |  FROM mb8 x JOIN mb8 y
+             |    ON x.band = y.band AND x.band_key = y.band_key
+             |   AND x.doc_id < y.doc_id),
+             |res AS (
+             |  SELECT 'minhash_k16_b2' AS screen,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t) AS n_truth,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cd2) AS n_cand,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cd2 c
+             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi) AS n_hit
+             |  UNION ALL
+             |  SELECT 'minhash_k16_b4',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cd4),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cd4 c
+             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi)
+             |  UNION ALL
+             |  SELECT 'minhash_k16_b8',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cd8),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cd8 c
+             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi))
              |SELECT screen, n_truth, n_cand, n_hit,
              |       CASE WHEN n_truth > 0
              |            THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
@@ -2074,7 +2198,11 @@ object TrainingData {
     Q(
       "t43_unigram_learn",
       (s, dir) =>
-        Unigram.learn(Tables.documents(s, dir))
+        // requireRelaxBound: the oracle's 16-round Bellman-Ford mirror
+        // is only complete while no corpus word exceeds 16 chars —
+        // enforced loudly here AND by the mirror's own error() guard
+        // (r13 ADVICE), instead of living in a comment.
+        Unigram.learn(Unigram.requireRelaxBound(Tables.documents(s, dir)))
           .select("piece", "cnt", "cost_micro"),
       Some(Unigram.learnOracleSql())),
 
@@ -2088,7 +2216,31 @@ object TrainingData {
     Q(
       "t44_unigram_apply",
       (s, dir) =>
-        Unigram.learnApply(Tables.documents(s, dir)).orderBy("doc_id"),
+        Unigram.learnApply(Unigram.requireRelaxBound(Tables.documents(s, dir)))
+          .orderBy("doc_id"),
+      Some(Unigram.learnApplyOracleSql())),
+
+    // ------------------------------------------------------------------
+    // T44B — the SERVING-shape apply (r13 verdict #3): learn-once /
+    // apply-everywhere. t44 re-learns the vocabulary inside every run
+    // (the end-to-end-under-one-oracle pin, kept); at 100 TB a tokenizer
+    // is learned ONCE and ships as a (piece, cost_micro) artifact that
+    // every apply job reads. This face does exactly that: the first call
+    // per sf-dir learns t43's vocabulary and persists it as a parquet
+    // vocab TABLE; every subsequent run (Verify, the timed bench passes)
+    // only READS the stored table into the UnigramSegment codegen
+    // expression — the apply job's plan contains no EM rounds at all.
+    // The oracle is t44's untouched learn+apply chain: the stored
+    // artifact must reproduce the end-to-end result bit-for-bit, which
+    // is precisely the serving-path contract.
+    Q(
+      "t44b_unigram_apply_stored",
+      (s, dir) => {
+        val docs = Unigram.requireRelaxBound(Tables.documents(s, dir))
+        val vocab = Unigram.collectVocab(
+          s.read.parquet(unigramVocabPath(s, dir)))
+        Unigram.applyUnigram(docs, vocab).orderBy("doc_id")
+      },
       Some(Unigram.learnApplyOracleSql())),
 
     // ------------------------------------------------------------------
@@ -2105,7 +2257,7 @@ object TrainingData {
     Q(
       "t46_unigram_coverage",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
+        val docs = Unigram.requireRelaxBound(Tables.documents(s, dir))
         val vocab = Unigram.collectVocab(
           Unigram.learn(docs.filter(col("doc_id") % 3 =!= 0))
             .select("piece", "cnt", "cost_micro"))
@@ -2239,7 +2391,7 @@ object TrainingData {
     Q(
       "t45_tokenizer_compare",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
+        val docs = Unigram.requireRelaxBound(Tables.documents(s, dir))
         // Each tokenizer's output feeds TWO stat aggregations (totals +
         // distinct-piece set) — persist or the whole learn+apply chain
         // re-runs per aggregate (measured ~2x the query wall).
@@ -4549,8 +4701,11 @@ object TrainingData {
     Q(
       "e21_knn_graph",
       (s, dir) =>
+        // saltOverCap = false EXPLICITLY: this face pins the DROP path
+        // its oracle mirrors (e24 pins the salt path; the library
+        // default is salt — r13 ADVICE).
         Similarity.knnGraph(Tables.embeddings(s, dir), k = 3, dim = 64,
-            rotate = true, maxBucket = Some(64))
+            rotate = true, maxBucket = Some(64), saltOverCap = false)
           .withColumnRenamed("rank", "rnk")
           .select("query_id", "rnk", "neighbor_id", "cosine")
           .orderBy("query_id", "rnk"),
@@ -4625,9 +4780,10 @@ object TrainingData {
         val dups = emb.filter(col("vec_id") % 7 === 0)
           .select((-col("vec_id") - 1L).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        // Drop path pinned explicitly, mirroring the oracle (see e21).
         val edges = Similarity.signBandEdges(
           emb.unionByName(dups), dim = 64, minCosine = 0.999,
-          rotate = true, maxBucket = Some(64))
+          rotate = true, maxBucket = Some(64), saltOverCap = false)
         graft.dedup.ClusterCollapse.connectedComponents(edges)
           .groupBy("cluster_id")
           .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
@@ -4689,19 +4845,30 @@ object TrainingData {
 
     // ------------------------------------------------------------------
     // E23 — the sign-band bucket-occupancy REPORT (the no-silent-caps
-    // face of e21/e22's maxBucket knob): one row per band with bucket
-    // count, hottest bucket, the closed-form candidate-pair total
-    // Σ n(n−1)/2, and what a cap of 64 would drop (buckets/rows/pairs).
-    // This is the query an operator runs BEFORE a 100 TB graph build to
-    // size the cap — it aggregates the (band,key) rollup (≤ dim/8 × 256
-    // rows), never the pair join. Same rotated banding as e21 so the
-    // numbers describe exactly the path the graph build takes.
+    // face of e21/e22's maxBucket knob), at BOTH band widths: one row
+    // per (band_bits, band) with bucket count, hottest bucket, the
+    // closed-form candidate-pair total Σ n(n−1)÷2 (INTEGER `div` — the
+    // double division loses exactness past ~9.4e7 rows/bucket, exactly
+    // the sizing regime this report serves; r13 ADVICE), and what a cap
+    // of 64 would affect (buckets/rows/pairs). This is the query an
+    // operator runs BEFORE a 100 TB graph build to size the cap AND
+    // pick the band width — it aggregates the (band,key) rollup
+    // (≤ dim/8 × 2^bandBits keys OBSERVED, so ≤ corpus-bucket rows),
+    // never the pair join. Same rotated banding as e21/e25 so the
+    // numbers describe exactly the paths the graph builds take.
     Q(
       "e23_band_bucket_stats",
-      (s, dir) =>
-        Similarity.signBandBucketStats(Tables.embeddings(s, dir), dim = 64,
-            maxBucket = Some(64), rotate = true)
-          .orderBy("band"),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        def stats(bb: Int) =
+          Similarity.signBandBucketStats(emb, dim = 64,
+              maxBucket = Some(64), rotate = true, bandBits = bb)
+            .withColumn("band_bits", lit(bb))
+        stats(8).unionByName(stats(16))
+          .select("band_bits", "band", "n_buckets", "max_bucket", "n_rows",
+            "pairs_all", "buckets_capped", "rows_capped", "pairs_capped")
+          .orderBy("band_bits", "band")
+      },
       Some("""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
              |            FROM embeddings),
              |rot AS (SELECT vec_id,
@@ -4719,26 +4886,112 @@ object TrainingData {
              |           CASE WHEN r[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
              |                ELSE 0 END)) AS BIGINT) AS w1
              |       FROM rot),
-             |bands AS (SELECT vec_id, CAST(b.band AS INTEGER) AS band,
+             |bands8 AS (SELECT vec_id, CAST(b.band AS INTEGER) AS band,
              |            CASE WHEN b.band < 4
              |                 THEN (w0 >> CAST(b.band * 8 AS INTEGER)) & 255
              |                 ELSE (w1 >> CAST((b.band - 4) * 8 AS INTEGER)) & 255
              |            END AS key
              |          FROM pk, (SELECT unnest(range(8)) AS band) b),
-             |bsz AS (SELECT band, key, count(*) AS n
-             |        FROM bands GROUP BY 1, 2)
-             |SELECT band,
+             |bands16 AS (SELECT vec_id, CAST(b.band AS INTEGER) AS band,
+             |            CASE WHEN b.band < 2
+             |                 THEN (w0 >> CAST(b.band * 16 AS INTEGER)) & 65535
+             |                 ELSE (w1 >> CAST((b.band - 2) * 16 AS INTEGER)) & 65535
+             |            END AS key
+             |          FROM pk, (SELECT unnest(range(4)) AS band) b),
+             |bsz8 AS (SELECT band, key, count(*) AS n
+             |         FROM bands8 GROUP BY 1, 2),
+             |bsz16 AS (SELECT band, key, count(*) AS n
+             |          FROM bands16 GROUP BY 1, 2),
+             |rep AS (
+             |  SELECT 8 AS band_bits, band,
              |       count(*) AS n_buckets,
              |       max(n) AS max_bucket,
              |       CAST(sum(n) AS BIGINT) AS n_rows,
-             |       CAST(sum(n * (n - 1) / 2) AS BIGINT) AS pairs_all,
+             |       CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_all,
              |       CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
              |         AS buckets_capped,
              |       CAST(sum(CASE WHEN n > 64 THEN n ELSE 0 END) AS BIGINT)
              |         AS rows_capped,
-             |       CAST(sum(CASE WHEN n > 64 THEN n * (n - 1) / 2 ELSE 0 END)
+             |       CAST(sum(CASE WHEN n > 64 THEN n * (n - 1) // 2 ELSE 0 END)
              |         AS BIGINT) AS pairs_capped
-             |FROM bsz GROUP BY band ORDER BY band""".stripMargin)),
+             |  FROM bsz8 GROUP BY band
+             |  UNION ALL
+             |  SELECT 16, band, count(*), max(n), CAST(sum(n) AS BIGINT),
+             |       CAST(sum(n * (n - 1) // 2) AS BIGINT),
+             |       CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(sum(CASE WHEN n > 64 THEN n ELSE 0 END) AS BIGINT),
+             |       CAST(sum(CASE WHEN n > 64 THEN n * (n - 1) // 2 ELSE 0 END)
+             |         AS BIGINT)
+             |  FROM bsz16 GROUP BY band)
+             |SELECT band_bits, band, n_buckets, max_bucket, n_rows, pairs_all,
+             |       buckets_capped, rows_capped, pairs_capped
+             |FROM rep ORDER BY band_bits, band""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // E25 — e21's graph build at 16-BIT bands (the fourth skew lever,
+    // measured under its own mirrored oracle): same rotate + cap=64 drop
+    // path, but band keys take 65,536 values over dim/16 = 4 bands —
+    // ~256× lower random bucket occupancy (e23's 16-bit rows are the
+    // sizing read-off) at half the collision chances (d17's
+    // sign_band_16 row measures what that costs in recall). The oracle
+    // is e21's with the 16-bit key extraction — hash-pinning the wide-
+    // band path end to end.
+    Q(
+      "e25_knn_graph_b16",
+      (s, dir) =>
+        Similarity.knnGraph(Tables.embeddings(s, dir), k = 3, dim = 64,
+            rotate = true, maxBucket = Some(64), saltOverCap = false,
+            bandBits = 16)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine")
+          .orderBy("query_id", "rnk"),
+      Some("""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |            FROM embeddings),
+             |rot AS (SELECT vec_id, e,
+             |          list_transform(range(64), i ->
+             |            list_dot_product(e, list_transform(range(64), j ->
+             |              CAST((1 - 2 * (bit_count(i & j) % 2))
+             |                 * (1 - 2 * (bit_count(j * 2654435769) % 2))
+             |                   AS DOUBLE)))) AS r
+             |        FROM ex),
+             |pk AS (SELECT vec_id,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN r[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w0,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN r[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w1
+             |       FROM rot),
+             |bands AS (SELECT vec_id, b.band,
+             |            CASE WHEN b.band < 2
+             |                 THEN (w0 >> CAST(b.band * 16 AS INTEGER)) & 65535
+             |                 ELSE (w1 >> CAST((b.band - 2) * 16 AS INTEGER)) & 65535
+             |            END AS key
+             |          FROM pk, (SELECT unnest(range(4)) AS band) b),
+             |bover AS (SELECT band, key FROM bands
+             |          GROUP BY 1, 2 HAVING count(*) > 64),
+             |bk AS (SELECT * FROM bands b WHERE NOT EXISTS
+             |         (SELECT 1 FROM bover o
+             |          WHERE o.band = b.band AND o.key = b.key)),
+             |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+             |          FROM bk a JOIN bk b2
+             |            ON a.band = b2.band AND a.key = b2.key
+             |           AND a.vec_id < b2.vec_id),
+             |dir2 AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM pairs
+             |         UNION ALL
+             |         SELECT id_b, id_a FROM pairs),
+             |sc AS (SELECT d.query_id, d.neighbor_id,
+             |         list_dot_product(q.e, c.e) /
+             |         (sqrt(list_dot_product(q.e, q.e)) *
+             |          sqrt(list_dot_product(c.e, c.e))) AS cosine
+             |       FROM dir2 d JOIN ex q ON q.vec_id = d.query_id
+             |       JOIN ex c ON c.vec_id = d.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |             CAST(row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+             |      FROM sc)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM r
+             |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
     // ------------------------------------------------------------------
     // E24 — the SALT-SPLIT face of the hot-bucket guard (the verdict's

@@ -364,19 +364,26 @@ object Similarity {
   def signBandBucketStats(
       corpus: DataFrame, dim: Int, maxBucket: Option[Int] = None,
       rotate: Boolean = false,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bands = signBands(corpus, dim, idCol, vecCol, rotate)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bandBits: Int = 8): DataFrame = {
+    val bands = signBands(corpus, dim, idCol, vecCol, rotate, bandBits)
     val cap = lit(maxBucket.map(_.toLong).getOrElse(Long.MaxValue))
+    // Pair counts are INTEGER arithmetic (`div 2`; n(n−1) is even so the
+    // halving is exact) — Spark's `/` is double division, which loses
+    // exactness once a bucket passes ~9.4e7 rows (n² > 2^53), precisely
+    // the 100 TB pre-build sizing regime this report exists for. Exact
+    // up to ~4.3e9 rows per bucket (n(n−1) < 2^63). Mirror `// 2` in
+    // the e23 oracle.
     bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
       .groupBy("band").agg(
         count(lit(1)).as("n_buckets"),
         max(col("n")).as("max_bucket"),
         sum(col("n")).as("n_rows"),
-        sum(col("n") * (col("n") - 1) / 2).cast("long").as("pairs_all"),
+        sum(expr("n * (n - 1) div 2")).as("pairs_all"),
         sum(when(col("n") > cap, 1L).otherwise(0L)).as("buckets_capped"),
         sum(when(col("n") > cap, col("n")).otherwise(0L)).as("rows_capped"),
-        sum(when(col("n") > cap, col("n") * (col("n") - 1) / 2)
-          .otherwise(lit(0L))).cast("long").as("pairs_capped"))
+        sum(when(col("n") > cap, expr("n * (n - 1) div 2"))
+          .otherwise(lit(0L))).as("pairs_capped"))
       .orderBy("band")
   }
 
@@ -433,11 +440,13 @@ object Similarity {
     *
     * At 100 TB: the bands join shuffles (band, key)-partitioned. Hot
     * buckets (anisotropic corpora pin sign bits — the r12 skew exposure)
-    * are handled by the `maxBucket` cap (default ON; hard-bounds
-    * per-bucket work, reported via [[signBandBucketStats]], never
-    * silent) and the `rotate` decorrelator ([[hdDecorrelate]], spreads
-    * the common direction so the cap rarely bites); recall tightens by
-    * widening bands to 2 bytes or adding a second signature family —
+    * are handled by the `maxBucket` cap with `saltOverCap` splitting
+    * (BOTH default ON — over-cap buckets degrade to ~1/s of their pairs
+    * instead of dropping, bounding work at n·cap/2 per bucket; reported
+    * via [[signBandBucketStats]], never silent) and the `rotate`
+    * decorrelator ([[hdDecorrelate]], spreads the common direction so
+    * the cap rarely bites); occupancy/recall trade via `bandBits` (2-byte
+    * bands: 256× fewer collisions per bucket, half as many bands) —
     * all four levers leave the join shape intact.
     */
   def knnGraph(
@@ -445,9 +454,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       rotate: Boolean = false,
       maxBucket: Option[Int] = Some(4096),
-      saltOverCap: Boolean = false): DataFrame = {
-    val scored =
-      signBandScoredPairs(corpus, dim, idCol, vecCol, rotate, maxBucket, saltOverCap)
+      saltOverCap: Boolean = true,
+      bandBits: Int = 8): DataFrame = {
+    val scored = signBandScoredPairs(
+      corpus, dim, idCol, vecCol, rotate, maxBucket, saltOverCap, bandBits)
     val directed = scored
       .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cosine"))
       .unionByName(scored
@@ -467,8 +477,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       rotate: Boolean = false,
       maxBucket: Option[Int] = Some(4096),
-      saltOverCap: Boolean = false): DataFrame =
-    signBandScoredPairs(corpus, dim, idCol, vecCol, rotate, maxBucket, saltOverCap)
+      saltOverCap: Boolean = true,
+      bandBits: Int = 8): DataFrame =
+    signBandScoredPairs(
+        corpus, dim, idCol, vecCol, rotate, maxBucket, saltOverCap, bandBits)
       .filter(col("cosine") >= minCosine)
 
   /** The exploded (id, band, key) table both sign-band consumers and the
@@ -478,9 +490,15 @@ object Similarity {
     */
   private def signBands(
       corpus: DataFrame, dim: Int,
-      idCol: String, vecCol: String, rotate: Boolean): DataFrame = {
-    require(dim % 8 == 0, s"dim must be a multiple of 8, got $dim")
-    val nBands = dim / 8
+      idCol: String, vecCol: String, rotate: Boolean,
+      bandBits: Int = 8): DataFrame = {
+    require(bandBits == 8 || bandBits == 16,
+      s"bandBits must be 8 or 16, got $bandBits")
+    require(dim % bandBits == 0,
+      s"dim must be a multiple of bandBits=$bandBits, got $dim")
+    val nBands = dim / bandBits
+    val bandsPerWord = 32 / bandBits
+    val keyMask = (1L << bandBits) - 1
     val nWords = (dim + 31) / 32
     // Rotated packing runs the FUSED native expression — the HOF
     // hdDecorrelate form is interpreted and re-evaluates the O(dim²)
@@ -499,48 +517,57 @@ object Similarity {
       col(idCol).as("id"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col(s"w${b / 4}"), (b % 4) * 8)
-            .bitwiseAND(lit(255L)).as("key"))
+          shiftright(col(s"w${b / bandsPerWord}"), (b % bandsPerWord) * bandBits)
+            .bitwiseAND(lit(keyMask)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Shared candidate stage of [[knnGraph]]/[[signBandEdges]]:
-    * (id_a, id_b, cosine) for every unordered pair agreeing on >= 1 of
-    * the dim/8 8-bit sign bands, with e1's exact cosine (per-vector
-    * norms computed once).
+  /** Shared candidate stage of [[knnGraph]]/[[signBandEdges]]: the
+    * unordered pair set (id_a < id_b) agreeing on >= 1 of the
+    * dim/bandBits sign bands — no cosine attached, so it is also the
+    * right surface when every CANDIDATE must survive regardless of
+    * score definedness (a zero-norm vector's cosine is NaN; d17 reads
+    * this method directly rather than filtering on a >= −1 sentinel).
     *
     * SKEW GUARDS (the 100 TB exposure named in r12): band keys take only
-    * 256 values, and on anisotropic corpora — a dominant shared direction
-    * pinning a band's 8 sign bits — a hot (band, key) bucket degenerates
-    * toward N²-per-bucket pairs on one task pair. Two levers, both
-    * SQL-mirrorable so the oracle composition survives:
-    *   - `maxBucket` (DEFAULT ON at 4096, the d5 df-cap analog): buckets
-    *     over the cap are excluded from the pair join — the per-bucket
-    *     work is then hard-bounded by cap²/2. Never silent:
-    *     [[signBandBucketStats]] reports exactly which bands/buckets/
-    *     pair-counts a cap drops. A pair is lost only if EVERY band it
-    *     collides in is over cap (exact dups share all bands, so they
-    *     survive any cap that leaves one band breathing).
-    *   - `saltOverCap`: instead of DROPPING an over-cap bucket, SPLIT it
-    *     into s = ⌈n/cap⌉ deterministic salt groups (pmod(id, s) — no
-    *     seeds, SQL-mirrorable) and pair only within a group: per-bucket
-    *     work drops from n²/2 to ≤ n·cap/2 (linear in n) while ~1/s of
-    *     the bucket's pairs survive instead of none — the degrade-not-
-    *     drop option for corpora where hot buckets still carry signal.
-    *     Under-cap buckets get s = 1: behavior identical to the plain
-    *     cap path.
+    * 2^bandBits values, and on anisotropic corpora — a dominant shared
+    * direction pinning a band's sign bits — a hot (band, key) bucket
+    * degenerates toward N²-per-bucket pairs on one task pair. The
+    * levers, all SQL-mirrorable so the oracle composition survives:
+    *   - `maxBucket` (DEFAULT ON at 4096, the d5 df-cap analog) with
+    *     `saltOverCap` (DEFAULT ON — r13 ADVICE): an over-cap bucket is
+    *     SPLIT into s = ⌈n/cap⌉ deterministic salt groups (pmod(id, s) —
+    *     no seeds, SQL-mirrorable) and pairs form only within a group:
+    *     per-bucket work drops from n²/2 to ≤ n·cap/2 (linear in n)
+    *     while ~1/s of the bucket's pairs survive. Under-cap buckets get
+    *     s = 1 (no behavior change), so the default cap+salt is inert on
+    *     sign-balanced corpora.
+    *   - `saltOverCap = false` switches to the DROP path: over-cap
+    *     buckets are excluded entirely and per-bucket work is
+    *     hard-bounded by cap²/2. CAVEAT (why drop is not the default): a
+    *     pair is lost if EVERY band it collides in is over cap — exact
+    *     dups share ALL bands, so a duplicate CLUSTER larger than the
+    *     cap pins all of its own buckets over cap and loses every one of
+    *     its pairs. Never silent either way: [[signBandBucketStats]]
+    *     reports exactly which bands/buckets/pair-counts a cap affects —
+    *     run it (e23) before choosing cap and path.
     *   - `rotate` ([[hdDecorrelate]]): spreads a concentrated common
     *     direction across all coordinates before packing, re-spreading
     *     the band keys so the cap rarely bites in the first place.
+    *   - `bandBits` (8 or 16): 16-bit bands give 65,536 keys per band —
+    *     ~256× fewer random collisions per bucket (the occupancy lever)
+    *     at dim/16 bands instead of dim/8 (fewer chances to collide —
+    *     the recall trade d17's sign_band_16 row measures).
     */
-  private def signBandScoredPairs(
+  def signBandCandidatePairs(
       corpus: DataFrame, dim: Int,
-      idCol: String, vecCol: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
       rotate: Boolean = false,
       maxBucket: Option[Int] = Some(4096),
-      saltOverCap: Boolean = false): DataFrame = {
-    val bandsAll = signBands(corpus, dim, idCol, vecCol, rotate)
+      saltOverCap: Boolean = true,
+      bandBits: Int = 8): DataFrame = {
+    val bandsAll = signBands(corpus, dim, idCol, vecCol, rotate, bandBits)
     // The bucket-size table is at most (dim/8)·256 rows — broadcast
     // anti-join / size-join, no extra shuffle of the bands table.
     val bands = maxBucket.fold(bandsAll) { cap =>
@@ -561,12 +588,31 @@ object Similarity {
     val saltEq =
       if (saltOverCap && maxBucket.isDefined) col("a.salt") === col("b.salt")
       else lit(true)
-    val pairs = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           saltEq && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
+
+  /** [[signBandCandidatePairs]] plus e1's exact cosine per pair
+    * (per-vector norms computed once, not per pair) — the shared scored
+    * stage of [[knnGraph]] and [[signBandEdges]]. NOTE a zero-norm
+    * vector yields cosine NaN, which fails every `>=` comparison —
+    * consumers that must keep every CANDIDATE (d17's screen eval) read
+    * [[signBandCandidatePairs]] directly instead of filtering on a
+    * sentinel threshold.
+    */
+  private def signBandScoredPairs(
+      corpus: DataFrame, dim: Int,
+      idCol: String, vecCol: String,
+      rotate: Boolean = false,
+      maxBucket: Option[Int] = Some(4096),
+      saltOverCap: Boolean = true,
+      bandBits: Int = 8): DataFrame = {
+    val pairs = signBandCandidatePairs(
+      corpus, dim, idCol, vecCol, rotate, maxBucket, saltOverCap, bandBits)
     val vecs = corpus.select(
       col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
     pairs

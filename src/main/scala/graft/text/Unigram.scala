@@ -42,6 +42,33 @@ import graft.util.CacheScope.CheckpointOps
   */
 object Unigram {
 
+  /** LOUD guard for the DuckDB mirror's relaxation bound (r13 ADVICE):
+    * the oracle unrolls each Viterbi as `relaxRounds` Bellman-Ford
+    * relaxations, so a word whose optimal tiling needs more pieces than
+    * rounds (at worst a word LONGER than `relaxRounds` characters, when
+    * all-singles is optimal) would be silently absent from the mirror's
+    * `fin` CTE while the native DP segments it — a hash divergence with
+    * no error. Every oracled unigram face (t43–t46, t44b) passes its
+    * corpus through this BEFORE registering the plan, so fixture drift
+    * breaks the gate here, with a message, not as a mystery mismatch.
+    * (The mirror additionally self-guards: the `w` CTE raises a DuckDB
+    * error() on any over-length word.) One bounded aggregate over the
+    * distinct-word table; returns `docs` for chaining.
+    */
+  def requireRelaxBound(
+      docs: DataFrame, relaxRounds: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    val m = wordFreqs(docs, textCol)
+      .agg(max(length(col("word"))).as("m")).head()
+    val maxLen = if (m.isNullAt(0)) 0 else m.getInt(0)
+    require(maxLen <= relaxRounds,
+      s"unigram oracle bound: relaxRounds=$relaxRounds < max word length " +
+        s"$maxLen — the DuckDB mirror's Bellman-Ford chain cannot reach " +
+        "an optimal tiling with more pieces than rounds; raise relaxRounds " +
+        "in both engines")
+    docs
+  }
+
   /** (word, freq) over non-empty whitespace tokens. */
   def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
@@ -264,7 +291,9 @@ object Unigram {
   // count). All arithmetic is BIGINT micros — bit-identical to the
   // native DP. relaxRounds bounds the max pieces per word (= max word
   // length when all-singles is optimal); 16 doubles the fixture's
-  // longest word.
+  // longest word — and the bound is ENFORCED, not assumed: Spark-side
+  // by [[requireRelaxBound]] in every oracled face, mirror-side by the
+  // `w` CTE's error() HAVING guard (r13 ADVICE).
   // ------------------------------------------------------------------
 
   /** One Viterbi pass as CTE text: edges from `costCte` over the words
@@ -339,7 +368,12 @@ object Unigram {
        |              FROM documents
        |              WHERE text IS NOT NULL AND len(text) > 0$docsWhere)
        |        WHERE len(ws[i+1]) > 0),
-       |w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM occ GROUP BY 1),
+       |w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM occ GROUP BY 1
+       |       HAVING CASE WHEN length(word) > $relaxRounds
+       |              THEN error(concat('unigram oracle: relaxRounds=$relaxRounds < word length ',
+       |                  CAST(length(word) AS VARCHAR),
+       |                  ' - the Bellman-Ford mirror cannot tile this word'))
+       |              ELSE TRUE END),
        |chars AS MATERIALIZED (SELECT DISTINCT cs[i+1] AS piece
        |          FROM (SELECT string_split(word, '') AS cs,
        |                       unnest(range(len(string_split(word, '')))) AS i

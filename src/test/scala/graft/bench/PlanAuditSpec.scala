@@ -69,10 +69,16 @@ class PlanAuditSpec extends SparkTestBase {
     // same one-row BM25 corpus-stats side behind the known-item eval
     "t47_bm25_knownitem_eval",
     // the eval harness's DESIGNED bounded quadratic: the exact all-pairs
-    // cosine ground truth over the caller's fixture sample (the e13
-    // contract — screens run on the corpus, truth on the sample), plus
-    // the one-row n_truth/n_cand/n_hit stat sides
+    // cosine ground truth, plus the one-row n_truth/n_cand/n_hit stat
+    // sides. The bound is ENFORCED IN CODE, not prose: both truth inputs
+    // pass DedupEval.boundEvalInput (require(n <= maxEvalRows) or the
+    // opt-in deterministic md5 permille sample) before any quadratic
+    // stage — DedupEvalSpec pins the guard firing.
     "d17_dedup_screen_eval",
+    // same one-row n_truth/n_cand/n_hit stat sides per sweep point (the
+    // candidate legs themselves are banded equi-joins; the truth input
+    // passes the same enforced boundEvalInput as d17)
+    "d18_minhash_sweep",
     "t24b_nb_confusion",
     // one-row vocabulary-size side of the smoothed-probability join
     "t20_lm_perplexity_filter",

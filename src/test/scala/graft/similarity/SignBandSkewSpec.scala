@@ -66,7 +66,8 @@ class SignBandSkewSpec extends SparkTestBase {
     val kept = stats.select(
       sum(col("pairs_all") - col("pairs_capped")).as("kept")).head().getAs[Long]("kept")
     val pairs = Similarity.signBandEdges(
-      aniso, dim = 64, minCosine = -1.0, maxBucket = Some(100)).count()
+      aniso, dim = 64, minCosine = -1.0, maxBucket = Some(100),
+      saltOverCap = false).count()
     assert(pairs <= kept)
     // and the unguarded form really is ~N² (the exposure exists at all)
     val unguarded = Similarity.signBandEdges(
@@ -78,7 +79,10 @@ class SignBandSkewSpec extends SparkTestBase {
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val dropped = pairs(Similarity.signBandEdges(
-      aniso, dim = 64, minCosine = -1.0, maxBucket = Some(100)))
+      aniso, dim = 64, minCosine = -1.0, maxBucket = Some(100),
+      saltOverCap = false))
+    // saltOverCap = true is the library DEFAULT (r13 ADVICE) — spelled
+    // out here because this test is exactly the drop-vs-salt contrast.
     val salted = pairs(Similarity.signBandEdges(
       aniso, dim = 64, minCosine = -1.0, maxBucket = Some(100), saltOverCap = true))
     val uncapped = pairs(Similarity.signBandEdges(
@@ -103,7 +107,7 @@ class SignBandSkewSpec extends SparkTestBase {
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
     val edges = Similarity.signBandEdges(
       aniso.unionByName(dups), dim = 64, minCosine = 0.999,
-      rotate = true, maxBucket = Some(100))
+      rotate = true, maxBucket = Some(100), saltOverCap = false)
     val found = edges.select(
       least(col("id_a"), col("id_b")).as("lo"),
       greatest(col("id_a"), col("id_b")).as("hi"))
@@ -134,6 +138,46 @@ class SignBandSkewSpec extends SparkTestBase {
       .select(col("vec_id"),
         col("__wds").getItem(0).as("w0"), col("__wds").getItem(1).as("w1"))
     assert(viaHof.exceptAll(viaNative).isEmpty && viaNative.exceptAll(viaHof).isEmpty)
+  }
+
+  test("a duplicate CLUSTER larger than the cap: drop loses EVERY pair, the DEFAULT salt path keeps ~1/s") {
+    // 150 identical vectors — the r13 ADVICE scenario: the cluster pins
+    // every one of its own band buckets over cap=100, so under the drop
+    // path 'exact dups survive any cap that leaves one band breathing'
+    // fails (no band breathes). The library default is therefore salt.
+    val cluster = spark.range(150).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0L), lit(63L)), _ => lit(1.0))
+        .cast("array<float>").as("embedding"))
+    val dropPairs = Similarity.signBandEdges(cluster, dim = 64,
+      minCosine = 0.999, maxBucket = Some(100), saltOverCap = false).count()
+    assert(dropPairs == 0L)
+    // default (salt): s = ceil(150/100) = 2 -> two pmod(id, 2) groups of
+    // 75, pairs within a group only: exactly 2 * C(75, 2) survive.
+    val salted = Similarity.signBandEdges(cluster, dim = 64,
+      minCosine = 0.999, maxBucket = Some(100)).count()
+    assert(salted == 2L * (75L * 74 / 2))
+  }
+
+  test("bandBits = 16: candidate subset of the 8-bit set (uncapped), hottest bucket no hotter") {
+    def pairSet(bb: Int) = Similarity.signBandCandidatePairs(
+      aniso, dim = 64, rotate = true, maxBucket = None, bandBits = bb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p8 = pairSet(8)
+    val p16 = pairSet(16)
+    // agreement on a 16-bit band IS agreement on both of its 8-bit
+    // halves, so widening bands only removes candidates (recall trade)…
+    assert(p16.subsetOf(p8) && p16.size < p8.size)
+    // …and every 16-bit bucket is an intersection of two 8-bit buckets,
+    // so occupancy (the cap-sizing number) can only fall.
+    def hottest(bb: Int) = Similarity.signBandBucketStats(
+      aniso, dim = 64, rotate = true, bandBits = bb)
+      .agg(max(col("max_bucket"))).head().getLong(0)
+    assert(hottest(16) <= hottest(8))
+    // dims must tile into bands at the requested width
+    intercept[IllegalArgumentException] {
+      Similarity.signBandCandidatePairs(aniso, dim = 40, bandBits = 16)
+    }
   }
 
   test("hdDecorrelate rejects a non-power-of-two dim and preserves vector arity") {

@@ -96,4 +96,18 @@ class UnigramSpec extends SparkTestBase {
     val b = Unigram.learn(docs.repartition(7)).collect().toSeq
     assert(a == b)
   }
+
+  test("requireRelaxBound fires loudly past the oracle's relaxation budget, is a no-op under it") {
+    import spark.implicits._
+    // A 17-char word needs up to 17 pieces; the 16-round Bellman-Ford
+    // mirror would silently drop it from `fin` — the guard makes that
+    // an error with a message instead (r13 ADVICE).
+    val bad = Seq((1L, "short " + "x" * 17)).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Unigram.requireRelaxBound(bad, 16)
+    }
+    assert(ex.getMessage.contains("relaxRounds"))
+    val ok = Seq((1L, "alpha beta"), (2L, null)).toDF("doc_id", "text")
+    assert(Unigram.requireRelaxBound(ok, 16).count() == 2)
+  }
 }
