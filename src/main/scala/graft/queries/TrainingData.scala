@@ -189,6 +189,200 @@ object TrainingData {
       |  FROM sh, (SELECT unnest(range(16)) AS seed)
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** [[sqlNearDupCte]] with d17's ENFORCED md5 permille sample applied
+    * (maxEvalRows = 40 ⇒ keep permille = max(1, 40000 ⌊/⌋ n) — the
+    * exact mirror of DedupEval.boundEvalInput's salted c1 bucket).
+    */
+  private val sqlNearDupSampledCte =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |nd AS (SELECT doc_id + 1000000 AS doc_id,
+      |              array_to_string((string_split(text,' '))[1:len(string_split(text,' '))-3], ' ') AS text
+      |       FROM documents
+      |       WHERE doc_id % 20 = 0 AND len(string_split(text,' ')) > 3),
+      |docs0 AS (SELECT * FROM base UNION ALL SELECT * FROM nd),
+      |docs AS (SELECT * FROM docs0
+      |         WHERE CAST(CAST('0x' || substr(md5('d17d' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS BIGINT)
+      |             < (SELECT greatest(1, 40000 // count(*)) FROM docs0))""".stripMargin
+
+  /** The full d17/d17b screen-eval oracle, parameterized by the docs
+    * fixture chain (must end in a CTE named `docs`) and the embedding
+    * tail select over `exu` (the planted-dup union) — d17 evaluates the
+    * whole fixture (`SELECT * FROM exu`), d17b the enforced md5
+    * permille sample. Five screens vs two exact truths; every CTE
+    * MATERIALIZED (self-joining chains inline exponentially otherwise).
+    */
+  private def sqlScreenEvalOracle(docsCtes: String, exTail: String): String =
+    s"""$docsCtes,
+       |$sqlShingleTruthMinhashCtes,
+       |mband AS MATERIALIZED (
+       |  SELECT doc_id, seed // 4 AS band,
+       |         string_agg(sig, '' ORDER BY seed) AS band_key
+       |  FROM mhash GROUP BY 1, 2),
+       |mh_cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi
+       |  FROM mband x JOIN mband y
+       |    ON x.band = y.band AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id),
+       |stoks AS MATERIALIZED (
+       |  SELECT doc_id, md5(tok) AS h FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM docs WHERE text IS NOT NULL)
+       |  WHERE len(tok) > 0),
+       |svotes AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |         SUM(2 * ((nib // CAST(pow(2, i % 4) AS INTEGER)) % 2) - 1) AS vote
+       |  FROM (
+       |    SELECT doc_id, i,
+       |      CASE WHEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) >= 97
+       |           THEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 87
+       |           ELSE ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 48
+       |      END AS nib
+       |    FROM stoks, (SELECT unnest(range(16)) AS i))
+       |  GROUP BY 1, 2),
+       |skeys AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN vote > 0 THEN pow(2, i) ELSE 0 END) AS BIGINT) AS key
+       |  FROM svotes GROUP BY 1),
+       |sblk AS MATERIALIZED (
+       |  SELECT doc_id, key, blk,
+       |         (key // CAST(pow(2, 4 * blk) AS BIGINT)) % 16 AS blk_key
+       |  FROM skeys, (SELECT unnest(range(4)) AS blk)),
+       |sim_cand AS MATERIALIZED (
+       |  SELECT lo, hi FROM (
+       |    SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi,
+       |           x.key AS ka, y.key AS kb
+       |    FROM sblk x JOIN sblk y
+       |      ON x.blk = y.blk AND x.blk_key = y.blk_key
+       |     AND x.doc_id < y.doc_id)
+       |  WHERE bit_count(xor(ka, kb)) <= 3),
+       |sv64 AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |         SUM(2 * ((nib // CAST(pow(2, i % 4) AS INTEGER)) % 2) - 1) AS vote
+       |  FROM (
+       |    SELECT doc_id, i,
+       |      CASE WHEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) >= 97
+       |           THEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 87
+       |           ELSE ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 48
+       |      END AS nib
+       |    FROM stoks, (SELECT unnest(range(64)) AS i))
+       |  GROUP BY 1, 2),
+       |sk64 AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i // 32 AS INTEGER) AS wi,
+       |         CAST(SUM(CASE WHEN vote > 0 THEN pow(2, i % 32) ELSE 0 END)
+       |           AS BIGINT) AS k
+       |  FROM sv64 GROUP BY 1, 2),
+       |sp64 AS MATERIALIZED (
+       |  SELECT doc_id, list(k ORDER BY wi) AS ks FROM sk64 GROUP BY 1),
+       |sb64 AS MATERIALIZED (
+       |  SELECT doc_id, ks, blk,
+       |         (ks[CAST((16 * blk) // 32 AS INTEGER) + 1]
+       |          // CAST(pow(2, (16 * blk) % 32) AS BIGINT)) % 65536 AS blk_key
+       |  FROM sp64, (SELECT unnest(range(4)) AS blk)),
+       |sim64_cand AS MATERIALIZED (
+       |  SELECT lo, hi FROM (
+       |    SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi,
+       |           x.ks AS ka, y.ks AS kb
+       |    FROM sb64 x JOIN sb64 y
+       |      ON x.blk = y.blk AND x.blk_key = y.blk_key
+       |     AND x.doc_id < y.doc_id)
+       |  WHERE bit_count(xor(ka[1], kb[1])) + bit_count(xor(ka[2], kb[2])) <= 3),
+       |ex0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |        FROM embeddings WHERE vec_id % 3 = 0),
+       |exu AS MATERIALIZED (SELECT * FROM ex0
+       |       UNION ALL
+       |       SELECT -vec_id - 1, list_transform(e, x -> x * 2)
+       |       FROM ex0 WHERE vec_id % 21 = 0),
+       |ex AS MATERIALIZED ($exTail),
+       |truth_e AS MATERIALIZED (
+       |  SELECT a.vec_id AS lo, b.vec_id AS hi
+       |  FROM ex a JOIN ex b ON a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.e, b.e) /
+       |        (sqrt(list_dot_product(a.e, a.e)) *
+       |         sqrt(list_dot_product(b.e, b.e))) >= 0.999),
+       |rot AS MATERIALIZED (SELECT vec_id,
+       |          list_transform(range(64), i ->
+       |            list_dot_product(e, list_transform(range(64), j ->
+       |              CAST((1 - 2 * (bit_count(i & j) % 2))
+       |                 * (1 - 2 * (bit_count(j * 2654435769) % 2))
+       |                   AS DOUBLE)))) AS r
+       |        FROM ex),
+       |pk AS MATERIALIZED (SELECT vec_id,
+       |         CAST(list_sum(list_transform(range(32), i ->
+       |           CASE WHEN r[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
+       |                ELSE 0 END)) AS BIGINT) AS w0,
+       |         CAST(list_sum(list_transform(range(32), i ->
+       |           CASE WHEN r[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
+       |                ELSE 0 END)) AS BIGINT) AS w1
+       |       FROM rot),
+       |bands AS MATERIALIZED (SELECT vec_id, b.band,
+       |            CASE WHEN b.band < 4
+       |                 THEN (w0 >> CAST(b.band * 8 AS INTEGER)) & 255
+       |                 ELSE (w1 >> CAST((b.band - 4) * 8 AS INTEGER)) & 255
+       |            END AS key
+       |          FROM pk, (SELECT unnest(range(8)) AS band) b),
+       |bover AS MATERIALIZED (SELECT band, key FROM bands
+       |          GROUP BY 1, 2 HAVING count(*) > 64),
+       |bk AS MATERIALIZED (SELECT * FROM bands b WHERE NOT EXISTS
+       |         (SELECT 1 FROM bover o
+       |          WHERE o.band = b.band AND o.key = b.key)),
+       |sb_cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS lo, b2.vec_id AS hi
+       |  FROM bk a JOIN bk b2
+       |    ON a.band = b2.band AND a.key = b2.key
+       |   AND a.vec_id < b2.vec_id),
+       |bands16 AS MATERIALIZED (SELECT vec_id, b.band,
+       |            CASE WHEN b.band < 2
+       |                 THEN (w0 >> CAST(b.band * 16 AS INTEGER)) & 65535
+       |                 ELSE (w1 >> CAST((b.band - 2) * 16 AS INTEGER)) & 65535
+       |            END AS key
+       |          FROM pk, (SELECT unnest(range(4)) AS band) b),
+       |bover16 AS MATERIALIZED (SELECT band, key FROM bands16
+       |          GROUP BY 1, 2 HAVING count(*) > 64),
+       |bk16 AS MATERIALIZED (SELECT * FROM bands16 b WHERE NOT EXISTS
+       |         (SELECT 1 FROM bover16 o
+       |          WHERE o.band = b.band AND o.key = b.key)),
+       |sb16_cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS lo, b2.vec_id AS hi
+       |  FROM bk16 a JOIN bk16 b2
+       |    ON a.band = b2.band AND a.key = b2.key
+       |   AND a.vec_id < b2.vec_id),
+       |res AS (
+       |  SELECT 'minhash_lsh_md5' AS screen,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t) AS n_truth,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM mh_cand) AS n_cand,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM mh_cand c
+       |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi) AS n_hit
+       |  UNION ALL
+       |  SELECT 'simhash_md5',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM sim_cand),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM sim_cand c
+       |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi)
+       |  UNION ALL
+       |  SELECT 'simhash64_md5',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM sim64_cand),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM sim64_cand c
+       |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi)
+       |  UNION ALL
+       |  SELECT 'sign_band',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth_e),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM sb_cand),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM sb_cand c
+       |     JOIN truth_e t ON c.lo = t.lo AND c.hi = t.hi)
+       |  UNION ALL
+       |  SELECT 'sign_band_16',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth_e),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM sb16_cand),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM sb16_cand c
+       |     JOIN truth_e t ON c.lo = t.lo AND c.hi = t.hi))
+       |SELECT screen, n_truth, n_cand, n_hit,
+       |       CASE WHEN n_truth > 0
+       |            THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+       |       CASE WHEN n_cand > 0
+       |            THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
+       |FROM res ORDER BY screen""".stripMargin
+
   /** Learn-once vocab store backing the t44b serving face: the first
     * call per sf-dir learns the t43 vocabulary and persists it as a
     * (piece, cnt, cost_micro) parquet table — the tokenizer ARTIFACT a
@@ -1424,175 +1618,41 @@ object TrainingData {
               transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
         graft.dedup.DedupEval.screenQuality(docs, emb2).orderBy("screen")
       },
-      Some(s"""$sqlNearDupCte,
-             |$sqlShingleTruthMinhashCtes,
-             |mband AS MATERIALIZED (
-             |  SELECT doc_id, seed // 4 AS band,
-             |         string_agg(sig, '' ORDER BY seed) AS band_key
-             |  FROM mhash GROUP BY 1, 2),
-             |mh_cand AS MATERIALIZED (
-             |  SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi
-             |  FROM mband x JOIN mband y
-             |    ON x.band = y.band AND x.band_key = y.band_key
-             |   AND x.doc_id < y.doc_id),
-             |stoks AS MATERIALIZED (
-             |  SELECT doc_id, md5(tok) AS h FROM (
-             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-             |    FROM docs WHERE text IS NOT NULL)
-             |  WHERE len(tok) > 0),
-             |svotes AS MATERIALIZED (
-             |  SELECT doc_id, i,
-             |         SUM(2 * ((nib // CAST(pow(2, i % 4) AS INTEGER)) % 2) - 1) AS vote
-             |  FROM (
-             |    SELECT doc_id, i,
-             |      CASE WHEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) >= 97
-             |           THEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 87
-             |           ELSE ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 48
-             |      END AS nib
-             |    FROM stoks, (SELECT unnest(range(16)) AS i))
-             |  GROUP BY 1, 2),
-             |skeys AS MATERIALIZED (
-             |  SELECT doc_id,
-             |         CAST(SUM(CASE WHEN vote > 0 THEN pow(2, i) ELSE 0 END) AS BIGINT) AS key
-             |  FROM svotes GROUP BY 1),
-             |sblk AS MATERIALIZED (
-             |  SELECT doc_id, key, blk,
-             |         (key // CAST(pow(2, 4 * blk) AS BIGINT)) % 16 AS blk_key
-             |  FROM skeys, (SELECT unnest(range(4)) AS blk)),
-             |sim_cand AS MATERIALIZED (
-             |  SELECT lo, hi FROM (
-             |    SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi,
-             |           x.key AS ka, y.key AS kb
-             |    FROM sblk x JOIN sblk y
-             |      ON x.blk = y.blk AND x.blk_key = y.blk_key
-             |     AND x.doc_id < y.doc_id)
-             |  WHERE bit_count(xor(ka, kb)) <= 3),
-             |sv64 AS MATERIALIZED (
-             |  SELECT doc_id, i,
-             |         SUM(2 * ((nib // CAST(pow(2, i % 4) AS INTEGER)) % 2) - 1) AS vote
-             |  FROM (
-             |    SELECT doc_id, i,
-             |      CASE WHEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) >= 97
-             |           THEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 87
-             |           ELSE ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 48
-             |      END AS nib
-             |    FROM stoks, (SELECT unnest(range(64)) AS i))
-             |  GROUP BY 1, 2),
-             |sk64 AS MATERIALIZED (
-             |  SELECT doc_id, CAST(i // 32 AS INTEGER) AS wi,
-             |         CAST(SUM(CASE WHEN vote > 0 THEN pow(2, i % 32) ELSE 0 END)
-             |           AS BIGINT) AS k
-             |  FROM sv64 GROUP BY 1, 2),
-             |sp64 AS MATERIALIZED (
-             |  SELECT doc_id, list(k ORDER BY wi) AS ks FROM sk64 GROUP BY 1),
-             |sb64 AS MATERIALIZED (
-             |  SELECT doc_id, ks, blk,
-             |         (ks[CAST((16 * blk) // 32 AS INTEGER) + 1]
-             |          // CAST(pow(2, (16 * blk) % 32) AS BIGINT)) % 65536 AS blk_key
-             |  FROM sp64, (SELECT unnest(range(4)) AS blk)),
-             |sim64_cand AS MATERIALIZED (
-             |  SELECT lo, hi FROM (
-             |    SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi,
-             |           x.ks AS ka, y.ks AS kb
-             |    FROM sb64 x JOIN sb64 y
-             |      ON x.blk = y.blk AND x.blk_key = y.blk_key
-             |     AND x.doc_id < y.doc_id)
-             |  WHERE bit_count(xor(ka[1], kb[1])) + bit_count(xor(ka[2], kb[2])) <= 3),
-             |ex0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-             |        FROM embeddings WHERE vec_id % 3 = 0),
-             |ex AS MATERIALIZED (SELECT * FROM ex0
-             |       UNION ALL
-             |       SELECT -vec_id - 1, list_transform(e, x -> x * 2)
-             |       FROM ex0 WHERE vec_id % 21 = 0),
-             |truth_e AS MATERIALIZED (
-             |  SELECT a.vec_id AS lo, b.vec_id AS hi
-             |  FROM ex a JOIN ex b ON a.vec_id < b.vec_id
-             |  WHERE list_dot_product(a.e, b.e) /
-             |        (sqrt(list_dot_product(a.e, a.e)) *
-             |         sqrt(list_dot_product(b.e, b.e))) >= 0.999),
-             |rot AS MATERIALIZED (SELECT vec_id,
-             |          list_transform(range(64), i ->
-             |            list_dot_product(e, list_transform(range(64), j ->
-             |              CAST((1 - 2 * (bit_count(i & j) % 2))
-             |                 * (1 - 2 * (bit_count(j * 2654435769) % 2))
-             |                   AS DOUBLE)))) AS r
-             |        FROM ex),
-             |pk AS MATERIALIZED (SELECT vec_id,
-             |         CAST(list_sum(list_transform(range(32), i ->
-             |           CASE WHEN r[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
-             |                ELSE 0 END)) AS BIGINT) AS w0,
-             |         CAST(list_sum(list_transform(range(32), i ->
-             |           CASE WHEN r[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
-             |                ELSE 0 END)) AS BIGINT) AS w1
-             |       FROM rot),
-             |bands AS MATERIALIZED (SELECT vec_id, b.band,
-             |            CASE WHEN b.band < 4
-             |                 THEN (w0 >> CAST(b.band * 8 AS INTEGER)) & 255
-             |                 ELSE (w1 >> CAST((b.band - 4) * 8 AS INTEGER)) & 255
-             |            END AS key
-             |          FROM pk, (SELECT unnest(range(8)) AS band) b),
-             |bover AS MATERIALIZED (SELECT band, key FROM bands
-             |          GROUP BY 1, 2 HAVING count(*) > 64),
-             |bk AS MATERIALIZED (SELECT * FROM bands b WHERE NOT EXISTS
-             |         (SELECT 1 FROM bover o
-             |          WHERE o.band = b.band AND o.key = b.key)),
-             |sb_cand AS MATERIALIZED (
-             |  SELECT DISTINCT a.vec_id AS lo, b2.vec_id AS hi
-             |  FROM bk a JOIN bk b2
-             |    ON a.band = b2.band AND a.key = b2.key
-             |   AND a.vec_id < b2.vec_id),
-             |bands16 AS MATERIALIZED (SELECT vec_id, b.band,
-             |            CASE WHEN b.band < 2
-             |                 THEN (w0 >> CAST(b.band * 16 AS INTEGER)) & 65535
-             |                 ELSE (w1 >> CAST((b.band - 2) * 16 AS INTEGER)) & 65535
-             |            END AS key
-             |          FROM pk, (SELECT unnest(range(4)) AS band) b),
-             |bover16 AS MATERIALIZED (SELECT band, key FROM bands16
-             |          GROUP BY 1, 2 HAVING count(*) > 64),
-             |bk16 AS MATERIALIZED (SELECT * FROM bands16 b WHERE NOT EXISTS
-             |         (SELECT 1 FROM bover16 o
-             |          WHERE o.band = b.band AND o.key = b.key)),
-             |sb16_cand AS MATERIALIZED (
-             |  SELECT DISTINCT a.vec_id AS lo, b2.vec_id AS hi
-             |  FROM bk16 a JOIN bk16 b2
-             |    ON a.band = b2.band AND a.key = b2.key
-             |   AND a.vec_id < b2.vec_id),
-             |res AS (
-             |  SELECT 'minhash_lsh_md5' AS screen,
-             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t) AS n_truth,
-             |    (SELECT CAST(count(*) AS BIGINT) FROM mh_cand) AS n_cand,
-             |    (SELECT CAST(count(*) AS BIGINT) FROM mh_cand c
-             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi) AS n_hit
-             |  UNION ALL
-             |  SELECT 'simhash_md5',
-             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t),
-             |    (SELECT CAST(count(*) AS BIGINT) FROM sim_cand),
-             |    (SELECT CAST(count(*) AS BIGINT) FROM sim_cand c
-             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi)
-             |  UNION ALL
-             |  SELECT 'simhash64_md5',
-             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t),
-             |    (SELECT CAST(count(*) AS BIGINT) FROM sim64_cand),
-             |    (SELECT CAST(count(*) AS BIGINT) FROM sim64_cand c
-             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi)
-             |  UNION ALL
-             |  SELECT 'sign_band',
-             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_e),
-             |    (SELECT CAST(count(*) AS BIGINT) FROM sb_cand),
-             |    (SELECT CAST(count(*) AS BIGINT) FROM sb_cand c
-             |     JOIN truth_e t ON c.lo = t.lo AND c.hi = t.hi)
-             |  UNION ALL
-             |  SELECT 'sign_band_16',
-             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_e),
-             |    (SELECT CAST(count(*) AS BIGINT) FROM sb16_cand),
-             |    (SELECT CAST(count(*) AS BIGINT) FROM sb16_cand c
-             |     JOIN truth_e t ON c.lo = t.lo AND c.hi = t.hi))
-             |SELECT screen, n_truth, n_cand, n_hit,
-             |       CASE WHEN n_truth > 0
-             |            THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
-             |       CASE WHEN n_cand > 0
-             |            THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
-             |FROM res ORDER BY screen""".stripMargin)),
+      Some(sqlScreenEvalOracle(sqlNearDupCte, "SELECT * FROM exu"))),
+
+    // ------------------------------------------------------------------
+    // D17B — the SAMPLE path of d17's enforced eval-size contract, under
+    // the gate: maxEvalRows = 40 is chosen to FIRE at both gate scales,
+    // so the registered query exercises exactly what a 100 TB caller
+    // hits — the deterministic md5 permille thinning (keep rows with
+    // salted-md5 bucket(id, 1000) < max(1, 40·1000 ⌊/⌋ n)) on BOTH
+    // truth inputs, mirrored term by term in DuckDB (the c1 pattern:
+    // hex-prefix buckets are engine-identical, and the permille is the
+    // same integer division over the same fixture count). Same five
+    // screens, same frontier semantics — on ~5% of the corpus, which is
+    // how the harness is meant to run when the corpus outgrows the
+    // quadratic truth stage.
+    Q(
+      "d17b_dedup_screen_eval_sampled",
+      (s, dir) => {
+        val docs = docsWithNearDups(
+          Tables.documents(s, dir).select("doc_id", "text")
+            .filter(col("doc_id") % 10 === 0))
+        val sub = Tables.embeddings(s, dir).select("vec_id", "embedding")
+          .filter(col("vec_id") % 3 === 0)
+        val emb2 = sub.unionByName(
+          sub.filter(col("vec_id") % 7 === 0)
+            .select((-col("vec_id") - 1L).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        graft.dedup.DedupEval.screenQuality(docs, emb2,
+          maxEvalRows = 40L, sampleOverMax = true).orderBy("screen")
+      },
+      Some(sqlScreenEvalOracle(sqlNearDupSampledCte,
+        """SELECT * FROM exu
+          |  WHERE CAST(CAST('0x' || substr(md5('d17e' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS BIGINT)
+          |      < (SELECT greatest(1, 40000 // count(*)) FROM exu)""".stripMargin
+          .replace("\n", " ")))),
+
 
     // ------------------------------------------------------------------
     // D18 — the MinHash-LSH parameter-SWEEP face (d17 gives the screen

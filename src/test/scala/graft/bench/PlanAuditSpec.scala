@@ -75,6 +75,9 @@ class PlanAuditSpec extends SparkTestBase {
     // opt-in deterministic md5 permille sample) before any quadratic
     // stage — DedupEvalSpec pins the guard firing.
     "d17_dedup_screen_eval",
+    // the SAMPLE path of the same harness (maxEvalRows=40 fires, md5
+    // permille thinning) — identical designed shapes on ~5% of the rows
+    "d17b_dedup_screen_eval_sampled",
     // same one-row n_truth/n_cand/n_hit stat sides per sweep point (the
     // candidate legs themselves are banded equi-joins; the truth input
     // passes the same enforced boundEvalInput as d17)
