@@ -25,14 +25,23 @@ object Bench {
     }
     // Machine-speed yardstick (r13 verdict #5): t27b warm x3, MIN of
     // three — the one-minute calibration that separates machine/session
-    // drift from code regressions (r12 quiet steady state: 0.73–0.78 s;
-    // r13 burned a full adjudication cycle because a 228 s and a 176 s
-    // total were both "the bench"). Emitted into the artifact as
-    // yardstick_warm_s alongside total_normalized = total x (0.755 /
-    // yardstick), so every BENCH_r*.json self-reports how slow its
-    // machine was.
+    // drift from code regressions (r13 burned a full adjudication cycle
+    // because a 228 s and a 176 s total were both "the bench"). Emitted
+    // into the artifact as yardstick_warm_s alongside total_normalized =
+    // total x (yardstickRef / yardstick), so every BENCH_r*.json
+    // self-reports how slow its machine was.
+    //
+    // The reference MUST be a same-harness number: this yardstick runs
+    // after the full untimed warmup pass, i.e. in a fully JIT-hot JVM,
+    // where t27b reads 0.54–0.61 s on every machine seen across rounds
+    // (in-run t27b: r12 driver bench 0.565, r13 0.614, r14 local 0.589).
+    // The first r14 cut anchored on 0.755 — BenchOne's fresh-JVM warm
+    // reading — which inflated total_normalized by ~39% and would have
+    // read as a false regression. 0.565 is the in-run t27b from the
+    // quiet r12 driver bench (BENCH_r12.json), the cleanest same-harness
+    // anchor on record.
     val yardstickName = "t27b_inverted_index_incremental"
-    val yardstickRef = 0.755
+    val yardstickRef = 0.565
     val yardstick = SparkEntry.queries.get(yardstickName).map { fn =>
       val samples = Seq.fill(3) {
         val t0 = System.nanoTime()
