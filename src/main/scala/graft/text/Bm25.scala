@@ -308,4 +308,66 @@ object Bm25 {
           .as("query_text"))
     searchFromTf(tf, expanded, k, idCol, dfOverride = Some(df))
   }
+
+  /** Graded rank-quality eval: Rank-Biased Precision (Moffat & Zobel
+    * 2008) at persistence p = 1/2 over the top-`k` of [[search]], with
+    * the relevance grade derived from data — gain(query, doc) = number
+    * of distinct query terms the doc contains. One row out:
+    * (n_queries, rbp_num_total, gain_total, rbp_p50,
+    * graded_precision_at_k).
+    *
+    * p = 1/2 is the exactness choice: the rank-i weight is the INTEGER
+    * 2^(k-i), so each query's RBP numerator Σ gain·2^(k-i) is an
+    * order-invariant BIGINT; RBP = num / (maxGain·2^k) is one IEEE
+    * division. (Any other p puts irrational powers into a float sum —
+    * the hash-flake the 2520-grid MRR exists to avoid.) The best
+    * attainable RBP is 1 − 2^-k: the missing tail is RBP's own
+    * unjudged-rank residual.
+    *
+    * Shape at scale: grading never touches the corpus — the ≤ k·|q|
+    * retrieved ids broadcast-semi-filter the doc scan BEFORE the
+    * (doc, term) explode, so the gain join runs on a bounded set.
+    */
+  def rbpEval(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      maxGain: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && k <= 62, s"k must be in [1, 62] (2^k must fit a Long), got $k")
+    require(maxGain >= 1, s"maxGain must be >= 1, got $maxGain")
+    val res = search(docs, queries, k, idCol, textCol)
+    val qt = queries
+      .select(col("query_id"),
+        explode(TextFunctions.tokens(col("query_text"))).as("term"))
+      .distinct()
+    val hitDocs = docs
+      .join(broadcast(res.select(col(idCol)).distinct()), Seq(idCol), "left_semi")
+    val dterm = hitDocs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .distinct()
+    val gains = res.select(col("query_id"), col("rk"), col(idCol))
+      .join(broadcast(qt), Seq("query_id"))
+      .join(dterm, Seq(idCol, "term"))
+      .groupBy("query_id", "rk")
+      .agg(count(lit(1)).as("gain"))
+    val perQ = gains
+      .withColumn("w", expr(s"shiftleft(cast(1 as bigint), cast($k - rk as int))"))
+      .groupBy("query_id")
+      .agg(sum(col("gain") * col("w")).as("rbp_num"),
+        sum(col("gain")).as("gain_sum"))
+    queries.select("query_id")
+      .join(perQ, Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(coalesce(col("rbp_num"), lit(0L))).as("rbp_num_total"),
+        sum(coalesce(col("gain_sum"), lit(0L))).as("gain_total"))
+      .select(
+        col("n_queries"), col("rbp_num_total"), col("gain_total"),
+        (col("rbp_num_total").cast("double") /
+          (col("n_queries") * (maxGain.toLong << k))).as("rbp_p50"),
+        (col("gain_total").cast("double") / (col("n_queries") * maxGain * k))
+          .as(s"graded_precision_at_$k"))
+  }
 }

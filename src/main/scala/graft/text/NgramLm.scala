@@ -102,4 +102,95 @@ object NgramLm {
         col("cross_entropy"),
         coalesce(col("cross_entropy") <= maxCrossEntropy, lit(false)).as("keep"))
   }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * smoother inside KenLM, i.e. what CCNet-style perplexity filtering
+    * actually runs) — the serious upgrade over [[crossEntropy]]'s add-one
+    * baseline. With absolute discount D = 3/4:
+    *
+    *   P(w|v) = max(c(vw) − D, 0)/c(v) + (D·N1+(v·)/c(v)) · N1+(·w)/T
+    *
+    * where N1+(v·) = distinct continuations of v, N1+(·w) = distinct
+    * prefixes of w (the "how many contexts has this word completed"
+    * fertility that makes KN rank 'Francisco' low despite its raw count),
+    * and T = distinct bigram types (so Pcont sums to 1). An unseen prefix
+    * backs off to Pcont(w) alone. Σ_w P(w|v) = 1 exactly: the discount
+    * mass D·N1+(v·) removed from the seen counts is precisely what the
+    * continuation term redistributes.
+    *
+    * Exactness contract: D = 3/4 makes every probability a ratio of
+    * INTEGERS — multiply through by 4·c(v)·T and
+    *   num = max(4·c(vw) − 3, 0)·T + 3·N1+(v·)·N1+(·w),  den = 4·c(v)·T
+    * (unseen prefix: num = 4·N1+(·w), den = 4·T). A bigram whose
+    * continuation was never seen in training has num = 0; it takes the
+    * documented floor num = 1 (P = 1/den — the one corner where exact
+    * normalization is traded for a finite score, the standard OOV hack).
+    * From there the [[crossEntropy]] contract applies verbatim: ln only
+    * of integers, rounded onto the decimal(20,6) grid, summed exactly,
+    * one final IEEE division. At verification scale every num/den fits a
+    * Long; at 100 TB the c(v)·T product overflows 2^63 — compute num/den
+    * as DECIMAL(38,0) there (the BM25 note's mitigation; shape unchanged).
+    *
+    * Shape at scale: the model is THREE narrow tables (bigram counts +
+    * per-prefix rollup + per-continuation rollup) all derived from one
+    * map-side-combined aggregation of the train bigrams; T is a one-row
+    * broadcast. Scoring is equi-joins on the exploded document bigrams —
+    * store the tables and scoring a new crawl is join-only.
+    */
+  def knCrossEntropy(
+      docs: DataFrame,
+      train: DataFrame,
+      maxCrossEntropy: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val big = CacheScope.persist(
+      bigrams(train, idCol, textCol).groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    // c1 = Σ_w c(v,w) (prefix count), fert = N1+(v·): one rollup of `big`,
+    // not a second pass over the train corpus.
+    val uni = big.groupBy("w1").agg(sum(col("c12")).as("c1"), count(lit(1)).as("fert"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("cont"))
+    val tt = big.agg(count(lit(1)).as("t"))
+
+    val c12 = coalesce(col("c12"), lit(0L))
+    val contC = coalesce(col("cont"), lit(0L))
+    val seen = col("c1").isNotNull
+    val num = when(seen,
+      greatest(
+        greatest(lit(4L) * c12 - lit(3L), lit(0L)) * col("t") +
+          lit(3L) * col("fert") * contC,
+        lit(1L)))
+      .otherwise(greatest(lit(4L) * contC, lit(1L)))
+    val den = when(seen, lit(4L) * col("c1") * col("t"))
+      .otherwise(lit(4L) * col("t"))
+
+    val scored = bigrams(docs, idCol, textCol)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tt))
+      .select(
+        col("id"),
+        (lnDec(num) - lnDec(den)).as("__logp"),
+        when(col("c12").isNull, 1L).otherwise(0L).as("__unseen"),
+        when(col("c1").isNull, 1L).otherwise(0L).as("__unseen_prefix"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("__unseen")).as("n_unseen"),
+        sum(col("__unseen_prefix")).as("n_unseen_prefix"),
+        sum(col("__logp")).as("__sum_logp"))
+      .withColumn("kn_cross_entropy",
+        -col("__sum_logp").cast("double") / col("n_bigrams"))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol))
+      .join(scored, col(idCol) === scored("id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("n_unseen_prefix"), lit(0L)).as("n_unseen_prefix"),
+        col("kn_cross_entropy"),
+        coalesce(col("kn_cross_entropy") <= maxCrossEntropy, lit(false)).as("keep"))
+  }
 }

@@ -85,6 +85,13 @@ class PlanAuditSpec extends SparkTestBase {
     "t24b_nb_confusion",
     // one-row vocabulary-size side of the smoothed-probability join
     "t20_lm_perplexity_filter",
+    // the t26 one-row BM25 corpus-stats side behind the retrieval leg;
+    // the grading joins are equi-joins on (query_id) / (doc_id, term)
+    // over the broadcast-bounded retrieved set
+    "t48_bm25_rbp_eval",
+    // one-row bigram-type-total (T) side of the KN num/den computation —
+    // the count-table joins themselves are equi-joins on w1/w2
+    "t49_kn_perplexity",
     // one-row weight-total side of the temperature-share computation
     "c18_temperature_mixture",
     // e1-shape broadcast query sets: MMR's retrieval stage and the

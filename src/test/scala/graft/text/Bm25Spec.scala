@@ -172,6 +172,31 @@ class Bm25Spec extends SparkTestBase {
     assert(run(docs) == run(docs.repartition(7)))
   }
 
+  test("RBP eval: dyadic weights and gains match the hand-derived ranking") {
+    // Query "the fox": q2's ranking over the 4-doc corpus is whatever
+    // search (independently pinned above) returns; RBP re-derives the
+    // expected numerator from that observed ranking plus hand-known
+    // gains: gain(doc) = |{the, fox} ∩ doc terms| -> d1:1 d2:2 d3:1 d4:2.
+    val gain = Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L)
+    val q = Seq((2L, "the fox")).toDF("query_id", "query_text")
+    val ranked = Bm25.search(docs, q, k = 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (rk, doc_id)
+    assert(ranked.length == 4)
+    val expNum = ranked.map { case (rk, id) => gain(id) * (1L << (4 - rk)) }.sum
+    val expGain = ranked.map { case (_, id) => gain(id) }.sum
+    val row = Bm25.rbpEval(docs, q, k = 4, maxGain = 2).collect().head
+    assert(row.getLong(0) == 1L)
+    assert(row.getLong(1) == expNum, s"rbp_num ${row.getLong(1)} want $expNum")
+    assert(row.getLong(2) == expGain)
+    assert(row.getDouble(3) == expNum.toDouble / (2L << 4))
+    assert(row.getDouble(4) == expGain.toDouble / 8)
+    // An unanswerable query contributes zeros but still counts.
+    val q2 = Seq((2L, "the fox"), (9L, "zzz qqq")).toDF("query_id", "query_text")
+    val row2 = Bm25.rbpEval(docs, q2, k = 4, maxGain = 2).collect().head
+    assert(row2.getLong(0) == 2L && row2.getLong(1) == expNum &&
+      row2.getDouble(3) == expNum.toDouble / (2 * (2L << 4)))
+  }
+
   test("PRF pulls in a document that shares no term with the original query") {
     // "apple" retrieves only doc 1; doc 1's terms include "tree";
     // doc 5 speaks ONLY of trees — invisible to pass 1, found by pass 2.

@@ -41,6 +41,70 @@ class NgramLmSpec extends SparkTestBase {
     assert(ce(1L) < ce(2L), s"in-domain ${ce(1L)} should beat gibberish ${ce(2L)}")
   }
 
+  test("hand-computed Kneser-Ney: num/den rationals exact to the decimal contract") {
+    // train "a b a b c": big = {(a,b):2, (b,a):1, (b,c):1}
+    //   uni:  a -> (c1=2, fert=1), b -> (c1=2, fert=2)
+    //   cont: a -> 1, b -> 1, c -> 1;   T = 3
+    val train = Seq((100L, "a b a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"), // (a,b): num=max(8-3,0)*3+3*1*1=18, den=4*2*3=24
+                     // (b,c): num=max(4-3,0)*3+3*2*1=9,  den=24
+      (2L, "z z"),   // unseen prefix, cont(z)=0: num=1, den=4*3=12
+      (3L, "c a"),   // unseen prefix c, cont(a)=1: num=4, den=12
+      (4L, "a z"))   // SEEN prefix, unseen continuation: the floor num=1, den=24
+      .toDF("doc_id", "text")
+    val got = NgramLm.knCrossEntropy(docs, train, maxCrossEntropy = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4), r.getBoolean(5))))
+      .toMap
+
+    def ce(pairs: (Int, Int)*): Double =
+      -pairs.map { case (n, d) => r6(math.log(n)) - r6(math.log(d)) }
+        .sum.toDouble / pairs.size
+    // CE(doc1) = [ln(24/18) + ln(24/9)]/2 ~ 0.634 <= 1.0 -> keep
+    assert(got(1L) == ((2L, 0L, 0L, ce((18, 24), (9, 24)), true)), s"got ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, 1L, ce((1, 12)), false)))
+    assert(got(3L) == ((1L, 1L, 1L, ce((4, 12)), false)))
+    assert(got(4L) == ((1L, 1L, 0L, ce((1, 24)), false)))
+  }
+
+  test("Kneser-Ney probabilities sum to 1 over the continuation vocab (no floor hit)") {
+    // For seen prefix v: sum_w P(w|v) = 1 exactly in rationals; through
+    // exp(-CE) on the decimal grid the sum lands within 1e-4 of 1.
+    val train = Seq((100L, "a b a b c")).toDF("doc_id", "text")
+    val probe = Seq((1L, "a a"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val p = NgramLm.knCrossEntropy(probe, train, maxCrossEntropy = 100.0)
+      .collect().map(r => math.exp(-r.getDouble(4))).sum
+    assert(math.abs(p - 1.0) < 1e-4, s"sum_w P(w|a) = $p")
+  }
+
+  test("KN flags token-order scrambling on a corpus with sequential structure") {
+    // The property the soup-fixture gate face can't show (its bigram
+    // space is saturated both ways — measured +0.04 nats, recorded in
+    // the t49 comment): on structured text, reversal breaks bigrams.
+    val train = (0L until 50L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "dog lazy the over jumps fox brown quick the")).toDF("doc_id", "text")
+    val ce = NgramLm.knCrossEntropy(docs, train, maxCrossEntropy = 100.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(ce(2L) > ce(1L) + 1.0,
+      s"reversed ${ce(2L)} should far exceed in-order ${ce(1L)}")
+  }
+
+  test("KN cross-entropy is repartition-stable") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"w${i % 7} w${(i * 3) % 7} w${(i * 5) % 7} w${i % 11}"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      NgramLm.knCrossEntropy(d, d, maxCrossEntropy = 5.0)
+        .collect().map(r => (r.getLong(0), r.getDouble(4))).sorted.toSeq
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+
   test("cross-entropy is repartition-stable (decimal sums, no float accumulation)") {
     val docs = (0L until 200L)
       .map(i => (i, s"w${i % 7} w${(i * 3) % 7} w${(i * 5) % 7} w${i % 11}"))
