@@ -512,6 +512,64 @@ object TrainingData {
       |               sum(logp) AS slp
       |        FROM sc GROUP BY 1)""".stripMargin
 
+  /** The t49/t49b oracle's shared CTE chain: the Kneser–Ney count
+    * tables (big/uni/cont/T — mirroring [[graft.text.NgramLm.knModel]])
+    * on the 2/3 train split, the char-reversed planted twins, and every
+    * doc's bigrams scored on the exact D = 3/4 integer num/den grid,
+    * rolled into `agg` (doc_id, n_bigrams, n_unseen, n_unseen_prefix,
+    * slp). Final select differs per face (per-doc verdicts / one-row
+    * screen report). `big` is multiply-referenced and the CTEs
+    * self-join — MATERIALIZED throughout (the DuckDB-inlining rule).
+    */
+  private val sqlKnCtes =
+    """WITH train AS (SELECT doc_id, text FROM documents
+      |               WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+      |tg AS (SELECT unnest(list_transform(
+      |                range(len(string_split(text,' ')) - 1),
+      |                i -> array_to_string((string_split(text,' '))[i+1:i+2], ' '))) AS gram
+      |       FROM train WHERE len(string_split(text,' ')) >= 2),
+      |tp AS (SELECT split_part(gram, ' ', 1) AS w1,
+      |              split_part(gram, ' ', 2) AS w2 FROM tg),
+      |big AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM tp GROUP BY 1, 2),
+      |uni AS MATERIALIZED (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+      |                            count(*) AS fert
+      |                     FROM big GROUP BY 1),
+      |cont AS MATERIALIZED (SELECT w2, count(*) AS cont FROM big GROUP BY 1),
+      |tt AS (SELECT count(*) AS t FROM big),
+      |rev AS (SELECT -doc_id - 1 AS doc_id,
+      |               array_to_string(list_transform(string_split(text, ' '),
+      |                                             w -> reverse(w)), ' ') AS text
+      |        FROM documents WHERE doc_id % 25 = 0 AND text IS NOT NULL),
+      |docs AS MATERIALIZED (SELECT doc_id, text FROM documents
+      |         UNION ALL SELECT doc_id, text FROM rev),
+      |dg AS (SELECT doc_id, unnest(list_transform(
+      |                range(len(string_split(text,' ')) - 1),
+      |                i -> array_to_string((string_split(text,' '))[i+1:i+2], ' '))) AS gram
+      |       FROM docs
+      |       WHERE text IS NOT NULL AND len(string_split(text,' ')) >= 2),
+      |dp AS (SELECT doc_id, split_part(gram, ' ', 1) AS w1,
+      |              split_part(gram, ' ', 2) AS w2 FROM dg),
+      |sc AS (SELECT dp.doc_id,
+      |         CAST(ln(CASE WHEN u.c1 IS NOT NULL
+      |                 THEN greatest(greatest(4*coalesce(b.c12, 0) - 3, 0) * tt.t
+      |                        + 3*u.fert*coalesce(co.cont, 0), 1)
+      |                 ELSE greatest(4*coalesce(co.cont, 0), 1) END)
+      |           AS DECIMAL(20,6))
+      |         - CAST(ln(CASE WHEN u.c1 IS NOT NULL THEN 4*u.c1*tt.t
+      |                   ELSE 4*tt.t END) AS DECIMAL(20,6)) AS logp,
+      |         CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS unseen,
+      |         CASE WHEN u.c1 IS NULL THEN 1 ELSE 0 END AS unseen_prefix
+      |       FROM dp
+      |       LEFT JOIN big b ON dp.w1 = b.w1 AND dp.w2 = b.w2
+      |       LEFT JOIN uni u ON dp.w1 = u.w1
+      |       LEFT JOIN cont co ON dp.w2 = co.w2
+      |       CROSS JOIN tt),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |               CAST(sum(unseen) AS BIGINT) AS n_unseen,
+      |               CAST(sum(unseen_prefix) AS BIGINT) AS n_unseen_prefix,
+      |               sum(logp) AS slp
+      |        FROM sc GROUP BY 1)""".stripMargin
+
   /** The t26/t26b oracle's shared CTE chain: tf/df/dl/corpus stats, the
     * 5-query literal set, and the exact rational fixed-point per-(query,
     * doc) BM25 micro-scores summed into `sc`. Final ranking differs per
@@ -2626,54 +2684,9 @@ object TrainingData {
           maxCrossEntropy = 4.0)
           .orderBy("doc_id")
       },
-      Some("""WITH train AS (SELECT doc_id, text FROM documents
-             |               WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
-             |tg AS (SELECT unnest(list_transform(
-             |                range(len(string_split(text,' ')) - 1),
-             |                i -> array_to_string((string_split(text,' '))[i+1:i+2], ' '))) AS gram
-             |       FROM train WHERE len(string_split(text,' ')) >= 2),
-             |tp AS (SELECT split_part(gram, ' ', 1) AS w1,
-             |              split_part(gram, ' ', 2) AS w2 FROM tg),
-             |big AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM tp GROUP BY 1, 2),
-             |uni AS MATERIALIZED (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
-             |                            count(*) AS fert
-             |                     FROM big GROUP BY 1),
-             |cont AS MATERIALIZED (SELECT w2, count(*) AS cont FROM big GROUP BY 1),
-             |tt AS (SELECT count(*) AS t FROM big),
-             |rev AS (SELECT -doc_id - 1 AS doc_id,
-             |               array_to_string(list_transform(string_split(text, ' '),
-             |                                             w -> reverse(w)), ' ') AS text
-             |        FROM documents WHERE doc_id % 25 = 0 AND text IS NOT NULL),
-             |docs AS MATERIALIZED (SELECT doc_id, text FROM documents
-             |         UNION ALL SELECT doc_id, text FROM rev),
-             |dg AS (SELECT doc_id, unnest(list_transform(
-             |                range(len(string_split(text,' ')) - 1),
-             |                i -> array_to_string((string_split(text,' '))[i+1:i+2], ' '))) AS gram
-             |       FROM docs
-             |       WHERE text IS NOT NULL AND len(string_split(text,' ')) >= 2),
-             |dp AS (SELECT doc_id, split_part(gram, ' ', 1) AS w1,
-             |              split_part(gram, ' ', 2) AS w2 FROM dg),
-             |sc AS (SELECT dp.doc_id,
-             |         CAST(ln(CASE WHEN u.c1 IS NOT NULL
-             |                 THEN greatest(greatest(4*coalesce(b.c12, 0) - 3, 0) * tt.t
-             |                        + 3*u.fert*coalesce(co.cont, 0), 1)
-             |                 ELSE greatest(4*coalesce(co.cont, 0), 1) END)
-             |           AS DECIMAL(20,6))
-             |         - CAST(ln(CASE WHEN u.c1 IS NOT NULL THEN 4*u.c1*tt.t
-             |                   ELSE 4*tt.t END) AS DECIMAL(20,6)) AS logp,
-             |         CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS unseen,
-             |         CASE WHEN u.c1 IS NULL THEN 1 ELSE 0 END AS unseen_prefix
-             |       FROM dp
-             |       LEFT JOIN big b ON dp.w1 = b.w1 AND dp.w2 = b.w2
-             |       LEFT JOIN uni u ON dp.w1 = u.w1
-             |       LEFT JOIN cont co ON dp.w2 = co.w2
-             |       CROSS JOIN tt),
-             |agg AS (SELECT doc_id, count(*) AS n_bigrams,
-             |               CAST(sum(unseen) AS BIGINT) AS n_unseen,
-             |               CAST(sum(unseen_prefix) AS BIGINT) AS n_unseen_prefix,
-             |               sum(logp) AS slp
-             |        FROM sc GROUP BY 1)
-             |SELECT d.doc_id,
+      Some(sqlKnCtes +
+        """
+          |SELECT d.doc_id,
              |       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
              |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
              |       CAST(coalesce(a.n_unseen_prefix, 0) AS BIGINT) AS n_unseen_prefix,
@@ -2682,6 +2695,41 @@ object TrainingData {
              |FROM docs d LEFT JOIN agg a USING (doc_id)
              |WHERE d.text IS NOT NULL
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T49b — the one-row KN SCREEN REPORT over the same frozen model and
+    // planted scenario (ST12's oracled batch face, the ST11/t46
+    // convention): the streaming monitor's per-batch unit of output IS
+    // this aggregation, so the gauge and the batch analysis can never
+    // diverge. corpus_cross_entropy pools per-BIGRAM: the per-doc
+    // decimal log-prob sums are summed exactly across the corpus before
+    // the single IEEE division — order- and partitioning-invariant.
+    Q(
+      "t49b_kn_screen_report",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val rev = d.filter(col("doc_id") % 25 === 0 && col("text").isNotNull)
+          .select((-col("doc_id") - 1).as("doc_id"),
+            concat_ws(" ",
+              transform(split(col("text"), " "), w => reverse(w))).as("text"))
+        NgramLm.knScreenReport(
+          d.unionByName(rev),
+          NgramLm.knModel(d.filter(col("doc_id") % 3 =!= 0)),
+          maxCrossEntropy = 4.0)
+      },
+      Some(sqlKnCtes +
+        """
+          |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN a.n_bigrams IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_scored,
+             |  CAST(sum(CASE WHEN coalesce(-CAST(a.slp AS DOUBLE) / a.n_bigrams <= 4.0,
+             |                              FALSE)
+             |                THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+             |  CAST(coalesce(sum(a.n_bigrams), 0) AS BIGINT) AS n_bigrams,
+             |  CAST(coalesce(sum(a.n_unseen), 0) AS BIGINT) AS n_unseen,
+             |  -CAST(sum(a.slp) AS DOUBLE) / sum(a.n_bigrams) AS corpus_cross_entropy
+             |FROM docs d LEFT JOIN agg a USING (doc_id)
+             |WHERE d.text IS NOT NULL""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T23 — character-entropy quality band: the model-free gibberish/

@@ -560,4 +560,48 @@ object CorpusIngest {
         "n_covered_words LONG, n_oov_words LONG, oov_rate DOUBLE, " +
         "covered_pieces LONG, pieces_per_covered_word DOUBLE")
       .parquet(metricsDir + "/batch=*")
+
+  // -------------------------------------------------------------------
+  // ST12 — streaming perplexity monitor: every micro-batch's one-row
+  // Kneser–Ney screen report under a FROZEN model
+  // ([[graft.text.NgramLm.knModel]], trained once offline on the
+  // trusted slice) — the alarm that catches a crawl drifting into
+  // gibberish/boilerplate/wrong-language while it is one batch old,
+  // with the model-based CE the heuristic screens (length, stopwords,
+  // entropy) cannot see. State is STATIC (three narrow count tables +
+  // the one-row T total); per batch the corpus-sized work is one
+  // bigram explode + equi-joins. The batch face IS
+  // [[graft.text.NgramLm.knScreenReport]] (t49b's full-oracle
+  // surface), so the gauge and the batch analysis can never diverge.
+
+  /** One micro-batch through the perplexity monitor: the knScreenReport
+    * row + batch_id written to `metricsDir/batch=<batchId>`.
+    * Replay-idempotent (content-determined overwrite).
+    */
+  def ingestBatchKnMonitor(
+      batch: DataFrame, model: graft.text.NgramLm.KnModel,
+      maxCrossEntropy: Double, metricsDir: String, batchId: Long): Unit =
+    graft.text.NgramLm.knScreenReport(batch, model, maxCrossEntropy)
+      .withColumn("batch_id", lit(batchId))
+      .select("batch_id", "n_docs", "n_scored", "n_rejected",
+        "n_bigrams", "n_unseen", "corpus_cross_entropy")
+      .write.mode("overwrite")
+      .parquet(s"$metricsDir/batch=$batchId")
+
+  def startKnMonitor(
+      docs: DataFrame, model: graft.text.NgramLm.KnModel,
+      maxCrossEntropy: Double, metricsDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchKnMonitor(batch, model, maxCrossEntropy, metricsDir, batchId)
+      }
+      .start()
+
+  def readKnMetrics(spark: SparkSession, metricsDir: String): DataFrame =
+    spark.read.schema("batch_id LONG, n_docs LONG, n_scored LONG, " +
+        "n_rejected LONG, n_bigrams LONG, n_unseen LONG, " +
+        "corpus_cross_entropy DOUBLE")
+      .parquet(metricsDir + "/batch=*")
 }

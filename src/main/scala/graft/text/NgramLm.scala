@@ -142,14 +142,42 @@ object NgramLm {
       train: DataFrame,
       maxCrossEntropy: Double,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    knScore(docs, knModel(train, idCol, textCol), maxCrossEntropy, idCol, textCol)
+
+  /** The frozen KN model state: the three narrow count tables plus the
+    * one-row bigram-type total. Train once offline, then [[knScore]] /
+    * [[knScreenReport]] any number of batches against it — the
+    * learn-once/apply-everywhere serving split (the t44b/ST11 shape;
+    * each table is a plain DataFrame, so persisting the model is four
+    * parquet writes).
+    */
+  final case class KnModel(big: DataFrame, uni: DataFrame, cont: DataFrame, tt: DataFrame)
+
+  def knModel(train: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): KnModel = {
     val big = CacheScope.persist(
       bigrams(train, idCol, textCol).groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     // c1 = Σ_w c(v,w) (prefix count), fert = N1+(v·): one rollup of `big`,
     // not a second pass over the train corpus.
-    val uni = big.groupBy("w1").agg(sum(col("c12")).as("c1"), count(lit(1)).as("fert"))
-    val cont = big.groupBy("w2").agg(count(lit(1)).as("cont"))
-    val tt = big.agg(count(lit(1)).as("t"))
+    KnModel(
+      big = big,
+      uni = big.groupBy("w1").agg(sum(col("c12")).as("c1"), count(lit(1)).as("fert")),
+      cont = big.groupBy("w2").agg(count(lit(1)).as("cont")),
+      tt = big.agg(count(lit(1)).as("t")))
+  }
+
+  /** Per-doc scoring under a frozen model, keeping the exact decimal
+    * log-prob sum (`__slp`) so callers can roll batches up without
+    * re-introducing float accumulation ([[knScreenReport]]).
+    */
+  private def knPerDoc(
+      docs: DataFrame, model: KnModel, maxCrossEntropy: Double,
+      idCol: String, textCol: String): DataFrame = {
+    val big = model.big
+    val uni = model.uni
+    val cont = model.cont
+    val tt = model.tt
 
     val c12 = coalesce(col("c12"), lit(0L))
     val contC = coalesce(col("cont"), lit(0L))
@@ -190,7 +218,47 @@ object NgramLm {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
         coalesce(col("n_unseen_prefix"), lit(0L)).as("n_unseen_prefix"),
+        col("__sum_logp").as("__slp"),
         col("kn_cross_entropy"),
         coalesce(col("kn_cross_entropy") <= maxCrossEntropy, lit(false)).as("keep"))
   }
+
+  /** [[knCrossEntropy]] against a pre-built frozen model. */
+  def knScore(
+      docs: DataFrame,
+      model: KnModel,
+      maxCrossEntropy: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    knPerDoc(docs, model, maxCrossEntropy, idCol, textCol).drop("__slp")
+
+  /** One-row screen report of a batch under a frozen model — the ST12
+    * streaming gauge's unit of output and t49b's oracled batch face:
+    * (n_docs, n_scored, n_rejected, n_bigrams, n_unseen,
+    * corpus_cross_entropy). `n_rejected` counts keep=false under the
+    * face's own convention (band failures AND too-short-to-judge docs);
+    * `corpus_cross_entropy` is the per-BIGRAM pooled CE — the per-doc
+    * decimal log-prob sums are summed EXACTLY across the batch (decimal,
+    * not float), then divided once, so the report is order- and
+    * partitioning-invariant like everything else on the contract.
+    */
+  def knScreenReport(
+      docs: DataFrame,
+      model: KnModel,
+      maxCrossEntropy: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    knPerDoc(docs, model, maxCrossEntropy, idCol, textCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_bigrams") > 0, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_rejected"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("n_unseen")).as("n_unseen"),
+        sum(col("__slp")).as("__slp_total"))
+      .select(
+        col("n_docs"), col("n_scored"), col("n_rejected"),
+        col("n_bigrams"), col("n_unseen"),
+        (-col("__slp_total").cast("double") / col("n_bigrams"))
+          .as("corpus_cross_entropy"))
 }

@@ -92,6 +92,7 @@ class PlanAuditSpec extends SparkTestBase {
     // one-row bigram-type-total (T) side of the KN num/den computation —
     // the count-table joins themselves are equi-joins on w1/w2
     "t49_kn_perplexity",
+    "t49b_kn_screen_report",
     // one-row weight-total side of the temperature-share computation
     "c18_temperature_mixture",
     // e1-shape broadcast query sets: MMR's retrieval stage and the

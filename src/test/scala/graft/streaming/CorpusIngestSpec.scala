@@ -403,4 +403,43 @@ class CorpusIngestSpec extends SparkTestBase {
       shiftedBatch.toDF("doc_id", "text"), vocab, metrics, batchId = 1L)
     assert(CorpusIngest.readCoverageMetrics(spark, metrics).count() == 2L)
   }
+
+  test("KN perplexity monitor (ST12): in-domain batches keep, a gibberish batch spikes; rows match the batch face") {
+    import graft.text.NgramLm
+    val reference = (1L to 50L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val model = NgramLm.knModel(reference)
+    val metrics = tmp("kn-metrics")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusIngest.startKnMonitor(
+      mem.toDF.toDF("doc_id", "text"), model, maxCrossEntropy = 2.0,
+      metrics, tmp("kn-ckpt"))
+    val inDomain = (100L to 104L).map(i => (i, "the quick brown fox jumps"))
+    val gibberish = (200L to 204L).map(i => (i, "eht kciuq nworb xof spmuj"))
+    mem.addData(inDomain: _*)
+    q.processAllAvailable()
+    mem.addData(gibberish: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = CorpusIngest.readKnMetrics(spark, metrics)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(rows.keySet == Set(0L, 1L), s"one metrics row per batch: $rows")
+    assert(rows(0L)._3 == 0L, s"in-domain batch fully keeps: $rows")
+    assert(rows(1L)._3 == 5L && rows(1L)._4 > 0L && rows(1L)._5 > rows(0L)._5 + 2.0,
+      s"gibberish batch must reject and spike CE: $rows")
+    // the monitor's row IS knScreenReport's (gauge == batch face, bit-exact)
+    val direct = NgramLm.knScreenReport(
+      gibberish.toDF("doc_id", "text"), model, maxCrossEntropy = 2.0).head()
+    assert((rows(1L)._1, rows(1L)._2, rows(1L)._3, rows(1L)._4, rows(1L)._5) ==
+      (direct.getLong(0), direct.getLong(1), direct.getLong(2),
+        direct.getLong(4), direct.getDouble(5)))
+    // replay: re-running batch 1 rewrites its dir, never doubles
+    CorpusIngest.ingestBatchKnMonitor(
+      gibberish.toDF("doc_id", "text"), model, 2.0, metrics, batchId = 1L)
+    assert(CorpusIngest.readKnMetrics(spark, metrics).count() == 2L)
+  }
 }
