@@ -97,6 +97,12 @@ object ScaleProbe {
       // map-side-combined rollup; nothing about the model rescales).
       time(s"lm_crossentropy $label")(
         graft.text.NgramLm.crossEntropy(d, docs1, maxCrossEntropy = 3.4).count())
+      // KN scoring, same regime (fixed 1x model, growing corpus): the
+      // extra cont/fert tables are model-sized, the scoring adds one
+      // equi-join over add-one's plan — healthy = ~linear and ~the
+      // lm_crossentropy wall, not a multiple of it.
+      time(s"kn_crossentropy $label")(
+        graft.text.NgramLm.knCrossEntropy(d, docs1, maxCrossEntropy = 4.0).count())
       // DSIR selection: FIXED 1x target distribution, growing raw corpus —
       // the steady-state "select from the next crawl" regime. The model is
       // two B-row count tables; healthy = ~linear (explode + map-side-

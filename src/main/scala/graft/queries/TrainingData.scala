@@ -5373,6 +5373,61 @@ object TrainingData {
              |ORDER BY decile""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T50 — Good–Turing unseen-mass estimate (Good 1953) at unigram AND
+    // trigram order, per source + pooled: the quantitative "crawl more
+    // or not" read-off behind t34's Heaps curve — P(next n-gram is a
+    // NEVER-seen type) ≈ N1/N, plus the adjusted singleton count
+    // c* = 2·N2/N1 and the singleton share of the type space. Two
+    // orders because they answer different questions on the same corpus:
+    // this fixture's 31-word vocabulary is SATURATED at unigrams (pooled
+    // N1 = 0 — more crawl buys no new words) while the trigram space
+    // still carries live tail — the honest pair of numbers an LM-data
+    // decision needs. The pooled row is its own aggregation (a type
+    // single in two sources is a global doubleton — a rollup of the
+    // per-source level would be WRONG, which is exactly why this is an
+    // operator and not a sum). All-integer counts; three IEEE divisions.
+    Q(
+      "t50_good_turing",
+      (s, dir) =>
+        CorpusStats.goodTuring(Tables.documents(s, dir), grams = Seq(1, 3)),
+      Some("""WITH d AS MATERIALIZED (
+             |  SELECT source, string_split(text, ' ') AS ws
+             |  FROM documents WHERE text IS NOT NULL),
+             |tok AS MATERIALIZED (
+             |  SELECT CAST(1 AS BIGINT) AS gram, source,
+             |         unnest(ws) AS term
+             |  FROM d WHERE len(ws) >= 1
+             |  UNION ALL
+             |  SELECT CAST(3 AS BIGINT), source,
+             |         unnest(list_transform(range(len(ws) - 2),
+             |                i -> array_to_string(ws[i+1:i+3], ' ')))
+             |  FROM d WHERE len(ws) >= 3),
+             |ps AS (SELECT gram, source, term, count(*) AS c
+             |       FROM tok GROUP BY 1, 2, 3),
+             |gl AS (SELECT gram, term, count(*) AS c FROM tok GROUP BY 1, 2),
+             |lv AS (SELECT gram, source,
+             |         CAST(sum(c) AS BIGINT) AS n_tokens,
+             |         CAST(count(*) AS BIGINT) AS vocab,
+             |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS n_singletons,
+             |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS n_doubletons
+             |       FROM ps GROUP BY 1, 2
+             |       UNION ALL
+             |       SELECT gram, '__all',
+             |         CAST(sum(c) AS BIGINT), CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |       FROM gl GROUP BY 1)
+             |SELECT gram, source, n_tokens, vocab, n_singletons, n_doubletons,
+             |       CAST(n_singletons AS DOUBLE) / n_tokens AS unseen_mass,
+             |       CAST(n_singletons AS DOUBLE) / vocab AS singleton_frac,
+             |       CASE WHEN n_singletons > 0
+             |            THEN 2.0 * n_doubletons / n_singletons END
+             |         AS gt_singleton_cstar
+             |FROM lv ORDER BY gram, source""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // E17 — scalar-quantized (SQ8) ANN: one byte per dimension against
     // per-dim [min,max] corpus ranges, scored asymmetrically (full-
     // precision query vs decoded corpus vector) — the 4x-less-scan-IO

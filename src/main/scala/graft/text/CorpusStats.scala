@@ -91,6 +91,69 @@ object CorpusStats {
       .orderBy("decile")
   }
 
+  /** Good–Turing unseen-mass estimate (Good 1953) — the crawl-planning
+    * read-off the Heaps curve only eyeballs: the probability that the
+    * NEXT n-gram drawn is one never seen in this corpus is estimated by
+    * the singleton fraction N1/N, and the adjusted Good–Turing count
+    * for once-seen types is c* = 2·N2/N1. One row per (gram, source)
+    * plus each gram's pooled `__all` row. Multiple n-gram orders matter:
+    * a small-vocabulary corpus saturates at the unigram level (N1 = 0,
+    * unseen mass 0 — "more crawl buys no new words") while its
+    * higher-order type space still has live tail — exactly the pair of
+    * numbers an LM-data decision needs. The pooled row is its own
+    * aggregation, NOT a rollup of the per-source counts — a type single
+    * in two sources is a global doubleton, so the coarser level cannot
+    * be derived from the finer one's singleton flags.
+    *
+    * Exactness: every statistic is an integer count; the three reported
+    * ratios are single IEEE divisions (2·N2 is exact in double first).
+    *
+    * Shape at scale: one n-gram explode per requested order feeding two
+    * map-side-combined count rollups ((source, term) and (term)), then
+    * a |grams|·(|sources|+1)-row result — no window, no driver loop,
+    * corpus-linear.
+    */
+  def goodTuring(
+      docs: DataFrame,
+      grams: Seq[Int] = Seq(1),
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(grams.nonEmpty && grams.forall(_ >= 1), s"grams must be >= 1: $grams")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+    grams.map { g =>
+      val tok = graft.util.CacheScope.persist(
+        base.filter(size(col("__toks")) >= g)
+          .select(col("source"),
+            explode(transform(
+              sequence(lit(1), size(col("__toks")) - (g - 1)),
+              i => concat_ws(" ", slice(col("__toks"), i, lit(g)))))
+              .as("term")))
+      def level(wc: DataFrame): DataFrame =
+        wc.groupBy("source").agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singletons"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_doubletons"))
+      val perSrc = level(
+        tok.groupBy("source", "term").agg(count(lit(1)).as("c")))
+      val pooled = level(
+        tok.groupBy("term").agg(count(lit(1)).as("c"))
+          .withColumn("source", lit("__all")))
+      perSrc.unionByName(pooled).withColumn("gram", lit(g.toLong))
+    }.reduce(_ unionByName _)
+      .select(
+        col("gram"), col("source"), col("n_tokens"), col("vocab"),
+        col("n_singletons"), col("n_doubletons"),
+        (col("n_singletons").cast("double") / col("n_tokens")).as("unseen_mass"),
+        (col("n_singletons").cast("double") / col("vocab")).as("singleton_frac"),
+        when(col("n_singletons") > 0,
+          (lit(2.0) * col("n_doubletons")) / col("n_singletons"))
+          .as("gt_singleton_cstar"))
+      .orderBy("gram", "source")
+  }
+
   /** Per-source unigram KL divergence from the corpus-wide distribution —
     * the source-drift / contamination alarm of a multi-source mixture:
     * KL(P_s ‖ P) = Σ_t (c_st/N_s)·ln((c_st/N_s)/(c_t/N)). A source whose

@@ -86,6 +86,67 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(run(docs) == run(docs.repartition(13)))
   }
 
+  test("goodTuring: hand-computed N1/N2 grid; saturated vocab nulls c*") {
+    // src A: "a a b c"  -> counts a:2 b:1 c:1 -> N=4 V=3 N1=2 N2=1
+    // src B: "b d"      -> counts b:1 d:1     -> N=2 V=2 N1=2 N2=0
+    // pooled: a:2 b:2 c:1 d:1 -> N=6 V=4 N1=2 N2=2
+    val docs = Seq((1L, "A", "a a b c"), (2L, "B", "b d"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.goodTuring(docs).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got("A") == ((4L, 3L, 2L, 1L, 0.5, 2.0 / 3)))
+    assert(got("B") == ((2L, 2L, 2L, 0L, 1.0, 1.0)))
+    assert(got("__all") == ((6L, 4L, 2L, 2L, 2.0 / 6, 0.5)))
+    // c* = 2*N2/N1
+    val cs = CorpusStats.goodTuring(docs).collect()
+      .map(r => r.getString(1) -> Option(r.get(8)).map(_.asInstanceOf[Double])).toMap
+    assert(cs("A") == Some(1.0) && cs("B") == Some(0.0) && cs("__all") == Some(2.0))
+    // saturated corpus: every type seen twice -> N1 = 0 -> unseen mass 0, c* NULL
+    val sat = Seq((1L, "A", "x y x y")).toDF("doc_id", "source", "text")
+    val satRows = CorpusStats.goodTuring(sat).collect()
+    satRows.foreach { r =>
+      assert(r.getLong(4) == 0L && r.getDouble(6) == 0.0 && r.isNullAt(8))
+    }
+  }
+
+  test("goodTuring: pooled row is NOT a rollup of per-source levels") {
+    // "q" appears once in EACH source: per-source singleton twice over, but a
+    // GLOBAL doubleton - the pooled row must count it in N2, not N1.
+    val docs = Seq((1L, "A", "q"), (2L, "B", "q")).toDF("doc_id", "source", "text")
+    val got = CorpusStats.goodTuring(docs).collect()
+      .map(r => r.getString(1) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(got("A") == ((1L, 0L)) && got("B") == ((1L, 0L)))
+    assert(got("__all") == ((0L, 1L)), s"global doubleton: $got")
+  }
+
+  test("goodTuring: higher orders see tail a saturated unigram level cannot") {
+    // every unigram appears 4 times (saturated) but the four permutations
+    // make every trigram a singleton - live tail at order 3 only
+    val docs = Seq("p q r s", "q p s r", "r s p q", "s r q p").zipWithIndex
+      .map { case (t, i) => (i.toLong, "S", t) }.toDF("doc_id", "source", "text")
+    val got = CorpusStats.goodTuring(docs, grams = Seq(1, 3)).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(6)).toMap
+    assert(got((1L, "__all")) == 0.0, s"unigram level saturated: $got")
+    assert(got((3L, "__all")) > 0.0, s"trigram tail must be live: $got")
+    // docs shorter than the order contribute no n-grams (no empty terms)
+    val short = Seq((1L, "A", "one two")).toDF("doc_id", "source", "text")
+    assert(CorpusStats.goodTuring(short, grams = Seq(3)).collect()
+      .forall(_.getLong(2) == 0L) ||
+      CorpusStats.goodTuring(short, grams = Seq(3)).collect().isEmpty)
+  }
+
+  test("goodTuring is repartition-stable") {
+    val docs = (0L until 120L).map(i =>
+      (i, s"s${i % 3}", (0 to (i % 9).toInt).map(j => s"w${(i * 3 + j) % 50}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.goodTuring(d, grams = Seq(1, 2)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+    assert(run(docs) == run(docs.repartition(11)))
+  }
+
   test("both diagnostics are repartition-stable") {
     val docs = (0L until 200L).map(i =>
       (i, (0 to (i % 17).toInt).map(j => s"w${(i + j * 7) % 60}").mkString(" ")))
