@@ -2732,6 +2732,116 @@ object TrainingData {
              |WHERE d.text IS NOT NULL""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T51 — smoother SHOOT-OUT (the eval face over t20 + t49, in the
+    // d17/t45 convention): add-one and Kneser–Ney score the SAME planted
+    // corpus (t49's char-reversed OOV twins in the negative-id space),
+    // pooled per (model, cohort) — 4 rows that measure what the model
+    // choice actually buys: each screen's rejection counts on the clean
+    // vs planted cohort and the pooled CE separation between them. Both
+    // models keep their shipped bands (3.4 / 4.0): the comparison is
+    // between screens as deployed. ONE oracle computes both scores from
+    // one shared bigram explode + count-table chain — the add-one logp
+    // and the KN integer num/den grid side by side in the same `sc` CTE.
+    // Exactness: decimal(20,6) per-bigram logs summed exactly per doc,
+    // per-doc decimal sums summed exactly per cohort, ONE IEEE division
+    // per row. `big` is multiply-referenced — MATERIALIZED throughout.
+    Q(
+      "t51_lm_screen_compare",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val rev = d.filter(col("doc_id") % 25 === 0 && col("text").isNotNull)
+          .select((-col("doc_id") - 1).as("doc_id"),
+            concat_ws(" ",
+              transform(split(col("text"), " "), w => reverse(w))).as("text"))
+        NgramLm.screenCompare(
+          d.unionByName(rev),
+          d.filter(col("doc_id") % 3 =!= 0),
+          cohort = when(col("doc_id") < 0, lit("planted"))
+            .otherwise(lit("natural")),
+          addOneMaxCe = 3.4, knMaxCe = 4.0)
+      },
+      Some("""WITH train AS (SELECT doc_id, text FROM documents
+             |               WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+             |tg AS (SELECT unnest(list_transform(
+             |                range(len(string_split(text,' ')) - 1),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+2], ' '))) AS gram
+             |       FROM train WHERE len(string_split(text,' ')) >= 2),
+             |tp AS (SELECT split_part(gram, ' ', 1) AS w1,
+             |              split_part(gram, ' ', 2) AS w2 FROM tg),
+             |big AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM tp GROUP BY 1, 2),
+             |uni AS MATERIALIZED (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             |                            count(*) AS fert
+             |                     FROM big GROUP BY 1),
+             |cont AS MATERIALIZED (SELECT w2, count(*) AS cont FROM big GROUP BY 1),
+             |tt AS (SELECT count(*) AS t FROM big),
+             |vv AS (SELECT count(*) AS v FROM uni),
+             |rev AS (SELECT -doc_id - 1 AS doc_id,
+             |               array_to_string(list_transform(string_split(text, ' '),
+             |                                             w -> reverse(w)), ' ') AS text
+             |        FROM documents WHERE doc_id % 25 = 0 AND text IS NOT NULL),
+             |docs AS MATERIALIZED (SELECT doc_id, text FROM documents
+             |         UNION ALL SELECT doc_id, text FROM rev),
+             |dg AS (SELECT doc_id, unnest(list_transform(
+             |                range(len(string_split(text,' ')) - 1),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+2], ' '))) AS gram
+             |       FROM docs
+             |       WHERE text IS NOT NULL AND len(string_split(text,' ')) >= 2),
+             |dp AS (SELECT doc_id, split_part(gram, ' ', 1) AS w1,
+             |              split_part(gram, ' ', 2) AS w2 FROM dg),
+             |sc AS (SELECT dp.doc_id,
+             |         CAST(ln(coalesce(b.c12, 0) + 1) AS DECIMAL(20,6))
+             |         - CAST(ln(coalesce(u.c1, 0) + vv.v) AS DECIMAL(20,6)) AS logp_a,
+             |         CAST(ln(CASE WHEN u.c1 IS NOT NULL
+             |                 THEN greatest(greatest(4*coalesce(b.c12, 0) - 3, 0) * tt.t
+             |                        + 3*u.fert*coalesce(co.cont, 0), 1)
+             |                 ELSE greatest(4*coalesce(co.cont, 0), 1) END)
+             |           AS DECIMAL(20,6))
+             |         - CAST(ln(CASE WHEN u.c1 IS NOT NULL THEN 4*u.c1*tt.t
+             |                   ELSE 4*tt.t END) AS DECIMAL(20,6)) AS logp_k,
+             |         CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS unseen
+             |       FROM dp
+             |       LEFT JOIN big b ON dp.w1 = b.w1 AND dp.w2 = b.w2
+             |       LEFT JOIN uni u ON dp.w1 = u.w1
+             |       LEFT JOIN cont co ON dp.w2 = co.w2
+             |       CROSS JOIN tt CROSS JOIN vv),
+             |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+             |               CAST(sum(unseen) AS BIGINT) AS n_unseen,
+             |               sum(logp_a) AS slp_a, sum(logp_k) AS slp_k
+             |        FROM sc GROUP BY 1),
+             |base AS (SELECT CASE WHEN d.doc_id < 0 THEN 'planted'
+             |                     ELSE 'natural' END AS cohort,
+             |                a.n_bigrams, a.n_unseen, a.slp_a, a.slp_k
+             |         FROM docs d LEFT JOIN agg a USING (doc_id)
+             |         WHERE d.text IS NOT NULL),
+             |outp AS (
+             |  SELECT 'addone' AS model, cohort,
+             |    CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(CASE WHEN n_bigrams IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_scored,
+             |    CAST(sum(CASE WHEN coalesce(
+             |             -CAST(slp_a AS DOUBLE) / n_bigrams <= 3.4, FALSE)
+             |             THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+             |    CAST(coalesce(sum(n_bigrams), 0) AS BIGINT) AS n_bigrams,
+             |    CAST(coalesce(sum(n_unseen), 0) AS BIGINT) AS n_unseen,
+             |    -CAST(sum(slp_a) AS DOUBLE) / sum(n_bigrams) AS cross_entropy
+             |  FROM base GROUP BY cohort
+             |  UNION ALL
+             |  SELECT 'kn', cohort,
+             |    CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN n_bigrams IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(sum(CASE WHEN coalesce(
+             |             -CAST(slp_k AS DOUBLE) / n_bigrams <= 4.0, FALSE)
+             |             THEN 0 ELSE 1 END) AS BIGINT),
+             |    CAST(coalesce(sum(n_bigrams), 0) AS BIGINT),
+             |    CAST(coalesce(sum(n_unseen), 0) AS BIGINT),
+             |    -CAST(sum(slp_k) AS DOUBLE) / sum(n_bigrams)
+             |  FROM base GROUP BY cohort)
+             |SELECT model, cohort, n_docs, n_scored, n_rejected, n_bigrams,
+             |       n_unseen, cross_entropy
+             |FROM outp ORDER BY model, cohort""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T23 — character-entropy quality band: the model-free gibberish/
     // degeneracy detector. Every 25th doc re-enters as an 'ababab…'
     // degenerate twin (entropy exactly ln 2 — the injected fail case);

@@ -65,7 +65,19 @@ object NgramLm {
       train: DataFrame,
       maxCrossEntropy: Double,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    addOnePerDoc(docs, train, maxCrossEntropy, idCol, textCol).drop("__slp")
+
+  /** Per-doc add-one scoring keeping the exact decimal log-prob sum
+    * (`__slp`) — the same internal split as [[knPerDoc]], so
+    * [[screenCompare]] can pool batches without float accumulation.
+    */
+  private def addOnePerDoc(
+      docs: DataFrame,
+      train: DataFrame,
+      maxCrossEntropy: Double,
+      idCol: String,
+      textCol: String): DataFrame = {
     val trainBigrams = CacheScope.persist(bigrams(train, idCol, textCol))
     val big = trainBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uni = CacheScope.persist(
@@ -99,6 +111,7 @@ object NgramLm {
         col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        col("__sum_logp").as("__slp"),
         col("cross_entropy"),
         coalesce(col("cross_entropy") <= maxCrossEntropy, lit(false)).as("keep"))
   }
@@ -261,4 +274,58 @@ object NgramLm {
         col("n_bigrams"), col("n_unseen"),
         (-col("__slp_total").cast("double") / col("n_bigrams"))
           .as("corpus_cross_entropy"))
+
+  /** Smoother shoot-out — the "which perplexity filter do I ship" table:
+    * score the SAME corpus under both the add-one baseline and the KN
+    * model (each trained on the same slice), pool per (model, cohort)
+    * where `cohort` is a caller-supplied labeling column (natural vs
+    * planted-gibberish in the t51 fixture), and report each screen's
+    * rejection count and pooled per-bigram cross-entropy. The read-off is
+    * the SEPARATION each smoother achieves between the cohorts and the
+    * false-reject count on the clean cohort — measured engine-exactly,
+    * not eyeballed from two per-doc listings. Each model keeps its own
+    * shipped band (`addOneMaxCe`, `knMaxCe`): the comparison is between
+    * the screens as deployed, not between raw scores on a shared
+    * threshold (CE scales differ by construction — add-one's unseen
+    * floor is ~ln V, KN's is ln 4T).
+    *
+    * Exactness: per-doc decimal log-prob sums (`__slp`) are summed
+    * exactly across each cohort before the one IEEE division — the
+    * knScreenReport contract, applied symmetrically to both models.
+    *
+    * Shape at scale: two scoring passes over the exploded document
+    * bigrams (one per model) — each is the equi-join-only plan of its
+    * parent operator; the output is 2·|cohorts| rows.
+    */
+  def screenCompare(
+      docs: DataFrame,
+      train: DataFrame,
+      cohort: Column,
+      addOneMaxCe: Double,
+      knMaxCe: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def screen(perDoc: DataFrame, model: String): DataFrame =
+      perDoc
+        .withColumn("cohort", cohort)
+        .groupBy("cohort")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_bigrams") > 0, 1L).otherwise(0L)).as("n_scored"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_rejected"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          sum(col("n_unseen")).as("n_unseen"),
+          sum(col("__slp")).as("__slp_total"))
+        .select(
+          lit(model).as("model"), col("cohort"),
+          col("n_docs"), col("n_scored"), col("n_rejected"),
+          col("n_bigrams"), col("n_unseen"),
+          (-col("__slp_total").cast("double") / col("n_bigrams"))
+            .as("cross_entropy"))
+    screen(addOnePerDoc(docs, train, addOneMaxCe, idCol, textCol), "addone")
+      .unionByName(
+        screen(knPerDoc(docs, knModel(train, idCol, textCol), knMaxCe,
+          idCol, textCol), "kn"))
+      .orderBy("model", "cohort")
+  }
 }

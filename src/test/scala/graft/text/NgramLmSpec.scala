@@ -114,4 +114,58 @@ class NgramLmSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getDouble(3))).sorted.toSeq
     assert(run(docs) == run(docs.repartition(13)))
   }
+
+  test("screenCompare: both screens separate a planted-OOV cohort; pooled CE " +
+    "matches the per-doc contract") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val natural = (0L until 40L)
+      .map(i => (i, s"w${i % 5} w${(i * 3) % 5} w${(i * 7) % 5} w${i % 5}"))
+    val planted = (0L until 4L).map(i => (-i - 1, s"zq$i xk$i vv$i uu$i"))
+    val docs = (natural ++ planted).toDF("doc_id", "text")
+    val train = natural.toDF("doc_id", "text")
+    def compare(aCe: Double, kCe: Double) = NgramLm.screenCompare(
+      docs, train,
+      cohort = when(col("doc_id") < 0, lit("planted")).otherwise(lit("natural")),
+      addOneMaxCe = aCe, knMaxCe = kCe)
+      .collect()
+    val probe = compare(99.0, 99.0)
+    assert(probe.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("addone", "natural"), ("addone", "planted"),
+        ("kn", "natural"), ("kn", "planted")))
+    val ce = probe.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(7)).toMap
+    assert(ce(("addone", "planted")) > ce(("addone", "natural")))
+    assert(ce(("kn", "planted")) > ce(("kn", "natural")))
+    // band each screen at its measured cohort midpoint: every fully-OOV
+    // planted doc lands on the unseen floor (identical per-doc CE), so
+    // the midpoint rejects all 4 and keeps the natural cohort's pooled
+    // mass on the keep side
+    val rows = compare(
+      (ce(("addone", "natural")) + ce(("addone", "planted"))) / 2,
+      (ce(("kn", "natural")) + ce(("kn", "planted"))) / 2)
+    rows.filter(_.getString(1) == "planted").foreach { r =>
+      assert(r.getLong(4) == 4L, s"planted rejects: $r")
+      assert(r.getLong(5) == r.getLong(6), s"all planted bigrams unseen: $r")
+    }
+    // pooled CE == -sum(per-doc slp)/sum(n_bigrams): recompute from the
+    // per-doc faces on the natural cohort (weighted pooling, NOT a mean
+    // of per-doc CEs)
+    val perDoc = NgramLm.crossEntropy(docs, train, maxCrossEntropy = 2.5)
+      .filter(col("doc_id") >= 0).collect()
+    val pooled = perDoc.map(r => r.getDouble(3) * r.getLong(1)).sum /
+      perDoc.map(_.getLong(1)).sum
+    assert(math.abs(ce(("addone", "natural")) - pooled) < 1e-9)
+  }
+
+  test("screenCompare is repartition-stable") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val docs = (0L until 150L)
+      .map(i => (i, s"w${i % 7} w${(i * 3) % 7} w${(i * 5) % 7} w${i % 11}"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      NgramLm.screenCompare(d, d,
+        cohort = when(col("doc_id") % 2 === 0, lit("even")).otherwise(lit("odd")),
+        addOneMaxCe = 5.0, knMaxCe = 5.0)
+        .collect().map(_.toSeq).toSeq
+    assert(run(docs) == run(docs.repartition(13)))
+  }
 }
