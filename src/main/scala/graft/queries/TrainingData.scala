@@ -2425,6 +2425,75 @@ object TrainingData {
              |FROM cov""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T46b — the coverage gauge PER SOURCE (t46's drill-down): which
+    // feed is drifting out of the vocabulary's alphabet (per-source OOV
+    // rate) and which source costs the most pieces per word (fertility)
+    // — the two numbers that decide where a token budget actually goes
+    // at mixture-planning time. Same frozen in-query-learned vocab and
+    // zx9 plant as t46; the segmentation still runs ONCE per corpus-
+    // distinct word (the per-source rollup joins word verdicts back),
+    // so the drill-down adds one (source, word) count to t46's plan,
+    // nothing more.
+    Q(
+      "t46b_unigram_coverage_by_source",
+      (s, dir) => {
+        val docs = Unigram.requireRelaxBound(Tables.documents(s, dir))
+        val vocab = Unigram.collectVocab(
+          Unigram.learn(docs.filter(col("doc_id") % 3 =!= 0))
+            .select("piece", "cnt", "cost_micro"))
+        val batch = docs.select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 10 === 0, lit(" zx9")).otherwise(lit("")))
+            .as("text"))
+        Unigram.coverageReportBySource(batch, vocab)
+      },
+      Some(s"""WITH ${Unigram.learnChainCtes(docsWhere = " AND doc_id % 3 <> 0")},
+             |abase AS MATERIALIZED (
+             |  SELECT doc_id, source,
+             |         text || CASE WHEN doc_id % 10 = 0 THEN ' zx9' ELSE '' END AS text
+             |  FROM documents),
+             |aocc AS MATERIALIZED (SELECT doc_id, source, ws[i+1] AS word
+             |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws,
+             |               unnest(range(len(string_split(text, ' ')))) AS i
+             |        FROM abase WHERE text IS NOT NULL AND len(text) > 0)
+             |  WHERE len(ws[i+1]) > 0),
+             |asw AS MATERIALIZED (SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+             |  FROM aocc GROUP BY 1, 2),
+             |aw AS MATERIALIZED (SELECT word, CAST(sum(freq) AS BIGINT) AS freq
+             |  FROM asw GROUP BY 1),
+             |apos AS MATERIALIZED (SELECT word, CAST(i AS BIGINT) AS i
+             |  FROM (SELECT word, unnest(range(length(word))) AS i FROM aw)),
+             |${Unigram.viterbiChainCtes("a", "costf", "aw", "apos")},
+             |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |       FROM abase WHERE text IS NOT NULL AND len(text) > 0
+             |       GROUP BY 1),
+             |cov AS MATERIALIZED (SELECT s.source, s.freq, f.path
+             |  FROM asw s LEFT JOIN fina f USING (word)),
+             |st AS (SELECT source,
+             |  CAST(SUM(freq) AS BIGINT) AS n_words,
+             |  CAST(SUM(CASE WHEN path IS NOT NULL THEN freq ELSE 0 END)
+             |    AS BIGINT) AS n_covered_words,
+             |  CAST(SUM(CASE WHEN path IS NULL THEN freq ELSE 0 END)
+             |    AS BIGINT) AS n_oov_words,
+             |  CAST(SUM(CASE WHEN path IS NOT NULL
+             |         THEN freq * len(string_split(path, chr(1))) ELSE 0 END)
+             |    AS BIGINT) AS covered_pieces
+             |  FROM cov GROUP BY 1)
+             |SELECT nd.source, nd.n_docs,
+             |  COALESCE(st.n_words, 0) AS n_words,
+             |  COALESCE(st.n_covered_words, 0) AS n_covered_words,
+             |  COALESCE(st.n_oov_words, 0) AS n_oov_words,
+             |  CASE WHEN COALESCE(st.n_words, 0) > 0
+             |       THEN CAST(st.n_oov_words AS DOUBLE) / st.n_words
+             |  END AS oov_rate,
+             |  COALESCE(st.covered_pieces, 0) AS covered_pieces,
+             |  CASE WHEN COALESCE(st.n_covered_words, 0) > 0
+             |       THEN CAST(st.covered_pieces AS DOUBLE) / st.n_covered_words
+             |  END AS pieces_per_covered_word
+             |FROM nd LEFT JOIN st USING (source)
+             |ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T47 — known-item retrieval eval for the lexical-search family
     // (e13/d17/t46's analog): every 20th document's first three tokens
     // become its query, and BM25 must find the source doc — recall@1,

@@ -227,6 +227,65 @@ object Unigram {
           .as("pieces_per_covered_word"))
   }
 
+  /** [[coverageReport]] grouped per source — the "which source blows the
+    * token budget" table: per-source OOV rate (is one feed drifting out
+    * of the vocabulary's alphabet?) and pieces/covered-word fertility
+    * (which source costs the most tokens per word at training time).
+    * One row per source that has at least one non-empty document, same
+    * columns as the corpus gauge plus the leading `source`.
+    *
+    * Shape at scale: identical to [[coverageReport]] — the segmentation
+    * still runs once per corpus-DISTINCT word (the per-source rollup
+    * joins word-level verdicts back, it does not re-segment per source),
+    * plus one (source, word) map-side-combined count. Sources with
+    * words-free text keep a row via the left join from the doc-count
+    * side, zero-coalesced like the corpus face.
+    */
+  def coverageReportBySource(
+      docs: DataFrame, vocab: Seq[(String, Long)],
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val vocabChars = vocab.map(_._1).filter(_.length == 1).sorted.toArray
+    val srcWords = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("source", "word").agg(count(lit(1)).as("freq"))
+    val seg = segmentWordsLocal(srcWords, vocab)
+      .withColumn("covered",
+        size(array_except(array_distinct(split(col("word"), "")),
+          typedLit(vocabChars))) === 0)
+      .withColumn("n_pieces",
+        size(split(col("word_uni"), " ")).cast("long"))
+    val nDocs = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val stats = srcWords.join(seg, "word")
+      .groupBy("source")
+      .agg(
+        sum(col("freq")).as("n_words"),
+        sum(when(col("covered"), col("freq")).otherwise(0L)).as("n_covered_words"),
+        sum(when(!col("covered"), col("freq")).otherwise(0L)).as("n_oov_words"),
+        sum(when(col("covered"), col("freq") * col("n_pieces")).otherwise(0L))
+          .as("covered_pieces"))
+    nDocs.join(stats, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_covered_words"), lit(0L)).as("n_covered_words"),
+        coalesce(col("n_oov_words"), lit(0L)).as("n_oov_words"),
+        when(coalesce(col("n_words"), lit(0L)) > 0,
+          col("n_oov_words").cast("double") / col("n_words")).as("oov_rate"),
+        coalesce(col("covered_pieces"), lit(0L)).as("covered_pieces"),
+        when(coalesce(col("n_covered_words"), lit(0L)) > 0,
+          col("covered_pieces").cast("double") / col("n_covered_words"))
+          .as("pieces_per_covered_word"))
+      .orderBy("source")
+  }
+
   /** Learn then apply in one call — the t44 shape. */
   def learnApply(
       docs: DataFrame,

@@ -110,4 +110,35 @@ class UnigramSpec extends SparkTestBase {
     val ok = Seq((1L, "alpha beta"), (2L, null)).toDF("doc_id", "text")
     assert(Unigram.requireRelaxBound(ok, 16).count() == 2)
   }
+
+  test("coverageReportBySource: rolls up to the corpus gauge, isolates an " +
+    "OOV-drifting source, keeps words-free sources") {
+    import spark.implicits._
+    val vocab = Seq(("a", 10L), ("b", 10L), ("ab", 15L))
+    val batch = Seq(
+      (1L, "clean", "ab ab a"),   // covered: ab=1 piece x2, a=1 piece
+      (2L, "clean", "b ab"),
+      (3L, "drift", "ab zq"),     // zq: chars outside vocab -> OOV
+      (4L, "drift", "zq zq"),
+      (5L, "empty", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    val by = Unigram.coverageReportBySource(batch, vocab).collect()
+    assert(by.map(_.getString(0)).toSeq == Seq("clean", "drift"),
+      "null-text-only source has no non-empty doc -> no row; others sorted")
+    val m = by.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(6)))).toMap
+    // clean: 2 docs, 5 words all covered, pieces ab|ab|a|b|ab = 5
+    assert(m("clean") == ((2L, 5L, 5L, 0L, 5L)))
+    // drift: 2 docs, 4 words, 1 covered (ab -> 1 piece), 3 OOV
+    assert(m("drift") == ((2L, 4L, 1L, 3L, 1L)))
+    assert(by.find(_.getString(0) == "drift").get.getDouble(5) == 0.75)
+    // the per-source rows roll up EXACTLY to the corpus gauge
+    val corpus = Unigram.coverageReport(batch, vocab).collect()(0)
+    assert(by.map(_.getLong(1)).sum == corpus.getLong(0))  // n_docs
+    assert(by.map(_.getLong(2)).sum == corpus.getLong(1))  // n_words
+    assert(by.map(_.getLong(3)).sum == corpus.getLong(2))  // covered
+    assert(by.map(_.getLong(4)).sum == corpus.getLong(3))  // oov
+    assert(by.map(_.getLong(6)).sum == corpus.getLong(5))  // pieces
+  }
 }
