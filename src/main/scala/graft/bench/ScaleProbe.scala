@@ -110,6 +110,14 @@ object ScaleProbe {
       time(s"dsir_importance $label")(
         Curation.dsirImportance(d, docs1.limit(500), buckets = 4096,
           salt = "sp").count())
+      // Good-Turing tail stats: one explode + two map-side-combined count
+      // rollups per gram order over the growing corpus; output is
+      // |grams|x(|sources|+1) rows. Healthy = ~linear. (Replicated docs
+      // share one synthetic source - the per-source level degenerates to
+      // the pooled one, which only makes the rollup cheaper.)
+      time(s"good_turing $label")(
+        graft.text.CorpusStats.goodTuring(
+          d.withColumn("source", lit("probe")), grams = Seq(1, 3)).count())
     }
     for ((label, e) <- Seq("1x" -> emb1, s"${n}x" -> embN)) {
       val queries = e.limit(20)
