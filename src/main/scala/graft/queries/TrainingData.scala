@@ -2606,7 +2606,7 @@ object TrainingData {
              |                            ORDER BY score_fp6 DESC, doc_id) AS rnk
              |       FROM sc),
              |top AS (SELECT query_id, doc_id, rnk FROM rk WHERE rnk <= 10),
-             |gr AS (SELECT t.query_id, t.rnk, count(*) AS gain
+             |gr AS (SELECT t.query_id, t.rnk, least(count(*), 3) AS gain
              |       FROM top t
              |       JOIN qt ON qt.query_id = t.query_id
              |       JOIN tf ON tf.doc_id = t.doc_id AND tf.term = qt.term

@@ -347,11 +347,15 @@ object Bm25 {
     val dterm = hitDocs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .distinct()
+    // Gain saturates at maxGain (least): a query with more distinct
+    // terms than the declared gain scale must not push rbp_p50 past 1 —
+    // the normalizer is a contract, not a hope. Mirrored in the t48
+    // oracle.
     val gains = res.select(col("query_id"), col("rk"), col(idCol))
       .join(broadcast(qt), Seq("query_id"))
       .join(dterm, Seq(idCol, "term"))
       .groupBy("query_id", "rk")
-      .agg(count(lit(1)).as("gain"))
+      .agg(least(count(lit(1)), lit(maxGain.toLong)).as("gain"))
     val perQ = gains
       .withColumn("w", expr(s"shiftleft(cast(1 as bigint), cast($k - rk as int))"))
       .groupBy("query_id")

@@ -197,6 +197,16 @@ class Bm25Spec extends SparkTestBase {
       row2.getDouble(3) == expNum.toDouble / (2 * (2L << 4)))
   }
 
+  test("RBP gain saturates at maxGain - rbp_p50 cannot exceed 1") {
+    // A query with 3 distinct terms against maxGain = 2: a doc matching
+    // all 3 must count gain 2, not 3, or the declared normalizer lies.
+    val corpus = Seq((1L, "the quick fox")).toDF("doc_id", "text")
+    val q = Seq((1L, "the quick fox")).toDF("query_id", "query_text")
+    val row = Bm25.rbpEval(corpus, q, k = 4, maxGain = 2).collect().head
+    assert(row.getLong(2) == 2L, s"gain_total clamps: $row")
+    assert(row.getDouble(3) <= 1.0, s"rbp_p50 bounded: $row")
+  }
+
   test("PRF pulls in a document that shares no term with the original query") {
     // "apple" retrieves only doc 1; doc 1's terms include "tree";
     // doc 5 speaks ONLY of trees — invisible to pass 1, found by pass 2.
