@@ -159,18 +159,18 @@ object DedupEval {
     */
   def md5SimhashCandidates(
       docs: DataFrame, bits: Int, maxHamming: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val nBlocks = maxHamming + 1
-    require(bits % nBlocks == 0, s"bits=$bits not divisible by blocks=$nBlocks")
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashBlockedCandidates(
+      md5SimhashKeys(docs, bits, idCol, textCol), bits, maxHamming)
+
+  /** The (id, ks) packed md5-SimHash key table — computed ONCE and
+    * shared across hamming budgets by [[simhashSweep]] (the pigeonhole
+    * blocking is a re-slicing of the same packed words).
+    */
+  private def md5SimhashKeys(
+      docs: DataFrame, bits: Int,
+      idCol: String, textCol: String): DataFrame = {
     require(bits <= 128, s"md5 provides 128 bits, asked for $bits")
-    val blockBits = bits / nBlocks
-    // <= 32 strictly: blk_key reads ONE 32-bit word, so a 64-bit block
-    // (e.g. bits=128, maxHamming=1) would silently use only half its
-    // bits AND overflow the ANSI pow(2,64) long cast (r13 ADVICE).
-    require(blockBits <= 32 && 32 % blockBits == 0,
-      s"blockBits=$blockBits must divide 32 — a block must not straddle " +
-        "the 32-bit key words, and multi-word block keys are not assembled")
-    val nWords = (bits + 31) / 32
     val toks = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
@@ -188,7 +188,7 @@ object DedupEval {
         expr("(nib div CAST(pow(2, i % 4) AS INT)) % 2"))
       .groupBy("id", "i")
       .agg(sum(col("bit") * 2 - 1).as("vote"))
-    val keys = votes
+    votes
       .withColumn("b", when(col("vote") > 0, 1L).otherwise(0L))
       .withColumn("wi", expr("i div 32"))
       .groupBy("id", "wi")
@@ -197,6 +197,24 @@ object DedupEval {
       .agg(transform(
         array_sort(collect_list(struct(col("wi"), col("k")))),
         x => x.getField("k")).as("ks"))
+  }
+
+  /** Pigeonhole-block a packed key table at `maxHamming` and exact-filter
+    * the blocked candidates — recall at the budget is GUARANTEED (a pair
+    * within hamming h agrees on at least one of the h+1 blocks).
+    */
+  private def simhashBlockedCandidates(
+      keys: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(bits % nBlocks == 0, s"bits=$bits not divisible by blocks=$nBlocks")
+    val blockBits = bits / nBlocks
+    // <= 32 strictly: blk_key reads ONE 32-bit word, so a 64-bit block
+    // (e.g. bits=128, maxHamming=1) would silently use only half its
+    // bits AND overflow the ANSI pow(2,64) long cast (r13 ADVICE).
+    require(blockBits <= 32 && 32 % blockBits == 0,
+      s"blockBits=$blockBits must divide 32 — a block must not straddle " +
+        "the 32-bit key words, and multi-word block keys are not assembled")
+    val nWords = (bits + 31) / 32
     val blocked = keys
       .select(col("id"), col("ks"),
         explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
@@ -215,6 +233,32 @@ object DedupEval {
       .distinct()
       .filter(ham <= maxHamming)
       .select("lo", "hi")
+  }
+
+  /** The d19 report: the hamming-BUDGET tuning grid over the md5-SimHash
+    * screen at fixed key width — d18's analog on the other axis. The
+    * budget sets BOTH the blocking geometry (h+1 pigeonhole blocks of
+    * bits/(h+1) bits — recall at the budget is guaranteed, Gionis et
+    * al.'s standard argument) and the exact post-filter, so a wider
+    * budget buys truth recall at candidate-count cost — the d17 frontier
+    * already proved budgets must scale with key width; this measures the
+    * curve at the deployed width. The truth pass and the key pass run
+    * ONCE; each budget adds only its re-slice + block self-join. Same
+    * enforced eval-size contract as [[screenQuality]].
+    */
+  def simhashSweep(
+      docs: DataFrame, bits: Int = 64, hammingGrid: Seq[Int] = Seq(1, 3, 7),
+      shingleN: Int = 3, jaccardThreshold: Double = 0.5,
+      maxEvalRows: Long = 50000L, sampleOverMax: Boolean = false): DataFrame = {
+    val d = boundEvalInput(docs, "doc_id", maxEvalRows, sampleOverMax, "d19d")
+    val truth = graft.util.CacheScope.persist(
+      exactJaccardTruth(d, shingleN, jaccardThreshold))
+    val keys = graft.util.CacheScope.persist(
+      md5SimhashKeys(d, bits, "doc_id", "text"))
+    hammingGrid.map { h =>
+      scoreScreen(s"simhash${bits}_h$h",
+        truth, simhashBlockedCandidates(keys, bits, h))
+    }.reduce(_ unionByName _)
   }
 
   /** One (screen, n_truth, n_cand, n_hit, recall, precision) row. */

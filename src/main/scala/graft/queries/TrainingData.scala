@@ -1786,6 +1786,115 @@ object TrainingData {
              |FROM res ORDER BY screen""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // D19 — the SimHash hamming-BUDGET sweep (d18's analog on the other
+    // axis): the same 64-bit md5-SimHash key table re-blocked at budgets
+    // 1 / 3 / 7 against the same exact-Jaccard truth, one row per
+    // budget. The budget sets BOTH the pigeonhole geometry (h+1 blocks
+    // of 64/(h+1) bits — screen recall at the budget is guaranteed) and
+    // the exact hamming post-filter, so widening it buys truth recall at
+    // candidate cost — d17 proved budgets must scale with key width;
+    // this measures the curve AT the deployed 64-bit width under one
+    // full oracle. Truth and keys computed once; each budget adds only
+    // a re-slice + block self-join. Eval-size contract as in d17/d18.
+    Q(
+      "d19_simhash_sweep",
+      (s, dir) => {
+        val docs = docsWithNearDups(
+          Tables.documents(s, dir).select("doc_id", "text")
+            .filter(col("doc_id") % 10 === 0))
+        graft.dedup.DedupEval.simhashSweep(docs).orderBy("screen")
+      },
+      Some(s"""$sqlNearDupCte,
+             |$sqlShingleTruthMinhashCtes,
+             |stoks AS MATERIALIZED (
+             |  SELECT doc_id, md5(tok) AS h FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |    FROM docs WHERE text IS NOT NULL)
+             |  WHERE len(tok) > 0),
+             |sv64 AS MATERIALIZED (
+             |  SELECT doc_id, i,
+             |         SUM(2 * ((nib // CAST(pow(2, i % 4) AS INTEGER)) % 2) - 1) AS vote
+             |  FROM (
+             |    SELECT doc_id, i,
+             |      CASE WHEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) >= 97
+             |           THEN ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 87
+             |           ELSE ascii(substr(h, CAST(i // 4 + 1 AS INTEGER), 1)) - 48
+             |      END AS nib
+             |    FROM stoks, (SELECT unnest(range(64)) AS i))
+             |  GROUP BY 1, 2),
+             |sk64 AS MATERIALIZED (
+             |  SELECT doc_id, CAST(i // 32 AS INTEGER) AS wi,
+             |         CAST(SUM(CASE WHEN vote > 0 THEN pow(2, i % 32) ELSE 0 END)
+             |           AS BIGINT) AS k
+             |  FROM sv64 GROUP BY 1, 2),
+             |sp64 AS MATERIALIZED (
+             |  SELECT doc_id, list(k ORDER BY wi) AS ks FROM sk64 GROUP BY 1),
+             |sbh1 AS MATERIALIZED (
+             |  SELECT doc_id, ks, blk,
+             |         (ks[CAST((32 * blk) // 32 AS INTEGER) + 1]
+             |          // CAST(pow(2, (32 * blk) % 32) AS BIGINT))
+             |           % CAST(pow(2, 32) AS BIGINT) AS blk_key
+             |  FROM sp64, (SELECT unnest(range(2)) AS blk)),
+             |ch1 AS MATERIALIZED (
+             |  SELECT lo, hi FROM (
+             |    SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi,
+             |           x.ks AS ka, y.ks AS kb
+             |    FROM sbh1 x JOIN sbh1 y
+             |      ON x.blk = y.blk AND x.blk_key = y.blk_key
+             |     AND x.doc_id < y.doc_id)
+             |  WHERE bit_count(xor(ka[1], kb[1])) + bit_count(xor(ka[2], kb[2])) <= 1),
+             |sbh3 AS MATERIALIZED (
+             |  SELECT doc_id, ks, blk,
+             |         (ks[CAST((16 * blk) // 32 AS INTEGER) + 1]
+             |          // CAST(pow(2, (16 * blk) % 32) AS BIGINT)) % 65536 AS blk_key
+             |  FROM sp64, (SELECT unnest(range(4)) AS blk)),
+             |ch3 AS MATERIALIZED (
+             |  SELECT lo, hi FROM (
+             |    SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi,
+             |           x.ks AS ka, y.ks AS kb
+             |    FROM sbh3 x JOIN sbh3 y
+             |      ON x.blk = y.blk AND x.blk_key = y.blk_key
+             |     AND x.doc_id < y.doc_id)
+             |  WHERE bit_count(xor(ka[1], kb[1])) + bit_count(xor(ka[2], kb[2])) <= 3),
+             |sbh7 AS MATERIALIZED (
+             |  SELECT doc_id, ks, blk,
+             |         (ks[CAST((8 * blk) // 32 AS INTEGER) + 1]
+             |          // CAST(pow(2, (8 * blk) % 32) AS BIGINT)) % 256 AS blk_key
+             |  FROM sp64, (SELECT unnest(range(8)) AS blk)),
+             |ch7 AS MATERIALIZED (
+             |  SELECT lo, hi FROM (
+             |    SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi,
+             |           x.ks AS ka, y.ks AS kb
+             |    FROM sbh7 x JOIN sbh7 y
+             |      ON x.blk = y.blk AND x.blk_key = y.blk_key
+             |     AND x.doc_id < y.doc_id)
+             |  WHERE bit_count(xor(ka[1], kb[1])) + bit_count(xor(ka[2], kb[2])) <= 7),
+             |res AS (
+             |  SELECT 'simhash64_h1' AS screen,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t) AS n_truth,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM ch1) AS n_cand,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM ch1 c
+             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi) AS n_hit
+             |  UNION ALL
+             |  SELECT 'simhash64_h3',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM ch3),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM ch3 c
+             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi)
+             |  UNION ALL
+             |  SELECT 'simhash64_h7',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM ch7),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM ch7 c
+             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi))
+             |SELECT screen, n_truth, n_cand, n_hit,
+             |       CASE WHEN n_truth > 0
+             |            THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+             |       CASE WHEN n_cand > 0
+             |            THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
+             |FROM res ORDER BY screen""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T40 — keyword-in-context (KWIC) concordance for 'vector': every
     // occurrence with its ±3-token context — the corpus-inspection view
     // a curation analyst actually reads when a filter misfires. Shape:

@@ -65,6 +65,31 @@ class DedupEvalSpec extends SparkTestBase {
     assert(ec16 <= r("sign_band")._2, "16-bit candidates never exceed 8-bit here")
   }
 
+  test("simhashSweep: post-filter candidates are monotone in the budget and " +
+    "exact copies are recalled at every budget") {
+    val r = DedupEval.simhashSweep(docs)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.keySet == Set("simhash64_h1", "simhash64_h3", "simhash64_h7"))
+    // one truth for all rows
+    assert(r.values.map(_._1).toSet.size == 1)
+    // monotone: hamming <= h1 <= h2 pairs always survive the h2 blocking
+    // (pigeonhole: fewer differing bits than blocks), so cand/hit sets
+    // only grow with the budget
+    val Seq(h1, h3, h7) =
+      Seq("simhash64_h1", "simhash64_h3", "simhash64_h7").map(r)
+    assert(h1._2 <= h3._2 && h3._2 <= h7._2, s"candidates monotone: $r")
+    assert(h1._3 <= h3._3 && h3._3 <= h7._3, s"hits monotone: $r")
+    // exact copies (hamming 0) are caught at EVERY budget
+    assert(h1._3 >= 2, s"exact copies at h=1: $r")
+    r.values.foreach { case (t, c, h) => assert(h <= t && h <= c) }
+    // an indivisible budget fails loudly, not silently
+    val ex = intercept[IllegalArgumentException] {
+      DedupEval.simhashSweep(docs, hammingGrid = Seq(2)).collect()
+    }
+    assert(ex.getMessage.contains("not divisible"))
+  }
+
   test("the eval-size contract is ENFORCED: oversized input fails loudly, the md5 sample degrades deterministically") {
     import spark.implicits._
     val emb = (0 until 40).map { k =>
