@@ -423,6 +423,109 @@ object CurationQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // C28 — the DEDUP-ADJUSTED token budget (the honest version of
+    // c26's plan): per-source availability is counted on exact-dedup
+    // SURVIVORS (global md5 of the text, min-doc_id survivor election —
+    // d1's convention), then the SAME 3-round waterfill allocates 40%
+    // of the DEDUPED pool. The fixture plants the two failure modes a
+    // naive plan mis-budgets: a 'mirror' source that is a pure re-crawl
+    // of every 5th doc (its naive avail is all duplicate tokens —
+    // deduped avail 0, alloc 0) and mild in-source duplication (every
+    // 7th doc re-entered under its own source). The report carries both
+    // counts so the shift is a read-off: (avail_naive, avail_dedup,
+    // dup_tokens, dup_frac, alloc, saturated) per source. Shape at
+    // scale: the survivor election is d1's one md5 groupBy; everything
+    // downstream operates on |sources|-row tables.
+    Q(
+      "c28_dedup_adjusted_budget",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select("doc_id", "source", "text")
+        val docs = base
+          .unionByName(base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              lit("mirror").as("source"), col("text")))
+          .unionByName(base.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              col("source"), col("text")))
+        val withH = docs.select(col("doc_id"), col("source"),
+          md5(col("text")).as("__h"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("__t"))
+        val surv = withH.groupBy("__h").agg(min("doc_id").as("doc_id"))
+        val naive = withH.groupBy("source")
+          .agg(sum(col("__t")).as("avail_naive"))
+        val ded = withH.join(surv, Seq("__h", "doc_id"), "left_semi")
+          .groupBy("source").agg(sum(col("__t")).as("avail_dedup"))
+        val av = naive.join(ded, Seq("source"), "left")
+          .select(col("source"), col("avail_naive"),
+            coalesce(col("avail_dedup"), lit(0L)).as("avail"),
+            lit(1L).as("w"))
+        val budget = av.agg(expr("sum(avail) * 2 div 5").as("budget"))
+        Curation.waterfillAllocation(av.select("source", "avail", "w"),
+            budget, rounds = 3)
+          .join(av.select("source", "avail_naive"), "source")
+          .select(
+            col("source"), col("avail_naive"),
+            col("avail").as("avail_dedup"),
+            (col("avail_naive") - col("avail")).as("dup_tokens"),
+            when(col("avail_naive") > 0,
+              (col("avail_naive") - col("avail")).cast("double") /
+                col("avail_naive")).as("dup_frac"),
+            col("alloc"), col("saturated"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (SELECT doc_id, source, text FROM documents
+             |              WHERE text IS NOT NULL),
+             |docs AS (SELECT * FROM base
+             |  UNION ALL SELECT doc_id + 1000000, 'mirror', text FROM base
+             |            WHERE doc_id % 5 = 0
+             |  UNION ALL SELECT doc_id + 2000000, source, text FROM base
+             |            WHERE doc_id % 7 = 0),
+             |h AS MATERIALIZED (SELECT doc_id, source, md5(text) AS hh,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+             |     FROM docs),
+             |sv AS (SELECT hh, min(doc_id) AS doc_id FROM h GROUP BY 1),
+             |naive AS (SELECT source, CAST(sum(t) AS BIGINT) AS avail_naive
+             |          FROM h GROUP BY 1),
+             |ded AS (SELECT h.source, CAST(sum(h.t) AS BIGINT) AS avail_dedup
+             |        FROM h JOIN sv ON h.hh = sv.hh AND h.doc_id = sv.doc_id
+             |        GROUP BY 1),
+             |av AS (SELECT n.source, n.avail_naive,
+             |              COALESCE(d.avail_dedup, 0) AS avail
+             |       FROM naive n LEFT JOIN ded d USING (source)),
+             |b AS (SELECT (sum(avail) * 2) // 5 AS r FROM av),
+             |u1 AS (SELECT count(*) AS ws FROM av WHERE avail > 0),
+             |a1 AS (SELECT source, avail_naive, avail,
+             |         least(CASE WHEN avail > 0 AND ws > 0
+             |                    THEN (r * 1) // ws ELSE 0 END, avail) AS alloc
+             |       FROM av CROSS JOIN b CROSS JOIN u1),
+             |r1 AS (SELECT b.r - (SELECT sum(alloc) FROM a1) AS r FROM b),
+             |u2 AS (SELECT count(*) AS ws FROM a1 WHERE alloc < avail),
+             |a2 AS (SELECT source, avail_naive, avail, alloc +
+             |         least(CASE WHEN avail - alloc > 0 AND ws > 0
+             |                    THEN (r * 1) // ws ELSE 0 END,
+             |               avail - alloc) AS alloc
+             |       FROM a1 CROSS JOIN r1 CROSS JOIN u2),
+             |r2 AS (SELECT r1.r - (SELECT sum(a2.alloc - a1.alloc)
+             |                      FROM a2 JOIN a1 USING (source)) AS r
+             |       FROM r1),
+             |u3 AS (SELECT count(*) AS ws FROM a2 WHERE alloc < avail),
+             |a3 AS (SELECT source, avail_naive, avail, alloc +
+             |         least(CASE WHEN avail - alloc > 0 AND ws > 0
+             |                    THEN (r * 1) // ws ELSE 0 END,
+             |               avail - alloc) AS alloc
+             |       FROM a2 CROSS JOIN r2 CROSS JOIN u3)
+             |SELECT source, avail_naive, avail AS avail_dedup,
+             |       avail_naive - avail AS dup_tokens,
+             |       CASE WHEN avail_naive > 0
+             |            THEN CAST(avail_naive - avail AS DOUBLE) / avail_naive
+             |       END AS dup_frac,
+             |       CAST(alloc AS BIGINT) AS alloc,
+             |       alloc = avail AS saturated
+             |FROM a3 ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // C26 — water-filling mixture allocation (the PLANNING face of the
     // mixture samplers): 40% of the corpus's tokens split uniformly
     // across the 20 sources, availability-capped, with freed budget
