@@ -82,6 +82,11 @@ class PlanAuditSpec extends SparkTestBase {
     // candidate legs themselves are banded equi-joins; the truth input
     // passes the same enforced boundEvalInput as d17)
     "d18_minhash_sweep",
+    // d18's analog on the hamming-budget axis: identical one-row stat
+    // sides per budget point; candidate legs are pigeonhole-block
+    // equi-joins over the once-computed key table, truth input passes
+    // the same enforced boundEvalInput
+    "d19_simhash_sweep",
     "t24b_nb_confusion",
     // one-row vocabulary-size side of the smoothed-probability join
     "t20_lm_perplexity_filter",
@@ -93,6 +98,9 @@ class PlanAuditSpec extends SparkTestBase {
     // the count-table joins themselves are equi-joins on w1/w2
     "t49_kn_perplexity",
     "t49b_kn_screen_report",
+    // the shoot-out runs BOTH scoring passes: t20's one-row V side and
+    // t49's one-row T side, over the same equi-join count tables
+    "t51_lm_screen_compare",
     // one-row weight-total side of the temperature-share computation
     "c18_temperature_mixture",
     // e1-shape broadcast query sets: MMR's retrieval stage and the
