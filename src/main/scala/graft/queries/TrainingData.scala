@@ -3020,6 +3020,114 @@ object TrainingData {
              |FROM outp ORDER BY model, cohort""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T52 — screen AGREEMENT matrix (the ensemble diagnostic over the
+    // quality family): are the deployed filters redundant or
+    // complementary? Three screens flag the SAME planted corpus (t49's
+    // char-reversed OOV twins) — the t23 entropy band, a distinct-ratio
+    // floor (the t2-family heuristic), and the t49 KN perplexity band —
+    // and one row per screen pair reports both reject counts, the
+    // overlap, and the reject-set Jaccard. The fixture makes the point
+    // sharply: per-word char reversal preserves the character histogram
+    // AND the type/token profile exactly, so the two heuristic screens
+    // CANNOT see the plant (their reject sets ignore it) while the
+    // model screen rejects all of it — low KN-vs-heuristic Jaccard is
+    // the measured "the LM screen is not redundant" read-off, and a
+    // high heuristic-vs-heuristic Jaccard argues one of them is.
+    // Counts are exact BIGINTs; Jaccard is one IEEE division.
+    Q(
+      "t52_screen_agreement",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val rev = d.filter(col("doc_id") % 25 === 0 && col("text").isNotNull)
+          .select((-col("doc_id") - 1).as("doc_id"),
+            concat_ws(" ",
+              transform(split(col("text"), " "), w => reverse(w))).as("text"))
+        val docs = d.unionByName(rev)
+        val kn = NgramLm.knCrossEntropy(
+          docs, d.filter(col("doc_id") % 3 =!= 0), maxCrossEntropy = 4.0)
+          .select(col("doc_id"), (!col("keep")).as("kn"))
+        val ent = Entropy.charEntropy(docs, minEntropy = 2.0, maxEntropy = 4.5)
+          .select(col("doc_id"), (!col("keep")).as("entropy"))
+        val dr = docs.select(col("doc_id"),
+          (TextFunctions.distinctRatio(col("text")) < 0.3).as("distinct_ratio"))
+        val flags = graft.util.CacheScope.persist(
+          kn.join(ent, "doc_id").join(dr, "doc_id"))
+        def pairRow(a: String, b: String): DataFrame =
+          flags.agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col(a), 1L).otherwise(0L)).as("n_rejected_a"),
+            sum(when(col(b), 1L).otherwise(0L)).as("n_rejected_b"),
+            sum(when(col(a) && col(b), 1L).otherwise(0L)).as("n_overlap"),
+            sum(when(col(a) || col(b), 1L).otherwise(0L)).as("__n_union"))
+            .select(
+              lit(a).as("screen_a"), lit(b).as("screen_b"),
+              col("n_docs"), col("n_rejected_a"), col("n_rejected_b"),
+              col("n_overlap"),
+              when(col("__n_union") > 0,
+                col("n_overlap").cast("double") / col("__n_union"))
+                .as("jaccard"))
+        pairRow("distinct_ratio", "entropy")
+          .unionByName(pairRow("distinct_ratio", "kn"))
+          .unionByName(pairRow("entropy", "kn"))
+          .orderBy("screen_a", "screen_b")
+      },
+      Some(sqlKnCtes +
+        """,
+          |knr AS (SELECT d.doc_id,
+             |         NOT coalesce(-CAST(a.slp AS DOUBLE) / a.n_bigrams <= 4.0,
+             |                      FALSE) AS kn
+             |       FROM docs d LEFT JOIN agg a USING (doc_id)
+             |       WHERE d.text IS NOT NULL),
+             |ech AS (SELECT doc_id, unnest(list_transform(
+             |                range(length(text)), i -> substr(text, i + 1, 1))) AS ch
+             |        FROM docs WHERE text IS NOT NULL AND length(text) >= 1),
+             |ehist AS (SELECT doc_id, ch, count(*) AS c FROM ech GROUP BY 1, 2),
+             |eagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+             |                sum(c * CAST(ln(c) AS DECIMAL(20,6))) AS clnc
+             |         FROM ehist GROUP BY 1),
+             |ekeep AS (SELECT doc_id,
+             |            NOT (CAST(CAST(ln(n_chars) AS DECIMAL(20,6)) AS DOUBLE)
+             |                   - CAST(clnc AS DOUBLE) / n_chars >= 2.0
+             |                 AND CAST(CAST(ln(n_chars) AS DECIMAL(20,6)) AS DOUBLE)
+             |                   - CAST(clnc AS DOUBLE) / n_chars <= 4.5) AS entropy
+             |          FROM eagg),
+             |drk AS (SELECT doc_id,
+             |          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |            / len(string_split(text, ' ')) < 0.3 AS dr
+             |        FROM docs WHERE text IS NOT NULL),
+             |flags AS (SELECT k.doc_id, k.kn, e.entropy, r.dr
+             |          FROM knr k JOIN ekeep e USING (doc_id)
+             |          JOIN drk r USING (doc_id)),
+             |outp AS (
+             |  SELECT 'distinct_ratio' AS screen_a, 'entropy' AS screen_b,
+             |    CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(CASE WHEN dr THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected_a,
+             |    CAST(sum(CASE WHEN entropy THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected_b,
+             |    CAST(sum(CASE WHEN dr AND entropy THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_overlap,
+             |    CAST(sum(CASE WHEN dr OR entropy THEN 1 ELSE 0 END) AS BIGINT) AS nu
+             |  FROM flags
+             |  UNION ALL
+             |  SELECT 'distinct_ratio', 'kn', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN dr THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN kn THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN dr AND kn THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN dr OR kn THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM flags
+             |  UNION ALL
+             |  SELECT 'entropy', 'kn', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN entropy THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN kn THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN entropy AND kn THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN entropy OR kn THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM flags)
+             |SELECT screen_a, screen_b, n_docs, n_rejected_a, n_rejected_b,
+             |       n_overlap,
+             |       CASE WHEN nu > 0
+             |            THEN CAST(n_overlap AS DOUBLE) / nu END AS jaccard
+             |FROM outp ORDER BY screen_a, screen_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T23 — character-entropy quality band: the model-free gibberish/
     // degeneracy detector. Every 25th doc re-enters as an 'ababab…'
     // degenerate twin (entropy exactly ln 2 — the injected fail case);
