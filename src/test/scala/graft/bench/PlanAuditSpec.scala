@@ -101,6 +101,9 @@ class PlanAuditSpec extends SparkTestBase {
     // the shoot-out runs BOTH scoring passes: t20's one-row V side and
     // t49's one-row T side, over the same equi-join count tables
     "t51_lm_screen_compare",
+    // the agreement matrix composes the t49 scoring pass (one-row T
+    // side); the entropy/ratio legs and the flag joins are equi-joins
+    "t52_screen_agreement",
     // one-row weight-total side of the temperature-share computation
     "c18_temperature_mixture",
     // e1-shape broadcast query sets: MMR's retrieval stage and the
