@@ -146,6 +146,37 @@ object DedupEval {
     }.reduce(_ unionByName _)
   }
 
+  /** The d18b report: the signature-LENGTH axis of the MinHash grid —
+    * k = 8 banded 2/4/8 ways against the same exact truth, read beside
+    * d18's k = 16 rows. The seed-prefix property buys the whole face
+    * for free: signature element s is min(md5(shingle ‖ '#' ‖ s)), so
+    * the k = 8 table is EXACTLY the `seed < 8` slice of the k = 16
+    * table — one signature pass feeds both faces' five configurations,
+    * and the comparison is apples-to-apples by construction (identical
+    * hash family, identical truth). Read-off: at the same band count a
+    * shorter signature means shorter band keys ⇒ more accidental
+    * collisions ⇒ recall ≥ / precision ≤ the k = 16 row — the "how
+    * much signature do I need" axis users otherwise size blind.
+    */
+  def minhashGrid(
+      docs: DataFrame, kMax: Int = 16,
+      configs: Seq[(Int, Int)] = Seq((8, 2), (8, 4), (8, 8)),
+      shingleN: Int = 3, jaccardThreshold: Double = 0.5,
+      maxEvalRows: Long = 50000L, sampleOverMax: Boolean = false): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (k, b) =>
+      k >= 1 && k <= kMax && b >= 1 && k % b == 0 },
+      s"each (k, bands) needs 1 <= k <= kMax=$kMax and bands | k: $configs")
+    val d = boundEvalInput(docs, "doc_id", maxEvalRows, sampleOverMax, "d18g")
+    val truth = graft.util.CacheScope.persist(
+      exactJaccardTruth(d, shingleN, jaccardThreshold))
+    val sig = graft.util.CacheScope.persist(
+      md5MinhashSignatures(d, kMax, shingleN, "doc_id", "text"))
+    configs.map { case (k, b) =>
+      scoreScreen(s"minhash_k${k}_b$b",
+        truth, lshBandedCandidates(sig.filter(col("seed") < k), k, b))
+    }.reduce(_ unionByName _)
+  }
+
   /** md5-SimHash candidate pairs over `bits`-bit keys: one vote per token
     * OCCURRENCE from the token's md5 nibbles (bit i = bit (i mod 4) of
     * hex digit (i div 4); ascii arithmetic, no conv()), majority strictly

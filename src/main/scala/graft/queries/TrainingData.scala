@@ -1786,6 +1786,80 @@ object TrainingData {
              |FROM res ORDER BY screen""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // D18B — the signature-LENGTH axis of the MinHash grid: k = 8
+    // banded 2/4/8 ways against the same exact truth, read beside d18's
+    // k = 16 rows to complete the (k, bands) tuning grid. The
+    // seed-prefix property buys it for free: element s is
+    // min(md5(shingle ‖ '#' ‖ s)), so the k = 8 signature table is
+    // EXACTLY the seed < 8 slice of d18's k = 16 table — one signature
+    // pass, identical hash family, identical truth, apples-to-apples by
+    // construction. At the same band count, shorter signatures mean
+    // shorter band keys ⇒ more accidental collisions ⇒ recall up /
+    // precision down vs k = 16 — the "how much signature do I need"
+    // axis, measured.
+    Q(
+      "d18b_minhash_kgrid",
+      (s, dir) => {
+        val docs = docsWithNearDups(
+          Tables.documents(s, dir).select("doc_id", "text")
+            .filter(col("doc_id") % 10 === 0))
+        graft.dedup.DedupEval.minhashGrid(docs).orderBy("screen")
+      },
+      Some(s"""$sqlNearDupCte,
+             |$sqlShingleTruthMinhashCtes,
+             |m8 AS MATERIALIZED (SELECT doc_id, seed, sig FROM mhash
+             |                    WHERE seed < 8),
+             |kb2 AS MATERIALIZED (
+             |  SELECT doc_id, seed // 4 AS band,
+             |         string_agg(sig, '' ORDER BY seed) AS band_key
+             |  FROM m8 GROUP BY 1, 2),
+             |kc2 AS MATERIALIZED (
+             |  SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi
+             |  FROM kb2 x JOIN kb2 y
+             |    ON x.band = y.band AND x.band_key = y.band_key
+             |   AND x.doc_id < y.doc_id),
+             |kb4 AS MATERIALIZED (
+             |  SELECT doc_id, seed // 2 AS band,
+             |         string_agg(sig, '' ORDER BY seed) AS band_key
+             |  FROM m8 GROUP BY 1, 2),
+             |kc4 AS MATERIALIZED (
+             |  SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi
+             |  FROM kb4 x JOIN kb4 y
+             |    ON x.band = y.band AND x.band_key = y.band_key
+             |   AND x.doc_id < y.doc_id),
+             |kb8 AS MATERIALIZED (
+             |  SELECT doc_id, seed AS band, sig AS band_key FROM m8),
+             |kc8 AS MATERIALIZED (
+             |  SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi
+             |  FROM kb8 x JOIN kb8 y
+             |    ON x.band = y.band AND x.band_key = y.band_key
+             |   AND x.doc_id < y.doc_id),
+             |res AS (
+             |  SELECT 'minhash_k8_b2' AS screen,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t) AS n_truth,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM kc2) AS n_cand,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM kc2 c
+             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi) AS n_hit
+             |  UNION ALL
+             |  SELECT 'minhash_k8_b4',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM kc4),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM kc4 c
+             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi)
+             |  UNION ALL
+             |  SELECT 'minhash_k8_b8',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_t),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM kc8),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM kc8 c
+             |     JOIN truth_t t ON c.lo = t.lo AND c.hi = t.hi))
+             |SELECT screen, n_truth, n_cand, n_hit,
+             |       CASE WHEN n_truth > 0
+             |            THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+             |       CASE WHEN n_cand > 0
+             |            THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
+             |FROM res ORDER BY screen""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // D19 — the SimHash hamming-BUDGET sweep (d18's analog on the other
     // axis): the same 64-bit md5-SimHash key table re-blocked at budgets
     // 1 / 3 / 7 against the same exact-Jaccard truth, one row per

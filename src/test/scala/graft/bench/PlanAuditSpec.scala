@@ -87,6 +87,9 @@ class PlanAuditSpec extends SparkTestBase {
     // equi-joins over the once-computed key table, truth input passes
     // the same enforced boundEvalInput
     "d19_simhash_sweep",
+    // the k axis of the same grid: identical one-row stat sides; the
+    // k=8 legs band the seed<8 slice of the one shared signature table
+    "d18b_minhash_kgrid",
     "t24b_nb_confusion",
     // one-row vocabulary-size side of the smoothed-probability join
     "t20_lm_perplexity_filter",

@@ -90,6 +90,31 @@ class DedupEvalSpec extends SparkTestBase {
     assert(ex.getMessage.contains("not divisible"))
   }
 
+  test("minhashGrid: the k=8 slice is a seed-prefix of the k=16 table and " +
+    "exact copies are recalled at every configuration") {
+    val r = DedupEval.minhashGrid(docs)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.keySet == Set("minhash_k8_b2", "minhash_k8_b4", "minhash_k8_b8"))
+    assert(r.values.map(_._1).toSet.size == 1, "one truth for all rows")
+    // exact copies share every signature element at any k -> recalled
+    // by every configuration
+    r.values.foreach { case (t, c, h) =>
+      assert(h >= 2, s"exact copies recalled: $r")
+      assert(h <= t && h <= c)
+    }
+    // more bands at the same k -> shorter band keys -> candidates can
+    // only grow (a b2 collision needs 4 agreeing elements, which
+    // implies both its b4 halves collide)
+    assert(r("minhash_k8_b2")._2 <= r("minhash_k8_b4")._2)
+    assert(r("minhash_k8_b4")._2 <= r("minhash_k8_b8")._2)
+    // invalid config (bands must divide k) fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      DedupEval.minhashGrid(docs, configs = Seq((8, 3))).collect()
+    }
+    assert(ex.getMessage.contains("bands"))
+  }
+
   test("the eval-size contract is ENFORCED: oversized input fails loudly, the md5 sample degrades deterministically") {
     import spark.implicits._
     val emb = (0 until 40).map { k =>
