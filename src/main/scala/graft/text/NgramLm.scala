@@ -264,10 +264,16 @@ object NgramLm {
     knPerDoc(docs, model, maxCrossEntropy, idCol, textCol)
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("n_bigrams") > 0, 1L).otherwise(0L)).as("n_scored"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_rejected"),
-        sum(col("n_bigrams")).as("n_bigrams"),
-        sum(col("n_unseen")).as("n_unseen"),
+        // coalesce(0): an EMPTY micro-batch (ST12's quiet-period case)
+        // reports zero counts and a NULL pooled CE, not a row of NULLs
+        // (the NULL slp-sum short-circuits the division under ANSI
+        // before the zero-divisor check — spec-pinned)
+        coalesce(sum(when(col("n_bigrams") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_scored"),
+        coalesce(sum(when(col("keep"), 0L).otherwise(1L)), lit(0L))
+          .as("n_rejected"),
+        coalesce(sum(col("n_bigrams")), lit(0L)).as("n_bigrams"),
+        coalesce(sum(col("n_unseen")), lit(0L)).as("n_unseen"),
         sum(col("__slp")).as("__slp_total"))
       .select(
         col("n_docs"), col("n_scored"), col("n_rejected"),

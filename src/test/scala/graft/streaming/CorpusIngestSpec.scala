@@ -441,5 +441,15 @@ class CorpusIngestSpec extends SparkTestBase {
     CorpusIngest.ingestBatchKnMonitor(
       gibberish.toDF("doc_id", "text"), model, 2.0, metrics, batchId = 1L)
     assert(CorpusIngest.readKnMetrics(spark, metrics).count() == 2L)
+    // an EMPTY micro-batch must not crash the monitor under ANSI: the
+    // NULL decimal slp-sum short-circuits the pooled division before
+    // the zero-divisor check, so the row reports NULL CE and 0 counts
+    CorpusIngest.ingestBatchKnMonitor(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), model, 2.0,
+      metrics, batchId = 2L)
+    val emptyRow = CorpusIngest.readKnMetrics(spark, metrics)
+      .filter(org.apache.spark.sql.functions.col("batch_id") === 2L).head()
+    assert(emptyRow.getLong(1) == 0L && emptyRow.getLong(4) == 0L &&
+      emptyRow.isNullAt(6), s"empty batch: $emptyRow")
   }
 }
