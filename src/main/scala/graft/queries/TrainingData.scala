@@ -401,6 +401,28 @@ object TrainingData {
       p
     })
 
+  /** The same learn-once store for the TRAIN-SLICE vocabulary
+    * (doc_id % 3 <> 0 — t20's held-out pattern) that t46/t46b gauge
+    * coverage against: learned and persisted once per sf-dir, read on
+    * every subsequent call — the serving shape (hand-off note (e)'s
+    * follow-up; same determinism argument as [[unigramVocabPath]]).
+    * The oracles re-derive the learn chain in SQL, so the artifact must
+    * reproduce it bit-for-bit — the same contract t44b pins for the
+    * full-corpus vocab.
+    */
+  private val unigramTrainVocabDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def unigramTrainVocab(
+      s: SparkSession, dir: String): Seq[(String, Long)] =
+    Unigram.collectVocab(s.read.parquet(
+      unigramTrainVocabDirs.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_unigram_train_vocab").toString
+        Unigram.learn(Tables.documents(s, dir).filter(col("doc_id") % 3 =!= 0))
+          .write.mode("overwrite").parquet(p)
+        p
+      })))
+
   /** 10-word boilerplate lines injected into the corpus for the span-dedup
     * fixture: every 5th doc gets the header prepended, every 7th the footer
     * appended — repeated chrome INSIDE otherwise-distinct documents, the
@@ -2559,9 +2581,7 @@ object TrainingData {
       "t46_unigram_coverage",
       (s, dir) => {
         val docs = Unigram.requireRelaxBound(Tables.documents(s, dir))
-        val vocab = Unigram.collectVocab(
-          Unigram.learn(docs.filter(col("doc_id") % 3 =!= 0))
-            .select("piece", "cnt", "cost_micro"))
+        val vocab = unigramTrainVocab(s, dir)
         val batch = docs.select(col("doc_id"),
           concat(col("text"),
             when(col("doc_id") % 10 === 0, lit(" zx9")).otherwise(lit("")))
@@ -2621,9 +2641,7 @@ object TrainingData {
       "t46b_unigram_coverage_by_source",
       (s, dir) => {
         val docs = Unigram.requireRelaxBound(Tables.documents(s, dir))
-        val vocab = Unigram.collectVocab(
-          Unigram.learn(docs.filter(col("doc_id") % 3 =!= 0))
-            .select("piece", "cnt", "cost_micro"))
+        val vocab = unigramTrainVocab(s, dir)
         val batch = docs.select(col("doc_id"), col("source"),
           concat(col("text"),
             when(col("doc_id") % 10 === 0, lit(" zx9")).otherwise(lit("")))
