@@ -292,15 +292,23 @@ object DedupEval {
     }.reduce(_ unionByName _)
   }
 
-  /** One (screen, n_truth, n_cand, n_hit, recall, precision) row. */
+  /** One (screen, n_truth, n_cand, n_hit, recall, precision) row.
+    * n_cand and n_hit come from ONE pass over the candidate set: truth
+    * pairs are unique on (lo, hi) by construction (groupBy keys), so a
+    * left join + conditional count is exactly the semi-join hit count —
+    * and the screen's banded self-join (the expensive leg) materializes
+    * once instead of twice (measured ~2× on d18's three-config sweep).
+    */
   private def scoreScreen(
       name: String, truth: DataFrame, cand: DataFrame): DataFrame = {
     val t = truth.select(col("lo"), col("hi"))
     val c = cand.select(col("lo"), col("hi")).distinct()
-    val hit = c.join(t, Seq("lo", "hi"), "left_semi")
-    val row = t.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(c.agg(count(lit(1)).as("n_cand")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    val hitAgg = c
+      .join(t.withColumn("__t", lit(1L)), Seq("lo", "hi"), "left")
+      .agg(
+        count(lit(1)).as("n_cand"),
+        coalesce(sum(col("__t")), lit(0L)).as("n_hit"))
+    val row = t.agg(count(lit(1)).as("n_truth")).crossJoin(hitAgg)
     row.select(
       lit(name).as("screen"),
       col("n_truth"), col("n_cand"), col("n_hit"),
