@@ -349,6 +349,41 @@ object DedupEval {
     }
   }
 
+  /** The d20 report: the CAP axis of the sign-band family, measured on
+    * the drop path (saltOverCap = false — the SQL-mirrorable exclusion
+    * the d17 oracle pins). The r13 ADVICE named the failure mode this
+    * curve quantifies: under drop, a pair is lost when EVERY band it
+    * collides in is over cap, so tightening the cap trades candidate
+    * volume against exactly-measurable recall. One row per cap plus the
+    * uncapped ceiling, all against the same exact-cosine truth — read
+    * beside e23's occupancy report (which predicts WHERE the cap bites)
+    * this is the tuning table for the cap lever, and a flat recall
+    * column is itself the measured "rotate re-spreads the keys so the
+    * cap is inert on this corpus" claim.
+    */
+  def signBandCapSweep(
+      emb: DataFrame,
+      caps: Seq[Option[Int]] = Seq(Some(4), Some(8), Some(64), None),
+      dim: Int = 64, cosineThreshold: Double = 0.999,
+      maxEvalRows: Long = 50000L, sampleOverMax: Boolean = false): DataFrame = {
+    val e = boundEvalInput(emb, "vec_id", maxEvalRows, sampleOverMax, "d20e")
+    val vecs = e.select(col("vec_id").as("id"), col("embedding").as("v"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val truthE = graft.util.CacheScope.persist(
+      vecs.as("a").join(vecs.as("b"), col("a.id") < col("b.id"))
+        .filter(Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")) >= cosineThreshold)
+        .select(col("a.id").as("lo"), col("b.id").as("hi")))
+    caps.map { cap =>
+      val name = cap.fold("sign_band_uncapped")(c => s"sign_band_cap$c")
+      val cand = Similarity.signBandCandidatePairs(e, dim,
+          rotate = true, maxBucket = cap, saltOverCap = false)
+        .select(pairKey(col("id_a"), col("id_b")).as("p"))
+        .select(col("p.lo").as("lo"), col("p.hi").as("hi"))
+      scoreScreen(name, truthE, cand)
+    }.reduce(_ unionByName _)
+  }
+
   /** The d17 report: the blocking screens against their exact ground
     * truths. `docs` / `emb` are the caller-built fixtures (planted
     * near-dups), bounded by [[boundEvalInput]] before any quadratic

@@ -1991,6 +1991,126 @@ object TrainingData {
              |FROM res ORDER BY screen""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // D20 — the CAP axis of the sign-band family (completes the lever
+    // set: d17 band width, d18/d18b bands×k, d19 hamming budget, d20
+    // bucket cap): caps 16/64/256 plus the uncapped ceiling on the DROP
+    // path (saltOverCap = false, the oracle-mirrorable exclusion),
+    // rotate ON, all vs the same exact-cosine truth. This measures the
+    // r13-ADVICE failure mode as a curve — under drop, a pair is lost
+    // only when EVERY band it collides in is over cap — and a flat
+    // recall column IS the measured "rotate re-spreads keys so the cap
+    // is inert here" claim, while n_cand shows what the cap saves.
+    Q(
+      "d20_signband_cap_sweep",
+      (s, dir) => {
+        val sub = Tables.embeddings(s, dir).select("vec_id", "embedding")
+          .filter(col("vec_id") % 3 === 0)
+        val emb2 = sub.unionByName(
+          sub.filter(col("vec_id") % 7 === 0)
+            .select((-col("vec_id") - 1L).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        graft.dedup.DedupEval.signBandCapSweep(emb2).orderBy("screen")
+      },
+      Some("""WITH ex0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |        FROM embeddings WHERE vec_id % 3 = 0),
+             |exu AS MATERIALIZED (SELECT * FROM ex0
+             |       UNION ALL
+             |       SELECT -vec_id - 1, list_transform(e, x -> x * 2)
+             |       FROM ex0 WHERE vec_id % 21 = 0),
+             |truth_e AS MATERIALIZED (
+             |  SELECT a.vec_id AS lo, b.vec_id AS hi
+             |  FROM exu a JOIN exu b ON a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.e, b.e) /
+             |        (sqrt(list_dot_product(a.e, a.e)) *
+             |         sqrt(list_dot_product(b.e, b.e))) >= 0.999),
+             |rot AS MATERIALIZED (SELECT vec_id,
+             |          list_transform(range(64), i ->
+             |            list_dot_product(e, list_transform(range(64), j ->
+             |              CAST((1 - 2 * (bit_count(i & j) % 2))
+             |                 * (1 - 2 * (bit_count(j * 2654435769) % 2))
+             |                   AS DOUBLE)))) AS r
+             |        FROM exu),
+             |pk AS MATERIALIZED (SELECT vec_id,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN r[i+1] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w0,
+             |         CAST(list_sum(list_transform(range(32), i ->
+             |           CASE WHEN r[i+33] > 0 THEN (CAST(1 AS BIGINT) << i)
+             |                ELSE 0 END)) AS BIGINT) AS w1
+             |       FROM rot),
+             |bands AS MATERIALIZED (SELECT vec_id, b.band,
+             |            CASE WHEN b.band < 4
+             |                 THEN (w0 >> CAST(b.band * 8 AS INTEGER)) & 255
+             |                 ELSE (w1 >> CAST((b.band - 4) * 8 AS INTEGER)) & 255
+             |            END AS key
+             |          FROM pk, (SELECT unnest(range(8)) AS band) b),
+             |ov4 AS MATERIALIZED (SELECT band, key FROM bands
+             |          GROUP BY 1, 2 HAVING count(*) > 4),
+             |bk4 AS MATERIALIZED (SELECT * FROM bands b WHERE NOT EXISTS
+             |         (SELECT 1 FROM ov4 o
+             |          WHERE o.band = b.band AND o.key = b.key)),
+             |cd4 AS MATERIALIZED (
+             |  SELECT DISTINCT a.vec_id AS lo, b2.vec_id AS hi
+             |  FROM bk4 a JOIN bk4 b2
+             |    ON a.band = b2.band AND a.key = b2.key
+             |   AND a.vec_id < b2.vec_id),
+             |ov64 AS MATERIALIZED (SELECT band, key FROM bands
+             |          GROUP BY 1, 2 HAVING count(*) > 64),
+             |bk64 AS MATERIALIZED (SELECT * FROM bands b WHERE NOT EXISTS
+             |         (SELECT 1 FROM ov64 o
+             |          WHERE o.band = b.band AND o.key = b.key)),
+             |cd64 AS MATERIALIZED (
+             |  SELECT DISTINCT a.vec_id AS lo, b2.vec_id AS hi
+             |  FROM bk64 a JOIN bk64 b2
+             |    ON a.band = b2.band AND a.key = b2.key
+             |   AND a.vec_id < b2.vec_id),
+             |ov8 AS MATERIALIZED (SELECT band, key FROM bands
+             |          GROUP BY 1, 2 HAVING count(*) > 8),
+             |bk8 AS MATERIALIZED (SELECT * FROM bands b WHERE NOT EXISTS
+             |         (SELECT 1 FROM ov8 o
+             |          WHERE o.band = b.band AND o.key = b.key)),
+             |cd8 AS MATERIALIZED (
+             |  SELECT DISTINCT a.vec_id AS lo, b2.vec_id AS hi
+             |  FROM bk8 a JOIN bk8 b2
+             |    ON a.band = b2.band AND a.key = b2.key
+             |   AND a.vec_id < b2.vec_id),
+             |cdu AS MATERIALIZED (
+             |  SELECT DISTINCT a.vec_id AS lo, b2.vec_id AS hi
+             |  FROM bands a JOIN bands b2
+             |    ON a.band = b2.band AND a.key = b2.key
+             |   AND a.vec_id < b2.vec_id),
+             |res AS (
+             |  SELECT 'sign_band_cap4' AS screen,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_e) AS n_truth,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cd4) AS n_cand,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cd4 c
+             |     JOIN truth_e t ON c.lo = t.lo AND c.hi = t.hi) AS n_hit
+             |  UNION ALL
+             |  SELECT 'sign_band_cap64',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_e),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cd64),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cd64 c
+             |     JOIN truth_e t ON c.lo = t.lo AND c.hi = t.hi)
+             |  UNION ALL
+             |  SELECT 'sign_band_cap8',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_e),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cd8),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cd8 c
+             |     JOIN truth_e t ON c.lo = t.lo AND c.hi = t.hi)
+             |  UNION ALL
+             |  SELECT 'sign_band_uncapped',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth_e),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cdu),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cdu c
+             |     JOIN truth_e t ON c.lo = t.lo AND c.hi = t.hi))
+             |SELECT screen, n_truth, n_cand, n_hit,
+             |       CASE WHEN n_truth > 0
+             |            THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+             |       CASE WHEN n_cand > 0
+             |            THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
+             |FROM res ORDER BY screen""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T40 — keyword-in-context (KWIC) concordance for 'vector': every
     // occurrence with its ±3-token context — the corpus-inspection view
     // a curation analyst actually reads when a filter misfires. Shape:

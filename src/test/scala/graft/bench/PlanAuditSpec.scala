@@ -90,6 +90,10 @@ class PlanAuditSpec extends SparkTestBase {
     // the k axis of the same grid: identical one-row stat sides; the
     // k=8 legs band the seed<8 slice of the one shared signature table
     "d18b_minhash_kgrid",
+    // the cap axis of the sign-band family: the same designed bounded
+    // all-pairs cosine truth as d17 (enforced boundEvalInput) plus the
+    // one-row stat sides; candidate legs are band equi-joins
+    "d20_signband_cap_sweep",
     "t24b_nb_confusion",
     // one-row vocabulary-size side of the smoothed-probability join
     "t20_lm_perplexity_filter",

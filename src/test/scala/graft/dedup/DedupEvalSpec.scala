@@ -115,6 +115,37 @@ class DedupEvalSpec extends SparkTestBase {
     assert(ex.getMessage.contains("bands"))
   }
 
+  test("signBandCapSweep: candidates are monotone in the cap and the " +
+    "uncapped row recalls every scaled twin") {
+    import spark.implicits._
+    val base = (0 until 60).map { k =>
+      val v = Array.tabulate(64)(j => (((k * 29 + j * 13) % 11) - 5).toFloat)
+      (k.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val emb = base.unionByName(
+      base.filter(col("vec_id") % 6 === 0)
+        .select((-col("vec_id") - 1).as("vec_id"),
+          transform(col("embedding"), x => x * lit(3.0f)).as("embedding")))
+    val r = DedupEval.signBandCapSweep(emb)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.keySet == Set("sign_band_cap4", "sign_band_cap8",
+      "sign_band_cap64", "sign_band_uncapped"))
+    assert(r.values.map(_._1).toSet.size == 1, "one truth for all rows")
+    // drop path: a larger cap excludes fewer buckets -> candidate
+    // superset -> counts monotone in the cap, uncapped the ceiling
+    val Seq(c4, c8, c64, cu) = Seq("sign_band_cap4", "sign_band_cap8",
+      "sign_band_cap64", "sign_band_uncapped").map(r)
+    assert(c4._2 <= c8._2 && c8._2 <= c64._2 && c64._2 <= cu._2,
+      s"candidates monotone in cap: $r")
+    assert(c4._3 <= c8._3 && c8._3 <= c64._3 && c64._3 <= cu._3,
+      s"hits monotone in cap: $r")
+    // scaled twins (cosine exactly 1.0) share every band -> the
+    // uncapped screen recalls all of the truth
+    assert(cu._3 == cu._1, s"uncapped recalls every twin: $r")
+    r.values.foreach { case (t, c, h) => assert(h <= t && h <= c) }
+  }
+
   test("the eval-size contract is ENFORCED: oversized input fails loudly, the md5 sample degrades deterministically") {
     import spark.implicits._
     val emb = (0 until 40).map { k =>
