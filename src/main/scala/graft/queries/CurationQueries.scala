@@ -449,9 +449,13 @@ object CurationQueries {
           .unionByName(base.filter(col("doc_id") % 7 === 0)
             .select((col("doc_id") + 2000000L).as("doc_id"),
               col("source"), col("text")))
-        val withH = docs.select(col("doc_id"), col("source"),
-          md5(col("text")).as("__h"),
-          size(TextFunctions.tokens(col("text"))).cast("long").as("__t"))
+        // Three consumers (naive rollup, survivor election, dedup
+        // rollup) — persist per the CacheScope convention or the md5 +
+        // tokenize pass over the tripled corpus runs three times.
+        val withH = graft.util.CacheScope.persist(
+          docs.select(col("doc_id"), col("source"),
+            md5(col("text")).as("__h"),
+            size(TextFunctions.tokens(col("text"))).cast("long").as("__t")))
         val surv = withH.groupBy("__h").agg(min("doc_id").as("doc_id"))
         val naive = withH.groupBy("source")
           .agg(sum(col("__t")).as("avail_naive"))
