@@ -41,6 +41,41 @@ object Curation {
     df.filter(hashBucket(col(idCol), 100, salt) < keepPct)
   }
 
+  /** Representativeness eval of the [[hashSample]] screen — the
+    * sampling family's measurement face: per-source corpus count vs
+    * in-sample count, plus the pooled `__all` row, so "is the
+    * deterministic md5 sample source-unbiased?" is a read-off instead
+    * of an assumption. `excess_per_100` is the EXACT integer deviation
+    * 100·n_sample − keepPct·n_corpus (positive = that source is
+    * oversampled relative to the nominal rate — zero would be a
+    * perfectly proportional draw); `sample_rate` is the one IEEE
+    * division. A source whose ids correlate with the hash would show
+    * here before it silently skewed every downstream mixture.
+    *
+    * Shape at scale: one map-side-combined count rollup per level over
+    * a boolean projection — corpus-linear, no joins, no windows.
+    */
+  def sampleRepresentativeness(
+      df: DataFrame, keepPct: Int, salt: String,
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, s"keepPct out of range: $keepPct")
+    val flagged = df.select(col(sourceCol).as("source"),
+      when(hashBucket(col(idCol), 100, salt) < keepPct, 1L).otherwise(0L)
+        .as("__in"))
+    val per = flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_corpus"), sum(col("__in")).as("n_sample"))
+    val pooled = flagged
+      .agg(count(lit(1)).as("n_corpus"), sum(col("__in")).as("n_sample"))
+      .select(lit("__all").as("source"), col("n_corpus"), col("n_sample"))
+    per.unionByName(pooled)
+      .select(
+        col("source"), col("n_corpus"), col("n_sample"),
+        (col("n_sample").cast("double") / col("n_corpus")).as("sample_rate"),
+        (lit(100L) * col("n_sample") - lit(keepPct.toLong) * col("n_corpus"))
+          .as("excess_per_100"))
+      .orderBy("source")
+  }
+
   /** Mixture weighting: down-sample each source to its configured rate
     * (0.0..1.0 fraction kept), the "20% web, 40% code, …" recipe step.
     * Rates resolve through a map literal — a broadcast-free constant in the

@@ -530,6 +530,37 @@ object CurationQueries {
              |FROM a3 ORDER BY source""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // C29 — sample-representativeness eval (the sampling family's
+    // measurement face, closing the family-eval convention: every
+    // screen family carries one): c1's deterministic md5 sample at 10%,
+    // audited per source + pooled — n_corpus vs n_sample, the one-
+    // division sample_rate, and the EXACT integer deviation
+    // 100·n_sample − 10·n_corpus (zero = perfectly proportional). A
+    // source whose ids correlated with the hash would surface here
+    // before it silently skewed every downstream mixture face.
+    Q(
+      "c29_sample_representativeness",
+      (s, dir) =>
+        Curation.sampleRepresentativeness(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          keepPct = 10, salt = "s1"),
+      Some("""WITH f AS (SELECT source,
+             |    CASE WHEN CAST(CAST('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS BIGINT) < 10
+             |         THEN 1 ELSE 0 END AS i
+             |  FROM documents),
+             |lv AS (SELECT source, CAST(count(*) AS BIGINT) AS n_corpus,
+             |              CAST(sum(i) AS BIGINT) AS n_sample
+             |       FROM f GROUP BY 1
+             |       UNION ALL
+             |       SELECT '__all', CAST(count(*) AS BIGINT),
+             |              CAST(sum(i) AS BIGINT)
+             |       FROM f)
+             |SELECT source, n_corpus, n_sample,
+             |       CAST(n_sample AS DOUBLE) / n_corpus AS sample_rate,
+             |       100 * n_sample - 10 * n_corpus AS excess_per_100
+             |FROM lv ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // C26 — water-filling mixture allocation (the PLANNING face of the
     // mixture samplers): 40% of the corpus's tokens split uniformly
     // across the 20 sources, availability-capped, with freed budget

@@ -20,6 +20,28 @@ class CurationSpec extends SparkTestBase {
     assert(other != once.toSet)
   }
 
+  test("sampleRepresentativeness: pooled row sums the per-source levels and " +
+    "the integer deviation is exact") {
+    import spark.implicits._
+    val docs = (0L until 900L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val rows = Curation.sampleRepresentativeness(docs, keepPct = 10, salt = "s1")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set("__all", "s0", "s1", "s2"))
+    val per = Seq("s0", "s1", "s2").map(rows)
+    assert(per.map(_._1).sum == rows("__all")._1 &&
+      per.map(_._2).sum == rows("__all")._2, "pooled = sum of levels")
+    rows.foreach { case (src, (nc, ns, rate, excess)) =>
+      assert(rate == ns.toDouble / nc, s"$src rate")
+      assert(excess == 100L * ns - 10L * nc, s"$src exact integer deviation")
+      // the md5 sampler is ~proportional on every source
+      assert(rate > 0.04 && rate < 0.16, s"$src rate $rate far from nominal 0.10")
+    }
+    // the flagged set IS hashSample's (same bucket, same salt)
+    val sampled = Curation.hashSample(docs, "doc_id", 10, "s1").count()
+    assert(rows("__all")._2 == sampled)
+  }
+
   test("mixtureSample honors 0% (drop) and 100% (keep-all) endpoints") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
