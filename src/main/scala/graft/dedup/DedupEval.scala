@@ -318,23 +318,40 @@ object DedupEval {
         col("n_hit").cast("double") / col("n_cand")).as("precision"))
   }
 
+  /** Sample-path bucket granularity. Per-MILLION (not per-mille): with g
+    * buckets and keep = ⌊maxEvalRows·g / n⌋, the floor sticks at 1 — and
+    * the kept count becomes the UNBOUNDED ~n/g — only once n > g·maxEvalRows,
+    * so g=10⁶ pushes that regime to n > 10⁶·maxEvalRows (5·10¹⁰ rows at
+    * the 50k default) AND [[boundEvalInput]] closes it with a loud
+    * `require` (the r14 ADVICE finding: at g=1000 an n=100M input kept
+    * ~100k rows, silently over the 50k contract).
+    */
+  private val SampleBuckets = 1000000L
+
   /** ENFORCED eval-size contract (r13 verdict #1): the exact-truth
     * stages are the harness's designed quadratics — all-pairs cosine and
     * a df-cap-free inverted-index join — so an input beyond
     * `maxEvalRows` must either fail LOUDLY (default; the HdSignPack
     * dim-guard convention) or degrade to a DOCUMENTED deterministic
     * sample (`sampleOverMax = true`): keep rows with
-    * md5-permille(id) < max(1, maxEvalRows·1000 ⌊/⌋ n) — the c1 salted
+    * md5-bucket(id, 10⁶) < max(1, maxEvalRows·10⁶ ⌊/⌋ n) — the c1 salted
     * md5 bucket, so the DuckDB mirror reproduces it exactly with
-    * `... % 1000 < (SELECT greatest(1, <maxEvalRows>*1000 // count(*))
-    * FROM <input>)`. The sample holds `maxEvalRows` in EXPECTATION (a
-    * permille thinning, not a hard top-N — no global sort needed).
+    * `... % 1000000 < (SELECT greatest(1, <maxEvalRows>*1000000 //
+    * count(*)) FROM <input>)`. The sample holds `maxEvalRows` in
+    * EXPECTATION (a hash thinning, not a hard top-N — no global sort
+    * needed); the expected shortfall from the floor is < n/10⁶ rows.
     * The bounded `count()` here IS the enforcement: nothing beyond the
-    * contract scale ever reaches the quadratic stages.
+    * contract scale ever reaches the quadratic stages — including on the
+    * sample path, where n > SampleBuckets·maxEvalRows (the regime where
+    * the keep-fraction floor would keep an unbounded ~n/10⁶ rows) fails
+    * loudly instead of silently exceeding the contract.
     */
   private def boundEvalInput(
       df: DataFrame, idCol: String, maxEvalRows: Long,
       sampleOverMax: Boolean, salt: String): DataFrame = {
+    require(maxEvalRows > 0 && maxEvalRows <= Long.MaxValue / SampleBuckets,
+      s"maxEvalRows=$maxEvalRows outside the sample grid (must be in " +
+        s"[1, ${Long.MaxValue / SampleBuckets}])")
     val n = df.count()
     if (n <= maxEvalRows) df
     else {
@@ -342,10 +359,16 @@ object DedupEval {
         s"screenQuality input '$salt' has $n rows > maxEvalRows=" +
           s"$maxEvalRows; the exact-truth stages are quadratic by design " +
           "— raise maxEvalRows deliberately or pass sampleOverMax=true " +
-          "for the deterministic md5 permille sample")
-      val permille = math.max(1L, maxEvalRows * 1000L / n)
-      df.filter(
-        graft.curation.Curation.hashBucket(col(idCol), 1000, salt) < permille)
+          "for the deterministic md5 per-million sample")
+      require(n <= maxEvalRows * SampleBuckets,
+        s"screenQuality input '$salt' has $n rows > maxEvalRows·10⁶ = " +
+          s"${maxEvalRows * SampleBuckets}: the per-million keep-fraction " +
+          "floors at 1 bucket there and the sample would keep an " +
+          s"unbounded ~n/$SampleBuckets rows — pre-thin the input or " +
+          "raise maxEvalRows deliberately")
+      val keep = math.max(1L, maxEvalRows * SampleBuckets / n)
+      df.filter(graft.curation.Curation.hashBucket(
+        col(idCol), SampleBuckets.toInt, salt) < keep)
     }
   }
 

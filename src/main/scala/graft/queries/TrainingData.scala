@@ -189,9 +189,10 @@ object TrainingData {
       |  FROM sh, (SELECT unnest(range(16)) AS seed)
       |  GROUP BY 1, 2)""".stripMargin
 
-  /** [[sqlNearDupCte]] with d17's ENFORCED md5 permille sample applied
-    * (maxEvalRows = 40 ⇒ keep permille = max(1, 40000 ⌊/⌋ n) — the
-    * exact mirror of DedupEval.boundEvalInput's salted c1 bucket).
+  /** [[sqlNearDupCte]] with d17's ENFORCED md5 per-million sample
+    * applied (maxEvalRows = 40 ⇒ keep buckets = max(1, 40·10⁶ ⌊/⌋ n) of
+    * 10⁶ — the exact mirror of DedupEval.boundEvalInput's salted c1
+    * bucket at the r15 per-million granularity).
     */
   private val sqlNearDupSampledCte =
     """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
@@ -201,14 +202,14 @@ object TrainingData {
       |       WHERE doc_id % 20 = 0 AND len(string_split(text,' ')) > 3),
       |docs0 AS (SELECT * FROM base UNION ALL SELECT * FROM nd),
       |docs AS (SELECT * FROM docs0
-      |         WHERE CAST(CAST('0x' || substr(md5('d17d' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS BIGINT)
-      |             < (SELECT greatest(1, 40000 // count(*)) FROM docs0))""".stripMargin
+      |         WHERE CAST(CAST('0x' || substr(md5('d17d' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS BIGINT)
+      |             < (SELECT greatest(1, 40000000 // count(*)) FROM docs0))""".stripMargin
 
   /** The full d17/d17b screen-eval oracle, parameterized by the docs
     * fixture chain (must end in a CTE named `docs`) and the embedding
     * tail select over `exu` (the planted-dup union) — d17 evaluates the
     * whole fixture (`SELECT * FROM exu`), d17b the enforced md5
-    * permille sample. Five screens vs two exact truths; every CTE
+    * per-million sample. Five screens vs two exact truths; every CTE
     * MATERIALIZED (self-joining chains inline exponentially otherwise).
     */
   private def sqlScreenEvalOracle(docsCtes: String, exTail: String): String =
@@ -1674,7 +1675,8 @@ object TrainingData {
     // screens run on the corpus — and r14 ENFORCES that contract in
     // code: both truth inputs pass DedupEval.boundEvalInput
     // (require(n <= maxEvalRows) with an opt-in deterministic md5
-    // permille sample) before any quadratic stage. The five rows map
+    // per-million sample, itself bounded at n <= maxEvalRows·10⁶ since
+    // r15) before any quadratic stage. The five rows map
     // the frontier at sf0.1: SimHash-16 @ham<=3 is recall-biased
     // (96.9% recall, 0.7% precision — 35k candidates for 261 truths),
     // SimHash-64 at the SAME budget flips precision-biased (96.3%
@@ -1704,10 +1706,10 @@ object TrainingData {
     // D17B — the SAMPLE path of d17's enforced eval-size contract, under
     // the gate: maxEvalRows = 40 is chosen to FIRE at both gate scales,
     // so the registered query exercises exactly what a 100 TB caller
-    // hits — the deterministic md5 permille thinning (keep rows with
-    // salted-md5 bucket(id, 1000) < max(1, 40·1000 ⌊/⌋ n)) on BOTH
+    // hits — the deterministic md5 per-million thinning (keep rows with
+    // salted-md5 bucket(id, 10⁶) < max(1, 40·10⁶ ⌊/⌋ n)) on BOTH
     // truth inputs, mirrored term by term in DuckDB (the c1 pattern:
-    // hex-prefix buckets are engine-identical, and the permille is the
+    // hex-prefix buckets are engine-identical, and the keep count is the
     // same integer division over the same fixture count). Same five
     // screens, same frontier semantics — on ~5% of the corpus, which is
     // how the harness is meant to run when the corpus outgrows the
@@ -1729,8 +1731,8 @@ object TrainingData {
       },
       Some(sqlScreenEvalOracle(sqlNearDupSampledCte,
         """SELECT * FROM exu
-          |  WHERE CAST(CAST('0x' || substr(md5('d17e' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS BIGINT)
-          |      < (SELECT greatest(1, 40000 // count(*)) FROM exu)""".stripMargin
+          |  WHERE CAST(CAST('0x' || substr(md5('d17e' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS BIGINT)
+          |      < (SELECT greatest(1, 40000000 // count(*)) FROM exu)""".stripMargin
           .replace("\n", " ")))),
 
 

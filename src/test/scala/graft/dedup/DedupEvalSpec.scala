@@ -158,7 +158,7 @@ class DedupEvalSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("maxEvalRows"))
     // With the opt-in the harness degrades to the c1-pattern md5
-    // permille sample: deterministic (same rows every run, any
+    // per-million sample: deterministic (same rows every run, any
     // partitioning) and still a valid 5-screen report.
     val s1 = DedupEval.screenQuality(
       docs, emb, maxEvalRows = 4L, sampleOverMax = true).collect()
@@ -167,6 +167,23 @@ class DedupEvalSpec extends SparkTestBase {
       maxEvalRows = 4L, sampleOverMax = true).collect()
     assert(s1.map(_.toString).sorted.sameElements(s2.map(_.toString).sorted))
     assert(s1.length == 5)
+  }
+
+  test("the SAMPLE path is itself bounded: n > maxEvalRows·10⁶ fails loudly (r14 ADVICE — the keep-fraction floor regime)") {
+    // At per-million granularity keep = max(1, maxEvalRows·10⁶ ⌊/⌋ n)
+    // floors at 1 bucket once n > 10⁶·maxEvalRows, where the kept count
+    // becomes the unbounded ~n/10⁶ — the guard must fire BEFORE any
+    // quadratic stage, on the count alone (so this test is cheap: the
+    // 10⁶+1-row input is only ever counted, never shingled).
+    val big = spark.range(1000001L)
+      .select(col("id").as("doc_id"), lit("a b c d e").as("text"))
+    val emb = spark.range(2L).select(col("id").as("vec_id"),
+      array((0 until 64).map(j => lit(j.toFloat)): _*).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      DedupEval.screenQuality(big, emb,
+        maxEvalRows = 1L, sampleOverMax = true)
+    }
+    assert(ex.getMessage.contains("pre-thin"), ex.getMessage)
   }
 
   test("exact-Jaccard truth is threshold-complete (pairs above 0.5 share a shingle)") {
