@@ -140,9 +140,12 @@ object NgramLm {
     * normalization is traded for a finite score, the standard OOV hack).
     * From there the [[crossEntropy]] contract applies verbatim: ln only
     * of integers, rounded onto the decimal(20,6) grid, summed exactly,
-    * one final IEEE division. At verification scale every num/den fits a
-    * Long; at 100 TB the c(v)·T product overflows 2^63 — compute num/den
-    * as DECIMAL(38,0) there (the BM25 note's mitigation; shape unchanged).
+    * one final IEEE division. The Long num/den grid is ENFORCED, not
+    * assumed (r14 verdict #1): scoring runs one one-row agg over the
+    * frozen model and fails loudly once 4·max(c(v))·T + 3·max(N1+(v·))
+    * ·max(N1+(·w)) leaves 2^63 — past that, compute num/den as
+    * DECIMAL(38,0) (the BM25 note's mitigation; shape unchanged, and
+    * DuckDB mirrors it natively as HUGEINT).
     *
     * Shape at scale: the model is THREE narrow tables (bigram counts +
     * per-prefix rollup + per-continuation rollup) all derived from one
@@ -165,7 +168,39 @@ object NgramLm {
     * each table is a plain DataFrame, so persisting the model is four
     * parquet writes).
     */
-  final case class KnModel(big: DataFrame, uni: DataFrame, cont: DataFrame, tt: DataFrame)
+  final case class KnModel(big: DataFrame, uni: DataFrame, cont: DataFrame, tt: DataFrame) {
+    /** Loud enforcement of the num/den Long grid (r14 verdict #1 — the
+      * d17 lesson: contracts live in requires, not scaladoc). The worst
+      * case over ANY scoring batch is a property of the MODEL alone:
+      * num ≤ 4·max(c(v))·T + 3·max(N1+(v·))·max(N1+(·w)) and
+      * den = 4·c(v)·T ≤ the same bound, so one one-row agg over the
+      * frozen tables decides the whole grid. Checked in BigInt (the
+      * check itself must not wrap), once per model instance (lazy —
+      * ST12 scores a stream of micro-batches against one model), before
+      * any scoring plan is built. An empty model (T = 0) passes
+      * trivially. Past the bound: swap `num`/`den` to DECIMAL(38,0) in
+      * [[knPerDoc]] — the documented shape-preserving mitigation.
+      */
+    private[text] lazy val longGridChecked: Unit = {
+      val r = uni.agg(
+          coalesce(max(col("c1")), lit(0L)).as("max_c1"),
+          coalesce(max(col("fert")), lit(0L)).as("max_fert"))
+        .crossJoin(broadcast(
+          cont.agg(coalesce(max(col("cont")), lit(0L)).as("max_cont"))))
+        .crossJoin(broadcast(tt))
+        .head()
+      val (maxC1, maxFert, maxCont, t) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val maxNum = BigInt(4) * maxC1 * t + BigInt(3) * maxFert * maxCont
+      require(maxNum <= Long.MaxValue,
+        s"KN model leaves the exact Long num/den grid: 4*max(c1)*T + " +
+          s"3*max(fert)*max(cont) = $maxNum > 2^63-1 (max_c1=$maxC1, " +
+          s"max_fert=$maxFert, max_cont=$maxCont, T=$t) - the integer " +
+          "multiply-through would wrap silently under non-ANSI mode. " +
+          "Compute num/den as DECIMAL(38,0) at this scale (the documented " +
+          "swap in knCrossEntropy's scaladoc; DuckDB mirrors it as HUGEINT)")
+    }
+  }
 
   def knModel(train: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): KnModel = {
@@ -187,6 +222,7 @@ object NgramLm {
   private def knPerDoc(
       docs: DataFrame, model: KnModel, maxCrossEntropy: Double,
       idCol: String, textCol: String): DataFrame = {
+    model.longGridChecked
     val big = model.big
     val uni = model.uni
     val cont = model.cont

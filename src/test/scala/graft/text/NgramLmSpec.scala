@@ -156,6 +156,34 @@ class NgramLmSpec extends SparkTestBase {
     assert(math.abs(ce(("addone", "natural")) - pooled) < 1e-9)
   }
 
+  test("the Long num/den grid is ENFORCED: a model whose 4*max(c1)*T leaves 2^63 fails loudly before scoring") {
+    // r14 verdict #1 — the d17 lesson applied to KN: the exactness
+    // contract ("every num/den fits a Long") must live in a require, not
+    // scaladoc, because past the grid the integer multiply-through wraps
+    // silently under non-ANSI mode. The worst case is a model property,
+    // so a hand-built frozen model with KenLM-corpus-scale counts
+    // (c1 = 2^61, T = 100 -> 4*c1*T ~ 2^69) trips the guard without any
+    // corpus; checked in BigInt so the guard itself cannot wrap.
+    val huge = NgramLm.KnModel(
+      big = Seq(("a", "b", 1L << 61)).toDF("w1", "w2", "c12"),
+      uni = Seq(("a", 1L << 61, 1L)).toDF("w1", "c1", "fert"),
+      cont = Seq(("b", 1L)).toDF("w2", "cont"),
+      tt = Seq(Tuple1(100L)).toDF("t"))
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      NgramLm.knScore(docs, huge, maxCrossEntropy = 1.0)
+    }
+    assert(ex.getMessage.contains("DECIMAL(38,0)"), ex.getMessage)
+    // and the boundary itself is admitted: max exactly at 2^63-1 passes
+    // (num bound = 4*c1*T + 3*fert*cont = 2^63-4 + 3 <= Long.MaxValue)
+    val atEdge = NgramLm.KnModel(
+      big = Seq(("a", "b", (Long.MaxValue - 3L) / 4L)).toDF("w1", "w2", "c12"),
+      uni = Seq(("a", (Long.MaxValue - 3L) / 4L, 1L)).toDF("w1", "c1", "fert"),
+      cont = Seq(("b", 1L)).toDF("w2", "cont"),
+      tt = Seq(Tuple1(1L)).toDF("t"))
+    NgramLm.knScore(docs, atEdge, maxCrossEntropy = 1.0).collect()
+  }
+
   test("screenCompare is repartition-stable") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val docs = (0L until 150L)
