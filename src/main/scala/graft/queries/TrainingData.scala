@@ -386,10 +386,12 @@ object TrainingData {
 
   /** Learn-once vocab store backing the t44b serving face: the first
     * call per sf-dir learns the t43 vocabulary and persists it as a
-    * (piece, cnt, cost_micro) parquet table — the tokenizer ARTIFACT a
-    * 100 TB pipeline ships to its apply jobs; subsequent calls (Verify,
-    * the timed bench passes) only read it. Keyed by dir so gate scales
-    * never mix; learn is deterministic, so the artifact is too.
+    * SELF-VALIDATING artifact (vocab table + corpus fingerprint — r15:
+    * [[graft.text.Unigram.writeVocabArtifact]]); subsequent calls
+    * (Verify, the timed bench passes) read it through the fingerprint
+    * guard, so a mutated corpus under the same dir fails loudly instead
+    * of applying a stale tokenizer. Keyed by dir so gate scales never
+    * mix; learn is deterministic, so the artifact is too.
     */
   private val unigramVocabDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -397,8 +399,8 @@ object TrainingData {
     unigramVocabDirs.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files
         .createTempDirectory("graft_unigram_vocab").toString
-      Unigram.learn(Tables.documents(s, dir))
-        .write.mode("overwrite").parquet(p)
+      val docs = Tables.documents(s, dir)
+      Unigram.writeVocabArtifact(Unigram.learn(docs), docs, p)
       p
     })
 
@@ -406,23 +408,25 @@ object TrainingData {
     * (doc_id % 3 <> 0 — t20's held-out pattern) that t46/t46b gauge
     * coverage against: learned and persisted once per sf-dir, read on
     * every subsequent call — the serving shape (hand-off note (e)'s
-    * follow-up; same determinism argument as [[unigramVocabPath]]).
-    * The oracles re-derive the learn chain in SQL, so the artifact must
-    * reproduce it bit-for-bit — the same contract t44b pins for the
-    * full-corpus vocab.
+    * follow-up; same determinism argument as [[unigramVocabPath]], same
+    * r15 fingerprint guard, validated against the TRAIN slice the vocab
+    * was learned on). The oracles re-derive the learn chain in SQL, so
+    * the artifact must reproduce it bit-for-bit — the same contract
+    * t44b pins for the full-corpus vocab.
     */
   private val unigramTrainVocabDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def unigramTrainVocab(
-      s: SparkSession, dir: String): Seq[(String, Long)] =
-    Unigram.collectVocab(s.read.parquet(
-      unigramTrainVocabDirs.computeIfAbsent(dir, _ => {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_unigram_train_vocab").toString
-        Unigram.learn(Tables.documents(s, dir).filter(col("doc_id") % 3 =!= 0))
-          .write.mode("overwrite").parquet(p)
-        p
-      })))
+      s: SparkSession, dir: String): Seq[(String, Long)] = {
+    val train = Tables.documents(s, dir).filter(col("doc_id") % 3 =!= 0)
+    val p = unigramTrainVocabDirs.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_unigram_train_vocab").toString
+      Unigram.writeVocabArtifact(Unigram.learn(train), train, path)
+      path
+    })
+    Unigram.collectVocab(Unigram.readVocabArtifact(s, train, p))
+  }
 
   /** 10-word boilerplate lines injected into the corpus for the span-dedup
     * fixture: every 5th doc gets the header prepended, every 7th the footer
@@ -2675,6 +2679,9 @@ object TrainingData {
     // vocab TABLE; every subsequent run (Verify, the timed bench passes)
     // only READS the stored table into the UnigramSegment codegen
     // expression — the apply job's plan contains no EM rounds at all.
+    // The read passes the r15 fingerprint guard (readVocabArtifact):
+    // the serving path now fails loudly on a mutated corpus instead of
+    // silently applying a stale vocab (r14 verdict #2).
     // The oracle is t44's untouched learn+apply chain: the stored
     // artifact must reproduce the end-to-end result bit-for-bit, which
     // is precisely the serving-path contract.
@@ -2682,8 +2689,8 @@ object TrainingData {
       "t44b_unigram_apply_stored",
       (s, dir) => {
         val docs = Unigram.requireRelaxBound(Tables.documents(s, dir))
-        val vocab = Unigram.collectVocab(
-          s.read.parquet(unigramVocabPath(s, dir)))
+        val vocab = Unigram.collectVocab(Unigram.readVocabArtifact(
+          s, Tables.documents(s, dir), unigramVocabPath(s, dir)))
         Unigram.applyUnigram(docs, vocab).orderBy("doc_id")
       },
       Some(Unigram.learnApplyOracleSql())),

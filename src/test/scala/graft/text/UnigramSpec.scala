@@ -97,6 +97,36 @@ class UnigramSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("vocab artifacts are self-validating: a mutated corpus fails the fingerprint guard, the original round-trips") {
+    import spark.implicits._
+    // r14 verdict #2: the oracle catches a stale artifact (its SQL
+    // re-derives the learn chain), but a production-style apply job had
+    // no guard — readVocabArtifact must refuse a corpus that is not the
+    // one the vocab was learned on.
+    val corpus = (0L until 30L)
+      .map(i => (i, s"ab${i % 5} ba${(i * 3) % 7} cc"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vocab_guard_spec").toString
+    Unigram.writeVocabArtifact(Unigram.learn(corpus), corpus, path)
+    // same corpus, any partitioning: round-trips and applies
+    val vocab = Unigram.collectVocab(
+      Unigram.readVocabArtifact(spark, corpus.repartition(7), path))
+    assert(vocab.nonEmpty)
+    assert(Unigram.applyUnigram(corpus, vocab).count() == 30L)
+    // one doc dropped / one doc added / one id rewritten: all stale
+    for (mutated <- Seq(
+        corpus.filter(col("doc_id") =!= 3L),
+        corpus.unionByName(Seq((999L, "zz")).toDF("doc_id", "text")),
+        corpus.withColumn("doc_id",
+          when(col("doc_id") === 3L, 1003L).otherwise(col("doc_id"))))) {
+      val ex = intercept[IllegalArgumentException] {
+        Unigram.readVocabArtifact(spark, mutated, path)
+      }
+      assert(ex.getMessage.contains("stale"), ex.getMessage)
+    }
+  }
+
   test("requireRelaxBound fires loudly past the oracle's relaxation budget, is a no-op under it") {
     import spark.implicits._
     // A 17-char word needs up to 17 pieces; the 16-round Bellman-Ford
