@@ -1999,7 +1999,7 @@ object TrainingData {
     // ------------------------------------------------------------------
     // D20 — the CAP axis of the sign-band family (completes the lever
     // set: d17 band width, d18/d18b bands×k, d19 hamming budget, d20
-    // bucket cap): caps 16/64/256 plus the uncapped ceiling on the DROP
+    // bucket cap): caps 4/8/64 plus the uncapped ceiling on the DROP
     // path (saltOverCap = false, the oracle-mirrorable exclusion),
     // rotate ON, all vs the same exact-cosine truth. This measures the
     // r13-ADVICE failure mode as a curve — under drop, a pair is lost

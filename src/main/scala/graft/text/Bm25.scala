@@ -337,6 +337,22 @@ object Bm25 {
       textCol: String = "text"): DataFrame = {
     require(k >= 1 && k <= 62, s"k must be in [1, 62] (2^k must fit a Long), got $k")
     require(maxGain >= 1, s"maxGain must be >= 1, got $maxGain")
+    // Complete BIGINT-grid guard (r14 ADVICE): k <= 62 alone only bounds
+    // the per-rank weight — the normalizer maxGain·2^k wraps for
+    // maxGain >= 2 at k = 62, and rbp_num_total <= n_q·maxGain·(2^k − 1)
+    // can overflow the BIGINT sum for moderate k with many queries
+    // (k=50, maxGain=3, ~3k queries already leaves 2^63). The worst case
+    // is exactly computable from the query count, so one count() over
+    // the (small by design) query table decides the whole grid in
+    // BigInt; past it, lower k or accumulate rbp_num in DECIMAL(38,0)
+    // (the documented 100 TB mitigation).
+    val nQ = queries.count()
+    val worst = BigInt(math.max(nQ, 1L)) * maxGain * (BigInt(1) << k)
+    require(worst <= Long.MaxValue,
+      s"rbpEval leaves the exact BIGINT grid: n_queries*maxGain*2^k = " +
+        s"$worst > 2^63-1 (n_queries=$nQ, maxGain=$maxGain, k=$k) - " +
+        "every unit off k halves the bound; or accumulate rbp_num in " +
+        "DECIMAL(38,0) (the documented 100TB mitigation)")
     val res = search(docs, queries, k, idCol, textCol)
     val qt = queries
       .select(col("query_id"),

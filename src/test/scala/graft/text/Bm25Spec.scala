@@ -207,6 +207,30 @@ class Bm25Spec extends SparkTestBase {
     assert(row.getDouble(3) <= 1.0, s"rbp_p50 bounded: $row")
   }
 
+  test("RBP BIGINT grid is fully guarded: n_queries*maxGain*2^k past 2^63 fails loudly") {
+    // r14 ADVICE: k <= 62 alone let the normalizer maxGain<<k wrap
+    // negative (maxGain=2, k=62) and the rbp_num_total sum overflow for
+    // moderate k with many queries. The guard now multiplies the whole
+    // worst case through in BigInt.
+    val corpus = Seq((1L, "the quick fox")).toDF("doc_id", "text")
+    val q = Seq((1L, "the quick fox")).toDF("query_id", "query_text")
+    // maxGain=2 at k=62: the old guard admitted this; 1*2*2^62 = 2^63.
+    val ex = intercept[IllegalArgumentException] {
+      Bm25.rbpEval(corpus, q, k = 62, maxGain = 2)
+    }
+    assert(ex.getMessage.contains("DECIMAL(38,0)"), ex.getMessage)
+    // ADVICE's many-queries case: k=50, maxGain=3, 3000 queries.
+    val manyQ = (0L until 3000L).map(i => (i, "the quick fox"))
+      .toDF("query_id", "query_text")
+    val ex2 = intercept[IllegalArgumentException] {
+      Bm25.rbpEval(corpus, manyQ, k = 50, maxGain = 3)
+    }
+    assert(ex2.getMessage.contains("n_queries=3000"), ex2.getMessage)
+    // The admitted edge still runs: maxGain=2 at k=61 -> 2^62 fits.
+    val row = Bm25.rbpEval(corpus, q, k = 61, maxGain = 2).collect().head
+    assert(row.getLong(0) == 1L)
+  }
+
   test("PRF pulls in a document that shares no term with the original query") {
     // "apple" retrieves only doc 1; doc 1's terms include "tree";
     // doc 5 speaks ONLY of trees — invisible to pass 1, found by pass 2.
