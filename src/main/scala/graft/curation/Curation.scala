@@ -76,6 +76,67 @@ object Curation {
       .orderBy("source")
   }
 
+  /** [[sampleRepresentativeness]]'s exact-deviation audit extended to
+    * the QUOTA sampler (r14 verdict #6 — closes the sampling family
+    * symmetrically): per group, the corpus count, the count actually
+    * emitted by [[stratifiedSample]] under the same (nPerGroup, salt),
+    * and the deviation from the quota min(n_corpus, nPerGroup). The
+    * quota is exact BY CONSTRUCTION, so this audit proves the
+    * IMPLEMENTATION (a nonzero deviation is a bug — a dropped group, a
+    * heap that kept the wrong count), not the estimator; `grid` = 1
+    * aligns the schema with [[weightedSampleAudit]] so one face unions
+    * both. Shape: two small per-group rollups broadcast-joined — the
+    * sampler's own cost dominates.
+    */
+  def stratifiedSampleAudit(
+      df: DataFrame, groupCol: String, idCol: String, nPerGroup: Int,
+      salt: String): DataFrame = {
+    val sizes = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_corpus"))
+    val sampled = stratifiedSample(df, groupCol, idCol, nPerGroup, salt)
+      .groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n_sample"))
+    val quota = least(col("n_corpus"), lit(nPerGroup.toLong))
+    sizes.join(sampled, Seq("grp"), "left")
+      .select(
+        lit("stratified").as("sampler"), col("grp"),
+        col("n_corpus"),
+        coalesce(col("n_sample"), lit(0L)).as("n_sample"),
+        lit(1L).as("grid"),
+        quota.as("expected_grid"),
+        (coalesce(col("n_sample"), lit(0L)) - quota).as("deviation"))
+  }
+
+  /** The same audit for the per-row WEIGHTED sampler: per source, the
+    * corpus count, [[weightedSample]]'s kept count under the same
+    * (weightCol, salt), and the EXACT integer deviation on the
+    * sampler's own 1/10000 grid — deviation = 10000·n_sample −
+    * Σ floor(w·10000) (zero = the hash draw hit every source's nominal
+    * expectation exactly; the magnitude is hash luck, surfaced before
+    * it skews a downstream mixture — c29's reading, at grid 10⁴).
+    * One scan, one rollup; the keep decision replicates
+    * [[weightedSample]] term for term.
+    */
+  def weightedSampleAudit(
+      df: DataFrame, idCol: String, weightCol: String, sourceCol: String,
+      salt: String): DataFrame = {
+    val thr = floor(
+      least(lit(1.0), greatest(lit(0.0), col(weightCol))) * 10000).cast("int")
+    val flagged = df.select(
+      col(sourceCol).as("grp"), thr.as("__thr"),
+      when(hashBucket(col(idCol), 10000, salt) < thr, 1L).otherwise(0L)
+        .as("__in"))
+    flagged.groupBy("grp")
+      .agg(
+        count(lit(1)).as("n_corpus"),
+        sum(col("__in")).as("n_sample"),
+        sum(col("__thr").cast("long")).as("expected_grid"))
+      .select(
+        lit("weighted").as("sampler"), col("grp"), col("n_corpus"),
+        col("n_sample"), lit(10000L).as("grid"), col("expected_grid"),
+        (lit(10000L) * col("n_sample") - col("expected_grid"))
+          .as("deviation"))
+  }
+
   /** Mixture weighting: down-sample each source to its configured rate
     * (0.0..1.0 fraction kept), the "20% web, 40% code, …" recipe step.
     * Rates resolve through a map literal — a broadcast-free constant in the

@@ -561,6 +561,64 @@ object CurationQueries {
              |FROM lv ORDER BY source""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // C29B — the c29 audit extended to the QUOTA and WEIGHTED samplers
+    // (r14 verdict #6): one schema, two sampler blocks. The stratified
+    // rows audit c6's exact per-group quota (expected = min(n, 5) BY
+    // CONSTRUCTION, so any nonzero deviation is an implementation bug —
+    // this face proves the sampler, not the estimator); the weighted
+    // rows audit c20's per-row draw on its own 1/10000 grid (deviation
+    // = 10000·n_sample − Σ floor(w·10⁴): exact integers, magnitude =
+    // hash luck per source — c29's reading at grid 10⁴). Both blocks
+    // re-run the REAL sampler (c6's heap top-k / c20's bucket compare),
+    // so the audit exercises the deployed code path, mirrored in DuckDB
+    // by the same row_number ranking and bucket arithmetic the c6/c20
+    // oracles pin.
+    Q(
+      "c29b_sampler_audit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = size(array_distinct(split(col("text"), " "))).cast("double") /
+          size(split(col("text"), " "))
+        Curation.stratifiedSampleAudit(docs,
+            groupCol = "source", idCol = "doc_id", nPerGroup = 5, salt = "st")
+          .unionByName(Curation.weightedSampleAudit(
+            docs.withColumn("w", w),
+            idCol = "doc_id", weightCol = "w", sourceCol = "source",
+            salt = "ws"))
+          .orderBy("sampler", "grp")
+      },
+      Some("""WITH st AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_corpus
+             |      FROM documents GROUP BY 1),
+             |sel AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_sample FROM (
+             |    SELECT source,
+             |           row_number() OVER (PARTITION BY source
+             |             ORDER BY md5('st' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |    FROM documents) WHERE rk <= 5 GROUP BY 1),
+             |strat AS (
+             |  SELECT 'stratified' AS sampler, st.grp, st.n_corpus,
+             |         CAST(coalesce(sel.n_sample, 0) AS BIGINT) AS n_sample,
+             |         CAST(1 AS BIGINT) AS grid,
+             |         CAST(least(st.n_corpus, 5) AS BIGINT) AS expected_grid,
+             |         CAST(coalesce(sel.n_sample, 0) - least(st.n_corpus, 5) AS BIGINT) AS deviation
+             |  FROM st LEFT JOIN sel USING (grp)),
+             |wf AS (SELECT source AS grp,
+             |         CAST(floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |              / len(string_split(text, ' ')) * 10000) AS BIGINT) AS thr,
+             |         CAST('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket
+             |       FROM documents),
+             |wt AS (
+             |  SELECT 'weighted' AS sampler, grp,
+             |         CAST(count(*) AS BIGINT) AS n_corpus,
+             |         CAST(sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+             |         CAST(10000 AS BIGINT) AS grid,
+             |         CAST(sum(thr) AS BIGINT) AS expected_grid,
+             |         CAST(10000 * sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) - sum(thr) AS BIGINT) AS deviation
+             |  FROM wf GROUP BY 2)
+             |SELECT sampler, grp, n_corpus, n_sample, grid, expected_grid, deviation
+             |FROM (SELECT * FROM strat UNION ALL SELECT * FROM wt)
+             |ORDER BY sampler, grp""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // C26 — water-filling mixture allocation (the PLANNING face of the
     // mixture samplers): 40% of the corpus's tokens split uniformly
     // across the 20 sources, availability-capped, with freed budget

@@ -198,6 +198,44 @@ class CurationSpec extends SparkTestBase {
     assert(Curation.stratifiedSample(small, "grp", "doc_id", 5, "s").count() == 2)
   }
 
+  test("sampler audits: stratified deviation is identically zero; weighted deviation matches the brute-force draw") {
+    import spark.implicits._
+    // Stratified: the quota is exact by construction, so the audit's
+    // deviation column is an implementation invariant — zero for full
+    // groups AND for a group smaller than its quota.
+    val docs = ((1L to 100L).map(i => (s"g${i % 3}", i)) ++ Seq(("g9", 990L)))
+      .toDF("grp", "doc_id")
+    val strat = Curation.stratifiedSampleAudit(docs, "grp", "doc_id",
+      nPerGroup = 4, salt = "s").collect()
+    assert(strat.length == 4)
+    strat.foreach { r =>
+      assert(r.getString(0) == "stratified")
+      assert(r.getLong(6) == 0L, s"stratified deviation must be 0: $r")
+      assert(r.getLong(3) == math.min(r.getLong(2), 4L), s"quota: $r")
+    }
+    // Weighted: recompute the per-source draw by brute force on the
+    // same 1/10000 grid and check n_sample, expected_grid, deviation.
+    val wrows = (1L to 200L).map(i => (s"s${i % 2}", i, (i % 10) / 10.0))
+    val wdocs = wrows.toDF("src", "doc_id", "w")
+    val got = Curation.weightedSampleAudit(
+      wdocs, "doc_id", "w", "src", salt = "ws")
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6)))).toMap
+    val kept = Curation.weightedSample(wdocs, "doc_id", "w", "ws")
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expGrid = wrows.map { case (s, _, w) =>
+      s -> math.floor(w * 10000).toLong }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    for (s <- Seq("s0", "s1")) {
+      val (n, ns, eg, dev) = got(s)
+      assert(n == 100L)
+      assert(ns == kept.getOrElse(s, 0L), s"$s n_sample")
+      assert(eg == expGrid(s), s"$s expected_grid")
+      assert(dev == 10000L * ns - eg, s"$s deviation")
+    }
+  }
+
   test("tfidf top terms rank rare terms above common ones") {
     import spark.implicits._
     val docs = Seq(
