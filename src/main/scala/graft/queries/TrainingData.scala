@@ -597,6 +597,74 @@ object TrainingData {
       |               sum(logp) AS slp
       |        FROM sc GROUP BY 1)""".stripMargin
 
+  /** The TRIGRAM-KN CTE block (t53, and t51's kn3 rows): the five model
+    * rollups of one trigram-type table (tri/pre/mid2/mid1 — c2 is the
+    * trigram-PREFIX count Σ_w c(uvw), so the seen level sums to 1
+    * exactly), the per-doc trigram stream, and the three-tier integer
+    * num/den of [[graft.text.NgramLm.kn3Model]] on the decimal(20,6)
+    * grid, rolled into `agg3`. PREPENDS nothing: expects `train`,
+    * `big`, `cont`, `tt`, and `docs` CTEs already defined (the
+    * [[sqlKnCtes]] chain provides them — the unigram level of the
+    * trigram recursion reuses the bigram-type fertilities). NOTE:
+    * `cont` is keyed by the bigram's SECOND word (column w2); the
+    * trigram scorer joins it on the trigram's THIRD word.
+    */
+  private val sqlKn3Ctes =
+    """t3 AS (SELECT unnest(list_transform(
+      |                range(len(string_split(text,' ')) - 2),
+      |                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' '))) AS gram
+      |       FROM train WHERE len(string_split(text,' ')) >= 3),
+      |t3p AS (SELECT split_part(gram, ' ', 1) AS w1,
+      |               split_part(gram, ' ', 2) AS w2,
+      |               split_part(gram, ' ', 3) AS w3 FROM t3),
+      |tri AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c3 FROM t3p GROUP BY 1, 2, 3),
+      |pre AS MATERIALIZED (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2,
+      |                            count(*) AS f3
+      |                     FROM tri GROUP BY 1, 2),
+      |mid2 AS MATERIALIZED (SELECT w2, w3, count(*) AS n3w FROM tri GROUP BY 1, 2),
+      |mid1 AS MATERIALIZED (SELECT w2, CAST(sum(n3w) AS BIGINT) AS nvdd,
+      |                             count(*) AS f2
+      |                      FROM mid2 GROUP BY 1),
+      |d3g AS (SELECT doc_id, unnest(list_transform(
+      |                range(len(string_split(text,' ')) - 2),
+      |                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' '))) AS gram
+      |        FROM docs
+      |        WHERE text IS NOT NULL AND len(string_split(text,' ')) >= 3),
+      |d3p AS (SELECT doc_id, split_part(gram, ' ', 1) AS w1,
+      |               split_part(gram, ' ', 2) AS w2,
+      |               split_part(gram, ' ', 3) AS w3 FROM d3g),
+      |sc3 AS (SELECT d3p.doc_id,
+      |          CAST(ln(CASE
+      |            WHEN p.c2 IS NOT NULL THEN greatest(
+      |              4*greatest(4*coalesce(r.c3, 0) - 3, 0)*m1.nvdd*tt.t
+      |              + 3*p.f3*(greatest(4*coalesce(m2.n3w, 0) - 3, 0)*tt.t
+      |                        + 3*m1.f2*coalesce(co.cont, 0)), 1)
+      |            WHEN m1.nvdd IS NOT NULL THEN greatest(
+      |              greatest(4*coalesce(m2.n3w, 0) - 3, 0)*tt.t
+      |              + 3*m1.f2*coalesce(co.cont, 0), 1)
+      |            ELSE greatest(4*coalesce(co.cont, 0), 1) END)
+      |            AS DECIMAL(20,6))
+      |          - CAST(ln(CASE
+      |            WHEN p.c2 IS NOT NULL THEN 16*p.c2*m1.nvdd*tt.t
+      |            WHEN m1.nvdd IS NOT NULL THEN 4*m1.nvdd*tt.t
+      |            ELSE 4*tt.t END) AS DECIMAL(20,6)) AS logp,
+      |          CASE WHEN r.c3 IS NULL THEN 1 ELSE 0 END AS unseen,
+      |          CASE WHEN p.c2 IS NULL THEN 1 ELSE 0 END AS unseen_prefix,
+      |          CASE WHEN m1.nvdd IS NULL THEN 1 ELSE 0 END AS unseen_mid
+      |        FROM d3p
+      |        LEFT JOIN tri r ON d3p.w1 = r.w1 AND d3p.w2 = r.w2 AND d3p.w3 = r.w3
+      |        LEFT JOIN pre p ON d3p.w1 = p.w1 AND d3p.w2 = p.w2
+      |        LEFT JOIN mid2 m2 ON d3p.w2 = m2.w2 AND d3p.w3 = m2.w3
+      |        LEFT JOIN mid1 m1 ON d3p.w2 = m1.w2
+      |        LEFT JOIN cont co ON d3p.w3 = co.w2
+      |        CROSS JOIN tt),
+      |agg3 AS (SELECT doc_id, count(*) AS n_trigrams,
+      |                CAST(sum(unseen) AS BIGINT) AS n_unseen,
+      |                CAST(sum(unseen_prefix) AS BIGINT) AS n_unseen_prefix,
+      |                CAST(sum(unseen_mid) AS BIGINT) AS n_unseen_mid,
+      |                sum(logp) AS slp
+      |         FROM sc3 GROUP BY 1)""".stripMargin
+
   /** The t26/t26b oracle's shared CTE chain: tf/df/dl/corpus stats, the
     * 5-query literal set, and the exact rational fixed-point per-(query,
     * doc) BM25 micro-scores summed into `sc`. Final ranking differs per
@@ -826,6 +894,84 @@ object TrainingData {
     */
   private val annPlanes: Seq[Seq[Double]] =
     Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+
+  /** The e10g/e10s explicit coarse centroids + residual codebook
+    * (tie-free by construction — asserted by the independent mirror in
+    * tools/gen_ann_goldens.py), shared so the end-to-end and the
+    * served-from-parquet faces verify against the IDENTICAL artifacts.
+    */
+  private def ivfPqGoldenArtifacts(s: SparkSession): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val coarse = Seq(
+      (0, Array(2.0, 0.0, 0.0, 0.0)),
+      (1, Array(1.0, 1.0, 1.0, 1.0))).toDF("centroid_id", "centroid_vec")
+    val cb = Seq(
+      (0, 0, Array(-3.0, -1.0)), (0, 1, Array(-1.0, -2.0)),
+      (0, 2, Array(-1.0, -1.0)), (0, 3, Array(0.0, -1.0)),
+      (1, 0, Array(-1.0, -1.0)), (1, 1, Array(0.0, -1.0)),
+      (1, 2, Array(0.0, 0.0)), (1, 3, Array(1.0, -1.0)))
+      .toDF("subspace", "code", "centroid_vec")
+    (coarse, cb)
+  }
+
+  /** The shared e10g/e10s mirror VALUES (tools/gen_ann_goldens.py). */
+  private val sqlIvfPqGoldenOracle: String =
+    """SELECT CAST(query_id AS BIGINT) AS query_id,
+      |       CAST(rnk AS BIGINT) AS rnk,
+      |       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+      |       CAST(cosine AS DOUBLE) AS cosine
+      |FROM (VALUES
+      |  (1, 1, 6, 0.6666666666666666),
+      |  (1, 2, 4, 0.5),
+      |  (1, 3, 8, 0.3333333333333333),
+      |  (2, 1, 7, 0.5),
+      |  (2, 2, 3, 0.3333333333333333),
+      |  (2, 3, 5, -0.5),
+      |  (3, 1, 2, 0.5),
+      |  (3, 2, 7, 0.3333333333333333),
+      |  (3, 3, 5, -0.6666666666666666),
+      |  (4, 1, 1, 0.25),
+      |  (4, 2, 6, 0.16666666666666666),
+      |  (4, 3, 8, -0.16666666666666666),
+      |  (5, 1, 7, 0.0),
+      |  (5, 2, 3, -0.3333333333333333),
+      |  (5, 3, 2, -0.5),
+      |  (6, 1, 1, 0.8333333333333334),
+      |  (6, 2, 8, 0.6666666666666666),
+      |  (6, 3, 4, 0.16666666666666666),
+      |  (7, 1, 2, 0.5),
+      |  (7, 2, 3, 0.3333333333333333),
+      |  (7, 3, 5, 0.0),
+      |  (8, 1, 1, 0.6666666666666666),
+      |  (8, 2, 6, 0.6666666666666666),
+      |  (8, 3, 4, 0.16666666666666666)
+      |) AS t(query_id, rnk, neighbor_id, cosine)
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** Train-once store for the e10c IVF-PQ serving face (the t44b
+    * pattern on the vector stack): the first call per sf-dir trains
+    * e10's exact configuration once and persists centroids + codebook +
+    * index + a corpus [[graft.util.Fingerprint]]; every later call
+    * (Verify, the timed bench passes) validates the fingerprint and
+    * serves join-only. Keyed by dir so gate scales never mix; training
+    * is deterministic, so the artifacts are too.
+    */
+  private val ivfPqArtifactDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqArtifactPath(s: SparkSession, dir: String): String =
+    ivfPqArtifactDirs.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_index").toString
+      val emb = Tables.embeddings(s, dir)
+      val (cent, cb, idx) = Similarity.ivfPqTrain(
+        emb, nCells = 16, m = 4, ksub = 16, trainIters = 2)
+      cent.write.mode("overwrite").parquet(s"$p/centroids")
+      cb.write.mode("overwrite").parquet(s"$p/codebook")
+      idx.write.mode("overwrite").parquet(s"$p/index")
+      graft.util.Fingerprint.write(s, s"$p/fingerprint",
+        graft.util.Fingerprint.of(emb, "vec_id"))
+      p
+    })
 
   /** t19's literal merge table. Ordered: rule 2 consumes rule 1's output
     * ("table" -> t+a -> ta+b -> tab), pinning that merges cascade in rank
@@ -3131,19 +3277,73 @@ object TrainingData {
              |WHERE d.text IS NOT NULL""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // T51 — smoother SHOOT-OUT (the eval face over t20 + t49, in the
-    // d17/t45 convention): add-one and Kneser–Ney score the SAME planted
-    // corpus (t49's char-reversed OOV twins in the negative-id space),
-    // pooled per (model, cohort) — 4 rows that measure what the model
-    // choice actually buys: each screen's rejection counts on the clean
-    // vs planted cohort and the pooled CE separation between them. Both
-    // models keep their shipped bands (3.4 / 4.0): the comparison is
-    // between screens as deployed. ONE oracle computes both scores from
-    // one shared bigram explode + count-table chain — the add-one logp
-    // and the KN integer num/den grid side by side in the same `sc` CTE.
-    // Exactness: decimal(20,6) per-bigram logs summed exactly per doc,
-    // per-doc decimal sums summed exactly per cohort, ONE IEEE division
-    // per row. `big` is multiply-referenced — MATERIALIZED throughout.
+    // T53 — TRIGRAM Kneser–Ney perplexity (r14 verdict #3 — the
+    // LM-screen family's next rung): the interpolated-KN recursion at
+    // order 3, D = 3/4 at every level, middle level on continuation
+    // counts over trigram types, unigram level reusing t49's
+    // bigram-type fertilities. Oracle choice RECORDED as the verdict
+    // asked: FULL oracle, not a golden — unlike unigram-EM there is no
+    // data-dependent recursion here, the whole model is rollups of one
+    // trigram-type table and scoring is joins, so the unrolled chain is
+    // ~10 extra materialized CTEs, well inside the d17-scale budget and
+    // strictly stronger than a mirror golden. Same planted scenario as
+    // t49 (char-reversed OOV twins): every planted trigram falls
+    // through to the unseen-middle floor 1/(4T) — the SAME floor as
+    // bigram KN, which is half of what t51's kn3 rows then measure.
+    // Band 5.2, set from the MEASURED distributions (sf0.01: natural
+    // per-doc CE max 3.89 / p95 3.71 — pooled 3.14, BELOW bigram KN's
+    // 3.39 even with ~18% unseen trigrams, the interpolation absorbing
+    // the sparsity — planted pinned at the ln(4T) ≈ 8.2 floor): the
+    // band sits in the gap, zero false rejects, all twins rejected.
+    Q(
+      "t53_kn3_perplexity",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val rev = d.filter(col("doc_id") % 25 === 0 && col("text").isNotNull)
+          .select((-col("doc_id") - 1).as("doc_id"),
+            concat_ws(" ",
+              transform(split(col("text"), " "), w => reverse(w))).as("text"))
+        NgramLm.kn3CrossEntropy(
+          d.unionByName(rev),
+          d.filter(col("doc_id") % 3 =!= 0),
+          maxCrossEntropy = 5.2)
+          .orderBy("doc_id")
+      },
+      Some(sqlKnCtes + ",\n" + sqlKn3Ctes +
+        """
+          |SELECT d.doc_id,
+             |       CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+             |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
+             |       CAST(coalesce(a.n_unseen_prefix, 0) AS BIGINT) AS n_unseen_prefix,
+             |       CAST(coalesce(a.n_unseen_mid, 0) AS BIGINT) AS n_unseen_mid,
+             |       -CAST(a.slp AS DOUBLE) / a.n_trigrams AS kn3_cross_entropy,
+             |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_trigrams <= 5.2, FALSE) AS keep
+             |FROM docs d LEFT JOIN agg3 a USING (doc_id)
+             |WHERE d.text IS NOT NULL
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T51 — smoother SHOOT-OUT (the eval face over t20 + t49 + t53, in
+    // the d17/t45 convention): add-one, bigram KN, and trigram KN (r15)
+    // score the SAME planted corpus (t49's char-reversed OOV twins in
+    // the negative-id space), pooled per (model, cohort) — 6 rows that
+    // measure what the model choice actually buys: each screen's
+    // rejection counts on the clean vs planted cohort and the pooled CE
+    // separation between them. Each model keeps its shipped band
+    // (3.4 / 4.0 / 5.2): the comparison is between screens as deployed.
+    // The kn3 rows answer the verdict's question directly — measured,
+    // not guessed, and the measurement beat the prior: the planted
+    // cohort lands on the SAME 1/(4T) floor as bigram KN (fully-OOV
+    // middles; 8.24 at sf0.01), but the natural cohort prices LOWER
+    // under trigram context (3.14 vs kn's 3.39 — interpolated KN
+    // absorbs the ~18% unseen-trigram sparsity), so order 3 buys a
+    // slightly WIDER separation (5.10 vs 4.86 nats) at zero false
+    // rejects on both. In the kn3 rows n_bigrams/
+    // n_unseen count trigrams (the model's scored-gram unit). ONE
+    // oracle computes all three from shared explode + count-table
+    // chains. Exactness: decimal(20,6) per-gram logs summed exactly per
+    // doc, per-doc decimal sums summed exactly per cohort, ONE IEEE
+    // division per row. Multiply-referenced CTEs MATERIALIZED.
     Q(
       "t51_lm_screen_compare",
       (s, dir) => {
@@ -3152,14 +3352,14 @@ object TrainingData {
           .select((-col("doc_id") - 1).as("doc_id"),
             concat_ws(" ",
               transform(split(col("text"), " "), w => reverse(w))).as("text"))
-        NgramLm.screenCompare(
+        NgramLm.screenCompare3(
           d.unionByName(rev),
           d.filter(col("doc_id") % 3 =!= 0),
           cohort = when(col("doc_id") < 0, lit("planted"))
             .otherwise(lit("natural")),
-          addOneMaxCe = 3.4, knMaxCe = 4.0)
+          addOneMaxCe = 3.4, knMaxCe = 4.0, kn3MaxCe = 5.2)
       },
-      Some("""WITH train AS (SELECT doc_id, text FROM documents
+      Some(s"""WITH train AS (SELECT doc_id, text FROM documents
              |               WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
              |tg AS (SELECT unnest(list_transform(
              |                range(len(string_split(text,' ')) - 1),
@@ -3207,11 +3407,17 @@ object TrainingData {
              |               CAST(sum(unseen) AS BIGINT) AS n_unseen,
              |               sum(logp_a) AS slp_a, sum(logp_k) AS slp_k
              |        FROM sc GROUP BY 1),
+             |${sqlKn3Ctes},
              |base AS (SELECT CASE WHEN d.doc_id < 0 THEN 'planted'
              |                     ELSE 'natural' END AS cohort,
              |                a.n_bigrams, a.n_unseen, a.slp_a, a.slp_k
              |         FROM docs d LEFT JOIN agg a USING (doc_id)
              |         WHERE d.text IS NOT NULL),
+             |base3 AS (SELECT CASE WHEN d.doc_id < 0 THEN 'planted'
+             |                      ELSE 'natural' END AS cohort,
+             |                 a.n_trigrams, a.n_unseen, a.slp
+             |          FROM docs d LEFT JOIN agg3 a USING (doc_id)
+             |          WHERE d.text IS NOT NULL),
              |outp AS (
              |  SELECT 'addone' AS model, cohort,
              |    CAST(count(*) AS BIGINT) AS n_docs,
@@ -3235,7 +3441,19 @@ object TrainingData {
              |    CAST(coalesce(sum(n_bigrams), 0) AS BIGINT),
              |    CAST(coalesce(sum(n_unseen), 0) AS BIGINT),
              |    -CAST(sum(slp_k) AS DOUBLE) / sum(n_bigrams)
-             |  FROM base GROUP BY cohort)
+             |  FROM base GROUP BY cohort
+             |  UNION ALL
+             |  SELECT 'kn3', cohort,
+             |    CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN n_trigrams IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(sum(CASE WHEN coalesce(
+             |             -CAST(slp AS DOUBLE) / n_trigrams <= 5.2, FALSE)
+             |             THEN 0 ELSE 1 END) AS BIGINT),
+             |    CAST(coalesce(sum(n_trigrams), 0) AS BIGINT),
+             |    CAST(coalesce(sum(n_unseen), 0) AS BIGINT),
+             |    -CAST(sum(slp) AS DOUBLE) / sum(n_trigrams)
+             |  FROM base3 GROUP BY cohort)
              |SELECT model, cohort, n_docs, n_scored, n_rejected, n_bigrams,
              |       n_unseen, cross_entropy
              |FROM outp ORDER BY model, cohort""".stripMargin)),
@@ -4102,6 +4320,35 @@ object TrainingData {
       }),
 
     // ------------------------------------------------------------------
+    // E10C — e10 SERVED from stored artifacts (r14 verdict #4: the
+    // suite's slowest designed entry gets the t44b learn/serve
+    // factoring): the first call per sf-dir trains e10's exact
+    // configuration and persists centroids + codebook + index; every
+    // later call fingerprint-validates the corpus and answers with the
+    // apply-only plan — probe ranking + broadcast ADC + one equi-join
+    // over the stored codes; no Lloyd round, no assignment, no encode.
+    // Designed rows-only like its parent (float k-means training has no
+    // SQL mirror), but DOUBLY pinned: SimilaritySpec proves
+    // train+store+serve ≡ the end-to-end path bit-for-bit on a real
+    // corpus, and the e10s golden pins the serve plan + parquet round
+    // trip against the independent mirror under a FULL oracle. e10
+    // stays registered as the end-to-end pin.
+    Q(
+      "e10c_ann_ivfpq_served",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val p = ivfPqArtifactPath(s, dir)
+        graft.util.Fingerprint.requireMatch(s, s"$p/fingerprint",
+          emb, "vec_id", what = "IVF-PQ index")
+        Similarity.ivfPqTopKServe(emb.filter(col("vec_id") < 8),
+          s.read.parquet(s"$p/centroids"), s.read.parquet(s"$p/codebook"),
+          s.read.parquet(s"$p/index"), nProbe = 4, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id")
+          .orderBy("query_id", "rnk")
+      }),
+
+    // ------------------------------------------------------------------
     // E10g — IVF-PQ over the ANN fixture with EXPLICIT coarse centroids
     // (the tie-free e8 init pair) and an explicit residual codebook
     // (tie-free L2 argmins, asserted by the mirror), nProbe=1. Bit-exact:
@@ -4114,53 +4361,43 @@ object TrainingData {
     Q(
       "e10_ivfpq_golden",
       (s, _) => {
-        import s.implicits._
-        val coarse = Seq(
-          (0, Array(2.0, 0.0, 0.0, 0.0)),
-          (1, Array(1.0, 1.0, 1.0, 1.0))).toDF("centroid_id", "centroid_vec")
-        val cb = Seq(
-          (0, 0, Array(-3.0, -1.0)), (0, 1, Array(-1.0, -2.0)),
-          (0, 2, Array(-1.0, -1.0)), (0, 3, Array(0.0, -1.0)),
-          (1, 0, Array(-1.0, -1.0)), (1, 1, Array(0.0, -1.0)),
-          (1, 2, Array(0.0, 0.0)), (1, 3, Array(1.0, -1.0)))
-          .toDF("subspace", "code", "centroid_vec")
+        val (coarse, cb) = ivfPqGoldenArtifacts(s)
         Similarity.ivfPqTopKWith(annFixture(s), annFixture(s), coarse, cb,
           nProbe = 1, k = 3)
           .withColumnRenamed("rank", "rnk")
           .select("query_id", "rnk", "neighbor_id", "cosine")
           .orderBy("query_id", "rnk")
       },
-      Some("""SELECT CAST(query_id AS BIGINT) AS query_id,
-             |       CAST(rnk AS BIGINT) AS rnk,
-             |       CAST(neighbor_id AS BIGINT) AS neighbor_id,
-             |       CAST(cosine AS DOUBLE) AS cosine
-             |FROM (VALUES
-             |  (1, 1, 6, 0.6666666666666666),
-             |  (1, 2, 4, 0.5),
-             |  (1, 3, 8, 0.3333333333333333),
-             |  (2, 1, 7, 0.5),
-             |  (2, 2, 3, 0.3333333333333333),
-             |  (2, 3, 5, -0.5),
-             |  (3, 1, 2, 0.5),
-             |  (3, 2, 7, 0.3333333333333333),
-             |  (3, 3, 5, -0.6666666666666666),
-             |  (4, 1, 1, 0.25),
-             |  (4, 2, 6, 0.16666666666666666),
-             |  (4, 3, 8, -0.16666666666666666),
-             |  (5, 1, 7, 0.0),
-             |  (5, 2, 3, -0.3333333333333333),
-             |  (5, 3, 2, -0.5),
-             |  (6, 1, 1, 0.8333333333333334),
-             |  (6, 2, 8, 0.6666666666666666),
-             |  (6, 3, 4, 0.16666666666666666),
-             |  (7, 1, 2, 0.5),
-             |  (7, 2, 3, 0.3333333333333333),
-             |  (7, 3, 5, 0.0),
-             |  (8, 1, 1, 0.6666666666666666),
-             |  (8, 2, 6, 0.6666666666666666),
-             |  (8, 3, 4, 0.16666666666666666)
-             |) AS t(query_id, rnk, neighbor_id, cosine)
-             |ORDER BY query_id, rnk""".stripMargin)),
+      Some(sqlIvfPqGoldenOracle)),
+
+    // ------------------------------------------------------------------
+    // E10S — the SERVING path of the same golden (r14 verdict #4, the
+    // t44b split applied to the vector stack): the explicit artifacts
+    // are round-tripped through parquet — centroids, codebook, AND the
+    // ivfPqIndex table built from them — and ivfPqTopKServe answers
+    // from the FILES. Same independent-mirror oracle as e10g, so the
+    // face pins that (a) the index build encodes exactly what the
+    // end-to-end path encodes and (b) nothing is lost or retyped in the
+    // parquet round trip — the at-rest serving contract, bit-exact.
+    Q(
+      "e10s_ivfpq_served_golden",
+      (s, _) => {
+        val (coarse, cb) = ivfPqGoldenArtifacts(s)
+        val fx = annFixture(s)
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_golden").toString
+        coarse.write.mode("overwrite").parquet(s"$p/centroids")
+        cb.write.mode("overwrite").parquet(s"$p/codebook")
+        Similarity.ivfPqIndex(fx, coarse, cb)
+          .write.mode("overwrite").parquet(s"$p/index")
+        Similarity.ivfPqTopKServe(fx,
+          s.read.parquet(s"$p/centroids"), s.read.parquet(s"$p/codebook"),
+          s.read.parquet(s"$p/index"), nProbe = 1, k = 3)
+          .withColumnRenamed("rank", "rnk")
+          .select("query_id", "rnk", "neighbor_id", "cosine")
+          .orderBy("query_id", "rnk")
+      },
+      Some(sqlIvfPqGoldenOracle)),
 
     // ------------------------------------------------------------------
     // E10b — the refine / re-rank stage production IVF-PQ always runs

@@ -1212,7 +1212,19 @@ object Similarity {
       .select(col("id").as("neighbor_id"), col("codes"))
       .join(residuals.select(col("id").as("neighbor_id"),
         col("centroid_id"), col("true_nrm")), "neighbor_id")
+    ivfPqAdcSearch(queries, cent, codebook, encoded, nProbe, k, m, dsub,
+      idCol, vecCol)
+  }
 
+  /** The search HALF of IVF-PQ alone — probe + ADC over an already-built
+    * index table (neighbor_id, centroid_id, codes, true_nrm): the plan a
+    * serving job runs against STORED artifacts, with no corpus pass, no
+    * assignment argmin, no encode anywhere in it.
+    */
+  private def ivfPqAdcSearch(
+      queries: DataFrame, cent: DataFrame, codebook: DataFrame,
+      encoded: DataFrame, nProbe: Int, k: Int, m: Int, dsub: Int,
+      idCol: String, vecCol: String): DataFrame = {
     // Query side: nProbe nearest cells, with the EXACT dot(q, c) kept per
     // probe — the first ADC term.
     val q = queries.select(
@@ -1298,6 +1310,87 @@ object Similarity {
       pqCodebook(residuals.select(col("id"), col("residual")),
         m, ksub, trainIters, idCol = "id", vecCol = "residual", Some(dims)))
     ivfPqSearch(queries, cent, codebook, residuals, nProbe, k, m, dims / m, idCol, vecCol)
+  }
+
+  /** Train the complete IVF-PQ artifact set in one pass — (centroids,
+    * codebook, index) — the learn-once half of the serving split (r14
+    * verdict #4). Same chain as [[ivfPqTopK]]'s training (deterministic
+    * bootstrap + Lloyd rounds; the codebook trained on the SAME
+    * residuals the index encodes, sharing one assignment pass), so
+    * serving from these artifacts via [[ivfPqTopKServe]] is
+    * bit-identical to the end-to-end path — spec-pinned. Persist all
+    * three as parquet (the index partitioned by centroid_id at scale)
+    * plus a [[graft.util.Fingerprint]] of the corpus, and every later
+    * search is join-only.
+    */
+  def ivfPqTrain(
+      corpus: DataFrame, nCells: Int, m: Int, ksub: Int, trainIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val cent = kmeansCentroids(corpus, nCells, trainIters, idCol, vecCol)
+      .select(col("centroid_id"),
+        transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
+    val residuals = graft.util.CacheScope.persist(
+      ivfPqResiduals(corpus, cent, idCol, vecCol))
+    val codebook = graft.util.CacheScope.persist(
+      pqCodebook(residuals.select(col("id"), col("residual")),
+        m, ksub, trainIters, idCol = "id", vecCol = "residual", Some(dims)))
+    val index = pqEncodeWith(residuals, codebook, m, dims / m, "id", "residual")
+      .select(col("id").as("neighbor_id"), col("codes"))
+      .join(residuals.select(col("id").as("neighbor_id"),
+        col("centroid_id"), col("true_nrm")), "neighbor_id")
+    (cent, codebook, index)
+  }
+
+  /** Build the serving INDEX of an IVF-PQ deployment (r14 verdict #4 —
+    * the t44b learn-once/apply-everywhere split applied to the trained
+    * vector stack): (neighbor_id, centroid_id, codes, true_nrm), i.e.
+    * each corpus vector's coarse cell, its m residual PQ codes, and its
+    * exact norm. Together with the centroid and codebook tables this is
+    * the complete at-rest state of the index — three narrow parquet
+    * writes; at 100 TB the index table is the one that matters (4 code
+    * bytes + 8 norm bytes per vector instead of 256 vector bytes), and
+    * partitioning it BY centroid_id makes every serve-time probe a
+    * partition-pruned read.
+    */
+  def ivfPqIndex(
+      corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = centroids.select(
+      col("centroid_id"),
+      transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
+    val m = codebook.agg(max(col("subspace"))).head.getInt(0) + 1
+    val dsub = codebook.select(size(col("centroid_vec"))).head.getInt(0)
+    val residuals = graft.util.CacheScope.persist(
+      ivfPqResiduals(corpus, cent, idCol, vecCol))
+    pqEncodeWith(residuals, codebook, m, dsub, "id", "residual")
+      .select(col("id").as("neighbor_id"), col("codes"))
+      .join(residuals.select(col("id").as("neighbor_id"),
+        col("centroid_id"), col("true_nrm")), "neighbor_id")
+  }
+
+  /** Serve IVF-PQ top-k from STORED artifacts (centroids + codebook +
+    * [[ivfPqIndex]] table) — the apply-only twin of [[ivfPqTopKWith]]:
+    * the plan contains no corpus pass, no Lloyd round, no assignment,
+    * no encode — only the query-side probe ranking, the broadcast ADC
+    * table, and the equi-join over the index. Bit-identical to the
+    * train-and-search path on the same artifacts (spec-pinned; the
+    * e10s golden pins the parquet round-trip against the independent
+    * mirror).
+    */
+  def ivfPqTopKServe(
+      queries: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      index: DataFrame, nProbe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = centroids.select(
+      col("centroid_id"),
+      transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
+    val m = codebook.agg(max(col("subspace"))).head.getInt(0) + 1
+    val dsub = codebook.select(size(col("centroid_vec"))).head.getInt(0)
+    ivfPqAdcSearch(queries, cent, codebook, index, nProbe, k, m, dsub,
+      idCol, vecCol)
   }
 
   /** Refine / re-rank — the stage that turns PQ's lossy ADC ranking into

@@ -55,6 +55,18 @@ object NgramLm {
       .select(col("id"), col("w1"),
         element_at(col("__toks"), col("__pos") + 2).as("w2"))
 
+  /** (doc_id, w1, w2, w3) trigram stream of a corpus. */
+  private def trigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 3)
+      .select(col("id"), posexplode(slice(col("__toks"), lit(1), size(col("__toks")) - 2))
+        .as(Seq("__pos", "w1")), col("__toks"))
+      .select(col("id"), col("w1"),
+        element_at(col("__toks"), col("__pos") + 2).as("w2"),
+        element_at(col("__toks"), col("__pos") + 3).as("w3"))
+
   /** Score every `docs` row under a bigram model trained on `train`:
     * (id, n_bigrams, n_unseen, cross_entropy, keep). Documents with fewer
     * than two tokens score null entropy and keep=false (nothing to judge —
@@ -317,6 +329,191 @@ object NgramLm {
         (-col("__slp_total").cast("double") / col("n_bigrams"))
           .as("corpus_cross_entropy"))
 
+  /** The frozen TRIGRAM KN model state (t53 — the LM-screen family's
+    * next rung; Chen & Goodman 1998's interpolated-KN recursion at
+    * order 3, D = 3/4 at every level):
+    *
+    *   P(w|uv) = max(c(uvw)−D,0)/c(uv) + (D·N1+(uv·)/c(uv))·Pkn(w|v)
+    *   Pkn(w|v) = max(N1+(·vw)−D,0)/N1+(·v·) + (D·N1+(v··)/N1+(·v·))·Pcont(w)
+    *   Pcont(w) = N1+(·w)/T
+    *
+    * where the middle level runs on CONTINUATION counts over trigram
+    * TYPES (N1+(·vw) = distinct u with c(uvw)>0; N1+(·v·) = trigram
+    * types with middle v; N1+(v··) = distinct w types following middle
+    * v) and the unigram level reuses the bigram-type fertilities of
+    * [[knModel]] (N1+(·w), T = bigram types). c(uv) here is the
+    * TRIGRAM-PREFIX count Σ_w c(uvw) — not the raw bigram count — so
+    * Σ_w P(w|uv) = 1 exactly at every seen level (each of the N1+
+    * continuation types loses exactly D, and the redistributed mass
+    * telescopes through the recursion).
+    *
+    * Exactness: multiplying through by the common denominator
+    * 16·c(uv)·N1+(·v·)·T makes every probability a ratio of INTEGERS —
+    *   num = 4·max(4·c(uvw)−3, 0)·N1+(·v·)·T
+    *       + 3·N1+(uv·)·(max(4·N1+(·vw)−3, 0)·T + 3·N1+(v··)·N1+(·w))
+    *   den = 16·c(uv)·N1+(·v·)·T
+    * (unseen trigram prefix: drop to the middle level, num =
+    * max(4·N1+(·vw)−3,0)·T + 3·N1+(v··)·N1+(·w), den = 4·N1+(·v·)·T;
+    * unseen middle: num = 4·N1+(·w), den = 4·T — the bigram path's
+    * floor tier; zero num takes the documented floor 1). From there the
+    * [[crossEntropy]] contract applies verbatim, and the Long grid is
+    * ENFORCED like the bigram's — the guard below.
+    *
+    * Shape at scale: five narrow tables, all rollups of ONE
+    * map-side-combined trigram-type aggregation plus the bigram pass
+    * [[knModel]] already runs; scoring is equi-joins on the exploded
+    * document trigrams — store the tables and scoring stays join-only.
+    */
+  final case class Kn3Model(
+      tri: DataFrame, pre: DataFrame, mid2: DataFrame, mid1: DataFrame,
+      cont: DataFrame, tt: DataFrame) {
+    /** The bigram guard's argument at order 3: the worst num/den over
+      * any batch is a model property — num ≤ 16·max(c3)·max(N1+(·v·))·T
+      * + 3·max(N1+(uv·))·(4·max(N1+(·vw))·T + 3·max(N1+(v··))·max cont),
+      * den ≤ 16·max(c2)·max(N1+(·v·))·T — one one-row agg, BigInt,
+      * once per model instance, loud past 2^63 with the DECIMAL(38,0)
+      * swap named.
+      */
+    private[text] lazy val longGridChecked: Unit = {
+      val r = pre.agg(
+          coalesce(max(col("c2")), lit(0L)).as("mc2"),
+          coalesce(max(col("f3")), lit(0L)).as("mf3"))
+        .crossJoin(broadcast(tri.agg(
+          coalesce(max(col("c3")), lit(0L)).as("mc3"))))
+        .crossJoin(broadcast(mid2.agg(
+          coalesce(max(col("n3w")), lit(0L)).as("mn3w"))))
+        .crossJoin(broadcast(mid1.agg(
+          coalesce(max(col("nvdd")), lit(0L)).as("mnvdd"),
+          coalesce(max(col("f2")), lit(0L)).as("mf2"))))
+        .crossJoin(broadcast(cont.agg(
+          coalesce(max(col("cont")), lit(0L)).as("mcont"))))
+        .crossJoin(broadcast(tt))
+        .head()
+      val (mc2, mf3, mc3, mn3w, mnvdd, mf2, mcont, t) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      val maxNum = BigInt(16) * mc3 * mnvdd * t +
+        BigInt(3) * mf3 * (BigInt(4) * mn3w * t + BigInt(3) * mf2 * mcont)
+      val maxDen = BigInt(16) * mc2 * mnvdd * t
+      require(maxNum.max(maxDen) <= Long.MaxValue,
+        s"trigram KN model leaves the exact Long num/den grid: " +
+          s"max(num bound, den bound) = ${maxNum.max(maxDen)} > 2^63-1 " +
+          s"(max_c3=$mc3, max_c2=$mc2, max_f3=$mf3, max_n3w=$mn3w, " +
+          s"max_nvdd=$mnvdd, max_f2=$mf2, max_cont=$mcont, T=$t) - the " +
+          "integer multiply-through would wrap silently under non-ANSI " +
+          "mode. Compute num/den as DECIMAL(38,0) at this scale (DuckDB " +
+          "mirrors it as HUGEINT)")
+    }
+  }
+
+  def kn3Model(train: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Kn3Model = {
+    val tri = CacheScope.persist(
+      trigrams(train, idCol, textCol)
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
+    val mid2 = CacheScope.persist(
+      tri.groupBy("w2", "w3").agg(count(lit(1)).as("n3w")))
+    // Unigram level: the bigram-type fertilities (one bigram pass, the
+    // knModel tables' definitions — keyed by the trigram's THIRD word).
+    val bigT = CacheScope.persist(
+      bigrams(train, idCol, textCol)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    Kn3Model(
+      tri = tri,
+      pre = tri.groupBy("w1", "w2")
+        .agg(sum(col("c3")).as("c2"), count(lit(1)).as("f3")),
+      mid2 = mid2,
+      mid1 = mid2.groupBy("w2")
+        .agg(sum(col("n3w")).as("nvdd"), count(lit(1)).as("f2")),
+      cont = bigT.groupBy(col("w2").as("w3")).agg(count(lit(1)).as("cont")),
+      tt = bigT.agg(count(lit(1)).as("t")))
+  }
+
+  /** Per-doc trigram-KN scoring under a frozen model, keeping the exact
+    * decimal log-prob sum (the [[knPerDoc]] split): (id, n_trigrams,
+    * n_unseen, n_unseen_prefix, n_unseen_mid, __slp, kn3_cross_entropy,
+    * keep). Documents with fewer than three tokens score null entropy
+    * and keep=false (the n<2 bigram rule, one order up).
+    */
+  private def kn3PerDoc(
+      docs: DataFrame, model: Kn3Model, maxCrossEntropy: Double,
+      idCol: String, textCol: String): DataFrame = {
+    model.longGridChecked
+    val c3 = coalesce(col("c3"), lit(0L))
+    val n3w = coalesce(col("n3w"), lit(0L))
+    val contC = coalesce(col("cont"), lit(0L))
+    val seenPre = col("c2").isNotNull
+    val seenMid = col("nvdd").isNotNull
+    // The middle-level numerator piece, shared by the top two tiers.
+    val contNum = greatest(lit(4L) * n3w - lit(3L), lit(0L)) * col("t") +
+      lit(3L) * col("f2") * contC
+    val num = when(seenPre, greatest(
+        lit(4L) * greatest(lit(4L) * c3 - lit(3L), lit(0L)) *
+          col("nvdd") * col("t") + lit(3L) * col("f3") * contNum,
+        lit(1L)))
+      .when(seenMid, greatest(contNum, lit(1L)))
+      .otherwise(greatest(lit(4L) * contC, lit(1L)))
+    val den = when(seenPre, lit(16L) * col("c2") * col("nvdd") * col("t"))
+      .when(seenMid, lit(4L) * col("nvdd") * col("t"))
+      .otherwise(lit(4L) * col("t"))
+
+    val scored = trigrams(docs, idCol, textCol)
+      .join(model.tri, Seq("w1", "w2", "w3"), "left")
+      .join(model.pre, Seq("w1", "w2"), "left")
+      .join(model.mid2, Seq("w2", "w3"), "left")
+      .join(model.mid1, Seq("w2"), "left")
+      .join(model.cont, Seq("w3"), "left")
+      .crossJoin(broadcast(model.tt))
+      .select(
+        col("id"),
+        (lnDec(num) - lnDec(den)).as("__logp"),
+        when(col("c3").isNull, 1L).otherwise(0L).as("__unseen"),
+        when(col("c2").isNull, 1L).otherwise(0L).as("__unseen_prefix"),
+        when(col("nvdd").isNull, 1L).otherwise(0L).as("__unseen_mid"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(col("__unseen")).as("n_unseen"),
+        sum(col("__unseen_prefix")).as("n_unseen_prefix"),
+        sum(col("__unseen_mid")).as("n_unseen_mid"),
+        sum(col("__logp")).as("__sum_logp"))
+      .withColumn("kn3_cross_entropy",
+        -col("__sum_logp").cast("double") / col("n_trigrams"))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol))
+      .join(scored, col(idCol) === scored("id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("n_unseen_prefix"), lit(0L)).as("n_unseen_prefix"),
+        coalesce(col("n_unseen_mid"), lit(0L)).as("n_unseen_mid"),
+        col("__sum_logp").as("__slp"),
+        col("kn3_cross_entropy"),
+        coalesce(col("kn3_cross_entropy") <= maxCrossEntropy, lit(false))
+          .as("keep"))
+  }
+
+  /** Trigram-KN scoring against a pre-built frozen model. */
+  def kn3Score(
+      docs: DataFrame,
+      model: Kn3Model,
+      maxCrossEntropy: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    kn3PerDoc(docs, model, maxCrossEntropy, idCol, textCol).drop("__slp")
+
+  /** Train-and-score in one call — the t53 shape. */
+  def kn3CrossEntropy(
+      docs: DataFrame,
+      train: DataFrame,
+      maxCrossEntropy: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    kn3Score(docs, kn3Model(train, idCol, textCol), maxCrossEntropy,
+      idCol, textCol)
+
   /** Smoother shoot-out — the "which perplexity filter do I ship" table:
     * score the SAME corpus under both the add-one baseline and the KN
     * model (each trained on the same slice), pool per (model, cohort)
@@ -368,6 +565,45 @@ object NgramLm {
       .unionByName(
         screen(knPerDoc(docs, knModel(train, idCol, textCol), knMaxCe,
           idCol, textCol), "kn"))
+      .orderBy("model", "cohort")
+  }
+
+  /** [[screenCompare]] plus the TRIGRAM KN screen (t53's row in the t51
+    * shoot-out — "does order 3 buy separation over bigram KN?"). Same
+    * schema; in the kn3 rows `n_bigrams`/`n_unseen` count TRIGRAMS and
+    * unseen trigrams (the scored-gram unit of that model — documented
+    * rather than renamed, so the three screens stay one unionable
+    * table). Each model keeps its own shipped band, as in
+    * [[screenCompare]].
+    */
+  def screenCompare3(
+      docs: DataFrame,
+      train: DataFrame,
+      cohort: Column,
+      addOneMaxCe: Double,
+      knMaxCe: Double,
+      kn3MaxCe: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val kn3 = kn3PerDoc(docs, kn3Model(train, idCol, textCol), kn3MaxCe,
+        idCol, textCol)
+      .withColumn("cohort", cohort)
+      .groupBy("cohort")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_trigrams") > 0, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_rejected"),
+        sum(col("n_trigrams")).as("n_bigrams"),
+        sum(col("n_unseen")).as("n_unseen"),
+        sum(col("__slp")).as("__slp_total"))
+      .select(
+        lit("kn3").as("model"), col("cohort"),
+        col("n_docs"), col("n_scored"), col("n_rejected"),
+        col("n_bigrams"), col("n_unseen"),
+        (-col("__slp_total").cast("double") / col("n_bigrams"))
+          .as("cross_entropy"))
+    screenCompare(docs, train, cohort, addOneMaxCe, knMaxCe, idCol, textCol)
+      .unionByName(kn3)
       .orderBy("model", "cohort")
   }
 }

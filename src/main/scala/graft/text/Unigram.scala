@@ -340,20 +340,11 @@ object Unigram {
   }
 
   /** Order-invariant corpus fingerprint for artifact self-validation
-    * (r14 verdict #2): (n_docs, id_hash) with id_hash = XOR of
-    * xxhash64(id) over the corpus. XOR is commutative/associative and
-    * never overflows, so partitioning cannot move the value, and both
-    * legs are SQL-mirrorable (COUNT + a 64-bit-hash XOR aggregate)
-    * should a face ever need the DuckDB twin. One column-pruned pass
-    * over the ids — the scan reads nothing but `idCol`.
+    * (r14 verdict #2) — see [[graft.util.Fingerprint]], the shared
+    * implementation every learn-once/apply-everywhere store rides.
     */
-  def corpusFingerprint(docs: DataFrame, idCol: String = "doc_id"): (Long, Long) = {
-    val r = docs.select(xxhash64(col(idCol)).as("__h"))
-      .agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(__h)"), lit(0L)).as("h"))
-      .head()
-    (r.getLong(0), r.getLong(1))
-  }
+  def corpusFingerprint(docs: DataFrame, idCol: String = "doc_id"): (Long, Long) =
+    graft.util.Fingerprint.of(docs, idCol)
 
   /** Persist a learned vocabulary as a SELF-VALIDATING serving artifact
     * (r14 verdict #2): `<path>/vocab` holds the (piece, cnt, cost_micro)
@@ -365,11 +356,9 @@ object Unigram {
   def writeVocabArtifact(
       vocab: DataFrame, docs: DataFrame, path: String,
       idCol: String = "doc_id"): Unit = {
-    val spark = vocab.sparkSession
-    import spark.implicits._
     vocab.write.mode("overwrite").parquet(s"$path/vocab")
-    Seq(corpusFingerprint(docs, idCol)).toDF("n_docs", "id_hash")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/fingerprint")
+    graft.util.Fingerprint.write(vocab.sparkSession, s"$path/fingerprint",
+      corpusFingerprint(docs, idCol))
   }
 
   /** Read a vocab artifact, FIRST requiring its stored fingerprint to
@@ -384,15 +373,8 @@ object Unigram {
   def readVocabArtifact(
       spark: SparkSession, docs: DataFrame, path: String,
       idCol: String = "doc_id"): DataFrame = {
-    val st = spark.read.parquet(s"$path/fingerprint").head()
-    val stored = (st.getAs[Long]("n_docs"), st.getAs[Long]("id_hash"))
-    val current = corpusFingerprint(docs, idCol)
-    require(stored == current,
-      s"stale vocab artifact at $path: stored fingerprint " +
-        s"(n_docs=${stored._1}, id_hash=${stored._2}) does not match the " +
-        s"current corpus (n_docs=${current._1}, id_hash=${current._2}) - " +
-        "the corpus changed since the vocabulary was learned; re-learn " +
-        "and re-persist instead of applying a stale tokenizer")
+    graft.util.Fingerprint.requireMatch(spark, s"$path/fingerprint",
+      docs, idCol, what = "vocab")
     spark.read.parquet(s"$path/vocab")
   }
 

@@ -33,6 +33,11 @@ class PlanAuditSpec extends SparkTestBase {
     // scoring are equi-joins on (centroid_id) / (query_id,subspace,code).
     "e10_ann_ivfpq",
     "e10_ivfpq_golden",
+    // the serve-path faces carry ONLY e10's query-side probe ranking
+    // (query × broadcast C-row centroid table) — the index/ADC joins
+    // are equi-joins over the STORED code table; no corpus pass at all
+    "e10c_ann_ivfpq_served",
+    "e10s_ivfpq_served_golden",
     // refine stage reuses e10's broadcast-centroid probe ranking; the
     // exact re-rank itself is an equi-join on the bounded shortlist
     "e10b_ivfpq_refined",
@@ -105,8 +110,11 @@ class PlanAuditSpec extends SparkTestBase {
     // the count-table joins themselves are equi-joins on w1/w2
     "t49_kn_perplexity",
     "t49b_kn_screen_report",
-    // the shoot-out runs BOTH scoring passes: t20's one-row V side and
-    // t49's one-row T side, over the same equi-join count tables
+    // the same one-row T side at order 3: the five model-table joins
+    // are equi-joins on (w1,w2,w3)/(w1,w2)/(w2,w3)/(w2)/(w3)
+    "t53_kn3_perplexity",
+    // the shoot-out runs ALL THREE scoring passes: t20's one-row V
+    // side and the t49/t53 one-row T sides, over equi-join count tables
     "t51_lm_screen_compare",
     // the agreement matrix composes the t49 scoring pass (one-row T
     // side); the entropy/ratio legs and the flag joins are equi-joins

@@ -156,6 +156,60 @@ class NgramLmSpec extends SparkTestBase {
     assert(math.abs(ce(("addone", "natural")) - pooled) < 1e-9)
   }
 
+  test("hand-computed trigram Kneser-Ney: three backoff tiers exact to the decimal contract") {
+    // train "a b a b c": tri = {(a,b,a):1, (b,a,b):1, (a,b,c):1}
+    //   pre: (a,b)->(c2=2,f3=2), (b,a)->(1,1)
+    //   mid2: (b,a):1, (a,b):1, (b,c):1; mid1: b->(nvdd=2,f2=2), a->(1,1)
+    //   bigram types: cont(a)=cont(b)=cont(c)=1, T=3
+    val train = Seq((100L, "a b a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"), // seen prefix: num=4*1*2*3 + 3*2*(3+6)=78, den=16*2*2*3=192
+      (2L, "z z z"), // unseen middle: cont(z)=0 -> floor num=1, den=4*3=12
+      (3L, "c a b"), // unseen prefix, seen middle a: num=3+3=6, den=4*1*3=12
+      (4L, "a b"),   // too short: no trigrams
+      (5L, "a b z")) // seen prefix, unseen continuation+cont: floor 1/192
+      .toDF("doc_id", "text")
+    val got = NgramLm.kn3CrossEntropy(docs, train, maxCrossEntropy = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    def ce(pairs: (Int, Int)*): Double =
+      -pairs.map { case (n, d) => r6(math.log(n)) - r6(math.log(d)) }
+        .sum.toDouble / pairs.size
+    assert(got(1L) == ((1L, 0L, 0L, 0L, ce((78, 192)), true)), s"got ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, 1L, 1L, ce((1, 12)), false)))
+    // CE = ln2 ~ 0.693 <= 1.0 -> keep (the backoff estimate is good here)
+    assert(got(3L) == ((1L, 1L, 1L, 0L, ce((6, 12)), true)))
+    assert(got(4L)._1 == 0L && got(4L)._5.isNaN && !got(4L)._6)
+    assert(got(5L) == ((1L, 1L, 0L, 0L, ce((1, 192)), false)))
+  }
+
+  test("trigram KN probabilities sum to 1 over the continuation vocab for a seen context") {
+    // Rationals: P(a|ab)=78/192, P(b|ab)=36/192, P(c|ab)=78/192 -> sum 1.
+    val train = Seq((100L, "a b a b c")).toDF("doc_id", "text")
+    val probe = Seq((1L, "a b a"), (2L, "a b b"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val p = NgramLm.kn3CrossEntropy(probe, train, maxCrossEntropy = 100.0)
+      .collect().map(r => math.exp(-r.getDouble(5))).sum
+    assert(math.abs(p - 1.0) < 1e-4, s"sum_w P(w|ab) = $p")
+  }
+
+  test("the trigram Long grid guard fires on KenLM-scale counts and admits the edge") {
+    val huge = NgramLm.Kn3Model(
+      tri = Seq(("a", "b", "c", 1L << 58)).toDF("w1", "w2", "w3", "c3"),
+      pre = Seq(("a", "b", 1L << 58, 1L)).toDF("w1", "w2", "c2", "f3"),
+      mid2 = Seq(("b", "c", 1L)).toDF("w2", "w3", "n3w"),
+      mid1 = Seq(("b", 1L, 1L)).toDF("w2", "nvdd", "f2"),
+      cont = Seq(("c", 1L)).toDF("w3", "cont"),
+      tt = Seq(Tuple1(100L)).toDF("t"))
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      NgramLm.kn3Score(docs, huge, maxCrossEntropy = 1.0)
+    }
+    assert(ex.getMessage.contains("DECIMAL(38,0)"), ex.getMessage)
+  }
+
   test("the Long num/den grid is ENFORCED: a model whose 4*max(c1)*T leaves 2^63 fails loudly before scoring") {
     // r14 verdict #1 — the d17 lesson applied to KN: the exactness
     // contract ("every num/den fits a Long") must live in a require, not
