@@ -948,6 +948,25 @@ object TrainingData {
       |) AS t(query_id, rnk, neighbor_id, cosine)
       |ORDER BY query_id, rnk""".stripMargin
 
+  /** Train-once store for the t49c KN-model serving face: the first
+    * call per sf-dir trains on the doc_id % 3 <> 0 slice and persists
+    * the four model tables + the train fingerprint
+    * ([[graft.text.NgramLm.writeKnModel]]); later calls read through
+    * the staleness guard. Same determinism/keying argument as the
+    * unigram vocab store.
+    */
+  private val knModelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def knModelPath(s: SparkSession, dir: String): String =
+    knModelDirs.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_kn_model").toString
+      val train = Tables.documents(s, dir).select("doc_id", "text")
+        .filter(col("doc_id") % 3 =!= 0)
+      NgramLm.writeKnModel(NgramLm.knModel(train), train, p)
+      p
+    })
+
   /** Train-once store for the e10c IVF-PQ serving face (the t44b
     * pattern on the vector stack): the first call per sf-dir trains
     * e10's exact configuration once and persists centroids + codebook +
@@ -3275,6 +3294,44 @@ object TrainingData {
              |  -CAST(sum(a.slp) AS DOUBLE) / sum(a.n_bigrams) AS corpus_cross_entropy
              |FROM docs d LEFT JOIN agg a USING (doc_id)
              |WHERE d.text IS NOT NULL""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T49C — t49 SERVED from a stored model (the serving split on the
+    // LM family, completing the t44b/e10c trio: tokenizer, ANN index,
+    // LM screen): the first call per sf-dir trains the KN model once
+    // and persists its four narrow tables + a train-corpus fingerprint;
+    // every later call fingerprint-validates and scores join-only — the
+    // knModel scaladoc's "store the tables and scoring a new crawl is
+    // join-only" claim, executable. Oracle: t49's UNTOUCHED chain (the
+    // t44b contract — the stored artifact must reproduce the
+    // train-and-score result bit-for-bit), so the serve path carries a
+    // FULL oracle and the rows-only roster does not grow.
+    Q(
+      "t49c_kn_score_stored",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val rev = d.filter(col("doc_id") % 25 === 0 && col("text").isNotNull)
+          .select((-col("doc_id") - 1).as("doc_id"),
+            concat_ws(" ",
+              transform(split(col("text"), " "), w => reverse(w))).as("text"))
+        val train = d.filter(col("doc_id") % 3 =!= 0)
+        NgramLm.knScore(
+          d.unionByName(rev),
+          NgramLm.readKnModel(s, train, knModelPath(s, dir)),
+          maxCrossEntropy = 4.0)
+          .orderBy("doc_id")
+      },
+      Some(sqlKnCtes +
+        """
+          |SELECT d.doc_id,
+             |       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
+             |       CAST(coalesce(a.n_unseen_prefix, 0) AS BIGINT) AS n_unseen_prefix,
+             |       -CAST(a.slp AS DOUBLE) / a.n_bigrams AS kn_cross_entropy,
+             |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_bigrams <= 4.0, FALSE) AS keep
+             |FROM docs d LEFT JOIN agg a USING (doc_id)
+             |WHERE d.text IS NOT NULL
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T53 — TRIGRAM Kneser–Ney perplexity (r14 verdict #3 — the

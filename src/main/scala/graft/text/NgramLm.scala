@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.util.CacheScope
@@ -225,6 +225,40 @@ object NgramLm {
       uni = big.groupBy("w1").agg(sum(col("c12")).as("c1"), count(lit(1)).as("fert")),
       cont = big.groupBy("w2").agg(count(lit(1)).as("cont")),
       tt = big.agg(count(lit(1)).as("t")))
+  }
+
+  /** Persist a frozen KN model as a SELF-VALIDATING serving artifact
+    * (the t44b/e10c split on the LM family): the four narrow tables as
+    * parquet plus a [[graft.util.Fingerprint]] of the train corpus, so
+    * [[readKnModel]] refuses to score under a stale model. This is the
+    * scaladoc's "store the tables and scoring a new crawl is join-only"
+    * claim made executable.
+    */
+  def writeKnModel(model: KnModel, train: DataFrame, path: String,
+      idCol: String = "doc_id"): Unit = {
+    model.big.write.mode("overwrite").parquet(s"$path/big")
+    model.uni.write.mode("overwrite").parquet(s"$path/uni")
+    model.cont.write.mode("overwrite").parquet(s"$path/cont")
+    model.tt.write.mode("overwrite").parquet(s"$path/tt")
+    graft.util.Fingerprint.write(model.big.sparkSession, s"$path/fingerprint",
+      graft.util.Fingerprint.of(train, idCol))
+  }
+
+  /** Read a stored KN model, FIRST requiring its fingerprint to match
+    * `train` — the corpus the caller believes it was trained on. Loud
+    * on mismatch; the Long-grid guard then re-checks the loaded tables
+    * on first scoring call as always (the guard is a KnModel property,
+    * not a training-path one).
+    */
+  def readKnModel(spark: SparkSession, train: DataFrame, path: String,
+      idCol: String = "doc_id"): KnModel = {
+    graft.util.Fingerprint.requireMatch(spark, s"$path/fingerprint",
+      train, idCol, what = "KN model")
+    KnModel(
+      big = spark.read.parquet(s"$path/big"),
+      uni = spark.read.parquet(s"$path/uni"),
+      cont = spark.read.parquet(s"$path/cont"),
+      tt = spark.read.parquet(s"$path/tt"))
   }
 
   /** Per-doc scoring under a frozen model, keeping the exact decimal

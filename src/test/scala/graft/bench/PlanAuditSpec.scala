@@ -110,6 +110,9 @@ class PlanAuditSpec extends SparkTestBase {
     // the count-table joins themselves are equi-joins on w1/w2
     "t49_kn_perplexity",
     "t49b_kn_screen_report",
+    // t49 served from the stored model tables — identical plan shape,
+    // the one-row T side now read from parquet
+    "t49c_kn_score_stored",
     // the same one-row T side at order 3: the five model-table joins
     // are equi-joins on (w1,w2,w3)/(w1,w2)/(w2,w3)/(w2)/(w3)
     "t53_kn3_perplexity",

@@ -238,6 +238,27 @@ class NgramLmSpec extends SparkTestBase {
     NgramLm.knScore(docs, atEdge, maxCrossEntropy = 1.0).collect()
   }
 
+  test("KN model store round-trips bit-for-bit and refuses a stale train corpus") {
+    import org.apache.spark.sql.functions.col
+    val train = (0L until 40L)
+      .map(i => (i, s"w${i % 5} w${(i * 3) % 5} w${(i * 7) % 5}"))
+      .toDF("doc_id", "text")
+    val docs = Seq((1L, "w0 w1 w2"), (2L, "zz qq")).toDF("doc_id", "text")
+    val direct = NgramLm.knScore(docs, NgramLm.knModel(train), 4.0)
+      .collect().map(_.toString).sorted.toSeq
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_kn_store_spec").toString
+    NgramLm.writeKnModel(NgramLm.knModel(train), train, p)
+    val served = NgramLm.knScore(docs,
+        NgramLm.readKnModel(spark, train.repartition(7), p), 4.0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == direct)
+    val ex = intercept[IllegalArgumentException] {
+      NgramLm.readKnModel(spark, train.filter(col("doc_id") =!= 3L), p)
+    }
+    assert(ex.getMessage.contains("stale"), ex.getMessage)
+  }
+
   test("screenCompare is repartition-stable") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val docs = (0L until 150L)
