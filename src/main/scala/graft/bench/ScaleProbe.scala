@@ -103,6 +103,13 @@ object ScaleProbe {
       // lm_crossentropy wall, not a multiple of it.
       time(s"kn_crossentropy $label")(
         graft.text.NgramLm.knCrossEntropy(d, docs1, maxCrossEntropy = 4.0).count())
+      // Trigram KN, same regime: the model grows to five tables (still
+      // rollups of one trigram-type agg) and scoring adds three
+      // equi-joins over the bigram plan — healthy = ~linear and a small
+      // constant over kn_crossentropy, not a multiple (the gram count
+      // per doc is the same to within one).
+      time(s"kn3_crossentropy $label")(
+        graft.text.NgramLm.kn3CrossEntropy(d, docs1, maxCrossEntropy = 5.2).count())
       // DSIR selection: FIXED 1x target distribution, growing raw corpus —
       // the steady-state "select from the next crawl" regime. The model is
       // two B-row count tables; healthy = ~linear (explode + map-side-
@@ -490,6 +497,31 @@ object ScaleProbe {
     for ((label, e) <- Seq("1x" -> emb1, s"${n}x" -> embN)) {
       val queries = emb1.limit(8)
       time(s"ann_sq8 $label")(Similarity.sq8TopK(queries, e, k = 5).count())
+    }
+    // IVF-PQ SERVE split (e10c): train-and-store once per corpus size
+    // (the train wall, reported separately — it writes the three
+    // artifact tables, index partitioned by cell), then the serve probe
+    // answers from the FILES only, the production shape. Healthy =
+    // serve ~linear in index size with a wall far under train's — the
+    // growing cost is the probed cells' scan; everything else is
+    // query-side constants.
+    for ((label, e) <- Seq("1x" -> emb1, s"${n}x" -> embN)) {
+      val queries = emb1.limit(8)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_scaleprobe_ivfpq").toString
+      time(s"ivfpq_train_store $label") {
+        val (c, cb, idx) = Similarity.ivfPqTrain(e, nCells = 16, m = 4,
+          ksub = 16, trainIters = 1)
+        c.write.mode("overwrite").parquet(s"$tmp/cent")
+        cb.write.mode("overwrite").parquet(s"$tmp/cb")
+        idx.write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$tmp/idx")
+        spark.read.parquet(s"$tmp/idx").count()
+      }
+      time(s"ivfpq_serve $label")(
+        Similarity.ivfPqTopKServe(queries,
+          spark.read.parquet(s"$tmp/cent"), spark.read.parquet(s"$tmp/cb"),
+          spark.read.parquet(s"$tmp/idx"), nProbe = 4, k = 5).count())
     }
     // Hybrid RRF: both legs are corpus-linear retrievals; the fusion
     // joins two k·|queries|-row sides. Healthy = tracking the legs'

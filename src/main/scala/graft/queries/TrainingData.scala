@@ -986,7 +986,12 @@ object TrainingData {
         emb, nCells = 16, m = 4, ksub = 16, trainIters = 2)
       cent.write.mode("overwrite").parquet(s"$p/centroids")
       cb.write.mode("overwrite").parquet(s"$p/codebook")
-      idx.write.mode("overwrite").parquet(s"$p/index")
+      // Partitioned BY cell, as the ivfPqIndex scaladoc prescribes for
+      // the at-scale layout: a probe (an equi-join on centroid_id
+      // against the tiny probe table) then reads only the probed cells'
+      // files instead of the whole index.
+      idx.write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$p/index")
       graft.util.Fingerprint.write(s, s"$p/fingerprint",
         graft.util.Fingerprint.of(emb, "vec_id"))
       p
