@@ -77,11 +77,12 @@ class PlanAuditSpec extends SparkTestBase {
     // cosine ground truth, plus the one-row n_truth/n_cand/n_hit stat
     // sides. The bound is ENFORCED IN CODE, not prose: both truth inputs
     // pass DedupEval.boundEvalInput (require(n <= maxEvalRows) or the
-    // opt-in deterministic md5 permille sample) before any quadratic
-    // stage — DedupEvalSpec pins the guard firing.
+    // opt-in deterministic md5 per-million sample, itself bounded at
+    // n <= maxEvalRows*1e6 since r15) before any quadratic stage —
+    // DedupEvalSpec pins both guards firing.
     "d17_dedup_screen_eval",
     // the SAMPLE path of the same harness (maxEvalRows=40 fires, md5
-    // permille thinning) — identical designed shapes on ~5% of the rows
+    // per-million thinning) — identical designed shapes on ~5% of rows
     "d17b_dedup_screen_eval_sampled",
     // same one-row n_truth/n_cand/n_hit stat sides per sweep point (the
     // candidate legs themselves are banded equi-joins; the truth input
