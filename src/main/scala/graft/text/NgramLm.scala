@@ -83,25 +83,35 @@ object NgramLm {
   /** Per-doc add-one scoring keeping the exact decimal log-prob sum
     * (`__slp`) — the same internal split as [[knPerDoc]], so
     * [[screenCompare]] can pool batches without float accumulation.
+    * The add-one model is fully derivable from [[KnModel]]'s tables
+    * (c12 = big.c12, c(w1) = uni.c1, V = |uni|), so one train bigram
+    * pass feeds BOTH smoothers in the shoot-outs (r15 — the d18
+    * shared-signature-pass pattern applied here).
     */
   private def addOnePerDoc(
       docs: DataFrame,
       train: DataFrame,
       maxCrossEntropy: Double,
       idCol: String,
+      textCol: String): DataFrame =
+    addOnePerDocModel(bigrams(docs, idCol, textCol), docs,
+      knModel(train, idCol, textCol), maxCrossEntropy, idCol, textCol)
+
+  private def addOnePerDocModel(
+      docBigrams: DataFrame,
+      docs: DataFrame,
+      m: KnModel,
+      maxCrossEntropy: Double,
+      idCol: String,
       textCol: String): DataFrame = {
-    val trainBigrams = CacheScope.persist(bigrams(train, idCol, textCol))
-    val big = trainBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uni = CacheScope.persist(
-      trainBigrams.groupBy("w1").agg(count(lit(1)).as("c1")))
     // V = distinct prefixes: a ONE-ROW side — the broadcast crossJoin is
     // the same accounted shape as t10's corpus-count side (a constant-key
     // equi-join folds to the identical BNLJ anyway).
-    val v = uni.agg(count(lit(1)).as("v"))
+    val v = m.uni.agg(count(lit(1)).as("v"))
 
-    val scored = bigrams(docs, idCol, textCol)
-      .join(big, Seq("w1", "w2"), "left")
-      .join(uni, Seq("w1"), "left")
+    val scored = docBigrams
+      .join(m.big, Seq("w1", "w2"), "left")
+      .join(m.uni.select(col("w1"), col("c1")), Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .select(
         col("id"),
@@ -267,6 +277,13 @@ object NgramLm {
     */
   private def knPerDoc(
       docs: DataFrame, model: KnModel, maxCrossEntropy: Double,
+      idCol: String, textCol: String): DataFrame =
+    knPerDocStream(bigrams(docs, idCol, textCol), docs, model,
+      maxCrossEntropy, idCol, textCol)
+
+  private def knPerDocStream(
+      docBigrams: DataFrame, docs: DataFrame, model: KnModel,
+      maxCrossEntropy: Double,
       idCol: String, textCol: String): DataFrame = {
     model.longGridChecked
     val big = model.big
@@ -286,7 +303,7 @@ object NgramLm {
     val den = when(seen, lit(4L) * col("c1") * col("t"))
       .otherwise(lit(4L) * col("t"))
 
-    val scored = bigrams(docs, idCol, textCol)
+    val scored = docBigrams
       .join(big, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .join(cont, Seq("w2"), "left")
@@ -441,17 +458,25 @@ object NgramLm {
   }
 
   def kn3Model(train: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): Kn3Model = {
+      textCol: String = "text"): Kn3Model =
+    kn3ModelFrom(train,
+      CacheScope.persist(bigrams(train, idCol, textCol)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))),
+      idCol, textCol)
+
+  /** [[kn3Model]] over a PRE-BUILT bigram-type table (a [[knModel]]'s
+    * `big` — so [[screenCompare3]] pays ONE train bigram pass shared
+    * between both orders; the unigram level of the trigram recursion is
+    * the bigram-type fertilities by definition, keyed here by the
+    * trigram's THIRD word).
+    */
+  def kn3ModelFrom(train: DataFrame, bigTypes: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Kn3Model = {
     val tri = CacheScope.persist(
       trigrams(train, idCol, textCol)
         .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
     val mid2 = CacheScope.persist(
       tri.groupBy("w2", "w3").agg(count(lit(1)).as("n3w")))
-    // Unigram level: the bigram-type fertilities (one bigram pass, the
-    // knModel tables' definitions — keyed by the trigram's THIRD word).
-    val bigT = CacheScope.persist(
-      bigrams(train, idCol, textCol)
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     Kn3Model(
       tri = tri,
       pre = tri.groupBy("w1", "w2")
@@ -459,8 +484,8 @@ object NgramLm {
       mid2 = mid2,
       mid1 = mid2.groupBy("w2")
         .agg(sum(col("n3w")).as("nvdd"), count(lit(1)).as("f2")),
-      cont = bigT.groupBy(col("w2").as("w3")).agg(count(lit(1)).as("cont")),
-      tt = bigT.agg(count(lit(1)).as("t")))
+      cont = bigTypes.groupBy(col("w2").as("w3")).agg(count(lit(1)).as("cont")),
+      tt = bigTypes.agg(count(lit(1)).as("t")))
   }
 
   /** Per-doc trigram-KN scoring under a frozen model, keeping the exact
@@ -570,6 +595,43 @@ object NgramLm {
     * bigrams (one per model) — each is the equi-join-only plan of its
     * parent operator; the output is 2·|cohorts| rows.
     */
+  /** Pool a per-doc screen face into per-(model, cohort) rows —
+    * `gramCol` names the scored-gram count column (n_bigrams for the
+    * bigram-order faces, n_trigrams for kn3; emitted under the shared
+    * n_bigrams schema either way).
+    */
+  private def poolScreen(
+      perDoc: DataFrame, model: String, cohort: Column,
+      gramCol: String): DataFrame =
+    perDoc
+      .withColumn("cohort", cohort)
+      .groupBy("cohort")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col(gramCol) > 0, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_rejected"),
+        sum(col(gramCol)).as("n_bigrams"),
+        sum(col("n_unseen")).as("n_unseen"),
+        sum(col("__slp")).as("__slp_total"))
+      .select(
+        lit(model).as("model"), col("cohort"),
+        col("n_docs"), col("n_scored"), col("n_rejected"),
+        col("n_bigrams"), col("n_unseen"),
+        (-col("__slp_total").cast("double") / col("n_bigrams"))
+          .as("cross_entropy"))
+
+  /** The bigram pair of shoot-out rows over ONE shared model + doc
+    * stream — the internal engine of both public shoot-outs.
+    */
+  private def screenCompareRows(
+      docs: DataFrame, m: KnModel, docBigrams: DataFrame, cohort: Column,
+      addOneMaxCe: Double, knMaxCe: Double,
+      idCol: String, textCol: String): DataFrame =
+    poolScreen(addOnePerDocModel(docBigrams, docs, m, addOneMaxCe,
+        idCol, textCol), "addone", cohort, "n_bigrams")
+      .unionByName(poolScreen(knPerDocStream(docBigrams, docs, m, knMaxCe,
+        idCol, textCol), "kn", cohort, "n_bigrams"))
+
   def screenCompare(
       docs: DataFrame,
       train: DataFrame,
@@ -578,27 +640,10 @@ object NgramLm {
       knMaxCe: Double,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    def screen(perDoc: DataFrame, model: String): DataFrame =
-      perDoc
-        .withColumn("cohort", cohort)
-        .groupBy("cohort")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("n_bigrams") > 0, 1L).otherwise(0L)).as("n_scored"),
-          sum(when(col("keep"), 0L).otherwise(1L)).as("n_rejected"),
-          sum(col("n_bigrams")).as("n_bigrams"),
-          sum(col("n_unseen")).as("n_unseen"),
-          sum(col("__slp")).as("__slp_total"))
-        .select(
-          lit(model).as("model"), col("cohort"),
-          col("n_docs"), col("n_scored"), col("n_rejected"),
-          col("n_bigrams"), col("n_unseen"),
-          (-col("__slp_total").cast("double") / col("n_bigrams"))
-            .as("cross_entropy"))
-    screen(addOnePerDoc(docs, train, addOneMaxCe, idCol, textCol), "addone")
-      .unionByName(
-        screen(knPerDoc(docs, knModel(train, idCol, textCol), knMaxCe,
-          idCol, textCol), "kn"))
+    val m = knModel(train, idCol, textCol)
+    val db = CacheScope.persist(bigrams(docs, idCol, textCol))
+    screenCompareRows(docs, m, db, cohort, addOneMaxCe, knMaxCe,
+      idCol, textCol)
       .orderBy("model", "cohort")
   }
 
@@ -619,24 +664,18 @@ object NgramLm {
       kn3MaxCe: Double,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val kn3 = kn3PerDoc(docs, kn3Model(train, idCol, textCol), kn3MaxCe,
-        idCol, textCol)
-      .withColumn("cohort", cohort)
-      .groupBy("cohort")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("n_trigrams") > 0, 1L).otherwise(0L)).as("n_scored"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_rejected"),
-        sum(col("n_trigrams")).as("n_bigrams"),
-        sum(col("n_unseen")).as("n_unseen"),
-        sum(col("__slp")).as("__slp_total"))
-      .select(
-        lit("kn3").as("model"), col("cohort"),
-        col("n_docs"), col("n_scored"), col("n_rejected"),
-        col("n_bigrams"), col("n_unseen"),
-        (-col("__slp_total").cast("double") / col("n_bigrams"))
-          .as("cross_entropy"))
-    screenCompare(docs, train, cohort, addOneMaxCe, knMaxCe, idCol, textCol)
+    // ONE train bigram pass feeds all three smoothers (addone and kn
+    // score off the same KnModel; kn3's unigram level reuses its `big`
+    // type table), and the doc bigram explode is shared between the
+    // two bigram-order scorers — the d18 shared-pass shape.
+    val m = knModel(train, idCol, textCol)
+    val db = CacheScope.persist(bigrams(docs, idCol, textCol))
+    val kn3 = poolScreen(
+      kn3PerDoc(docs, kn3ModelFrom(train, m.big, idCol, textCol), kn3MaxCe,
+        idCol, textCol),
+      "kn3", cohort, "n_trigrams")
+    screenCompareRows(docs, m, db, cohort, addOneMaxCe, knMaxCe,
+      idCol, textCol)
       .unionByName(kn3)
       .orderBy("model", "cohort")
   }
