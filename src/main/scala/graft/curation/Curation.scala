@@ -137,6 +137,35 @@ object Curation {
           .as("deviation"))
   }
 
+  /** The same audit for the per-source MIXTURE sampler: expected =
+    * n_corpus·thr(source) on the 1/10000 grid (the rate is constant
+    * within a source, so the expectation is exact arithmetic), and the
+    * deviation is again pure hash luck. With [[stratifiedSampleAudit]]
+    * and [[weightedSampleAudit]] this closes the audit over every
+    * sampler in the family (c1's flat rate is c29's own face).
+    */
+  def mixtureSampleAudit(
+      df: DataFrame, sourceCol: String, idCol: String,
+      rates: Map[String, Double], salt: String): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0,1]")
+    val thresholds: Map[String, Int] = rates.map { case (k, v) => k -> (v * 10000).toInt }
+    val thr = coalesce(
+      element_at(typedLit(thresholds), col(sourceCol)), lit(0))
+    df.select(col(sourceCol).as("grp"), thr.as("__thr"),
+        when(hashBucket(col(idCol), 10000, salt) < thr, 1L).otherwise(0L)
+          .as("__in"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n_corpus"),
+        sum(col("__in")).as("n_sample"),
+        sum(col("__thr").cast("long")).as("expected_grid"))
+      .select(
+        lit("mixture").as("sampler"), col("grp"), col("n_corpus"),
+        col("n_sample"), lit(10000L).as("grid"), col("expected_grid"),
+        (lit(10000L) * col("n_sample") - col("expected_grid"))
+          .as("deviation"))
+  }
+
   /** Mixture weighting: down-sample each source to its configured rate
     * (0.0..1.0 fraction kept), the "20% web, 40% code, …" recipe step.
     * Rates resolve through a map literal — a broadcast-free constant in the

@@ -26,6 +26,14 @@ object CurationQueries {
   private val mixtureRates: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (i % 5) * 0.25).toMap
 
+  /** [[mixtureRates]] as a one-line SQL CASE body (c2's oracle and the
+    * c29b mixture-audit block share it).
+    */
+  private val mixtureCasesSql: String =
+    mixtureRates.toSeq.sortBy(_._1).map { case (src, rate) =>
+      s"WHEN '$src' THEN ${(rate * 10000).toInt}"
+    }.mkString(" ")
+
   /** Per-source token budgets for c9b: src<i> gets (i%4)*500 tokens —
     * includes 0 (drop the source) and budgets no source can exhaust.
     */
@@ -561,17 +569,21 @@ object CurationQueries {
              |FROM lv ORDER BY source""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // C29B — the c29 audit extended to the QUOTA and WEIGHTED samplers
-    // (r14 verdict #6): one schema, two sampler blocks. The stratified
-    // rows audit c6's exact per-group quota (expected = min(n, 5) BY
-    // CONSTRUCTION, so any nonzero deviation is an implementation bug —
-    // this face proves the sampler, not the estimator); the weighted
-    // rows audit c20's per-row draw on its own 1/10000 grid (deviation
-    // = 10000·n_sample − Σ floor(w·10⁴): exact integers, magnitude =
-    // hash luck per source — c29's reading at grid 10⁴). Both blocks
-    // re-run the REAL sampler (c6's heap top-k / c20's bucket compare),
-    // so the audit exercises the deployed code path, mirrored in DuckDB
-    // by the same row_number ranking and bucket arithmetic the c6/c20
+    // C29B — the c29 audit extended to the QUOTA, WEIGHTED, and
+    // MIXTURE samplers (r14 verdict #6): one schema, three sampler
+    // blocks — with c29's own flat-rate face this audits every sampler
+    // in the family. The stratified rows audit c6's exact per-group
+    // quota (expected = min(n, 5) BY CONSTRUCTION, so any nonzero
+    // deviation is an implementation bug — this face proves the
+    // sampler, not the estimator); the weighted rows audit c20's
+    // per-row draw on its own 1/10000 grid (deviation = 10000·n_sample
+    // − Σ floor(w·10⁴): exact integers, magnitude = hash luck per
+    // source — c29's reading at grid 10⁴); the mixture rows audit c2's
+    // per-source rates (expected = n·thr(source) exactly — constant
+    // rate within a source). Every block re-runs the REAL sampler
+    // (c6's heap top-k / c20's and c2's bucket compares), so the audit
+    // exercises the deployed code paths, mirrored in DuckDB by the
+    // same row_number ranking and bucket arithmetic the c6/c20/c2
     // oracles pin.
     Q(
       "c29b_sampler_audit",
@@ -585,9 +597,12 @@ object CurationQueries {
             docs.withColumn("w", w),
             idCol = "doc_id", weightCol = "w", sourceCol = "source",
             salt = "ws"))
+          .unionByName(Curation.mixtureSampleAudit(docs,
+            sourceCol = "source", idCol = "doc_id",
+            rates = mixtureRates, salt = "mix"))
           .orderBy("sampler", "grp")
       },
-      Some("""WITH st AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_corpus
+      Some(s"""WITH st AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_corpus
              |      FROM documents GROUP BY 1),
              |sel AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_sample FROM (
              |    SELECT source,
@@ -613,9 +628,22 @@ object CurationQueries {
              |         CAST(10000 AS BIGINT) AS grid,
              |         CAST(sum(thr) AS BIGINT) AS expected_grid,
              |         CAST(10000 * sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) - sum(thr) AS BIGINT) AS deviation
-             |  FROM wf GROUP BY 2)
+             |  FROM wf GROUP BY 2),
+             |mf AS (SELECT source AS grp,
+             |         CAST(CASE source ${mixtureCasesSql} ELSE 0 END AS BIGINT) AS thr,
+             |         CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket
+             |       FROM documents),
+             |mt AS (
+             |  SELECT 'mixture' AS sampler, grp,
+             |         CAST(count(*) AS BIGINT) AS n_corpus,
+             |         CAST(sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+             |         CAST(10000 AS BIGINT) AS grid,
+             |         CAST(sum(thr) AS BIGINT) AS expected_grid,
+             |         CAST(10000 * sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) - sum(thr) AS BIGINT) AS deviation
+             |  FROM mf GROUP BY 2)
              |SELECT sampler, grp, n_corpus, n_sample, grid, expected_grid, deviation
-             |FROM (SELECT * FROM strat UNION ALL SELECT * FROM wt)
+             |FROM (SELECT * FROM strat UNION ALL SELECT * FROM wt
+             |      UNION ALL SELECT * FROM mt)
              |ORDER BY sampler, grp""".stripMargin)),
 
     // ------------------------------------------------------------------

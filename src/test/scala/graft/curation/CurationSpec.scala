@@ -234,6 +234,23 @@ class CurationSpec extends SparkTestBase {
       assert(eg == expGrid(s), s"$s expected_grid")
       assert(dev == 10000L * ns - eg, s"$s deviation")
     }
+    // Mixture: per-source constant rates -> expected = n*thr exactly,
+    // including the 0% (expected 0, n_sample must be 0) endpoint.
+    val mdocs = (1L to 300L).map(i => (s"m${i % 3}", i)).toDF("src", "doc_id")
+    val mrates = Map("m0" -> 0.0, "m1" -> 0.5, "m2" -> 1.0)
+    val maud = Curation.mixtureSampleAudit(
+      mdocs, "src", "doc_id", mrates, salt = "mx")
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6)))).toMap
+    val mkept = Curation.mixtureSample(mdocs, "src", "doc_id", mrates, "mx")
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(maud("m0") == ((100L, 0L, 0L, 0L)), s"zero-rate source: ${maud("m0")}")
+    assert(maud("m2") == ((100L, 100L, 1000000L, 0L)),
+      s"keep-all source is deviation-free by construction: ${maud("m2")}")
+    val (n1, ns1, eg1, dev1) = maud("m1")
+    assert(n1 == 100L && eg1 == 500000L)
+    assert(ns1 == mkept.getOrElse("m1", 0L) && dev1 == 10000L * ns1 - eg1)
   }
 
   test("tfidf top terms rank rare terms above common ones") {
