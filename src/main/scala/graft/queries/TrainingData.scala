@@ -967,6 +967,23 @@ object TrainingData {
       p
     })
 
+  /** Train-once store for the t24c NB-classifier serving face: trained
+    * on the nbFixture's doc_id % 3 <> 0 slice, persisted with the train
+    * fingerprint ([[graft.text.NaiveBayes.writeNbModel]]); same
+    * keying/determinism argument as the other three stores.
+    */
+  private val nbModelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nbModelPath(s: SparkSession, dir: String): String =
+    nbModelDirs.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_nb_model").toString
+      val train = nbFixture(s, dir).filter(col("doc_id") % 3 =!= 0)
+      NaiveBayes.writeNbModel(
+        NaiveBayes.nbModel(train, classCol = "lang"), train, p)
+      p
+    })
+
   /** Train-once store for the e10c IVF-PQ serving face (the t44b
     * pattern on the vector stack): the first call per sf-dir trains
     * e10's exact configuration once and persists centroids + codebook +
@@ -5241,6 +5258,30 @@ object TrainingData {
           |FROM best b JOIN docs d ON b.id = d.doc_id
           |WHERE b.rk = 1 AND d.doc_id % 3 = 0
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T24C — the classifier SERVED from a stored model (the serving
+    // split on the fourth and last trained family — tokenizer t44b,
+    // LM t49c, ANN e10c, now NB): the first call per sf-dir trains the
+    // (cls, term, w) weight table + per-class constants ONCE and
+    // persists them with a train-corpus fingerprint; later calls
+    // validate and run the apply-only plan (term-table equi-join +
+    // argmax, no training stage). Every stored number is a
+    // decimal(20,6) — exact at rest, so the parquet round trip cannot
+    // move a score. Oracle: t24's UNTOUCHED chain (the t44b contract),
+    // full oracle, no rows-only growth.
+    Q(
+      "t24c_nb_classify_stored",
+      (s, dir) => {
+        val train = nbFixture(s, dir).filter(col("doc_id") % 3 =!= 0)
+        NaiveBayes.classifyWith(nbFixture(s, dir),
+          NaiveBayes.readNbModel(s, train, nbModelPath(s, dir)))
+          .orderBy("doc_id")
+      },
+      Some(sqlNbCtes +
+        """
+          |SELECT id AS doc_id, cls AS pred_class, CAST(score AS DOUBLE) AS score
+          |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T30 — exact phrase search ([[TextFunctions.phrasePositions]]): the

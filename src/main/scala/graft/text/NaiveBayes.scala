@@ -44,16 +44,19 @@ object NaiveBayes {
 
   private val fix = "decimal(20,6)"
 
-  /** Classify `docs` against profiles trained on `train` (which carries
-    * `classCol` labels): (id, pred_class, score). Score is the fixed-point
-    * log-posterior (up to the constant, as a double for output).
+  /** The frozen NB model state: the sparse (cls, term, w) weight table
+    * and the per-class (cls, denom, prior) constants — everything
+    * scoring needs, both on the decimal(20,6) grid, so the model
+    * round-trips parquet EXACTLY (decimals are exact at rest; the lns
+    * are computed once at training time, never re-derived on read).
+    * The t44b/t49c/e10c serving split on the classifier family.
     */
-  def classify(
-      docs: DataFrame,
+  final case class NbModel(weights: DataFrame, classes: DataFrame)
+
+  def nbModel(
       train: DataFrame,
       classCol: String,
-      idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): NbModel = {
     val trainTf = CacheScope.persist(
       train
         .filter(col(classCol).isNotNull)
@@ -62,7 +65,7 @@ object NaiveBayes {
         .groupBy("cls", "term")
         .agg(count(lit(1)).as("cnt")))
     // ln(cnt+1) once per existing (term, class) row, on the decimal grid.
-    val model = trainTf.select(col("cls"), col("term"),
+    val weights = trainTf.select(col("cls"), col("term"),
       log(col("cnt") + 1).cast(fix).as("w"))
     val vocab = trainTf.select(countDistinct(col("term")).as("v"))
     val classes = trainTf.groupBy("cls").agg(sum(col("cnt")).as("n_c"))
@@ -75,7 +78,53 @@ object NaiveBayes {
       .select(col("cls"),
         log(col("n_c") + col("v")).cast(fix).as("denom"),
         (log(col("docs_c")).cast(fix) - log(col("docs_all")).cast(fix)).as("prior"))
+    NbModel(weights, classes)
+  }
 
+  /** Persist a frozen NB model beside a [[graft.util.Fingerprint]] of
+    * the train corpus, so [[readNbModel]] refuses a stale artifact.
+    */
+  def writeNbModel(model: NbModel, train: DataFrame, path: String,
+      idCol: String = "doc_id"): Unit = {
+    model.weights.write.mode("overwrite").parquet(s"$path/weights")
+    model.classes.coalesce(1).write.mode("overwrite").parquet(s"$path/classes")
+    graft.util.Fingerprint.write(model.weights.sparkSession,
+      s"$path/fingerprint", graft.util.Fingerprint.of(train, idCol))
+  }
+
+  def readNbModel(spark: org.apache.spark.sql.SparkSession,
+      train: DataFrame, path: String,
+      idCol: String = "doc_id"): NbModel = {
+    graft.util.Fingerprint.requireMatch(spark, s"$path/fingerprint",
+      train, idCol, what = "NB model")
+    NbModel(
+      weights = spark.read.parquet(s"$path/weights"),
+      classes = spark.read.parquet(s"$path/classes"))
+  }
+
+  /** Classify `docs` against profiles trained on `train` (which carries
+    * `classCol` labels): (id, pred_class, score). Score is the fixed-point
+    * log-posterior (up to the constant, as a double for output).
+    */
+  def classify(
+      docs: DataFrame,
+      train: DataFrame,
+      classCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    classifyWith(docs, nbModel(train, classCol, textCol), idCol, textCol)
+
+  /** [[classify]] against a pre-built frozen model — the apply-only
+    * serving plan: doc term counts equi-join the weight table, one
+    * rollup, a per-doc argmax over |classes| rows; no training stage.
+    */
+  def classifyWith(
+      docs: DataFrame,
+      m: NbModel,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val model = m.weights
+    val classes = m.classes
     val docTf = CacheScope.persist(termCounts(docs, idCol, textCol))
     val dl = docTf.groupBy("id").agg(sum(col("tf")).as("dl"))
     // Sparse part: only matching (term, class) rows join and move.

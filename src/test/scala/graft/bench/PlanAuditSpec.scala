@@ -101,6 +101,9 @@ class PlanAuditSpec extends SparkTestBase {
     // one-row stat sides; candidate legs are band equi-joins
     "d20_signband_cap_sweep",
     "t24b_nb_confusion",
+    // t24 served from the stored model — identical plan shape, the
+    // per-class constants row read from parquet
+    "t24c_nb_classify_stored",
     // one-row vocabulary-size side of the smoothed-probability join
     "t20_lm_perplexity_filter",
     // the t26 one-row BM25 corpus-stats side behind the retrieval leg;

@@ -45,6 +45,26 @@ class NaiveBayesSpec extends SparkTestBase {
     assert(got.head.getString(1) == "car") // 3 car-ish tokens beat 1 fruit token
   }
 
+  test("NB model store round-trips bit-for-bit and refuses a stale train corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((10L, "apple banana"), (11L, "engine road wheel"),
+      (12L, "zz qq")).toDF("doc_id", "text")
+    val direct = NaiveBayes.classify(docs, train, classCol = "topic")
+      .collect().map(_.toString).sorted.toSeq
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_nb_store_spec").toString
+    NaiveBayes.writeNbModel(
+      NaiveBayes.nbModel(train, classCol = "topic"), train, p)
+    val served = NaiveBayes.classifyWith(docs,
+        NaiveBayes.readNbModel(spark, train.repartition(3), p))
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == direct)
+    val ex = intercept[IllegalArgumentException] {
+      NaiveBayes.readNbModel(spark, train.filter(col("doc_id") =!= 2L), p)
+    }
+    assert(ex.getMessage.contains("stale"), ex.getMessage)
+  }
+
   test("scores are repartition-stable (fixed-point decimal sums)") {
     val docs = (0L until 200L)
       .map(i => (i, if (i % 2 == 0) s"apple banana x$i" else s"engine road x$i"))
