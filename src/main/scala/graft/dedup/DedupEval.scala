@@ -325,8 +325,12 @@ object DedupEval {
     * the 50k default) AND [[boundEvalInput]] closes it with a loud
     * `require` (the r14 ADVICE finding: at g=1000 an n=100M input kept
     * ~100k rows, silently over the 50k contract).
+    *
+    * `private[graft]` (r15 verdict #2): the d17b/d17e DuckDB mirrors
+    * render their `% g` modulus and `maxEvalRows·g` product FROM this
+    * constant, so the guard and its oracle cannot drift.
     */
-  private val SampleBuckets = 1000000L
+  private[graft] val SampleBuckets = 1000000L
 
   /** ENFORCED eval-size contract (r13 verdict #1): the exact-truth
     * stages are the harness's designed quadratics — all-pairs cosine and

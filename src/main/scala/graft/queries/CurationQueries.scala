@@ -450,12 +450,16 @@ object CurationQueries {
         val base = Tables.documents(s, dir)
           .filter(col("text").isNotNull)
           .select("doc_id", "source", "text")
+        // Two injected cohorts in one fixture: the negative id space
+        // split by PARITY (−2·id−1 / −2·id−2) so the cohorts cannot
+        // collide with each other or with real ids at any sf (r15
+        // verdict #5 — fixed +offsets collide at sf≈2000).
         val docs = base
           .unionByName(base.filter(col("doc_id") % 5 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"),
+            .select((-col("doc_id") * 2 - 1L).as("doc_id"),
               lit("mirror").as("source"), col("text")))
           .unionByName(base.filter(col("doc_id") % 7 === 0)
-            .select((col("doc_id") + 2000000L).as("doc_id"),
+            .select((-col("doc_id") * 2 - 2L).as("doc_id"),
               col("source"), col("text")))
         // Three consumers (naive rollup, survivor election, dedup
         // rollup) — persist per the CacheScope convention or the md5 +
@@ -490,9 +494,9 @@ object CurationQueries {
       Some("""WITH base AS (SELECT doc_id, source, text FROM documents
              |              WHERE text IS NOT NULL),
              |docs AS (SELECT * FROM base
-             |  UNION ALL SELECT doc_id + 1000000, 'mirror', text FROM base
+             |  UNION ALL SELECT -doc_id * 2 - 1, 'mirror', text FROM base
              |            WHERE doc_id % 5 = 0
-             |  UNION ALL SELECT doc_id + 2000000, source, text FROM base
+             |  UNION ALL SELECT -doc_id * 2 - 2, source, text FROM base
              |            WHERE doc_id % 7 = 0),
              |h AS MATERIALIZED (SELECT doc_id, source, md5(text) AS hh,
              |       CAST(len(string_split(text, ' ')) AS BIGINT) AS t
@@ -617,8 +621,9 @@ object CurationQueries {
              |         CAST(coalesce(sel.n_sample, 0) - least(st.n_corpus, 5) AS BIGINT) AS deviation
              |  FROM st LEFT JOIN sel USING (grp)),
              |wf AS (SELECT source AS grp,
-             |         CAST(floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             |              / len(string_split(text, ' ')) * 10000) AS BIGINT) AS thr,
+             |         CAST(floor(least(1.0, greatest(0.0,
+             |              CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |              / len(string_split(text, ' ')))) * 10000) AS BIGINT) AS thr,
              |         CAST('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket
              |       FROM documents),
              |wt AS (
@@ -850,7 +855,7 @@ object CurationQueries {
     """WITH d AS (SELECT doc_id, text FROM documents),
              |probe AS (SELECT array_to_string((string_split(text, ' '))[1:8], ' ') AS p
              |          FROM d WHERE doc_id = 0),
-             |inj AS (SELECT doc_id + 1000000 AS doc_id,
+             |inj AS (SELECT -doc_id - 1 AS doc_id,
              |               text || ' ' || (SELECT p FROM probe) AS text
              |        FROM d WHERE doc_id % 50 = 0 AND doc_id <> 0),
              |corpus AS (SELECT * FROM d UNION ALL SELECT * FROM inj),
@@ -859,7 +864,7 @@ object CurationQueries {
              |         i -> array_to_string((string_split(text, ' '))[i+1:i+8], ' ')))) AS shingle
              |       FROM corpus WHERE len(string_split(text, ' ')) >= 8),
              |ev AS (SELECT DISTINCT shingle FROM sh
-             |       WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+             |       WHERE doc_id % 97 = 0 AND doc_id >= 0),
              |hit AS (SELECT DISTINCT doc_id FROM sh
              |        WHERE shingle IN (SELECT shingle FROM ev))
              |SELECT c.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
@@ -1037,7 +1042,7 @@ object CurationQueries {
       Some("""WITH d AS (SELECT doc_id, text FROM documents),
              |probe AS (SELECT array_to_string((string_split(text, ' '))[1:8], ' ') AS p
              |          FROM d WHERE doc_id = 0),
-             |inj AS (SELECT doc_id + 1000000 AS doc_id,
+             |inj AS (SELECT -doc_id - 1 AS doc_id,
              |               text || ' ' || (SELECT p FROM probe) AS text
              |        FROM d WHERE doc_id % 50 = 0 AND doc_id <> 0),
              |corpus AS (SELECT * FROM d UNION ALL SELECT * FROM inj),
@@ -1792,7 +1797,7 @@ object CurationQueries {
         slice(TextFunctions.tokens(col("text")), 1, 8)).as("__probe"))
     val injected = d.filter(col("doc_id") % 50 === 0 && col("doc_id") =!= 0)
       .crossJoin(broadcast(probe))
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((-col("doc_id") - 1L).as("doc_id"),
         concat(col("text"), lit(" "), col("__probe")).as("text"))
     (d.unionByName(injected), d.filter(col("doc_id") % 97 === 0))
   }

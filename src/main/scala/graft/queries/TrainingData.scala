@@ -24,38 +24,43 @@ import graft.text.{Bm25, Bpe, CharNgramLangId, Chunker, CorpusStats, Entropy, Fu
   */
 object TrainingData {
 
-  /** documents ∪ exact copies (id+1e6) of every 10th doc — the re-ingestion
-    * scenario exact dedup must collapse.
+  /** documents ∪ exact copies (negative-space −id−1 — the r13 injected-id
+    * convention, applied here in r16: a fixed +offset collides with real
+    * ids at large sf) of every 10th doc — the re-ingestion scenario exact
+    * dedup must collapse. Note the min-id survivor of each collapsed pair
+    * is now the INJECTED copy (negatives sort first) — which member
+    * survives is arbitrary; the election rule is what the faces pin.
     */
   private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") % 10 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L))
+        .withColumn("doc_id", -col("doc_id") - 1L))
   }
 
-  /** documents ∪ near-duplicate copies (last 3 words dropped, id+1e6) of
-    * every 20th doc — the scenario near-dup detection must catch.
+  /** documents ∪ near-duplicate copies (last 3 words dropped, negative-space
+    * −id−1) of every 20th doc — the scenario near-dup detection must catch.
     */
   private def docsWithNearDups(base: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
     base.unionByName(
       base.filter(col("doc_id") % 20 === 0 && size(split(col("text"), " ")) > 3)
         .withColumn("text", concat_ws(" ", slice(t, lit(1), size(t) - 3)))
-        .withColumn("doc_id", col("doc_id") + 1000000L))
+        .withColumn("doc_id", -col("doc_id") - 1L))
   }
 
-  /** Every 10th doc ∪ 15-token excerpts (tokens 4..18, id+2e6) of every
-    * 20th — the quote/subset scenario containment detection exists for:
-    * the excerpt's shingles are a strict subset of its source's, so
-    * containment is 1.0 while Jaccard sits far below any dedup threshold.
+  /** Every 10th doc ∪ 15-token excerpts (tokens 4..18, negative-space
+    * −id−1) of every 20th — the quote/subset scenario containment
+    * detection exists for: the excerpt's shingles are a strict subset of
+    * its source's, so containment is 1.0 while Jaccard sits far below any
+    * dedup threshold.
     */
   private def docsWithContainedDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     d.filter(col("doc_id") % 10 === 0).unionByName(
       d.filter(col("doc_id") % 20 === 0)
         .select(
-          (col("doc_id") + 2000000L).as("doc_id"),
+          (-col("doc_id") - 1L).as("doc_id"),
           concat_ws(" ",
             slice(TextFunctions.tokens(col("text")), 4, 15)).as("text")))
   }
@@ -159,7 +164,7 @@ object TrainingData {
 
   private val sqlNearDupCte =
     """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-      |nd AS (SELECT doc_id + 1000000 AS doc_id,
+      |nd AS (SELECT -doc_id - 1 AS doc_id,
       |              array_to_string((string_split(text,' '))[1:len(string_split(text,' '))-3], ' ') AS text
       |       FROM documents
       |       WHERE doc_id % 20 = 0 AND len(string_split(text,' ')) > 3),
@@ -192,18 +197,20 @@ object TrainingData {
   /** [[sqlNearDupCte]] with d17's ENFORCED md5 per-million sample
     * applied (maxEvalRows = 40 ⇒ keep buckets = max(1, 40·10⁶ ⌊/⌋ n) of
     * 10⁶ — the exact mirror of DedupEval.boundEvalInput's salted c1
-    * bucket at the r15 per-million granularity).
+    * bucket at the r15 per-million granularity). The modulus and the
+    * maxEvalRows·g product interpolate `DedupEval.SampleBuckets`
+    * itself (r15 verdict #2): one source of truth, no lockstep-by-hand.
     */
   private val sqlNearDupSampledCte =
-    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-      |nd AS (SELECT doc_id + 1000000 AS doc_id,
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |nd AS (SELECT -doc_id - 1 AS doc_id,
       |              array_to_string((string_split(text,' '))[1:len(string_split(text,' '))-3], ' ') AS text
       |       FROM documents
       |       WHERE doc_id % 20 = 0 AND len(string_split(text,' ')) > 3),
       |docs0 AS (SELECT * FROM base UNION ALL SELECT * FROM nd),
       |docs AS (SELECT * FROM docs0
-      |         WHERE CAST(CAST('0x' || substr(md5('d17d' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS BIGINT)
-      |             < (SELECT greatest(1, 40000000 // count(*)) FROM docs0))""".stripMargin
+      |         WHERE CAST(CAST('0x' || substr(md5('d17d' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % ${graft.dedup.DedupEval.SampleBuckets} AS BIGINT)
+      |             < (SELECT greatest(1, ${40L * graft.dedup.DedupEval.SampleBuckets} // count(*)) FROM docs0))""".stripMargin
 
   /** The full d17/d17b screen-eval oracle, parameterized by the docs
     * fixture chain (must end in a CTE named `docs`) and the embedding
@@ -425,7 +432,7 @@ object TrainingData {
       Unigram.writeVocabArtifact(Unigram.learn(train), train, path)
       path
     })
-    Unigram.collectVocab(Unigram.readVocabArtifact(s, train, p))
+    Unigram.collectVocab(Unigram.readVocabArtifact(s, train, p, memo = true))
   }
 
   /** 10-word boilerplate lines injected into the corpus for the span-dedup
@@ -1010,9 +1017,16 @@ object TrainingData {
       idx.write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$p/index")
       graft.util.Fingerprint.write(s, s"$p/fingerprint",
-        graft.util.Fingerprint.of(emb, "vec_id"))
+        graft.util.Fingerprint.of(emb, "vec_id", Seq("embedding")))
       p
     })
+
+  /** One-shot store for the e10s golden's parquet artifacts (r15 ADVICE
+    * #5) — keyed by a constant: the explicit golden fixture is
+    * scale-independent.
+    */
+  private val ivfPqGoldenDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** t19's literal merge table. Ordered: rule 2 consumes rule 1's output
     * ("table" -> t+a -> ta+b -> tab), pinning that merges cascade in rank
@@ -1051,7 +1065,7 @@ object TrainingData {
       Some("""WITH docs AS (
              |  SELECT doc_id, text FROM documents
              |  UNION ALL
-             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+             |  SELECT -doc_id - 1, text FROM documents WHERE doc_id % 10 = 0)
              |SELECT min(doc_id) AS doc_id, md5(text) AS text_hash, count(*) AS n_copies
              |FROM docs GROUP BY text ORDER BY doc_id""".stripMargin)),
 
@@ -1310,10 +1324,11 @@ object TrainingData {
 
     // ------------------------------------------------------------------
     // D11 — quality-aware survivor election: every 20th doc gains an
-    // AUGMENTED near-dup copy (4 extra words, id +1e6) — min-id election
-    // would keep the original, but electing by length keeps the richer
-    // copy. The oracle recomputes the components recursively and the
-    // winner via row_number over (score desc, id).
+    // AUGMENTED near-dup copy (4 extra words, negative-space −id−1) —
+    // min-id election would keep the copy (negatives sort first), but
+    // electing by length keeps the richer copy regardless of id. The
+    // oracle recomputes the components recursively and the winner via
+    // row_number over (score desc, id).
     Q(
       "d11_quality_collapse",
       (s, dir) => {
@@ -1321,7 +1336,7 @@ object TrainingData {
           .filter(col("doc_id") % 10 === 0)
         val docs = base
           .unionByName(base.filter(col("doc_id") % 20 === 0)
-            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("doc_id", -col("doc_id") - 1L)
             .withColumn("text", concat(col("text"), lit(" extra trailing words here"))))
           .withColumn("score", length(col("text")).cast("long"))
         val pairs = Dedup.jaccardShinglePairs(docs, threshold = 0.5)
@@ -1329,7 +1344,7 @@ object TrainingData {
           .orderBy("doc_id")
       },
       Some("""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-             |aug AS (SELECT doc_id + 1000000 AS doc_id,
+             |aug AS (SELECT -doc_id - 1 AS doc_id,
              |               text || ' extra trailing words here' AS text
              |        FROM base WHERE doc_id % 20 = 0),
              |docs AS (SELECT * FROM base UNION ALL SELECT * FROM aug),
@@ -1820,7 +1835,7 @@ object TrainingData {
           .filter(col("text").isNotNull)
           .select("doc_id", "source", "text")
         val docs = base.unionByName(base.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((-col("doc_id") - 1L).as("doc_id"),
             lit("mirror").as("source"), col("text")))
         val g = docs
           .groupBy(md5(col("text")).as("h"), col("source").as("src"))
@@ -1839,7 +1854,7 @@ object TrainingData {
       Some("""WITH docs AS (
              |  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
              |  UNION ALL
-             |  SELECT doc_id + 1000000, 'mirror', text FROM documents
+             |  SELECT -doc_id - 1, 'mirror', text FROM documents
              |  WHERE text IS NOT NULL AND doc_id % 10 = 0),
              |g AS (SELECT md5(text) AS h, source AS src, count(*) AS c
              |      FROM docs GROUP BY 1, 2),
@@ -1921,9 +1936,9 @@ object TrainingData {
           maxEvalRows = 40L, sampleOverMax = true).orderBy("screen")
       },
       Some(sqlScreenEvalOracle(sqlNearDupSampledCte,
-        """SELECT * FROM exu
-          |  WHERE CAST(CAST('0x' || substr(md5('d17e' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS BIGINT)
-          |      < (SELECT greatest(1, 40000000 // count(*)) FROM exu)""".stripMargin
+        s"""SELECT * FROM exu
+          |  WHERE CAST(CAST('0x' || substr(md5('d17e' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % ${graft.dedup.DedupEval.SampleBuckets} AS BIGINT)
+          |      < (SELECT greatest(1, ${40L * graft.dedup.DedupEval.SampleBuckets} // count(*)) FROM exu)""".stripMargin
           .replace("\n", " ")))),
 
 
@@ -2525,7 +2540,7 @@ object TrainingData {
         s"""WITH docs AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL
-           |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+           |  SELECT -doc_id - 1, text FROM documents WHERE doc_id % 10 = 0),
            |hits AS (SELECT doc_id, text,
            |       $hitExprs FROM docs),
            |scored AS (SELECT doc_id, text,
@@ -2877,7 +2892,8 @@ object TrainingData {
       (s, dir) => {
         val docs = Unigram.requireRelaxBound(Tables.documents(s, dir))
         val vocab = Unigram.collectVocab(Unigram.readVocabArtifact(
-          s, Tables.documents(s, dir), unigramVocabPath(s, dir)))
+          s, Tables.documents(s, dir), unigramVocabPath(s, dir),
+          memo = true))
         Unigram.applyUnigram(docs, vocab).orderBy("doc_id")
       },
       Some(Unigram.learnApplyOracleSql())),
@@ -3339,7 +3355,7 @@ object TrainingData {
         val train = d.filter(col("doc_id") % 3 =!= 0)
         NgramLm.knScore(
           d.unionByName(rev),
-          NgramLm.readKnModel(s, train, knModelPath(s, dir)),
+          NgramLm.readKnModel(s, train, knModelPath(s, dir), memo = true),
           maxCrossEntropy = 4.0)
           .orderBy("doc_id")
       },
@@ -3354,6 +3370,89 @@ object TrainingData {
              |FROM docs d LEFT JOIN agg a USING (doc_id)
              |WHERE d.text IS NOT NULL
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T49D — the DECIMAL(38,0) num/den grid, FULL-ORACLED (r15 verdict
+    // #1 completed: the Long-grid guard used to refuse with a mitigation
+    // that existed only in its message — now knPerDoc AUTO-SELECTS the
+    // decimal path past 2^63, and this face proves that path against
+    // DuckDB's native HUGEINT arithmetic). The model is a hand-built
+    // frozen KnModel with a KenLM-web-scale prefix count (c(a) = 2^61+5,
+    // so 4*max(c1)*T ~ 2.8e19 leaves the Long grid) and the doc set
+    // walks every scoring tier across it: a huge-count seen bigram
+    // (num/den within 63 of each other -> logp exactly 0 on the
+    // decimal(20,6) grid), a small seen bigram, an unseen continuation
+    // under the huge seen prefix (the num=0 -> floor-1 corner against
+    // the huge denominator), unseen-prefix backoffs, and a too-short
+    // doc. Scale-independent literals (the golden convention); the
+    // oracle mirrors the exact same integer num/den CASE tiers with
+    // every leaf CAST to HUGEINT.
+    Q(
+      "t49d_kn_decimal_grid",
+      (s, _) => {
+        import s.implicits._
+        val model = NgramLm.KnModel(
+          big = Seq(("a", "b", 1L << 61), ("a", "c", 5L), ("b", "a", 3L))
+            .toDF("w1", "w2", "c12"),
+          uni = Seq(("a", (1L << 61) + 5L, 2L), ("b", 3L, 1L))
+            .toDF("w1", "c1", "fert"),
+          cont = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("w2", "cont"),
+          tt = Seq(Tuple1(3L)).toDF("t"))
+        NgramLm.knScore(
+          Seq((1L, "a b a c"), (2L, "a zz b"), (3L, "c a"), (4L, "b b"),
+            (5L, "solo")).toDF("doc_id", "text"),
+          model, maxCrossEntropy = 8.0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH big(w1, w2, c12) AS (VALUES
+             |  ('a', 'b', CAST(2305843009213693952 AS HUGEINT)),
+             |  ('a', 'c', CAST(5 AS HUGEINT)),
+             |  ('b', 'a', CAST(3 AS HUGEINT))),
+             |uni(w1, c1, fert) AS (VALUES
+             |  ('a', CAST(2305843009213693957 AS HUGEINT), CAST(2 AS HUGEINT)),
+             |  ('b', CAST(3 AS HUGEINT), CAST(1 AS HUGEINT))),
+             |cont(w2, cont) AS (VALUES
+             |  ('a', CAST(1 AS HUGEINT)), ('b', CAST(1 AS HUGEINT)),
+             |  ('c', CAST(1 AS HUGEINT))),
+             |tt(t) AS (VALUES (CAST(3 AS HUGEINT))),
+             |docs(doc_id, text) AS (VALUES
+             |  (1, 'a b a c'), (2, 'a zz b'), (3, 'c a'), (4, 'b b'),
+             |  (5, 'solo')),
+             |dg AS (SELECT doc_id, unnest(list_transform(
+             |                range(len(string_split(text,' ')) - 1),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+2], ' '))) AS gram
+             |       FROM docs
+             |       WHERE len(string_split(text,' ')) >= 2),
+             |dp AS (SELECT doc_id, split_part(gram, ' ', 1) AS w1,
+             |              split_part(gram, ' ', 2) AS w2 FROM dg),
+             |sc AS (SELECT dp.doc_id,
+             |         CAST(ln(CASE WHEN u.c1 IS NOT NULL
+             |                 THEN greatest(greatest(4*coalesce(b.c12, CAST(0 AS HUGEINT)) - 3, 0) * tt.t
+             |                        + 3*u.fert*coalesce(co.cont, CAST(0 AS HUGEINT)), 1)
+             |                 ELSE greatest(4*coalesce(co.cont, CAST(0 AS HUGEINT)), 1) END)
+             |           AS DECIMAL(20,6))
+             |         - CAST(ln(CASE WHEN u.c1 IS NOT NULL THEN 4*u.c1*tt.t
+             |                   ELSE 4*tt.t END) AS DECIMAL(20,6)) AS logp,
+             |         CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS unseen,
+             |         CASE WHEN u.c1 IS NULL THEN 1 ELSE 0 END AS unseen_prefix
+             |       FROM dp
+             |       LEFT JOIN big b ON dp.w1 = b.w1 AND dp.w2 = b.w2
+             |       LEFT JOIN uni u ON dp.w1 = u.w1
+             |       LEFT JOIN cont co ON dp.w2 = co.w2
+             |       CROSS JOIN tt),
+             |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+             |               CAST(sum(unseen) AS BIGINT) AS n_unseen,
+             |               CAST(sum(unseen_prefix) AS BIGINT) AS n_unseen_prefix,
+             |               sum(logp) AS slp
+             |        FROM sc GROUP BY 1)
+             |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             |       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
+             |       CAST(coalesce(a.n_unseen_prefix, 0) AS BIGINT) AS n_unseen_prefix,
+             |       -CAST(a.slp AS DOUBLE) / a.n_bigrams AS kn_cross_entropy,
+             |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_bigrams <= 8.0, FALSE) AS keep
+             |FROM docs d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T53 — TRIGRAM Kneser–Ney perplexity (r14 verdict #3 — the
@@ -3656,14 +3755,14 @@ object TrainingData {
       (s, dir) => {
         val d = Tables.documents(s, dir)
         val degen = d.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((-col("doc_id") - 1L).as("doc_id"),
             expr("repeat('ab', CAST(floor(n_chars / 2) AS INT))").as("text"))
         Entropy.charEntropy(
           d.select("doc_id", "text").unionByName(degen),
           minEntropy = 2.0, maxEntropy = 4.5)
           .orderBy("doc_id")
       },
-      Some("""WITH degen AS (SELECT doc_id + 1000000 AS doc_id,
+      Some("""WITH degen AS (SELECT -doc_id - 1 AS doc_id,
              |                      repeat('ab', CAST(floor(n_chars / 2) AS INT)) AS text
              |               FROM documents WHERE doc_id % 25 = 0),
              |docs AS (SELECT doc_id, text FROM documents
@@ -3700,8 +3799,11 @@ object TrainingData {
       "t25_ingest_gate_pipeline",
       (s, dir) => {
         val d = Tables.documents(s, dir)
+        // Second injected cohort in one fixture: −id−2 (the exact-dup
+        // copies already hold −id−1; −a−2 = −b−1 needs b = a+1, and
+        // a % 25 = 0 makes a+1 never % 10 = 0 — disjoint by arithmetic).
         val degen = d.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
+          .select((-col("doc_id") - 2L).as("doc_id"),
             concat(expr("repeat('ab ', CAST(2 * n_chars AS INT))"), lit("ab")).as("text"))
         val base = docsWithExactDups(s, dir).unionByName(degen)
         val wrapped = base.select(
@@ -3734,12 +3836,12 @@ object TrainingData {
               .as("is_survivor"))
           .orderBy("doc_id")
       },
-      Some("""WITH degen AS (SELECT doc_id + 2000000 AS doc_id,
+      Some("""WITH degen AS (SELECT -doc_id - 2 AS doc_id,
              |                      repeat('ab ', CAST(2 * n_chars AS INT)) || 'ab' AS text
              |               FROM documents WHERE doc_id % 25 = 0),
              |base AS (SELECT doc_id, text FROM documents
              |         UNION ALL
-             |         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+             |         SELECT -doc_id - 1, text FROM documents WHERE doc_id % 10 = 0
              |         UNION ALL
              |         SELECT doc_id, text FROM degen),
              |wrapped AS (SELECT doc_id,
@@ -4418,7 +4520,8 @@ object TrainingData {
         val emb = Tables.embeddings(s, dir)
         val p = ivfPqArtifactPath(s, dir)
         graft.util.Fingerprint.requireMatch(s, s"$p/fingerprint",
-          emb, "vec_id", what = "IVF-PQ index")
+          emb, "vec_id", Seq("embedding"), what = "IVF-PQ index",
+          memo = true)
         Similarity.ivfPqTopKServe(emb.filter(col("vec_id") < 8),
           s.read.parquet(s"$p/centroids"), s.read.parquet(s"$p/codebook"),
           s.read.parquet(s"$p/index"), nProbe = 4, k = 5)
@@ -4458,17 +4561,25 @@ object TrainingData {
     // face pins that (a) the index build encodes exactly what the
     // end-to-end path encodes and (b) nothing is lost or retyped in the
     // parquet round trip — the at-rest serving contract, bit-exact.
+    // The artifact dir is built ONCE per session (r15 ADVICE #5: the
+    // per-invocation temp dir left an orphan per bench pass and timed
+    // the writes inside the serve plan it documents) — same
+    // ConcurrentHashMap shape as the four trained-family stores; the
+    // explicit fixture is deterministic, so the artifacts are too.
     Q(
       "e10s_ivfpq_served_golden",
       (s, _) => {
-        val (coarse, cb) = ivfPqGoldenArtifacts(s)
         val fx = annFixture(s)
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_ivfpq_golden").toString
-        coarse.write.mode("overwrite").parquet(s"$p/centroids")
-        cb.write.mode("overwrite").parquet(s"$p/codebook")
-        Similarity.ivfPqIndex(fx, coarse, cb)
-          .write.mode("overwrite").parquet(s"$p/index")
+        val p = ivfPqGoldenDir.computeIfAbsent("golden", _ => {
+          val (coarse, cb) = ivfPqGoldenArtifacts(s)
+          val d = java.nio.file.Files
+            .createTempDirectory("graft_ivfpq_golden").toString
+          coarse.write.mode("overwrite").parquet(s"$d/centroids")
+          cb.write.mode("overwrite").parquet(s"$d/codebook")
+          Similarity.ivfPqIndex(fx, coarse, cb)
+            .write.mode("overwrite").parquet(s"$d/index")
+          d
+        })
         Similarity.ivfPqTopKServe(fx,
           s.read.parquet(s"$p/centroids"), s.read.parquet(s"$p/codebook"),
           s.read.parquet(s"$p/index"), nProbe = 1, k = 3)
@@ -4719,13 +4830,15 @@ object TrainingData {
         val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
         val corpus = emb.unionByName(
           emb.filter(col("vec_id") % 25 === 0)
-            .withColumn("vec_id", col("vec_id") + 1000000L))
+            .withColumn("vec_id", -col("vec_id") - 1L))
         val planes = Similarity.randomPlanes(nPlanes = 8, dim = 64)
         Similarity.nearDupPairs(corpus, planes, threshold = 0.999)
           .select("id_a", "id_b")
           .orderBy("id_a", "id_b")
       },
-      Some("""SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+      // Pairs are (id_a < id_b): the negative-space copy sorts FIRST, so
+      // each pair reads (copy, original).
+      Some("""SELECT -vec_id - 1 AS id_a, vec_id AS id_b
              |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY id_a, id_b""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -4733,15 +4846,17 @@ object TrainingData {
     // pair generator after jaccard/d6 and minhash/d6g): e4's scenario
     // reduced to clusters + survivors. e4's oracle proves the pair set is
     // exactly the injected copies, so the component structure has a
-    // closed form: each copied vector pairs with its original (survivor =
-    // the original), everything else is a surviving singleton.
+    // closed form: each copied vector pairs with its negative-space copy
+    // (min-id survivor = the COPY, since negatives sort first — the
+    // election rule, not the member, is what the face pins), everything
+    // else is a surviving singleton.
     Q(
       "e7_embedding_collapse",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
         val corpus = emb.unionByName(
           emb.filter(col("vec_id") % 25 === 0)
-            .withColumn("vec_id", col("vec_id") + 1000000L))
+            .withColumn("vec_id", -col("vec_id") - 1L))
         val planes = Similarity.randomPlanes(nPlanes = 8, dim = 64)
         val pairs = Similarity.nearDupPairs(corpus, planes, threshold = 0.999)
         ClusterCollapse.collapse(corpus, pairs, idCol = "vec_id")
@@ -4750,11 +4865,12 @@ object TrainingData {
       Some("""WITH corpus AS (
              |  SELECT vec_id FROM embeddings
              |  UNION ALL
-             |  SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id % 25 = 0)
+             |  SELECT -vec_id - 1 AS vec_id FROM embeddings WHERE vec_id % 25 = 0)
              |SELECT vec_id,
-             |       CASE WHEN vec_id >= 1000000 THEN vec_id - 1000000
+             |       CASE WHEN vec_id < 0 THEN vec_id
+             |            WHEN vec_id % 25 = 0 THEN -vec_id - 1
              |            ELSE vec_id END AS cluster_id,
-             |       vec_id < 1000000 AS is_survivor
+             |       NOT (vec_id >= 0 AND vec_id % 25 = 0) AS is_survivor
              |FROM corpus ORDER BY vec_id""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -5275,7 +5391,7 @@ object TrainingData {
       (s, dir) => {
         val train = nbFixture(s, dir).filter(col("doc_id") % 3 =!= 0)
         NaiveBayes.classifyWith(nbFixture(s, dir),
-          NaiveBayes.readNbModel(s, train, nbModelPath(s, dir)))
+          NaiveBayes.readNbModel(s, train, nbModelPath(s, dir), memo = true))
           .orderBy("doc_id")
       },
       Some(sqlNbCtes +
@@ -5441,7 +5557,7 @@ object TrainingData {
       },
       Some("""WITH base AS (SELECT doc_id, text FROM documents
              |              UNION ALL
-             |              SELECT doc_id + 1000000, text FROM documents
+             |              SELECT -doc_id - 1, text FROM documents
              |              WHERE doc_id % 10 = 0),
              |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
              |chunks AS (SELECT doc_id, i AS chunk_id,
@@ -5761,7 +5877,7 @@ object TrainingData {
       Some("""WITH docs AS (SELECT doc_id, text FROM documents
              |              WHERE doc_id % 10 = 0
              |              UNION ALL
-             |              SELECT doc_id + 2000000,
+             |              SELECT -doc_id - 1,
              |                     array_to_string(
              |                       (string_split(text, ' '))[4:18], ' ')
              |              FROM documents WHERE doc_id % 20 = 0),

@@ -84,19 +84,26 @@ object NaiveBayes {
   /** Persist a frozen NB model beside a [[graft.util.Fingerprint]] of
     * the train corpus, so [[readNbModel]] refuses a stale artifact.
     */
+  /** `contentCols` must list BOTH the text column AND the class-label
+    * column the model was trained on (r15 ADVICE: labels changed under
+    * stable ids are a mutation the guard must see).
+    */
   def writeNbModel(model: NbModel, train: DataFrame, path: String,
-      idCol: String = "doc_id"): Unit = {
+      idCol: String = "doc_id",
+      contentCols: Seq[String] = Seq("text", "lang")): Unit = {
     model.weights.write.mode("overwrite").parquet(s"$path/weights")
     model.classes.coalesce(1).write.mode("overwrite").parquet(s"$path/classes")
     graft.util.Fingerprint.write(model.weights.sparkSession,
-      s"$path/fingerprint", graft.util.Fingerprint.of(train, idCol))
+      s"$path/fingerprint", graft.util.Fingerprint.of(train, idCol, contentCols))
   }
 
   def readNbModel(spark: org.apache.spark.sql.SparkSession,
       train: DataFrame, path: String,
-      idCol: String = "doc_id"): NbModel = {
+      idCol: String = "doc_id",
+      contentCols: Seq[String] = Seq("text", "lang"),
+      memo: Boolean = false): NbModel = {
     graft.util.Fingerprint.requireMatch(spark, s"$path/fingerprint",
-      train, idCol, what = "NB model")
+      train, idCol, contentCols, what = "NB model", memo = memo)
     NbModel(
       weights = spark.read.parquet(s"$path/weights"),
       classes = spark.read.parquet(s"$path/classes"))

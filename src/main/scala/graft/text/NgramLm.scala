@@ -67,6 +67,28 @@ object NgramLm {
         element_at(col("__toks"), col("__pos") + 2).as("w2"),
         element_at(col("__toks"), col("__pos") + 3).as("w3"))
 
+  /** ONE explode carrying BOTH gram orders (r15 verdict #3 — t51's kn3
+    * block re-exploded doc trigrams beside the bigram legs' explode):
+    * one row per BIGRAM position with `w3` = the following token or
+    * NULL at the last position, so
+    *   - the bigram stream is the (id, w1, w2) projection (every row), and
+    *   - the trigram stream is the w3-not-null filter
+    * — exactly [[bigrams]] and [[trigrams]] row-for-row (same >= 2
+    * filter; `w3 IS NOT NULL` ⇔ pos ≤ n−3 ⇔ the >= 3 slice). `get` is
+    * the 0-based null-safe array access (ANSI `element_at` throws
+    * out-of-bounds, and the last bigram position has no third token).
+    */
+  private def grams23(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("id"), posexplode(slice(col("__toks"), lit(1), size(col("__toks")) - 1))
+        .as(Seq("__pos", "w1")), col("__toks"))
+      .select(col("id"), col("w1"),
+        element_at(col("__toks"), col("__pos") + 2).as("w2"),
+        get(col("__toks"), col("__pos") + 2).as("w3"))
+
   /** Score every `docs` row under a bigram model trained on `train`:
     * (id, n_bigrams, n_unseen, cross_entropy, keep). Documents with fewer
     * than two tokens score null entropy and keep=false (nothing to judge —
@@ -162,12 +184,15 @@ object NgramLm {
     * normalization is traded for a finite score, the standard OOV hack).
     * From there the [[crossEntropy]] contract applies verbatim: ln only
     * of integers, rounded onto the decimal(20,6) grid, summed exactly,
-    * one final IEEE division. The Long num/den grid is ENFORCED, not
-    * assumed (r14 verdict #1): scoring runs one one-row agg over the
-    * frozen model and fails loudly once 4·max(c(v))·T + 3·max(N1+(v·))
-    * ·max(N1+(·w)) leaves 2^63 — past that, compute num/den as
-    * DECIMAL(38,0) (the BM25 note's mitigation; shape unchanged, and
-    * DuckDB mirrors it natively as HUGEINT).
+    * one final IEEE division. The num/den grid is ENFORCED, not assumed
+    * (r14 verdict #1, completed r16): scoring runs one one-row agg over
+    * the frozen model and, once 4·max(c(v))·T + 3·max(N1+(v·))·
+    * max(N1+(·w)) leaves 2^63, AUTO-SELECTS the DECIMAL(38,0) num/den
+    * path (r15 verdict #1 — the mitigation is a code path, not prose;
+    * same plan shape, still exact integers, and DuckDB mirrors it
+    * natively as HUGEINT — the t49d face). In-grid models keep the
+    * cheaper Long arithmetic; past even 10^38 the engine refuses
+    * loudly.
     *
     * Shape at scale: the model is THREE narrow tables (bigram counts +
     * per-prefix rollup + per-continuation rollup) all derived from one
@@ -191,19 +216,17 @@ object NgramLm {
     * parquet writes).
     */
   final case class KnModel(big: DataFrame, uni: DataFrame, cont: DataFrame, tt: DataFrame) {
-    /** Loud enforcement of the num/den Long grid (r14 verdict #1 — the
-      * d17 lesson: contracts live in requires, not scaladoc). The worst
-      * case over ANY scoring batch is a property of the MODEL alone:
-      * num ≤ 4·max(c(v))·T + 3·max(N1+(v·))·max(N1+(·w)) and
-      * den = 4·c(v)·T ≤ the same bound, so one one-row agg over the
-      * frozen tables decides the whole grid. Checked in BigInt (the
-      * check itself must not wrap), once per model instance (lazy —
-      * ST12 scores a stream of micro-batches against one model), before
-      * any scoring plan is built. An empty model (T = 0) passes
-      * trivially. Past the bound: swap `num`/`den` to DECIMAL(38,0) in
-      * [[knPerDoc]] — the documented shape-preserving mitigation.
+    /** Worst-case num/den bound over ANY scoring batch — a property of
+      * the MODEL alone (r14 verdict #1 — the d17 lesson: contracts live
+      * in requires, not scaladoc): num ≤ 4·max(c(v))·T +
+      * 3·max(N1+(v·))·max(N1+(·w)) and den = 4·c(v)·T ≤ the same bound,
+      * so one one-row agg over the frozen tables decides the whole
+      * grid. Computed in BigInt (the check itself must not wrap), once
+      * per model instance (lazy — ST12 scores a stream of micro-batches
+      * against one model), before any scoring plan is built. An empty
+      * model (T = 0) is trivially in-grid.
       */
-    private[text] lazy val longGridChecked: Unit = {
+    private[text] lazy val gridBound: BigInt = {
       val r = uni.agg(
           coalesce(max(col("c1")), lit(0L)).as("max_c1"),
           coalesce(max(col("fert")), lit(0L)).as("max_fert"))
@@ -211,17 +234,32 @@ object NgramLm {
           cont.agg(coalesce(max(col("cont")), lit(0L)).as("max_cont"))))
         .crossJoin(broadcast(tt))
         .head()
-      val (maxC1, maxFert, maxCont, t) =
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-      val maxNum = BigInt(4) * maxC1 * t + BigInt(3) * maxFert * maxCont
-      require(maxNum <= Long.MaxValue,
-        s"KN model leaves the exact Long num/den grid: 4*max(c1)*T + " +
-          s"3*max(fert)*max(cont) = $maxNum > 2^63-1 (max_c1=$maxC1, " +
-          s"max_fert=$maxFert, max_cont=$maxCont, T=$t) - the integer " +
-          "multiply-through would wrap silently under non-ANSI mode. " +
-          "Compute num/den as DECIMAL(38,0) at this scale (the documented " +
-          "swap in knCrossEntropy's scaladoc; DuckDB mirrors it as HUGEINT)")
+      BigInt(4) * r.getLong(0) * r.getLong(3) +
+        BigInt(3) * r.getLong(1) * r.getLong(2)
     }
+
+    /** Whether the exact Long multiply-through fits 2^63−1. In-grid
+      * models score on Long arithmetic (the codegen-cheap common case);
+      * past the grid [[knPerDoc]] AUTO-SELECTS the DECIMAL(38,0) path —
+      * the mitigation the r15 guard message promised, now a real code
+      * path (r15 verdict #1) — after [[decimalGridChecked]] confirms
+      * even the decimal grid holds.
+      */
+    private[text] lazy val fitsLongGrid: Boolean = gridBound <= Long.MaxValue
+
+    /** Loud enforcement of the DECIMAL(38,0) fallback grid: 38 digits
+      * hold num/den bounds to 10^38−1 (DuckDB's HUGEINT twin holds to
+      * ~1.7e38, so the tighter decimal bound governs both engines).
+      * Reaching it needs 4·max(c1)·T ≈ 10^38 — two near-2^63 factors,
+      * beyond any corpus — but the refusal stays loud, not a silent
+      * ANSI overflow mid-plan.
+      */
+    private[text] lazy val decimalGridChecked: Unit =
+      require(gridBound < BigInt(10).pow(38),
+        s"KN model leaves even the DECIMAL(38,0) num/den grid: " +
+          s"4*max(c1)*T + 3*max(fert)*max(cont) = $gridBound >= 10^38 - " +
+          "no exact integer grid this engine (or DuckDB's HUGEINT) can " +
+          "carry; shard the model or rescale the counts")
   }
 
   def knModel(train: DataFrame, idCol: String = "doc_id",
@@ -245,13 +283,13 @@ object NgramLm {
     * claim made executable.
     */
   def writeKnModel(model: KnModel, train: DataFrame, path: String,
-      idCol: String = "doc_id"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
     model.big.write.mode("overwrite").parquet(s"$path/big")
     model.uni.write.mode("overwrite").parquet(s"$path/uni")
     model.cont.write.mode("overwrite").parquet(s"$path/cont")
     model.tt.write.mode("overwrite").parquet(s"$path/tt")
     graft.util.Fingerprint.write(model.big.sparkSession, s"$path/fingerprint",
-      graft.util.Fingerprint.of(train, idCol))
+      graft.util.Fingerprint.of(train, idCol, Seq(textCol)))
   }
 
   /** Read a stored KN model, FIRST requiring its fingerprint to match
@@ -261,9 +299,10 @@ object NgramLm {
     * not a training-path one).
     */
   def readKnModel(spark: SparkSession, train: DataFrame, path: String,
-      idCol: String = "doc_id"): KnModel = {
+      idCol: String = "doc_id", textCol: String = "text",
+      memo: Boolean = false): KnModel = {
     graft.util.Fingerprint.requireMatch(spark, s"$path/fingerprint",
-      train, idCol, what = "KN model")
+      train, idCol, Seq(textCol), what = "KN model", memo = memo)
     KnModel(
       big = spark.read.parquet(s"$path/big"),
       uni = spark.read.parquet(s"$path/uni"),
@@ -285,23 +324,31 @@ object NgramLm {
       docBigrams: DataFrame, docs: DataFrame, model: KnModel,
       maxCrossEntropy: Double,
       idCol: String, textCol: String): DataFrame = {
-    model.longGridChecked
+    // Grid selection (r15 verdict #1): in-grid models multiply through
+    // on Long (codegen integer arithmetic); a model whose num/den bound
+    // leaves 2^63 switches every leaf to DECIMAL(38,0) — identical
+    // formula, identical plan shape, still exact integers (ANSI decimal
+    // overflow would be loud, and decimalGridChecked pre-empts it).
+    val useDecimal = !model.fitsLongGrid
+    if (useDecimal) model.decimalGridChecked
+    val g: Column => Column =
+      if (useDecimal) _.cast("decimal(38,0)") else identity
     val big = model.big
     val uni = model.uni
     val cont = model.cont
     val tt = model.tt
 
-    val c12 = coalesce(col("c12"), lit(0L))
-    val contC = coalesce(col("cont"), lit(0L))
+    val c12 = g(coalesce(col("c12"), lit(0L)))
+    val contC = g(coalesce(col("cont"), lit(0L)))
     val seen = col("c1").isNotNull
     val num = when(seen,
       greatest(
-        greatest(lit(4L) * c12 - lit(3L), lit(0L)) * col("t") +
-          lit(3L) * col("fert") * contC,
-        lit(1L)))
-      .otherwise(greatest(lit(4L) * contC, lit(1L)))
-    val den = when(seen, lit(4L) * col("c1") * col("t"))
-      .otherwise(lit(4L) * col("t"))
+        greatest(g(lit(4L)) * c12 - g(lit(3L)), g(lit(0L))) * g(col("t")) +
+          g(lit(3L)) * g(col("fert")) * contC,
+        g(lit(1L))))
+      .otherwise(greatest(g(lit(4L)) * contC, g(lit(1L))))
+    val den = when(seen, g(lit(4L)) * g(col("c1")) * g(col("t")))
+      .otherwise(g(lit(4L)) * g(col("t")))
 
     val scored = docBigrams
       .join(big, Seq("w1", "w2"), "left")
@@ -422,10 +469,10 @@ object NgramLm {
       * any batch is a model property — num ≤ 16·max(c3)·max(N1+(·v·))·T
       * + 3·max(N1+(uv·))·(4·max(N1+(·vw))·T + 3·max(N1+(v··))·max cont),
       * den ≤ 16·max(c2)·max(N1+(·v·))·T — one one-row agg, BigInt,
-      * once per model instance, loud past 2^63 with the DECIMAL(38,0)
-      * swap named.
+      * once per model instance. Past 2^63 [[kn3PerDoc]] auto-selects the
+      * DECIMAL(38,0) path (r15 verdict #1), exactly like [[KnModel]].
       */
-    private[text] lazy val longGridChecked: Unit = {
+    private[text] lazy val gridBound: BigInt = {
       val r = pre.agg(
           coalesce(max(col("c2")), lit(0L)).as("mc2"),
           coalesce(max(col("f3")), lit(0L)).as("mf3"))
@@ -446,15 +493,18 @@ object NgramLm {
       val maxNum = BigInt(16) * mc3 * mnvdd * t +
         BigInt(3) * mf3 * (BigInt(4) * mn3w * t + BigInt(3) * mf2 * mcont)
       val maxDen = BigInt(16) * mc2 * mnvdd * t
-      require(maxNum.max(maxDen) <= Long.MaxValue,
-        s"trigram KN model leaves the exact Long num/den grid: " +
-          s"max(num bound, den bound) = ${maxNum.max(maxDen)} > 2^63-1 " +
-          s"(max_c3=$mc3, max_c2=$mc2, max_f3=$mf3, max_n3w=$mn3w, " +
-          s"max_nvdd=$mnvdd, max_f2=$mf2, max_cont=$mcont, T=$t) - the " +
-          "integer multiply-through would wrap silently under non-ANSI " +
-          "mode. Compute num/den as DECIMAL(38,0) at this scale (DuckDB " +
-          "mirrors it as HUGEINT)")
+      maxNum.max(maxDen)
     }
+
+    private[text] lazy val fitsLongGrid: Boolean = gridBound <= Long.MaxValue
+
+    /** Loud DECIMAL(38,0)-grid enforcement, as in [[KnModel]]. */
+    private[text] lazy val decimalGridChecked: Unit =
+      require(gridBound < BigInt(10).pow(38),
+        s"trigram KN model leaves even the DECIMAL(38,0) num/den grid: " +
+          s"max(num bound, den bound) = $gridBound >= 10^38 - no exact " +
+          "integer grid this engine (or DuckDB's HUGEINT) can carry; " +
+          "shard the model or rescale the counts")
   }
 
   def kn3Model(train: DataFrame, idCol: String = "doc_id",
@@ -496,27 +546,38 @@ object NgramLm {
     */
   private def kn3PerDoc(
       docs: DataFrame, model: Kn3Model, maxCrossEntropy: Double,
+      idCol: String, textCol: String): DataFrame =
+    kn3PerDocStream(trigrams(docs, idCol, textCol), docs, model,
+      maxCrossEntropy, idCol, textCol)
+
+  private def kn3PerDocStream(
+      docTrigrams: DataFrame, docs: DataFrame, model: Kn3Model,
+      maxCrossEntropy: Double,
       idCol: String, textCol: String): DataFrame = {
-    model.longGridChecked
-    val c3 = coalesce(col("c3"), lit(0L))
-    val n3w = coalesce(col("n3w"), lit(0L))
-    val contC = coalesce(col("cont"), lit(0L))
+    // Grid auto-selection, exactly as in knPerDocStream (r15 verdict #1).
+    val useDecimal = !model.fitsLongGrid
+    if (useDecimal) model.decimalGridChecked
+    val g: Column => Column =
+      if (useDecimal) _.cast("decimal(38,0)") else identity
+    val c3 = g(coalesce(col("c3"), lit(0L)))
+    val n3w = g(coalesce(col("n3w"), lit(0L)))
+    val contC = g(coalesce(col("cont"), lit(0L)))
     val seenPre = col("c2").isNotNull
     val seenMid = col("nvdd").isNotNull
     // The middle-level numerator piece, shared by the top two tiers.
-    val contNum = greatest(lit(4L) * n3w - lit(3L), lit(0L)) * col("t") +
-      lit(3L) * col("f2") * contC
+    val contNum = greatest(g(lit(4L)) * n3w - g(lit(3L)), g(lit(0L))) * g(col("t")) +
+      g(lit(3L)) * g(col("f2")) * contC
     val num = when(seenPre, greatest(
-        lit(4L) * greatest(lit(4L) * c3 - lit(3L), lit(0L)) *
-          col("nvdd") * col("t") + lit(3L) * col("f3") * contNum,
-        lit(1L)))
-      .when(seenMid, greatest(contNum, lit(1L)))
-      .otherwise(greatest(lit(4L) * contC, lit(1L)))
-    val den = when(seenPre, lit(16L) * col("c2") * col("nvdd") * col("t"))
-      .when(seenMid, lit(4L) * col("nvdd") * col("t"))
-      .otherwise(lit(4L) * col("t"))
+        g(lit(4L)) * greatest(g(lit(4L)) * c3 - g(lit(3L)), g(lit(0L))) *
+          g(col("nvdd")) * g(col("t")) + g(lit(3L)) * g(col("f3")) * contNum,
+        g(lit(1L))))
+      .when(seenMid, greatest(contNum, g(lit(1L))))
+      .otherwise(greatest(g(lit(4L)) * contC, g(lit(1L))))
+    val den = when(seenPre, g(lit(16L)) * g(col("c2")) * g(col("nvdd")) * g(col("t")))
+      .when(seenMid, g(lit(4L)) * g(col("nvdd")) * g(col("t")))
+      .otherwise(g(lit(4L)) * g(col("t")))
 
-    val scored = trigrams(docs, idCol, textCol)
+    val scored = docTrigrams
       .join(model.tri, Seq("w1", "w2", "w3"), "left")
       .join(model.pre, Seq("w1", "w2"), "left")
       .join(model.mid2, Seq("w2", "w3"), "left")
@@ -666,13 +727,17 @@ object NgramLm {
       textCol: String = "text"): DataFrame = {
     // ONE train bigram pass feeds all three smoothers (addone and kn
     // score off the same KnModel; kn3's unigram level reuses its `big`
-    // type table), and the doc bigram explode is shared between the
-    // two bigram-order scorers — the d18 shared-pass shape.
+    // type table), and ONE persisted doc explode feeds all three
+    // scoring legs (r15 verdict #3): the bigram scorers project
+    // (w1, w2) off the two-order gram stream, kn3 filters the rows that
+    // carry a third token — no second explode over the corpus.
     val m = knModel(train, idCol, textCol)
-    val db = CacheScope.persist(bigrams(docs, idCol, textCol))
+    val g23 = CacheScope.persist(grams23(docs, idCol, textCol))
+    val db = g23.select("id", "w1", "w2")
+    val dt = g23.filter(col("w3").isNotNull).select("id", "w1", "w2", "w3")
     val kn3 = poolScreen(
-      kn3PerDoc(docs, kn3ModelFrom(train, m.big, idCol, textCol), kn3MaxCe,
-        idCol, textCol),
+      kn3PerDocStream(dt, docs, kn3ModelFrom(train, m.big, idCol, textCol),
+        kn3MaxCe, idCol, textCol),
       "kn3", cohort, "n_trigrams")
     screenCompareRows(docs, m, db, cohort, addOneMaxCe, knMaxCe,
       idCol, textCol)

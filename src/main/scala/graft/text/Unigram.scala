@@ -342,23 +342,26 @@ object Unigram {
   /** Order-invariant corpus fingerprint for artifact self-validation
     * (r14 verdict #2) — see [[graft.util.Fingerprint]], the shared
     * implementation every learn-once/apply-everywhere store rides.
+    * Folds the text column in (r15 ADVICE: an id-only fingerprint
+    * passes a corpus whose text changed under stable ids).
     */
-  def corpusFingerprint(docs: DataFrame, idCol: String = "doc_id"): (Long, Long) =
-    graft.util.Fingerprint.of(docs, idCol)
+  def corpusFingerprint(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): (Long, Long) =
+    graft.util.Fingerprint.of(docs, idCol, Seq(textCol))
 
   /** Persist a learned vocabulary as a SELF-VALIDATING serving artifact
     * (r14 verdict #2): `<path>/vocab` holds the (piece, cnt, cost_micro)
-    * table and `<path>/fingerprint` one row (n_docs, id_hash) of the
+    * table and `<path>/fingerprint` one row (n_docs, row_hash) of the
     * corpus it was learned on, so [[readVocabArtifact]] can refuse to
     * apply a stale vocab. The learn-once half of the t44b/t46 serving
     * split.
     */
   def writeVocabArtifact(
       vocab: DataFrame, docs: DataFrame, path: String,
-      idCol: String = "doc_id"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
     vocab.write.mode("overwrite").parquet(s"$path/vocab")
     graft.util.Fingerprint.write(vocab.sparkSession, s"$path/fingerprint",
-      corpusFingerprint(docs, idCol))
+      corpusFingerprint(docs, idCol, textCol))
   }
 
   /** Read a vocab artifact, FIRST requiring its stored fingerprint to
@@ -368,13 +371,17 @@ object Unigram {
     * hash mismatch, but production-style callers had no guard — a
     * mutated corpus under the same path would silently serve the old
     * vocabulary). Loud, with both fingerprints in the message; costs one
-    * id-only pass over `docs`.
+    * column-pruned (id, text) pass over `docs` — or, with `memo = true`
+    * (r15 verdict #4), only on the first read of this artifact per
+    * session (see [[graft.util.Fingerprint.requireMatch]] for the
+    * tradeoff).
     */
   def readVocabArtifact(
       spark: SparkSession, docs: DataFrame, path: String,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      memo: Boolean = false): DataFrame = {
     graft.util.Fingerprint.requireMatch(spark, s"$path/fingerprint",
-      docs, idCol, what = "vocab")
+      docs, idCol, Seq(textCol), what = "vocab", memo = memo)
     spark.read.parquet(s"$path/vocab")
   }
 

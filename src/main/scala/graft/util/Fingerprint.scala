@@ -1,49 +1,103 @@
 package graft.util
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Order-invariant corpus fingerprints for SELF-VALIDATING stored
   * artifacts (r14 verdict #2, generalized in r15 to every learn-once/
-  * apply-everywhere store: unigram vocabularies, IVF-PQ centroid/
-  * codebook/index tables): (n_rows, id_hash) with id_hash = XOR of
-  * xxhash64(id). XOR is commutative/associative and never overflows, so
-  * partitioning cannot move the value, and both legs are SQL-mirrorable
-  * (COUNT + a 64-bit-hash XOR aggregate) should a face ever need the
-  * DuckDB twin. One column-pruned pass over the ids.
+  * apply-everywhere store: unigram vocabularies, KN/NB models, IVF-PQ
+  * centroid/codebook/index tables): `(n_rows, row_hash)` with
+  * `row_hash` = the low 64 bits (wraparound) of
+  * `SUM(xxhash64(id, content...))` accumulated exactly as
+  * DECIMAL(38,0).
+  *
+  * Design (r15 ADVICE, both findings):
+  *   - CONTENT-sensitive: the per-row hash folds every served column
+  *     in, not just the id — a corpus whose text/labels/embeddings
+  *     changed under stable ids fingerprints differently, so the
+  *     staleness guard actually enforces its stated contract instead
+  *     of an id-set-only proxy.
+  *   - DUPLICATE-sensitive: SUM (mod 2^64) is commutative/associative
+  *     like the old XOR, so partitioning still cannot move the value,
+  *     but duplicates no longer cancel pairwise — {a,b,b} and {a,c,c}
+  *     now differ. The sum runs on the exact DECIMAL(38,0) grid
+  *     (|hash| <= 2^63 per row, so 38 digits hold ~1e19 rows before
+  *     decimal overflow — and Spark's ANSI mode would refuse loudly,
+  *     not wrap silently, past that); the wraparound to 64 bits
+  *     happens once, driver-side, via BigInteger.longValue.
+  *
+  * Both legs stay SQL-mirrorable (COUNT + a HUGEINT SUM of the same
+  * 64-bit hash, low 64 bits taken at the end) should a face ever need
+  * the DuckDB twin. One column-pruned pass over id + content columns.
   */
 object Fingerprint {
 
-  def of(df: DataFrame, idCol: String): (Long, Long) = {
-    val r = df.select(xxhash64(col(idCol)).as("__h"))
-      .agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(__h)"), lit(0L)).as("h"))
+  /** Fingerprint of `df` over `idCol` plus the served content columns.
+    * Callers should list EVERY column the artifact was derived from
+    * (text for tokenizers/LMs, text+label for classifiers, the vector
+    * column for ANN indexes) — an omitted column is a mutation the
+    * guard cannot see.
+    */
+  def of(df: DataFrame, idCol: String, contentCols: Seq[String] = Nil): (Long, Long) = {
+    val cols: Seq[Column] = (idCol +: contentCols).map(col)
+    val r = df
+      .select(xxhash64(cols: _*).cast(DecimalType(38, 0)).as("__h"))
+      .agg(count(lit(1)).as("n"), sum(col("__h")).as("s"))
       .head()
-    (r.getLong(0), r.getLong(1))
+    val n = r.getLong(0)
+    val s = Option(r.getDecimal(1))
+      .map(_.toBigInteger.longValue()).getOrElse(0L)
+    (n, s)
   }
 
   /** Persist a fingerprint as a one-row parquet beside an artifact. */
   def write(spark: SparkSession, path: String, fp: (Long, Long)): Unit = {
     import spark.implicits._
-    Seq(fp).toDF("n_rows", "id_hash")
+    Seq(fp).toDF("n_rows", "row_hash")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
+
+  /** Per-session memo of fingerprints already verified at a path
+    * (r15 verdict #4): the staleness re-scan costs one column-pruned
+    * corpus pass per artifact READ, which at the 100 TB serving shape
+    * is a corpus scan per serve job. With `memo = true`, a read whose
+    * STORED fingerprint equals one this session already verified at
+    * the same path skips the corpus re-scan; re-training (which
+    * rewrites the stored fingerprint) misses the memo and re-verifies
+    * in full. Keyed by path -> verified stored fingerprint.
+    */
+  private val verifiedAt =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   /** Read a stored fingerprint and require it matches `df` — the loud
     * staleness guard every artifact read passes BEFORE the artifact is
     * applied; `what` names the artifact in the failure message.
+    *
+    * `memo = false` (the default) re-verifies on every call — loud and
+    * assumption-free. Serve paths that read the same artifact many
+    * times in one session (bench warm passes, repeated probe jobs) opt
+    * into `memo = true` and accept the documented tradeoff: a corpus
+    * mutated WITHIN the session after a successful verification is not
+    * re-detected until the artifact (and so its stored fingerprint) is
+    * rewritten. In production the recommendation is the same shape:
+    * fingerprint from the catalog's snapshot/version metadata, not a
+    * per-serve corpus re-scan (SURVEY §6).
     */
   def requireMatch(
       spark: SparkSession, path: String, df: DataFrame, idCol: String,
-      what: String): Unit = {
+      contentCols: Seq[String] = Nil, what: String,
+      memo: Boolean = false): Unit = {
     val st = spark.read.parquet(path).head()
-    val stored = (st.getAs[Long]("n_rows"), st.getAs[Long]("id_hash"))
-    val current = of(df, idCol)
+    val stored = (st.getAs[Long]("n_rows"), st.getAs[Long]("row_hash"))
+    if (memo && verifiedAt.get(path) == stored) return
+    val current = of(df, idCol, contentCols)
     require(stored == current,
       s"stale $what artifact (fingerprint at $path): stored " +
-        s"(n=${stored._1}, id_hash=${stored._2}) does not match the " +
-        s"current corpus (n=${current._1}, id_hash=${current._2}) - " +
+        s"(n=${stored._1}, row_hash=${stored._2}) does not match the " +
+        s"current corpus (n=${current._1}, row_hash=${current._2}) - " +
         "the corpus changed since the artifact was built; re-train and " +
         "re-persist instead of serving stale state")
+    if (memo) verifiedAt.put(path, stored)
   }
 }

@@ -117,6 +117,9 @@ class PlanAuditSpec extends SparkTestBase {
     // t49 served from the stored model tables — identical plan shape,
     // the one-row T side now read from parquet
     "t49c_kn_score_stored",
+    // the same one-row T side on the DECIMAL(38,0) over-grid literal
+    // model — the count-table joins stay equi-joins on w1/w2
+    "t49d_kn_decimal_grid",
     // the same one-row T side at order 3: the five model-table joins
     // are equi-joins on (w1,w2,w3)/(w1,w2)/(w2,w3)/(w2)/(w3)
     "t53_kn3_perplexity",

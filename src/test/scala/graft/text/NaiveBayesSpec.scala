@@ -54,15 +54,27 @@ class NaiveBayesSpec extends SparkTestBase {
     val p = java.nio.file.Files
       .createTempDirectory("graft_nb_store_spec").toString
     NaiveBayes.writeNbModel(
-      NaiveBayes.nbModel(train, classCol = "topic"), train, p)
+      NaiveBayes.nbModel(train, classCol = "topic"), train, p,
+      contentCols = Seq("text", "topic"))
     val served = NaiveBayes.classifyWith(docs,
-        NaiveBayes.readNbModel(spark, train.repartition(3), p))
+        NaiveBayes.readNbModel(spark, train.repartition(3), p,
+          contentCols = Seq("text", "topic")))
       .collect().map(_.toString).sorted.toSeq
     assert(served == direct)
     val ex = intercept[IllegalArgumentException] {
-      NaiveBayes.readNbModel(spark, train.filter(col("doc_id") =!= 2L), p)
+      NaiveBayes.readNbModel(spark, train.filter(col("doc_id") =!= 2L), p,
+        contentCols = Seq("text", "topic"))
     }
     assert(ex.getMessage.contains("stale"), ex.getMessage)
+    // r15 ADVICE (the finding this content-folding closes): labels
+    // mutated under STABLE ids must also read as stale.
+    val relabeled = train.withColumn("topic",
+      org.apache.spark.sql.functions.lit("fruit"))
+    val ex2 = intercept[IllegalArgumentException] {
+      NaiveBayes.readNbModel(spark, relabeled, p,
+        contentCols = Seq("text", "topic"))
+    }
+    assert(ex2.getMessage.contains("stale"), ex2.getMessage)
   }
 
   test("scores are repartition-stable (fixed-point decimal sums)") {

@@ -195,7 +195,11 @@ class NgramLmSpec extends SparkTestBase {
     assert(math.abs(p - 1.0) < 1e-4, s"sum_w P(w|ab) = $p")
   }
 
-  test("the trigram Long grid guard fires on KenLM-scale counts and admits the edge") {
+  test("trigram over-grid models auto-select the DECIMAL(38,0) path and score exactly") {
+    // r15 verdict #1: past the Long grid the engine used to refuse with
+    // a mitigation that existed only in the error message — now it
+    // switches the num/den leaves to DECIMAL(38,0) and scores. The
+    // KenLM-scale counts here make 16*c2*nvdd*T ~ 2^68.
     val huge = NgramLm.Kn3Model(
       tri = Seq(("a", "b", "c", 1L << 58)).toDF("w1", "w2", "w3", "c3"),
       pre = Seq(("a", "b", 1L << 58, 1L)).toDF("w1", "w2", "c2", "f3"),
@@ -204,38 +208,81 @@ class NgramLmSpec extends SparkTestBase {
       cont = Seq(("c", 1L)).toDF("w3", "cont"),
       tt = Seq(Tuple1(100L)).toDF("t"))
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
-    val ex = intercept[IllegalArgumentException] {
-      NgramLm.kn3Score(docs, huge, maxCrossEntropy = 1.0)
-    }
-    assert(ex.getMessage.contains("DECIMAL(38,0)"), ex.getMessage)
+    // num = 400*(4*2^58-3) + 3*(100+3) = 461168601842738789509,
+    // den = 16*2^58*100   = 461168601842738790400: both ln values land
+    // on the same decimal(20,6) point -> CE exactly 0, no ANSI overflow.
+    val r = NgramLm.kn3Score(docs, huge, maxCrossEntropy = 1.0).collect()
+    assert(r.length == 1 && r.head.getDouble(5) == 0.0 &&
+      r.head.getBoolean(6), r.mkString(","))
+
+    // Differential: a model pushed over the Long grid by a row the docs
+    // never touch must score IDENTICALLY to its in-grid twin — the two
+    // paths share one formula.
+    val train = (0L until 40L)
+      .map(i => (i, s"w${i % 5} w${(i * 3) % 5} w${(i * 7) % 5} w${(i * 2) % 5}"))
+      .toDF("doc_id", "text")
+    val probe = Seq((1L, "w0 w1 w2 w3"), (2L, "w4 w4 zz")).toDF("doc_id", "text")
+    val base = NgramLm.kn3Model(train)
+    val direct = NgramLm.kn3Score(probe, base, 4.0)
+      .collect().map(_.toString).sorted.toSeq
+    val over = base.copy(pre = base.pre.unionByName(
+      Seq(("zzq", "zzq", 1L << 60, 1L)).toDF("w1", "w2", "c2", "f3")))
+    val dec = NgramLm.kn3Score(probe, over, 4.0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(dec == direct)
   }
 
-  test("the Long num/den grid is ENFORCED: a model whose 4*max(c1)*T leaves 2^63 fails loudly before scoring") {
-    // r14 verdict #1 — the d17 lesson applied to KN: the exactness
-    // contract ("every num/den fits a Long") must live in a require, not
-    // scaladoc, because past the grid the integer multiply-through wraps
-    // silently under non-ANSI mode. The worst case is a model property,
-    // so a hand-built frozen model with KenLM-corpus-scale counts
-    // (c1 = 2^61, T = 100 -> 4*c1*T ~ 2^69) trips the guard without any
-    // corpus; checked in BigInt so the guard itself cannot wrap.
+  test("bigram over-grid models auto-select DECIMAL(38,0); past 10^38 the refusal is loud") {
+    // r14 verdict #1 established the grid as a model property; r15
+    // verdict #1 completes it: past 2^63 the engine switches to the
+    // decimal grid instead of refusing (c1 = 2^61, T = 100 ->
+    // 4*c1*T ~ 2^69 — over-Long, well inside 38 digits).
     val huge = NgramLm.KnModel(
       big = Seq(("a", "b", 1L << 61)).toDF("w1", "w2", "c12"),
       uni = Seq(("a", 1L << 61, 1L)).toDF("w1", "c1", "fert"),
       cont = Seq(("b", 1L)).toDF("w2", "cont"),
       tt = Seq(Tuple1(100L)).toDF("t"))
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
-    val ex = intercept[IllegalArgumentException] {
-      NgramLm.knScore(docs, huge, maxCrossEntropy = 1.0)
-    }
-    assert(ex.getMessage.contains("DECIMAL(38,0)"), ex.getMessage)
-    // and the boundary itself is admitted: max exactly at 2^63-1 passes
-    // (num bound = 4*c1*T + 3*fert*cont = 2^63-4 + 3 <= Long.MaxValue)
+    // num = (4*2^61-3)*100 + 3 = 922337203685477580503,
+    // den = 4*2^61*100     = 922337203685477580800 -> CE exactly 0.
+    val r = NgramLm.knScore(docs, huge, maxCrossEntropy = 1.0).collect()
+    assert(r.length == 1 && r.head.getDouble(4) == 0.0 &&
+      r.head.getBoolean(5), r.mkString(","))
+
+    // Differential vs the in-grid twin (huge row never joined).
+    val train = (0L until 40L)
+      .map(i => (i, s"w${i % 5} w${(i * 3) % 5} w${(i * 7) % 5}"))
+      .toDF("doc_id", "text")
+    val probe = Seq((1L, "w0 w1 w2"), (2L, "w4 zz")).toDF("doc_id", "text")
+    val base = NgramLm.knModel(train)
+    val direct = NgramLm.knScore(probe, base, 4.0)
+      .collect().map(_.toString).sorted.toSeq
+    val over = base.copy(uni = base.uni.unionByName(
+      Seq(("zzhuge", 1L << 61, 1L)).toDF("w1", "c1", "fert")))
+    val dec = NgramLm.knScore(probe, over, 4.0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(dec == direct)
+
+    // The boundary itself still takes the cheap Long path: num bound =
+    // 4*c1*T + 3*fert*cont = 2^63-4 + 3 <= Long.MaxValue.
     val atEdge = NgramLm.KnModel(
       big = Seq(("a", "b", (Long.MaxValue - 3L) / 4L)).toDF("w1", "w2", "c12"),
       uni = Seq(("a", (Long.MaxValue - 3L) / 4L, 1L)).toDF("w1", "c1", "fert"),
       cont = Seq(("b", 1L)).toDF("w2", "cont"),
       tt = Seq(Tuple1(1L)).toDF("t"))
     NgramLm.knScore(docs, atEdge, maxCrossEntropy = 1.0).collect()
+
+    // Past even DECIMAL(38,0) (4*c1*T with two near-2^63 factors ->
+    // 3.24e38 >= 10^38): loud refusal naming the shard/rescale way out.
+    val astronomical = NgramLm.KnModel(
+      big = Seq(("a", "b", 1L)).toDF("w1", "w2", "c12"),
+      uni = Seq(("a", 9000000000000000000L, 1L)).toDF("w1", "c1", "fert"),
+      cont = Seq(("b", 1L)).toDF("w2", "cont"),
+      tt = Seq(Tuple1(9000000000000000000L)).toDF("t"))
+    val ex = intercept[IllegalArgumentException] {
+      NgramLm.knScore(docs, astronomical, maxCrossEntropy = 1.0)
+    }
+    assert(ex.getMessage.contains("DECIMAL(38,0)"), ex.getMessage)
   }
 
   test("KN model store round-trips bit-for-bit and refuses a stale train corpus") {
@@ -257,6 +304,12 @@ class NgramLmSpec extends SparkTestBase {
       NgramLm.readKnModel(spark, train.filter(col("doc_id") =!= 3L), p)
     }
     assert(ex.getMessage.contains("stale"), ex.getMessage)
+    // text mutated under stable ids (r15 ADVICE): also stale
+    val ex2 = intercept[IllegalArgumentException] {
+      NgramLm.readKnModel(spark, train.withColumn("text",
+        org.apache.spark.sql.functions.upper(col("text"))), p)
+    }
+    assert(ex2.getMessage.contains("stale"), ex2.getMessage)
   }
 
   test("screenCompare is repartition-stable") {

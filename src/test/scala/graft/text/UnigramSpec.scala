@@ -114,12 +114,16 @@ class UnigramSpec extends SparkTestBase {
       Unigram.readVocabArtifact(spark, corpus.repartition(7), path))
     assert(vocab.nonEmpty)
     assert(Unigram.applyUnigram(corpus, vocab).count() == 30L)
-    // one doc dropped / one doc added / one id rewritten: all stale
+    // one doc dropped / one doc added / one id rewritten / one text
+    // mutated under a STABLE id (r15 ADVICE: the case the id-only hash
+    // could not see): all stale
     for (mutated <- Seq(
         corpus.filter(col("doc_id") =!= 3L),
         corpus.unionByName(Seq((999L, "zz")).toDF("doc_id", "text")),
         corpus.withColumn("doc_id",
-          when(col("doc_id") === 3L, 1003L).otherwise(col("doc_id"))))) {
+          when(col("doc_id") === 3L, 1003L).otherwise(col("doc_id"))),
+        corpus.withColumn("text",
+          when(col("doc_id") === 3L, lit("zz zz")).otherwise(col("text"))))) {
       val ex = intercept[IllegalArgumentException] {
         Unigram.readVocabArtifact(spark, mutated, path)
       }

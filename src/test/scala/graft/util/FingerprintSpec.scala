@@ -1,0 +1,95 @@
+package graft.util
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Pins the r16 fingerprint contract (r15 ADVICE #1/#2 + verdict #4):
+  * content-sensitive, duplicate-sensitive, partitioning-invariant, and
+  * memo-bounded at serve time.
+  */
+class FingerprintSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
+    .toDF("doc_id", "text")
+
+  test("partitioning cannot move the fingerprint") {
+    val a = Fingerprint.of(corpus, "doc_id", Seq("text"))
+    val b = Fingerprint.of(corpus.repartition(7), "doc_id", Seq("text"))
+    val c = Fingerprint.of(corpus.coalesce(1), "doc_id", Seq("text"))
+    assert(a == b && b == c)
+  }
+
+  test("content mutated under STABLE ids changes the fingerprint (r15 ADVICE medium)") {
+    val a = Fingerprint.of(corpus, "doc_id", Seq("text"))
+    val mutated = corpus.withColumn("text",
+      when(col("doc_id") === 2L, lit("MUTATED")).otherwise(col("text")))
+    assert(Fingerprint.of(mutated, "doc_id", Seq("text")) != a)
+    // id-set and count identical in both — only the content differs
+    assert(Fingerprint.of(mutated, "doc_id", Seq("text"))._1 == a._1)
+  }
+
+  test("duplicate-bearing corpora do not cancel: {a,b,b} != {a,c,c} (r15 ADVICE low)") {
+    // Under the old XOR aggregate these collide (pairwise cancellation);
+    // the wraparound SUM keeps each occurrence in the total.
+    val abb = Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("doc_id", "text")
+    val acc = Seq((1L, "a"), (3L, "c"), (3L, "c")).toDF("doc_id", "text")
+    assert(Fingerprint.of(abb, "doc_id", Seq("text"))
+      != Fingerprint.of(acc, "doc_id", Seq("text")))
+    // and a duplicated row is not a no-op vs the deduplicated corpus
+    val ab = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Fingerprint.of(abb, "doc_id", Seq("text"))
+      != Fingerprint.of(ab, "doc_id", Seq("text")))
+  }
+
+  test("requireMatch: loud on mismatch, memo skips the re-scan, rewrite invalidates the memo") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_fp_spec").toString + "/fingerprint"
+    Fingerprint.write(spark, p, Fingerprint.of(corpus, "doc_id", Seq("text")))
+
+    // default (memo = false): verifies every call, loud on a mutation
+    Fingerprint.requireMatch(spark, p, corpus, "doc_id", Seq("text"), "spec")
+    val ex = intercept[IllegalArgumentException] {
+      Fingerprint.requireMatch(spark, p,
+        corpus.filter(col("doc_id") =!= 1L), "doc_id", Seq("text"), "spec")
+    }
+    assert(ex.getMessage.contains("stale"))
+
+    // memo = true: first read verifies (and would be loud)...
+    Fingerprint.requireMatch(spark, p, corpus, "doc_id", Seq("text"),
+      "spec", memo = true)
+    // ...second read SKIPS the corpus re-scan entirely (r15 verdict #4):
+    // this corpus explodes if scanned, so passing proves the skip.
+    val exploding = spark.range(3).select(
+      expr("CAST(raise_error('corpus must not be re-scanned') AS BIGINT)")
+        .as("doc_id"), lit("x").as("text"))
+    Fingerprint.requireMatch(spark, p, exploding, "doc_id", Seq("text"),
+      "spec", memo = true)
+
+    // re-training rewrites the stored fingerprint -> memo misses -> the
+    // guard re-verifies in full (and is loud against the old corpus)
+    val grown = corpus.unionByName(Seq((9L, "eta")).toDF("doc_id", "text"))
+    Fingerprint.write(spark, p, Fingerprint.of(grown, "doc_id", Seq("text")))
+    val ex2 = intercept[IllegalArgumentException] {
+      Fingerprint.requireMatch(spark, p, corpus, "doc_id", Seq("text"),
+        "spec", memo = true)
+    }
+    assert(ex2.getMessage.contains("stale"))
+    // and verifies green against the corpus it was rebuilt on
+    Fingerprint.requireMatch(spark, p, grown, "doc_id", Seq("text"),
+      "spec", memo = true)
+  }
+
+  test("array content columns fingerprint (the ANN-index shape)") {
+    val emb = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Fingerprint.of(emb, "vec_id", Seq("embedding"))
+    val moved = emb.withColumn("embedding",
+      when(col("vec_id") === 2L, typedLit(Seq(3.0f, 5.0f)))
+        .otherwise(col("embedding")))
+    assert(Fingerprint.of(moved, "vec_id", Seq("embedding")) != a)
+    assert(Fingerprint.of(emb.repartition(5), "vec_id", Seq("embedding")) == a)
+  }
+}
