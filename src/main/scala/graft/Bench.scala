@@ -12,9 +12,38 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.fromEnv("graft-bench")
-    def execute(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+    // Returns whether the query ran clean: the contamination recheck must
+    // distinguish "re-ran fast" from "re-ran and THREW" (r15 ADVICE #3 —
+    // a failed rerun reads near-zero and would falsely flag its entry).
+    def execute(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+    // Previous complete artifact (this round's output location, before we
+    // overwrite it): the cross-round delta adjudication below (r15
+    // verdict #6) compares each entry against its last-round median, so
+    // a contaminated MID-PACK reading — too fast to make the 10-slowest
+    // recheck, like r14's q2 at 1.87 s vs quiet 0.80 s — still gets
+    // re-run and flagged. Absent file (first round / cleaned workspace)
+    // degrades to rank-only adjudication.
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get("target", "bench.json"))
+    val prevQueries: Map[String, Double] =
+      try {
+        if (java.nio.file.Files.exists(benchOut)) {
+          val s = new String(java.nio.file.Files.readAllBytes(benchOut),
+            java.nio.charset.StandardCharsets.UTF_8)
+          """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s)
+            .map(_.group(1).split(",").toSeq.flatMap { kv =>
+              kv.split(":") match {
+                case Array(k, v) =>
+                  try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+                  catch { case _: NumberFormatException => None }
+                case _ => None
+              }
+            }.toMap).getOrElse(Map.empty)
+        } else Map.empty
+      } catch { case _: Throwable => Map.empty }
     // Untimed warmup pass: first executions pay ~6s of JVM/codegen/classload
     // warmup that would otherwise land on arbitrary queries and make
     // per-query numbers useless for regression tracking (measured: q6 6.74s
@@ -92,17 +121,39 @@ object Bench {
     // The designed-cost floors (e10, d17b, t48) re-run at their
     // recorded readings and stay unflagged — that reproducibility is
     // exactly the signal that separates them from contention victims.
+    // Roster (r15 verdict #6): the 10 slowest PLUS every entry whose
+    // median grew >3x over its previous-round artifact value (floored at
+    // 0.25 s — sub-noise entries triple on scheduler jitter alone), so
+    // cross-round deltas self-adjudicate too, not just in-round ranks.
     val adjudicateN = 10
-    val recheck = results.toSeq.sortBy(-_._2).take(adjudicateN)
-      .map { case (name, recorded) =>
-        val t0 = System.nanoTime()
-        execute(name, SparkEntry.queries(name))
-        val rerun = (System.nanoTime() - t0) / 1e9
-        graft.util.CacheScope.releaseAll()
-        (name, recorded, rerun, recorded > 2.0 * rerun)
+    val slowestNames = results.toSeq.sortBy(-_._2).take(adjudicateN).map(_._1)
+    val grownNames = results.toSeq.collect {
+      case (name, recorded)
+        if recorded >= 0.25 && prevQueries.get(name).exists(p => recorded > 3.0 * p) =>
+        name
+    }
+    val recheck = (slowestNames ++ grownNames.filterNot(slowestNames.contains))
+      .map { name =>
+        val recorded = results(name)
+        // MIN of 2 clean re-runs (r15 ADVICE #3: one sample is noisier
+        // than the median it adjudicates); a rerun pass that THREW is
+        // excluded — if both threw, rerun is null and the entry is NOT
+        // flagged (a crash is its own loud signal, not contamination).
+        val attempts = Seq.fill(2) {
+          val t0 = System.nanoTime()
+          val ok = execute(name, SparkEntry.queries(name))
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.util.CacheScope.releaseAll()
+          if (ok) Some(dt) else None
+        }.flatten
+        val rerun = if (attempts.nonEmpty) Some(attempts.min) else None
+        (name, recorded, rerun, rerun.exists(recorded > 2.0 * _),
+          prevQueries.get(name))
       }
-    val recheckJson = recheck.map { case (n, rec, rr, c) =>
-      s"\"$n\":{\"recorded\":$rec,\"rerun\":$rr,\"contaminated\":$c}"
+    val recheckJson = recheck.map { case (n, rec, rr, c, prev) =>
+      val rrJson = rr.map(_.toString).getOrElse("null")
+      val prevJson = prev.map(p => s""","prev":$p""").getOrElse("")
+      s"\"$n\":{\"recorded\":$rec,\"rerun\":$rrJson,\"contaminated\":$c$prevJson}"
     }.mkString("{", ",", "}")
     val contaminatedJson = recheck.filter(_._4)
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
@@ -123,12 +174,10 @@ object Bench {
       // Anchored via SPARK_GRAFT_BENCH_OUT when the launcher's cwd is not
       // the repo root (spark-submit from elsewhere would otherwise drop
       // the artifact into a scratch dir and the round collector would
-      // silently find nothing).
-      val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-        .map(java.nio.file.Paths.get(_))
-        .getOrElse(java.nio.file.Paths.get("target", "bench.json"))
-      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(out,
+      // silently find nothing). The same path is what the NEXT round's
+      // cross-round delta adjudication reads back as `prevQueries`.
+      Option(benchOut.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(benchOut,
         fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     // The full per-query line above is ~8 KB and the driver keeps only the
