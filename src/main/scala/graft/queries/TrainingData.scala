@@ -3158,6 +3158,63 @@ object TrainingData {
              |FROM pq""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T48D — t48 on the DECIMAL(38,0) accumulation grid (the r16
+    // completion of rbpEval's BIGINT guard, same pattern as t49d): at
+    // k = 62 the normalizer maxGain·2^k = 3·2^62 already leaves 2^63
+    // for a SINGLE query, so rbpEval auto-switches its per-query and
+    // total RBP sums to DECIMAL(38,0) — each gain·2^(62−rk) term still
+    // fits a Long (shift <= 61), only the accumulations move. Same real
+    // corpus and known-item query set as t48; the oracle mirrors the
+    // sums as HUGEINT (DuckDB's sum over BIGINT is HUGEINT-typed
+    // natively) and the normalizer as the exact 13835058055282163712
+    // literal. The unjudged-tail residual shrinks to 2^-62 — rbp_p50's
+    // ceiling is effectively 1 — while graded_precision@62 prices the
+    // long tail of each ranking.
+    Q(
+      "t48d_bm25_rbp_decimal_grid",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val toks = TextFunctions.tokens(col("text"))
+        val queries = docs
+          .filter(col("text").isNotNull && size(toks) >= 3 &&
+            col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(toks, 1, 3)).as("query_text"))
+        Bm25.rbpEval(docs, queries, k = 62, maxGain = 3)
+      },
+      Some(s"""${sqlBm25CtesFor(
+               """q AS (SELECT doc_id AS query_id,
+                 |            array_to_string((string_split(text, ' '))[1:3], ' ') AS query_text
+                 |      FROM documents
+                 |      WHERE text IS NOT NULL
+                 |        AND len(string_split(text, ' ')) >= 3
+                 |        AND doc_id % 20 = 0)""".stripMargin)},
+             |rk AS (SELECT query_id, doc_id,
+             |         row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY score_fp6 DESC, doc_id) AS rnk
+             |       FROM sc),
+             |top AS (SELECT query_id, doc_id, rnk FROM rk WHERE rnk <= 62),
+             |gr AS (SELECT t.query_id, t.rnk, least(count(*), 3) AS gain
+             |       FROM top t
+             |       JOIN qt ON qt.query_id = t.query_id
+             |       JOIN tf ON tf.doc_id = t.doc_id AND tf.term = qt.term
+             |       GROUP BY 1, 2),
+             |pq AS (SELECT q.query_id,
+             |         coalesce(sum(CAST(g.gain * (CAST(1 AS BIGINT) << (62 - g.rnk))
+             |           AS HUGEINT)), 0) AS rbp_num,
+             |         coalesce(CAST(sum(g.gain) AS BIGINT), 0) AS gain_sum
+             |       FROM q LEFT JOIN gr g USING (query_id) GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  CAST(sum(rbp_num) AS DECIMAL(38,0)) AS rbp_num_total,
+             |  CAST(sum(gain_sum) AS BIGINT) AS gain_total,
+             |  CAST(sum(rbp_num) AS DOUBLE)
+             |    / (CAST(count(*) AS DOUBLE) * CAST(13835058055282163712 AS DOUBLE))
+             |    AS rbp_p50,
+             |  CAST(sum(gain_sum) AS DOUBLE) / (count(*) * 186)
+             |    AS graded_precision_at_62
+             |FROM pq""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T45 — the tokenizer-family EVAL face (d17/e13's analog): BPE (the
     // t19d 64-merge table) and the learned unigram LM segment the SAME
     // corpus, and one oracle reports the dataset-card compression row

@@ -344,15 +344,19 @@ object Bm25 {
     // (k=50, maxGain=3, ~3k queries already leaves 2^63). The worst case
     // is exactly computable from the query count, so one count() over
     // the (small by design) query table decides the whole grid in
-    // BigInt; past it, lower k or accumulate rbp_num in DECIMAL(38,0)
-    // (the documented 100 TB mitigation).
+    // BigInt. Past 2^63 the accumulation AUTO-SWITCHES to DECIMAL(38,0)
+    // (r15 verdict #1's pattern, applied here in r16: the mitigation is
+    // a code path, not prose — still exact integers; every per-rank
+    // gain·2^(k−rk) term itself fits a Long at k <= 62, only the SUMS
+    // and the normalizer move to the decimal grid, and DuckDB mirrors
+    // them as HUGEINT — the t48d face). Past even 10^38: loud refusal.
     val nQ = queries.count()
     val worst = BigInt(math.max(nQ, 1L)) * maxGain * (BigInt(1) << k)
-    require(worst <= Long.MaxValue,
-      s"rbpEval leaves the exact BIGINT grid: n_queries*maxGain*2^k = " +
-        s"$worst > 2^63-1 (n_queries=$nQ, maxGain=$maxGain, k=$k) - " +
-        "every unit off k halves the bound; or accumulate rbp_num in " +
-        "DECIMAL(38,0) (the documented 100TB mitigation)")
+    val overLong = worst > Long.MaxValue
+    require(worst < BigInt(10).pow(38),
+      s"rbpEval leaves even the DECIMAL(38,0) accumulation grid: " +
+        s"n_queries*maxGain*2^k = $worst >= 10^38 (n_queries=$nQ, " +
+        s"maxGain=$maxGain, k=$k) - every unit off k halves the bound")
     val res = search(docs, queries, k, idCol, textCol)
     val qt = queries
       .select(col("query_id"),
@@ -372,21 +376,40 @@ object Bm25 {
       .join(dterm, Seq(idCol, "term"))
       .groupBy("query_id", "rk")
       .agg(least(count(lit(1)), lit(maxGain.toLong)).as("gain"))
+    // Each gain·2^(k−rk) term fits a Long (gain <= maxGain, shift <=
+    // k−1 <= 61); on the over-Long grid the term is cast to
+    // DECIMAL(38,0) BEFORE the per-query and total sums, and the
+    // normalizer n_q·maxGain·2^k is evaluated exactly in BigInt
+    // driver-side, entering the one final IEEE division as a double
+    // (maxGain·2^k is exactly representable for small maxGain — its
+    // mantissa is maxGain's bit pattern).
+    val term = col("gain") * col("w")
     val perQ = gains
       .withColumn("w", expr(s"shiftleft(cast(1 as bigint), cast($k - rk as int))"))
       .groupBy("query_id")
-      .agg(sum(col("gain") * col("w")).as("rbp_num"),
+      .agg(
+        (if (overLong) sum(term.cast("decimal(38,0)")) else sum(term))
+          .as("rbp_num"),
         sum(col("gain")).as("gain_sum"))
+    val zeroNum =
+      if (overLong) lit(0L).cast("decimal(38,0)") else lit(0L)
+    val norm = BigInt(maxGain) << k
+    val p50 =
+      if (overLong)
+        col("rbp_num_total").cast("double") /
+          (col("n_queries").cast("double") * lit(norm.toDouble))
+      else
+        col("rbp_num_total").cast("double") /
+          (col("n_queries") * norm.toLong)
     queries.select("query_id")
       .join(perQ, Seq("query_id"), "left")
       .agg(
         count(lit(1)).as("n_queries"),
-        sum(coalesce(col("rbp_num"), lit(0L))).as("rbp_num_total"),
+        sum(coalesce(col("rbp_num"), zeroNum)).as("rbp_num_total"),
         sum(coalesce(col("gain_sum"), lit(0L))).as("gain_total"))
       .select(
         col("n_queries"), col("rbp_num_total"), col("gain_total"),
-        (col("rbp_num_total").cast("double") /
-          (col("n_queries") * (maxGain.toLong << k))).as("rbp_p50"),
+        p50.as("rbp_p50"),
         (col("gain_total").cast("double") / (col("n_queries") * maxGain * k))
           .as(s"graded_precision_at_$k"))
   }

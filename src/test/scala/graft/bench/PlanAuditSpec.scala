@@ -110,6 +110,9 @@ class PlanAuditSpec extends SparkTestBase {
     // the grading joins are equi-joins on (query_id) / (doc_id, term)
     // over the broadcast-bounded retrieved set
     "t48_bm25_rbp_eval",
+    // the same one-row corpus-stats side at k = 62 on the decimal
+    // accumulation grid — retrieval and grading joins unchanged
+    "t48d_bm25_rbp_decimal_grid",
     // one-row bigram-type-total (T) side of the KN num/den computation —
     // the count-table joins themselves are equi-joins on w1/w2
     "t49_kn_perplexity",

@@ -207,28 +207,37 @@ class Bm25Spec extends SparkTestBase {
     assert(row.getDouble(3) <= 1.0, s"rbp_p50 bounded: $row")
   }
 
-  test("RBP BIGINT grid is fully guarded: n_queries*maxGain*2^k past 2^63 fails loudly") {
-    // r14 ADVICE: k <= 62 alone let the normalizer maxGain<<k wrap
-    // negative (maxGain=2, k=62) and the rbp_num_total sum overflow for
-    // moderate k with many queries. The guard now multiplies the whole
-    // worst case through in BigInt.
+  test("past the BIGINT grid, RBP auto-switches to DECIMAL(38,0) accumulation, exactly") {
+    // r14 ADVICE computed the worst case in BigInt and refused past
+    // 2^63; r16 completes the pattern (t49d's): the over-grid cases now
+    // RUN, accumulating the sums on the decimal grid — hand-exact here.
+    // (The decimal grid's own 10^38 refusal needs n_q*maxGain >= 2e19
+    // at k = 62 — unreachable for any constructible query table, so it
+    // stays a formal backstop.)
     val corpus = Seq((1L, "the quick fox")).toDF("doc_id", "text")
     val q = Seq((1L, "the quick fox")).toDF("query_id", "query_text")
-    // maxGain=2 at k=62: the old guard admitted this; 1*2*2^62 = 2^63.
-    val ex = intercept[IllegalArgumentException] {
-      Bm25.rbpEval(corpus, q, k = 62, maxGain = 2)
-    }
-    assert(ex.getMessage.contains("DECIMAL(38,0)"), ex.getMessage)
-    // ADVICE's many-queries case: k=50, maxGain=3, 3000 queries.
+    // maxGain=2 at k=62 (1*2*2^62 = 2^63 just over the Long grid): the
+    // one ranked doc carries clamped gain 2 at rank 1 -> num = 2*2^61 =
+    // 2^62, p50 = 2^62 / (2*2^62) = exactly 0.5.
+    val row = Bm25.rbpEval(corpus, q, k = 62, maxGain = 2).collect().head
+    assert(row.getLong(0) == 1L)
+    assert(BigInt(row.getDecimal(1).toBigInteger) == BigInt(1) << 62,
+      s"rbp_num_total: $row")
+    assert(row.getDouble(3) == 0.5, s"rbp_p50: $row")
+    // ADVICE's many-queries case (k=50, maxGain=3, 3000 queries): total
+    // = 3000 * 3*2^49, p50 = 0.5 again - the decimal sum is exact, no
+    // float accumulation across the 3000 per-query rows.
     val manyQ = (0L until 3000L).map(i => (i, "the quick fox"))
       .toDF("query_id", "query_text")
-    val ex2 = intercept[IllegalArgumentException] {
-      Bm25.rbpEval(corpus, manyQ, k = 50, maxGain = 3)
-    }
-    assert(ex2.getMessage.contains("n_queries=3000"), ex2.getMessage)
-    // The admitted edge still runs: maxGain=2 at k=61 -> 2^62 fits.
-    val row = Bm25.rbpEval(corpus, q, k = 61, maxGain = 2).collect().head
-    assert(row.getLong(0) == 1L)
+    val row2 = Bm25.rbpEval(corpus, manyQ, k = 50, maxGain = 3).collect().head
+    assert(row2.getLong(0) == 3000L)
+    assert(BigInt(row2.getDecimal(1).toBigInteger) ==
+      BigInt(9000) * (BigInt(1) << 49), s"rbp_num_total: $row2")
+    assert(row2.getDouble(3) == 0.5, s"rbp_p50: $row2")
+    // The Long-grid edge still takes the cheap Long path: maxGain=2 at
+    // k=61 -> worst 2^62 fits, rbp_num_total is a BIGINT 2^61.
+    val rowE = Bm25.rbpEval(corpus, q, k = 61, maxGain = 2).collect().head
+    assert(rowE.getLong(1) == (1L << 61), s"long-path num: $rowE")
   }
 
   test("PRF pulls in a document that shares no term with the original query") {
