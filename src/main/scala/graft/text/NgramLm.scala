@@ -263,17 +263,22 @@ object NgramLm {
   }
 
   def knModel(train: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): KnModel = {
-    val big = CacheScope.persist(
-      bigrams(train, idCol, textCol).groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
-    // c1 = Σ_w c(v,w) (prefix count), fert = N1+(v·): one rollup of `big`,
-    // not a second pass over the train corpus.
+      textCol: String = "text"): KnModel =
+    knModelOf(CacheScope.persist(
+      bigrams(train, idCol, textCol).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))))
+
+  /** The three rollups of a PRE-BUILT (w1, w2, c12) bigram-count table —
+    * c1 = Σ_w c(v,w) (prefix count), fert = N1+(v·): one rollup of
+    * `big`, not a second pass over the train corpus. Factored so callers
+    * holding a shared gram stream ([[screenCompare3]]) can build the
+    * model without re-exploding.
+    */
+  private def knModelOf(big: DataFrame): KnModel =
     KnModel(
       big = big,
       uni = big.groupBy("w1").agg(sum(col("c12")).as("c1"), count(lit(1)).as("fert")),
       cont = big.groupBy("w2").agg(count(lit(1)).as("cont")),
       tt = big.agg(count(lit(1)).as("t")))
-  }
 
   /** Persist a frozen KN model as a SELF-VALIDATING serving artifact
     * (the t44b/e10c split on the LM family): the four narrow tables as
@@ -507,12 +512,20 @@ object NgramLm {
           "shard the model or rescale the counts")
   }
 
+  /** Both orders' model state off ONE train explode (r16, extending the
+    * r15 doc-side sharing): the two-order [[grams23]] stream yields the
+    * bigram-count table as its (w1, w2) rollup and the trigram-count
+    * table as its w3-not-null rollup — one corpus pass where kn3Model
+    * alone used to pay two.
+    */
   def kn3Model(train: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): Kn3Model =
-    kn3ModelFrom(train,
-      CacheScope.persist(bigrams(train, idCol, textCol)
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))),
-      idCol, textCol)
+      textCol: String = "text"): Kn3Model = {
+    val tg = CacheScope.persist(grams23(train, idCol, textCol))
+    kn3ModelOf(
+      CacheScope.persist(tg.filter(col("w3").isNotNull)
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))),
+      tg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+  }
 
   /** [[kn3Model]] over a PRE-BUILT bigram-type table (a [[knModel]]'s
     * `big` — so [[screenCompare3]] pays ONE train bigram pass shared
@@ -521,10 +534,17 @@ object NgramLm {
     * trigram's THIRD word).
     */
   def kn3ModelFrom(train: DataFrame, bigTypes: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): Kn3Model = {
-    val tri = CacheScope.persist(
+      idCol: String = "doc_id", textCol: String = "text"): Kn3Model =
+    kn3ModelOf(CacheScope.persist(
       trigrams(train, idCol, textCol)
-        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))),
+      bigTypes)
+
+  /** The five rollups of a PRE-BUILT (w1, w2, w3, c3) trigram-count
+    * table plus a bigram-type table — the explode-free core both
+    * builders above share.
+    */
+  private def kn3ModelOf(tri: DataFrame, bigTypes: DataFrame): Kn3Model = {
     val mid2 = CacheScope.persist(
       tri.groupBy("w2", "w3").agg(count(lit(1)).as("n3w")))
     Kn3Model(
@@ -725,19 +745,24 @@ object NgramLm {
       kn3MaxCe: Double,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // ONE train bigram pass feeds all three smoothers (addone and kn
-    // score off the same KnModel; kn3's unigram level reuses its `big`
-    // type table), and ONE persisted doc explode feeds all three
-    // scoring legs (r15 verdict #3): the bigram scorers project
-    // (w1, w2) off the two-order gram stream, kn3 filters the rows that
-    // carry a third token — no second explode over the corpus.
-    val m = knModel(train, idCol, textCol)
+    // ONE train explode and ONE doc explode feed all three smoothers
+    // (r15 verdict #3): each corpus passes through [[grams23]] once —
+    // the bigram legs project (w1, w2), the trigram legs filter the
+    // rows that carry a third token — and the three models are rollups
+    // of those two persisted streams (addone and kn score off the same
+    // KnModel; kn3's unigram level reuses its `big` type table).
+    val tg = CacheScope.persist(grams23(train, idCol, textCol))
+    val m = knModelOf(CacheScope.persist(
+      tg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))))
+    val kn3m = kn3ModelOf(
+      CacheScope.persist(tg.filter(col("w3").isNotNull)
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))),
+      m.big)
     val g23 = CacheScope.persist(grams23(docs, idCol, textCol))
     val db = g23.select("id", "w1", "w2")
     val dt = g23.filter(col("w3").isNotNull).select("id", "w1", "w2", "w3")
     val kn3 = poolScreen(
-      kn3PerDocStream(dt, docs, kn3ModelFrom(train, m.big, idCol, textCol),
-        kn3MaxCe, idCol, textCol),
+      kn3PerDocStream(dt, docs, kn3m, kn3MaxCe, idCol, textCol),
       "kn3", cohort, "n_trigrams")
     screenCompareRows(docs, m, db, cohort, addOneMaxCe, knMaxCe,
       idCol, textCol)
