@@ -3558,6 +3558,100 @@ object TrainingData {
              |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T53D — the trigram DECIMAL(38,0) grid, FULL-ORACLED (t49d's
+    // sibling at order 3, closing the decimal-path family): a
+    // hand-built frozen Kn3Model whose den bound 16·c(uv)·N1+(·v·)·T =
+    // 144·2^58 ≈ 4.2e19 leaves the Long grid, so kn3PerDoc auto-selects
+    // decimal arithmetic, proven here against DuckDB HUGEINT through
+    // ALL FOUR scoring tiers: the huge seen trigram (num/den within 81
+    // of each other -> logp exactly 0), the seen-prefix/unseen-trigram
+    // drop to the interpolation weight, the middle-level backoff, the
+    // unseen-middle floor, AND the num=0 -> floor-1 corner against the
+    // huge denominator. The model tables are mutually consistent
+    // (nvdd = Σ n3w, f2 = |n3w rows|) so the recursion's mass argument
+    // holds. Scale-independent literals (the golden convention).
+    Q(
+      "t53d_kn3_decimal_grid",
+      (s, _) => {
+        import s.implicits._
+        val model = NgramLm.Kn3Model(
+          tri = Seq(("a", "b", "c", 1L << 58)).toDF("w1", "w2", "w3", "c3"),
+          pre = Seq(("a", "b", 1L << 58, 1L)).toDF("w1", "w2", "c2", "f3"),
+          mid2 = Seq(("b", "c", 1L), ("b", "d", 2L)).toDF("w2", "w3", "n3w"),
+          mid1 = Seq(("b", 3L, 2L)).toDF("w2", "nvdd", "f2"),
+          cont = Seq(("a", 1L), ("c", 1L), ("d", 1L)).toDF("w3", "cont"),
+          tt = Seq(Tuple1(3L)).toDF("t"))
+        NgramLm.kn3Score(
+          Seq((1L, "a b c"), (2L, "x b c"), (3L, "x y c"), (4L, "a b d"),
+            (5L, "a b zz"), (6L, "a zz")).toDF("doc_id", "text"),
+          model, maxCrossEntropy = 8.0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tri(w1, w2, w3, c3) AS (VALUES
+             |  ('a', 'b', 'c', CAST(288230376151711744 AS HUGEINT))),
+             |pre(w1, w2, c2, f3) AS (VALUES
+             |  ('a', 'b', CAST(288230376151711744 AS HUGEINT), CAST(1 AS HUGEINT))),
+             |mid2(w2, w3, n3w) AS (VALUES
+             |  ('b', 'c', CAST(1 AS HUGEINT)), ('b', 'd', CAST(2 AS HUGEINT))),
+             |mid1(w2, nvdd, f2) AS (VALUES
+             |  ('b', CAST(3 AS HUGEINT), CAST(2 AS HUGEINT))),
+             |cont(w3, cont) AS (VALUES
+             |  ('a', CAST(1 AS HUGEINT)), ('c', CAST(1 AS HUGEINT)),
+             |  ('d', CAST(1 AS HUGEINT))),
+             |tt(t) AS (VALUES (CAST(3 AS HUGEINT))),
+             |docs(doc_id, text) AS (VALUES
+             |  (1, 'a b c'), (2, 'x b c'), (3, 'x y c'), (4, 'a b d'),
+             |  (5, 'a b zz'), (6, 'a zz')),
+             |d3g AS (SELECT doc_id, unnest(list_transform(
+             |                range(len(string_split(text,' ')) - 2),
+             |                i -> array_to_string((string_split(text,' '))[i+1:i+3], ' '))) AS gram
+             |        FROM docs
+             |        WHERE len(string_split(text,' ')) >= 3),
+             |d3p AS (SELECT doc_id, split_part(gram, ' ', 1) AS w1,
+             |               split_part(gram, ' ', 2) AS w2,
+             |               split_part(gram, ' ', 3) AS w3 FROM d3g),
+             |sc3 AS (SELECT d3p.doc_id,
+             |          CAST(ln(CASE
+             |            WHEN p.c2 IS NOT NULL THEN greatest(
+             |              4*greatest(4*coalesce(r.c3, CAST(0 AS HUGEINT)) - 3, 0)*m1.nvdd*tt.t
+             |              + 3*p.f3*(greatest(4*coalesce(m2.n3w, CAST(0 AS HUGEINT)) - 3, 0)*tt.t
+             |                        + 3*m1.f2*coalesce(co.cont, CAST(0 AS HUGEINT))), 1)
+             |            WHEN m1.nvdd IS NOT NULL THEN greatest(
+             |              greatest(4*coalesce(m2.n3w, CAST(0 AS HUGEINT)) - 3, 0)*tt.t
+             |              + 3*m1.f2*coalesce(co.cont, CAST(0 AS HUGEINT)), 1)
+             |            ELSE greatest(4*coalesce(co.cont, CAST(0 AS HUGEINT)), 1) END)
+             |            AS DECIMAL(20,6))
+             |          - CAST(ln(CASE
+             |            WHEN p.c2 IS NOT NULL THEN 16*p.c2*m1.nvdd*tt.t
+             |            WHEN m1.nvdd IS NOT NULL THEN 4*m1.nvdd*tt.t
+             |            ELSE 4*tt.t END) AS DECIMAL(20,6)) AS logp,
+             |          CASE WHEN r.c3 IS NULL THEN 1 ELSE 0 END AS unseen,
+             |          CASE WHEN p.c2 IS NULL THEN 1 ELSE 0 END AS unseen_prefix,
+             |          CASE WHEN m1.nvdd IS NULL THEN 1 ELSE 0 END AS unseen_mid
+             |        FROM d3p
+             |        LEFT JOIN tri r ON d3p.w1 = r.w1 AND d3p.w2 = r.w2 AND d3p.w3 = r.w3
+             |        LEFT JOIN pre p ON d3p.w1 = p.w1 AND d3p.w2 = p.w2
+             |        LEFT JOIN mid2 m2 ON d3p.w2 = m2.w2 AND d3p.w3 = m2.w3
+             |        LEFT JOIN mid1 m1 ON d3p.w2 = m1.w2
+             |        LEFT JOIN cont co ON d3p.w3 = co.w3
+             |        CROSS JOIN tt),
+             |agg3 AS (SELECT doc_id, count(*) AS n_trigrams,
+             |                CAST(sum(unseen) AS BIGINT) AS n_unseen,
+             |                CAST(sum(unseen_prefix) AS BIGINT) AS n_unseen_prefix,
+             |                CAST(sum(unseen_mid) AS BIGINT) AS n_unseen_mid,
+             |                sum(logp) AS slp
+             |         FROM sc3 GROUP BY 1)
+             |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             |       CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+             |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
+             |       CAST(coalesce(a.n_unseen_prefix, 0) AS BIGINT) AS n_unseen_prefix,
+             |       CAST(coalesce(a.n_unseen_mid, 0) AS BIGINT) AS n_unseen_mid,
+             |       -CAST(a.slp AS DOUBLE) / a.n_trigrams AS kn3_cross_entropy,
+             |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_trigrams <= 8.0, FALSE) AS keep
+             |FROM docs d LEFT JOIN agg3 a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T51 — smoother SHOOT-OUT (the eval face over t20 + t49 + t53, in
     // the d17/t45 convention): add-one, bigram KN, and trigram KN (r15)
     // score the SAME planted corpus (t49's char-reversed OOV twins in

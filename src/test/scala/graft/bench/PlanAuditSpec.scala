@@ -126,6 +126,9 @@ class PlanAuditSpec extends SparkTestBase {
     // the same one-row T side at order 3: the five model-table joins
     // are equi-joins on (w1,w2,w3)/(w1,w2)/(w2,w3)/(w2)/(w3)
     "t53_kn3_perplexity",
+    // order-3 twin of t49d: the one-row T side over the DECIMAL(38,0)
+    // over-grid literal model
+    "t53d_kn3_decimal_grid",
     // the shoot-out runs ALL THREE scoring passes: t20's one-row V
     // side and the t49/t53 one-row T sides, over equi-join count tables
     "t51_lm_screen_compare",
