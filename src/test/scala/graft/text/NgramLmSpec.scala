@@ -324,4 +324,39 @@ class NgramLmSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSeq
     assert(run(docs) == run(docs.repartition(13)))
   }
+
+  test("the shared two-order gram stream changes no numbers (r16 refactor pin)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // screenCompare3 derives ALL gram streams (both corpora, both
+    // orders) from one explode each; screenCompare and kn3CrossEntropy
+    // run the independent per-order explodes. Their numbers must agree
+    // exactly - the projection/filter derivation is row-for-row the old
+    // streams, including the docs-with-exactly-2-tokens edge (bigrams
+    // but no trigrams) and the too-short tail.
+    val docs = (0L until 120L)
+      .map(i => (i, i % 10 match {
+        case 0 => s"w${i % 7}"                               // too short
+        case 1 => s"w${i % 7} w${(i * 3) % 7}"               // bigram only
+        case _ => s"w${i % 7} w${(i * 3) % 7} w${(i * 5) % 7} w${i % 11}"
+      }))
+      .toDF("doc_id", "text")
+    val cohort =
+      when(col("doc_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+    val three = NgramLm.screenCompare3(docs, docs, cohort,
+        addOneMaxCe = 5.0, knMaxCe = 5.0, kn3MaxCe = 5.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    val two = NgramLm.screenCompare(docs, docs, cohort,
+        addOneMaxCe = 5.0, knMaxCe = 5.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(three.size == 6 && two.size == 4)
+    two.foreach { case (k, v) => assert(three(k) == v, s"row $k diverged") }
+    // the kn3 rows equal an independent kn3CrossEntropy pooled by hand
+    val perDoc = NgramLm.kn3CrossEntropy(docs, docs, 5.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(6)))
+    val evenTri = perDoc.filter(_._1 % 2 == 0).map(_._2).sum
+    assert(three(("kn3", "even"))(5) == evenTri,
+      s"kn3/even n_trigrams: ${three(("kn3", "even"))(5)} vs $evenTri")
+    val evenRejects = perDoc.filter(t => t._1 % 2 == 0 && !t._3).length.toLong
+    assert(three(("kn3", "even"))(4) == evenRejects)
+  }
 }
