@@ -325,24 +325,20 @@ object NgramLm {
     knPerDocStream(bigrams(docs, idCol, textCol), docs, model,
       maxCrossEntropy, idCol, textCol)
 
-  private def knPerDocStream(
-      docBigrams: DataFrame, docs: DataFrame, model: KnModel,
-      maxCrossEntropy: Double,
-      idCol: String, textCol: String): DataFrame = {
-    // Grid selection (r15 verdict #1): in-grid models multiply through
-    // on Long (codegen integer arithmetic); a model whose num/den bound
-    // leaves 2^63 switches every leaf to DECIMAL(38,0) — identical
-    // formula, identical plan shape, still exact integers (ANSI decimal
-    // overflow would be loud, and decimalGridChecked pre-empts it).
+  /** The grid-selected KN num/den column pair over the joined
+    * (c12, c1, fert, cont, t) row (r15 verdict #1): in-grid models
+    * multiply through on Long (codegen integer arithmetic); a model
+    * whose num/den bound leaves 2^63 switches every leaf to
+    * DECIMAL(38,0) — identical formula, identical plan shape, still
+    * exact integers (ANSI decimal overflow would be loud, and
+    * decimalGridChecked pre-empts it). Shared by the standalone KN
+    * scorer and the fused dual-model pass.
+    */
+  private def knNumDen(model: KnModel): (Column, Column) = {
     val useDecimal = !model.fitsLongGrid
     if (useDecimal) model.decimalGridChecked
     val g: Column => Column =
       if (useDecimal) _.cast("decimal(38,0)") else identity
-    val big = model.big
-    val uni = model.uni
-    val cont = model.cont
-    val tt = model.tt
-
     val c12 = g(coalesce(col("c12"), lit(0L)))
     val contC = g(coalesce(col("cont"), lit(0L)))
     val seen = col("c1").isNotNull
@@ -354,6 +350,18 @@ object NgramLm {
       .otherwise(greatest(g(lit(4L)) * contC, g(lit(1L))))
     val den = when(seen, g(lit(4L)) * g(col("c1")) * g(col("t")))
       .otherwise(g(lit(4L)) * g(col("t")))
+    (num, den)
+  }
+
+  private def knPerDocStream(
+      docBigrams: DataFrame, docs: DataFrame, model: KnModel,
+      maxCrossEntropy: Double,
+      idCol: String, textCol: String): DataFrame = {
+    val big = model.big
+    val uni = model.uni
+    val cont = model.cont
+    val tt = model.tt
+    val (num, den) = knNumDen(model)
 
     val scored = docBigrams
       .join(big, Seq("w1", "w2"), "left")
@@ -702,16 +710,66 @@ object NgramLm {
           .as("cross_entropy"))
 
   /** The bigram pair of shoot-out rows over ONE shared model + doc
-    * stream — the internal engine of both public shoot-outs.
+    * stream — the internal engine of both public shoot-outs. FUSED
+    * (r16, from the measured t51 profile: the explode sharing alone
+    * moved t51 only 4.70 → 4.65 s because the wall is the scoring
+    * passes themselves): addone and KN share the join set
+    * {big, uni, cont, tt} plus the one-row V side, so ONE pass over
+    * the exploded doc bigrams computes BOTH models' per-bigram logp
+    * columns and one groupBy carries both exact decimal sums — half
+    * the join/aggregate work of the two standalone scorers, with the
+    * logp expressions verbatim from each (the decimal contract and
+    * every hash are unchanged; the t51 DuckDB oracle, which scores
+    * the two models independently, is the unfused twin).
     */
   private def screenCompareRows(
       docs: DataFrame, m: KnModel, docBigrams: DataFrame, cohort: Column,
       addOneMaxCe: Double, knMaxCe: Double,
-      idCol: String, textCol: String): DataFrame =
-    poolScreen(addOnePerDocModel(docBigrams, docs, m, addOneMaxCe,
-        idCol, textCol), "addone", cohort, "n_bigrams")
-      .unionByName(poolScreen(knPerDocStream(docBigrams, docs, m, knMaxCe,
-        idCol, textCol), "kn", cohort, "n_bigrams"))
+      idCol: String, textCol: String): DataFrame = {
+    val (num, den) = knNumDen(m)
+    val v = m.uni.agg(count(lit(1)).as("v"))
+    val scored = docBigrams
+      .join(m.big, Seq("w1", "w2"), "left")
+      .join(m.uni, Seq("w1"), "left")
+      .join(m.cont, Seq("w2"), "left")
+      .crossJoin(broadcast(m.tt))
+      .crossJoin(broadcast(v))
+      .select(
+        col("id"),
+        (lnDec(coalesce(col("c12"), lit(0L)) + 1) -
+          lnDec(coalesce(col("c1"), lit(0L)) + col("v"))).as("__logp_add"),
+        (lnDec(num) - lnDec(den)).as("__logp_kn"),
+        when(col("c12").isNull, 1L).otherwise(0L).as("__unseen"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("__unseen")).as("n_unseen"),
+        sum(col("__logp_add")).as("__slp_add"),
+        sum(col("__logp_kn")).as("__slp_kn"))
+      .withColumn("ce_add", -col("__slp_add").cast("double") / col("n_bigrams"))
+      .withColumn("ce_kn", -col("__slp_kn").cast("double") / col("n_bigrams"))
+    // Per-doc dual table is |docs|-row — persist it so the two pooled
+    // views below don't re-run the gram-stream joins.
+    val per = CacheScope.persist(docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol))
+      .join(scored, col(idCol) === scored("id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        col("__slp_add"), col("__slp_kn"),
+        col("ce_add"), col("ce_kn")))
+    def view(slp: String, ce: String, maxCe: Double): DataFrame =
+      per.select(
+        col(idCol), col("n_bigrams"), col("n_unseen"),
+        col(slp).as("__slp"),
+        coalesce(col(ce) <= maxCe, lit(false)).as("keep"))
+    poolScreen(view("__slp_add", "ce_add", addOneMaxCe),
+        "addone", cohort, "n_bigrams")
+      .unionByName(poolScreen(view("__slp_kn", "ce_kn", knMaxCe),
+        "kn", cohort, "n_bigrams"))
+  }
 
   def screenCompare(
       docs: DataFrame,
