@@ -121,15 +121,20 @@ object Bench {
     // The designed-cost floors (e10, d17b, t48) re-run at their
     // recorded readings and stay unflagged — that reproducibility is
     // exactly the signal that separates them from contention victims.
-    // Roster (r15 verdict #6): the 10 slowest PLUS every entry whose
-    // median grew >3x over its previous-round artifact value (floored at
-    // 0.25 s — sub-noise entries triple on scheduler jitter alone), so
-    // cross-round deltas self-adjudicate too, not just in-round ranks.
+    // Roster (r15 verdict #6, floor lowered r16 verdict #4): the 10
+    // slowest PLUS every cross-round grower — >2x over its previous-
+    // round artifact value for entries >= 1 s (t26b's 1.39 -> 2.08 s
+    // adjudicated growth sailed under the old uniform >3x), keeping the
+    // >3x bar below 1 s where sub-second entries double-to-triple on
+    // scheduler jitter alone (still floored at 0.25 s) — so mid-band
+    // deltas self-adjudicate too, not just in-round ranks.
     val adjudicateN = 10
     val slowestNames = results.toSeq.sortBy(-_._2).take(adjudicateN).map(_._1)
     val grownNames = results.toSeq.collect {
       case (name, recorded)
-        if recorded >= 0.25 && prevQueries.get(name).exists(p => recorded > 3.0 * p) =>
+        if prevQueries.get(name).exists(p =>
+          if (recorded >= 1.0) recorded > 2.0 * p
+          else recorded >= 0.25 && recorded > 3.0 * p) =>
         name
     }
     val recheck = (slowestNames ++ grownNames.filterNot(slowestNames.contains))

@@ -56,7 +56,12 @@ object CurationQueries {
   /** The q34 reconciliation scenario: "yesterday" is a narrow lineitem
     * projection; "today" dropped every 97th order's rows, bumped
     * quantities on every 13th, and appended re-keyed copies of every
-    * 89th — removals, changes, and additions in one diff.
+    * 89th — removals, changes, and additions in one diff. The appended
+    * copies live in the NEGATIVE key space (−key−1, the r16 fixture
+    * convention): lineitem orderkeys are positive at every SF, so the
+    * injected cohort can never collide with a real key — unlike the
+    * old fixed `+1e7` offset, which an SF≈1700 lineitem would have
+    * caught up with (r16 verdict #3, the last fixed-offset residue).
     */
   private def diffFixture(
       s: org.apache.spark.sql.SparkSession,
@@ -68,7 +73,7 @@ object CurationQueries {
         when(col("l_orderkey") % 13 === 0, col("l_quantity") + 1)
           .otherwise(col("l_quantity")))
       .unionByName(li.filter(col("l_orderkey") % 89 === 0)
-        .withColumn("l_orderkey", col("l_orderkey") + 10000000L))
+        .withColumn("l_orderkey", -col("l_orderkey") - 1L))
     (li, cur)
   }
 
@@ -80,7 +85,7 @@ object CurationQueries {
       |             l_extendedprice, l_returnflag
       |      FROM li WHERE l_orderkey % 97 <> 0
       |      UNION ALL
-      |      SELECT l_orderkey + 10000000, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |      SELECT -l_orderkey - 1, l_linenumber, l_quantity, l_extendedprice, l_returnflag
       |      FROM li WHERE l_orderkey % 89 = 0),
       |j AS (SELECT coalesce(l.l_orderkey, r.l_orderkey) AS l_orderkey,
       |             coalesce(l.l_linenumber, r.l_linenumber) AS l_linenumber,

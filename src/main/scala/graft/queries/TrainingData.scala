@@ -1323,21 +1323,28 @@ object TrainingData {
              |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // D11 — quality-aware survivor election: every 20th doc gains an
-    // AUGMENTED near-dup copy (4 extra words, negative-space −id−1) —
-    // min-id election would keep the copy (negatives sort first), but
-    // electing by length keeps the richer copy regardless of id. The
-    // oracle recomputes the components recursively and the winner via
+    // D11 — quality-aware survivor election: every 20th doc gains a
+    // TRUNCATED near-dup copy (last 2 words dropped, negative-space
+    // −id−1). The copy is deliberately the POORER member (r16 ADVICE:
+    // an augmented copy carried both the minimum id AND the longest
+    // text, so min-id and quality election agreed — a regression to
+    // naive min-id would have passed): min-id election would keep the
+    // negative copy (negatives sort first), but electing by length
+    // keeps the positive-id ORIGINAL — the two rules disagree on every
+    // paired cluster, which is exactly what this face pins. The oracle
+    // recomputes the components recursively and the winner via
     // row_number over (score desc, id).
     Q(
       "d11_quality_collapse",
       (s, dir) => {
         val base = Tables.documents(s, dir).select("doc_id", "text")
           .filter(col("doc_id") % 10 === 0)
+        val toks = TextFunctions.tokens(col("text"))
         val docs = base
           .unionByName(base.filter(col("doc_id") % 20 === 0)
             .withColumn("doc_id", -col("doc_id") - 1L)
-            .withColumn("text", concat(col("text"), lit(" extra trailing words here"))))
+            .withColumn("text",
+              array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(1))), " ")))
           .withColumn("score", length(col("text")).cast("long"))
         val pairs = Dedup.jaccardShinglePairs(docs, threshold = 0.5)
         ClusterCollapse.collapseBy(docs, pairs, scoreCol = "score")
@@ -1345,7 +1352,8 @@ object TrainingData {
       },
       Some("""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
              |aug AS (SELECT -doc_id - 1 AS doc_id,
-             |               text || ' extra trailing words here' AS text
+             |               array_to_string((string_split(text, ' '))[1:greatest(
+             |                 len(string_split(text, ' ')) - 2, 1)], ' ') AS text
              |        FROM base WHERE doc_id % 20 = 0),
              |docs AS (SELECT * FROM base UNION ALL SELECT * FROM aug),
              |sh AS (SELECT doc_id,
@@ -3170,6 +3178,17 @@ object TrainingData {
     // literal. The unjudged-tail residual shrinks to 2^-62 — rbp_p50's
     // ceiling is effectively 1 — while graded_precision@62 prices the
     // long tail of each ranking.
+    //
+    // Output shape (r16 verdict #1 — the round's one red gate row): the
+    // exact numerator total EXCEEDS 2^64 here, and a raw >2^64
+    // DECIMAL(38,0) cell is hashed differently by the driver's two
+    // engine paths even when the values are bit-identical (judge-
+    // adjudicated at both scales in r16). rbpEval therefore emits the
+    // total as the divmod-2^62 BIGINT pair rbp_num_hi/rbp_num_lo
+    // (total = hi·2^62 + lo — both cells on the 64-bit grid the hash
+    // paths share), with the DECIMAL accumulation kept internal exactly
+    // as t49d/t53d keep theirs; the oracle divmods its HUGEINT sum by
+    // the same 4611686018427387904 literal.
     Q(
       "t48d_bm25_rbp_decimal_grid",
       (s, dir) => {
@@ -3205,7 +3224,10 @@ object TrainingData {
              |         coalesce(CAST(sum(g.gain) AS BIGINT), 0) AS gain_sum
              |       FROM q LEFT JOIN gr g USING (query_id) GROUP BY 1)
              |SELECT CAST(count(*) AS BIGINT) AS n_queries,
-             |  CAST(sum(rbp_num) AS DECIMAL(38,0)) AS rbp_num_total,
+             |  CAST(CAST(sum(rbp_num) AS HUGEINT) // 4611686018427387904
+             |    AS BIGINT) AS rbp_num_hi,
+             |  CAST(CAST(sum(rbp_num) AS HUGEINT) % 4611686018427387904
+             |    AS BIGINT) AS rbp_num_lo,
              |  CAST(sum(gain_sum) AS BIGINT) AS gain_total,
              |  CAST(sum(rbp_num) AS DOUBLE)
              |    / (CAST(count(*) AS DOUBLE) * CAST(13835058055282163712 AS DOUBLE))
@@ -3301,7 +3323,7 @@ object TrainingData {
           |SELECT d.doc_id,
              |       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
              |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
-             |       -CAST(a.slp AS DOUBLE) / a.n_bigrams AS cross_entropy,
+             |       -CAST(a.slp AS DOUBLE) / a.n_bigrams + 0.0 AS cross_entropy,
              |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_bigrams <= 3.4, FALSE) AS keep
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |WHERE d.text IS NOT NULL
@@ -3349,7 +3371,7 @@ object TrainingData {
              |       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
              |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
              |       CAST(coalesce(a.n_unseen_prefix, 0) AS BIGINT) AS n_unseen_prefix,
-             |       -CAST(a.slp AS DOUBLE) / a.n_bigrams AS kn_cross_entropy,
+             |       -CAST(a.slp AS DOUBLE) / a.n_bigrams + 0.0 AS kn_cross_entropy,
              |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_bigrams <= 4.0, FALSE) AS keep
              |FROM docs d LEFT JOIN agg a USING (doc_id)
              |WHERE d.text IS NOT NULL
@@ -3386,7 +3408,7 @@ object TrainingData {
              |                THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
              |  CAST(coalesce(sum(a.n_bigrams), 0) AS BIGINT) AS n_bigrams,
              |  CAST(coalesce(sum(a.n_unseen), 0) AS BIGINT) AS n_unseen,
-             |  -CAST(sum(a.slp) AS DOUBLE) / sum(a.n_bigrams) AS corpus_cross_entropy
+             |  -CAST(sum(a.slp) AS DOUBLE) / sum(a.n_bigrams) + 0.0 AS corpus_cross_entropy
              |FROM docs d LEFT JOIN agg a USING (doc_id)
              |WHERE d.text IS NOT NULL""".stripMargin)),
 
@@ -3422,7 +3444,7 @@ object TrainingData {
              |       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
              |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
              |       CAST(coalesce(a.n_unseen_prefix, 0) AS BIGINT) AS n_unseen_prefix,
-             |       -CAST(a.slp AS DOUBLE) / a.n_bigrams AS kn_cross_entropy,
+             |       -CAST(a.slp AS DOUBLE) / a.n_bigrams + 0.0 AS kn_cross_entropy,
              |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_bigrams <= 4.0, FALSE) AS keep
              |FROM docs d LEFT JOIN agg a USING (doc_id)
              |WHERE d.text IS NOT NULL
@@ -3506,7 +3528,7 @@ object TrainingData {
              |       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
              |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
              |       CAST(coalesce(a.n_unseen_prefix, 0) AS BIGINT) AS n_unseen_prefix,
-             |       -CAST(a.slp AS DOUBLE) / a.n_bigrams AS kn_cross_entropy,
+             |       -CAST(a.slp AS DOUBLE) / a.n_bigrams + 0.0 AS kn_cross_entropy,
              |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_bigrams <= 8.0, FALSE) AS keep
              |FROM docs d LEFT JOIN agg a USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
@@ -3551,7 +3573,7 @@ object TrainingData {
              |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
              |       CAST(coalesce(a.n_unseen_prefix, 0) AS BIGINT) AS n_unseen_prefix,
              |       CAST(coalesce(a.n_unseen_mid, 0) AS BIGINT) AS n_unseen_mid,
-             |       -CAST(a.slp AS DOUBLE) / a.n_trigrams AS kn3_cross_entropy,
+             |       -CAST(a.slp AS DOUBLE) / a.n_trigrams + 0.0 AS kn3_cross_entropy,
              |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_trigrams <= 5.2, FALSE) AS keep
              |FROM docs d LEFT JOIN agg3 a USING (doc_id)
              |WHERE d.text IS NOT NULL
@@ -3646,7 +3668,7 @@ object TrainingData {
              |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
              |       CAST(coalesce(a.n_unseen_prefix, 0) AS BIGINT) AS n_unseen_prefix,
              |       CAST(coalesce(a.n_unseen_mid, 0) AS BIGINT) AS n_unseen_mid,
-             |       -CAST(a.slp AS DOUBLE) / a.n_trigrams AS kn3_cross_entropy,
+             |       -CAST(a.slp AS DOUBLE) / a.n_trigrams + 0.0 AS kn3_cross_entropy,
              |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_trigrams <= 8.0, FALSE) AS keep
              |FROM docs d LEFT JOIN agg3 a USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
@@ -3757,7 +3779,7 @@ object TrainingData {
              |             THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
              |    CAST(coalesce(sum(n_bigrams), 0) AS BIGINT) AS n_bigrams,
              |    CAST(coalesce(sum(n_unseen), 0) AS BIGINT) AS n_unseen,
-             |    -CAST(sum(slp_a) AS DOUBLE) / sum(n_bigrams) AS cross_entropy
+             |    -CAST(sum(slp_a) AS DOUBLE) / sum(n_bigrams) + 0.0 AS cross_entropy
              |  FROM base GROUP BY cohort
              |  UNION ALL
              |  SELECT 'kn', cohort,
@@ -3769,7 +3791,7 @@ object TrainingData {
              |             THEN 0 ELSE 1 END) AS BIGINT),
              |    CAST(coalesce(sum(n_bigrams), 0) AS BIGINT),
              |    CAST(coalesce(sum(n_unseen), 0) AS BIGINT),
-             |    -CAST(sum(slp_k) AS DOUBLE) / sum(n_bigrams)
+             |    -CAST(sum(slp_k) AS DOUBLE) / sum(n_bigrams) + 0.0
              |  FROM base GROUP BY cohort
              |  UNION ALL
              |  SELECT 'kn3', cohort,
@@ -3781,7 +3803,7 @@ object TrainingData {
              |             THEN 0 ELSE 1 END) AS BIGINT),
              |    CAST(coalesce(sum(n_trigrams), 0) AS BIGINT),
              |    CAST(coalesce(sum(n_unseen), 0) AS BIGINT),
-             |    -CAST(sum(slp) AS DOUBLE) / sum(n_trigrams)
+             |    -CAST(sum(slp) AS DOUBLE) / sum(n_trigrams) + 0.0
              |  FROM base3 GROUP BY cohort)
              |SELECT model, cohort, n_docs, n_scored, n_rejected, n_bigrams,
              |       n_unseen, cross_entropy
@@ -5831,7 +5853,7 @@ object TrainingData {
       Some(sqlPerplexityCtes +
         """
           |, ce AS (SELECT d.doc_id, d.lang, d.source,
-          |           -CAST(a.slp AS DOUBLE) / a.n_bigrams AS cross_entropy
+          |           -CAST(a.slp AS DOUBLE) / a.n_bigrams + 0.0 AS cross_entropy
           |         FROM documents d JOIN agg a USING (doc_id)
           |         WHERE d.text IS NOT NULL),
           |nt AS (SELECT doc_id, source,
@@ -6830,7 +6852,7 @@ object TrainingData {
       Some(sqlPerplexityCtes +
         """
           |, ce AS (SELECT d.doc_id, d.lang,
-          |           -CAST(a.slp AS DOUBLE) / a.n_bigrams AS cross_entropy
+          |           -CAST(a.slp AS DOUBLE) / a.n_bigrams + 0.0 AS cross_entropy
           |         FROM documents d JOIN agg a USING (doc_id)
           |         WHERE d.text IS NOT NULL),
           |nt AS (SELECT doc_id, lang, cross_entropy,
@@ -6868,7 +6890,7 @@ object TrainingData {
       Some(sqlPerplexityCtes +
         """
           |, ce AS (SELECT d.doc_id,
-          |           -CAST(a.slp AS DOUBLE) / a.n_bigrams AS cross_entropy,
+          |           -CAST(a.slp AS DOUBLE) / a.n_bigrams + 0.0 AS cross_entropy,
           |           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
           |         FROM documents d JOIN agg a USING (doc_id)
           |         WHERE d.text IS NOT NULL),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.util.CacheScope
@@ -314,7 +314,14 @@ object Bm25 {
     * the relevance grade derived from data — gain(query, doc) = number
     * of distinct query terms the doc contains. One row out:
     * (n_queries, rbp_num_total, gain_total, rbp_p50,
-    * graded_precision_at_k).
+    * graded_precision_at_k) on the in-grid Long path; past the BIGINT
+    * grid the exact numerator total is emitted as the divmod-2^62 pair
+    * `rbp_num_hi`/`rbp_num_lo` (both BIGINT; total = hi·2^62 + lo) —
+    * a raw >2^64 DECIMAL(38,0) output cell is the one value shape the
+    * cross-engine hash gates do not share (r16: the suite's single red
+    * row), so the DECIMAL stays INTERNAL exactly as the KN scorers
+    * keep it, and the output rides the 64-bit integer grid both
+    * engines canonicalize identically.
     *
     * p = 1/2 is the exactness choice: the rank-i weight is the INTEGER
     * 2^(k-i), so each query's RBP numerator Σ gain·2^(k-i) is an
@@ -353,9 +360,14 @@ object Bm25 {
     val nQ = queries.count()
     val worst = BigInt(math.max(nQ, 1L)) * maxGain * (BigInt(1) << k)
     val overLong = worst > Long.MaxValue
-    require(worst < BigInt(10).pow(38),
-      s"rbpEval leaves even the DECIMAL(38,0) accumulation grid: " +
-        s"n_queries*maxGain*2^k = $worst >= 10^38 (n_queries=$nQ, " +
+    // 2^125 (< 10^38) is the ceiling of BOTH exact representations in
+    // play: the DECIMAL(38,0) sums hold to 10^38, and the hi/lo output
+    // split below needs hi = total >> 62 to fit a BIGINT (total < 2^125).
+    // Reaching it needs n_q*maxGain >= 2^63 at k = 62 — no constructible
+    // query table — but the refusal stays loud, not a silent wrap.
+    require(worst < (BigInt(1) << 125),
+      s"rbpEval leaves the exact accumulation grid: " +
+        s"n_queries*maxGain*2^k = $worst >= 2^125 (n_queries=$nQ, " +
         s"maxGain=$maxGain, k=$k) - every unit off k halves the bound")
     val res = search(docs, queries, k, idCol, textCol)
     val qt = queries
@@ -376,21 +388,22 @@ object Bm25 {
       .join(dterm, Seq(idCol, "term"))
       .groupBy("query_id", "rk")
       .agg(least(count(lit(1)), lit(maxGain.toLong)).as("gain"))
-    // Each gain·2^(k−rk) term fits a Long (gain <= maxGain, shift <=
-    // k−1 <= 61); on the over-Long grid the term is cast to
-    // DECIMAL(38,0) BEFORE the per-query and total sums, and the
-    // normalizer n_q·maxGain·2^k is evaluated exactly in BigInt
+    // The per-rank weight 2^(k−rk) fits a Long (shift <= k−1 <= 61); on
+    // the over-Long grid gain and w are EACH cast to DECIMAL(38,0)
+    // BEFORE the multiply (the knNumDen leaf rule — gain·2^(k−1) alone
+    // already leaves 2^63 at maxGain = 4, k = 62, so multiplying on
+    // Long first would be an ANSI overflow mid-plan; r16 ADVICE #1),
+    // and the normalizer n_q·maxGain·2^k is evaluated exactly in BigInt
     // driver-side, entering the one final IEEE division as a double
     // (maxGain·2^k is exactly representable for small maxGain — its
     // mantissa is maxGain's bit pattern).
-    val term = col("gain") * col("w")
+    val gDec: Column => Column =
+      if (overLong) _.cast("decimal(38,0)") else identity
+    val term = gDec(col("gain")) * gDec(col("w"))
     val perQ = gains
       .withColumn("w", expr(s"shiftleft(cast(1 as bigint), cast($k - rk as int))"))
       .groupBy("query_id")
-      .agg(
-        (if (overLong) sum(term.cast("decimal(38,0)")) else sum(term))
-          .as("rbp_num"),
-        sum(col("gain")).as("gain_sum"))
+      .agg(sum(term).as("rbp_num"), sum(col("gain")).as("gain_sum"))
     val zeroNum =
       if (overLong) lit(0L).cast("decimal(38,0)") else lit(0L)
     val norm = BigInt(maxGain) << k
@@ -401,16 +414,31 @@ object Bm25 {
       else
         col("rbp_num_total").cast("double") /
           (col("n_queries") * norm.toLong)
-    queries.select("query_id")
+    val totals = queries.select("query_id")
       .join(perQ, Seq("query_id"), "left")
       .agg(
         count(lit(1)).as("n_queries"),
         sum(coalesce(col("rbp_num"), zeroNum)).as("rbp_num_total"),
         sum(coalesce(col("gain_sum"), lit(0L))).as("gain_total"))
-      .select(
-        col("n_queries"), col("rbp_num_total"), col("gain_total"),
+    // Output grid (r16 verdict #1): the in-grid path emits the BIGINT
+    // total verbatim; the over-Long path divmods the exact decimal
+    // total by 2^62 into two BIGINTs (lo = total mod 2^62 is an exact
+    // decimal remainder; hi = (total − lo)/2^62 is an exact integer
+    // quotient — representable at any division scale, so the decimal
+    // division cannot round it; both fit a Long under the 2^125 guard).
+    val numCols: Seq[Column] =
+      if (overLong) {
+        val base = lit((1L << 62)).cast("decimal(38,0)")
+        val lo = col("rbp_num_total") % base
+        val hi = (col("rbp_num_total") - lo) / base
+        Seq(hi.cast("decimal(38,0)").cast("long").as("rbp_num_hi"),
+          lo.cast("long").as("rbp_num_lo"))
+      } else Seq(col("rbp_num_total"))
+    totals.select(
+      (col("n_queries") +: numCols) ++ Seq(
+        col("gain_total"),
         p50.as("rbp_p50"),
         (col("gain_total").cast("double") / (col("n_queries") * maxGain * k))
-          .as(s"graded_precision_at_$k"))
+          .as(s"graded_precision_at_$k")): _*)
   }
 }

@@ -83,8 +83,7 @@ object NaiveBayes {
 
   /** Persist a frozen NB model beside a [[graft.util.Fingerprint]] of
     * the train corpus, so [[readNbModel]] refuses a stale artifact.
-    */
-  /** `contentCols` must list BOTH the text column AND the class-label
+    * `contentCols` must list BOTH the text column AND the class-label
     * column the model was trained on (r15 ADVICE: labels changed under
     * stable ids are a mutation the guard must see).
     */

@@ -44,6 +44,18 @@ object NgramLm {
     */
   private def lnDec(x: Column): Column = log(x).cast("decimal(20,6)")
 
+  /** −slp/n as a double, normalized by `+ 0.0` so an exact-zero
+    * log-prob sum (a perfectly-predicted doc — every gram at
+    * probability 1 on the decimal grid) emits +0.0, never −0.0: IEEE
+    * negation flips the zero's sign bit, the one bit pattern a
+    * cross-engine hash can disagree on while both engines print "0.0"
+    * (r16 verdict #2 — observed live in t53d's driver dump). −0.0 + 0.0
+    * is +0.0 in round-to-nearest, any other value is unchanged, and a
+    * NULL sum stays NULL; every oracle mirrors the same `+ 0.0`.
+    */
+  private def ceNorm(slp: Column, n: Column): Column =
+    -slp.cast("double") / n + lit(0.0)
+
   /** (doc_id, w1, w2) bigram stream of a corpus. */
   private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -146,7 +158,7 @@ object NgramLm {
         sum(col("__unseen")).as("n_unseen"),
         sum(col("__logp")).as("__sum_logp"))
       .withColumn("cross_entropy",
-        -col("__sum_logp").cast("double") / col("n_bigrams"))
+        ceNorm(col("__sum_logp"), col("n_bigrams")))
     docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol))
@@ -380,7 +392,7 @@ object NgramLm {
         sum(col("__unseen_prefix")).as("n_unseen_prefix"),
         sum(col("__logp")).as("__sum_logp"))
       .withColumn("kn_cross_entropy",
-        -col("__sum_logp").cast("double") / col("n_bigrams"))
+        ceNorm(col("__sum_logp"), col("n_bigrams")))
     docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol))
@@ -437,7 +449,7 @@ object NgramLm {
       .select(
         col("n_docs"), col("n_scored"), col("n_rejected"),
         col("n_bigrams"), col("n_unseen"),
-        (-col("__slp_total").cast("double") / col("n_bigrams"))
+        ceNorm(col("__slp_total"), col("n_bigrams"))
           .as("corpus_cross_entropy"))
 
   /** The frozen TRIGRAM KN model state (t53 — the LM-screen family's
@@ -626,7 +638,7 @@ object NgramLm {
         sum(col("__unseen_mid")).as("n_unseen_mid"),
         sum(col("__logp")).as("__sum_logp"))
       .withColumn("kn3_cross_entropy",
-        -col("__sum_logp").cast("double") / col("n_trigrams"))
+        ceNorm(col("__sum_logp"), col("n_trigrams")))
     docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol))
@@ -706,7 +718,7 @@ object NgramLm {
         lit(model).as("model"), col("cohort"),
         col("n_docs"), col("n_scored"), col("n_rejected"),
         col("n_bigrams"), col("n_unseen"),
-        (-col("__slp_total").cast("double") / col("n_bigrams"))
+        ceNorm(col("__slp_total"), col("n_bigrams"))
           .as("cross_entropy"))
 
   /** The bigram pair of shoot-out rows over ONE shared model + doc
@@ -746,8 +758,8 @@ object NgramLm {
         sum(col("__unseen")).as("n_unseen"),
         sum(col("__logp_add")).as("__slp_add"),
         sum(col("__logp_kn")).as("__slp_kn"))
-      .withColumn("ce_add", -col("__slp_add").cast("double") / col("n_bigrams"))
-      .withColumn("ce_kn", -col("__slp_kn").cast("double") / col("n_bigrams"))
+      .withColumn("ce_add", ceNorm(col("__slp_add"), col("n_bigrams")))
+      .withColumn("ce_kn", ceNorm(col("__slp_kn"), col("n_bigrams")))
     // Per-doc dual table is |docs|-row — persist it so the two pooled
     // views below don't re-run the gram-stream joins.
     val per = CacheScope.persist(docs

@@ -77,18 +77,39 @@ object Fingerprint {
     * `memo = false` (the default) re-verifies on every call — loud and
     * assumption-free. Serve paths that read the same artifact many
     * times in one session (bench warm passes, repeated probe jobs) opt
-    * into `memo = true` and accept the documented tradeoff: a corpus
+    * into `memo = true` and accept the documented CONTRACT (r16
+    * ADVICE): a memoized call asserts "`df` is the same corpus the
+    * first verified call at this path passed" — the memo is keyed by
+    * (path, stored fingerprint) and deliberately does NOT identify the
+    * DataFrame, so a memo=true call with a different corpus returns
+    * without any scan. Two corollaries the caller owns: (a) a corpus
     * mutated WITHIN the session after a successful verification is not
     * re-detected until the artifact (and so its stored fingerprint) is
-    * rewritten. In production the recommendation is the same shape:
-    * fingerprint from the catalog's snapshot/version metadata, not a
-    * per-serve corpus re-scan (SURVEY §6).
+    * rewritten; (b) passing a DIFFERENT corpus under memo=true is a
+    * caller bug the guard cannot see — use the default when the corpus
+    * identity is not statically yours. (Folding a plan identity into
+    * the key would also defeat the point: the in-repo serve faces
+    * rebuild the logically-identical scan each call, and the memo
+    * exists precisely to skip re-scanning it.) In production the
+    * recommendation is the same shape: fingerprint from the catalog's
+    * snapshot/version metadata, not a per-serve corpus re-scan
+    * (SURVEY §6).
     */
   def requireMatch(
       spark: SparkSession, path: String, df: DataFrame, idCol: String,
       contentCols: Seq[String] = Nil, what: String,
       memo: Boolean = false): Unit = {
-    val st = spark.read.parquet(path).head()
+    val fpDf = spark.read.parquet(path)
+    // A pre-content-sensitive artifact (the r15-era `id_hash` XOR
+    // schema) must fail with the standard re-train guidance, not an
+    // opaque field-not-found (r16 ADVICE): any schema this reader does
+    // not share is BY DEFINITION stale — the guard cannot compare it.
+    require(fpDf.columns.contains("row_hash") && fpDf.columns.contains("n_rows"),
+      s"stale $what artifact (fingerprint at $path): stored fingerprint " +
+        s"schema [${fpDf.columns.mkString(", ")}] predates the " +
+        "content-sensitive v2 format (n_rows, row_hash) - re-train and " +
+        "re-persist instead of serving stale state")
+    val st = fpDf.head()
     val stored = (st.getAs[Long]("n_rows"), st.getAs[Long]("row_hash"))
     if (memo && verifiedAt.get(path) == stored) return
     val current = of(df, idCol, contentCols)

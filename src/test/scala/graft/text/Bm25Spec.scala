@@ -210,30 +210,45 @@ class Bm25Spec extends SparkTestBase {
   test("past the BIGINT grid, RBP auto-switches to DECIMAL(38,0) accumulation, exactly") {
     // r14 ADVICE computed the worst case in BigInt and refused past
     // 2^63; r16 completes the pattern (t49d's): the over-grid cases now
-    // RUN, accumulating the sums on the decimal grid — hand-exact here.
-    // (The decimal grid's own 10^38 refusal needs n_q*maxGain >= 2e19
-    // at k = 62 — unreachable for any constructible query table, so it
-    // stays a formal backstop.)
+    // RUN, accumulating the sums on the decimal grid. r17 (verdict #1):
+    // the over-grid OUTPUT rides the 64-bit hash grid — the exact total
+    // comes back as the divmod-2^62 BIGINT pair rbp_num_hi/rbp_num_lo
+    // (total = hi·2^62 + lo), hand-exact here. (The guard's own 2^125
+    // refusal — the bound where hi itself would leave a BIGINT — needs
+    // n_q*maxGain >= 2^63 at k = 62, unreachable for any constructible
+    // query table, so it stays a formal backstop.)
+    def total(r: org.apache.spark.sql.Row): BigInt =
+      (BigInt(r.getLong(1)) << 62) + r.getLong(2)
     val corpus = Seq((1L, "the quick fox")).toDF("doc_id", "text")
     val q = Seq((1L, "the quick fox")).toDF("query_id", "query_text")
     // maxGain=2 at k=62 (1*2*2^62 = 2^63 just over the Long grid): the
     // one ranked doc carries clamped gain 2 at rank 1 -> num = 2*2^61 =
-    // 2^62, p50 = 2^62 / (2*2^62) = exactly 0.5.
+    // 2^62 -> (hi, lo) = (1, 0), p50 = 2^62 / (2*2^62) = exactly 0.5.
     val row = Bm25.rbpEval(corpus, q, k = 62, maxGain = 2).collect().head
     assert(row.getLong(0) == 1L)
-    assert(BigInt(row.getDecimal(1).toBigInteger) == BigInt(1) << 62,
-      s"rbp_num_total: $row")
-    assert(row.getDouble(3) == 0.5, s"rbp_p50: $row")
+    assert(row.getLong(1) == 1L && row.getLong(2) == 0L, s"hi/lo: $row")
+    assert(row.getDouble(4) == 0.5, s"rbp_p50: $row")
     // ADVICE's many-queries case (k=50, maxGain=3, 3000 queries): total
-    // = 3000 * 3*2^49, p50 = 0.5 again - the decimal sum is exact, no
-    // float accumulation across the 3000 per-query rows.
+    // = 3000 * 3*2^49 = 9000*2^49 -> hi = 9000 >> 13 = 1, lo = 808*2^49;
+    // p50 = 0.5 again - the decimal sum is exact, no float accumulation
+    // across the 3000 per-query rows, and hi/lo reassemble it exactly.
     val manyQ = (0L until 3000L).map(i => (i, "the quick fox"))
       .toDF("query_id", "query_text")
     val row2 = Bm25.rbpEval(corpus, manyQ, k = 50, maxGain = 3).collect().head
     assert(row2.getLong(0) == 3000L)
-    assert(BigInt(row2.getDecimal(1).toBigInteger) ==
-      BigInt(9000) * (BigInt(1) << 49), s"rbp_num_total: $row2")
-    assert(row2.getDouble(3) == 0.5, s"rbp_p50: $row2")
+    assert(row2.getLong(1) == 1L && row2.getLong(2) == 808L * (1L << 49),
+      s"hi/lo: $row2")
+    assert(total(row2) == BigInt(9000) * (BigInt(1) << 49), s"total: $row2")
+    assert(row2.getDouble(4) == 0.5, s"rbp_p50: $row2")
+    // r16 ADVICE #1's overflow window: maxGain=4 at k=62 puts a SINGLE
+    // per-rank term gain*w = 4*2^61 = 2^63 past a Long — the leaves must
+    // be decimal BEFORE the multiply (the knNumDen rule) or the plan
+    // throws mid-flight under ANSI. total = 2^63 -> (hi, lo) = (2, 0).
+    val q4 = Seq((1L, "the quick fox jumps")).toDF("query_id", "query_text")
+    val c4 = Seq((1L, "the quick fox jumps")).toDF("doc_id", "text")
+    val row3 = Bm25.rbpEval(c4, q4, k = 62, maxGain = 4).collect().head
+    assert(row3.getLong(1) == 2L && row3.getLong(2) == 0L, s"hi/lo: $row3")
+    assert(row3.getDouble(4) == 0.5, s"rbp_p50: $row3")
     // The Long-grid edge still takes the cheap Long path: maxGain=2 at
     // k=61 -> worst 2^62 fits, rbp_num_total is a BIGINT 2^61.
     val rowE = Bm25.rbpEval(corpus, q, k = 61, maxGain = 2).collect().head

@@ -312,6 +312,29 @@ class NgramLmSpec extends SparkTestBase {
     assert(ex2.getMessage.contains("stale"), ex2.getMessage)
   }
 
+  test("entropy of a perfectly-predicted doc is +0.0, never -0.0 (sign-bit pin)") {
+    // Train "a a": big={(a,a):1}; uni: a->(c1=1,fert=1); cont: a->1; T=1.
+    // Scoring "a a": num = max(4*1-3,0)*1 + 3*1*1 = 4 = den -> logp =
+    // lnDec(4) - lnDec(4) = exact decimal zero, so the naive -sum/n is
+    // IEEE -0.0 — the one bit pattern two engines can hash apart while
+    // both print "0.0" (r16 verdict #2, observed live in t53d's driver
+    // dump). The ceNorm `+ 0.0` must land it on +0.0.
+    val train = Seq((100L, "a a")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a a")).toDF("doc_id", "text")
+    val ce = NgramLm.knCrossEntropy(docs, train, maxCrossEntropy = 1.0)
+      .collect().head.getDouble(4)
+    assert(ce == 0.0 && java.lang.Double.doubleToRawLongBits(ce) == 0L,
+      s"kn ce must be +0.0, got raw bits ${java.lang.Double.doubleToRawLongBits(ce)}")
+    // Same at order 3: train/docs "a a a" — every tier's num equals den
+    // (num = 4*1*1*1 + 3*1*(1*1 + 3*1*1) = 16 = den).
+    val train3 = Seq((100L, "a a a")).toDF("doc_id", "text")
+    val docs3 = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val ce3 = NgramLm.kn3CrossEntropy(docs3, train3, maxCrossEntropy = 1.0)
+      .collect().head.getDouble(5)
+    assert(ce3 == 0.0 && java.lang.Double.doubleToRawLongBits(ce3) == 0L,
+      s"kn3 ce must be +0.0, got raw bits ${java.lang.Double.doubleToRawLongBits(ce3)}")
+  }
+
   test("screenCompare is repartition-stable") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val docs = (0L until 150L)

@@ -82,6 +82,24 @@ class FingerprintSpec extends SparkTestBase {
       "spec", memo = true)
   }
 
+  test("a pre-v2 (id_hash era) stored fingerprint fails with the re-train message") {
+    // r16 ADVICE: the v1 -> v2 rename (id_hash/XOR -> row_hash/SUM)
+    // must not turn an externally-persisted legacy artifact into an
+    // opaque field-not-found — any schema the reader does not share is
+    // by definition stale, and the failure must carry the standard
+    // re-train guidance.
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_fp_legacy").toString + "/fingerprint"
+    Seq((3L, 12345L)).toDF("n_rows", "id_hash")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    val ex = intercept[IllegalArgumentException] {
+      Fingerprint.requireMatch(spark, p, corpus, "doc_id", Seq("text"), "spec")
+    }
+    assert(ex.getMessage.contains("stale") &&
+      ex.getMessage.contains("re-train and re-persist") &&
+      ex.getMessage.contains("id_hash"), ex.getMessage)
+  }
+
   test("array content columns fingerprint (the ANN-index shape)") {
     val emb = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
       .toDF("vec_id", "embedding")
