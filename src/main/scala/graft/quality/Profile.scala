@@ -7,14 +7,28 @@ import org.apache.spark.sql.functions._
   * counts and min/max — the "what did I just ingest" report every pipeline
   * runs before trusting a new drop.
   *
-  * Shape at scale: ONE aggregate over the table computes every column's
-  * stats (the multi-distinct plan is Spark's Expand — one scan, rows
-  * multiplied by the number of distinct aggregates, all map-side combined),
-  * then the single result row unpivots via `inline` into one row per
-  * column. No per-column rescans, no driver loop. At extreme widths swap
-  * `count_distinct` for `approx_count_distinct` — the plan collapses from
-  * Expand to a plain single-pass aggregate; the exact form here is the
-  * oracle-checkable one.
+  * Shape at scale: TWO global aggregates over the (column-pruned) table —
+  * and the split is the point, not a compromise (r17, from the measured
+  * q41 plan):
+  *   - the counts/min/max leg is a plain keyless aggregate (map-side
+  *     partials, one row out). String min/max buffers bar Spark's
+  *     HashAggregate, but a KEYLESS SortAggregate sorts nothing — the
+  *     fallback is free here;
+  *   - the exact distinct counts ride the multi-distinct Expand (rows
+  *     multiplied by the number of distinct aggregates) ALONE, with
+  *     nothing but Long count buffers — so the multiplied stream stays
+  *     on the HashAggregate path. Fusing the two legs into one aggregate
+  *     (the r13–r16 shape) dragged the string min/max buffers into the
+  *     Expand's GROUPED dedup stage, demoting the whole ×(k+1) stream to
+  *     SortAggregate — measured 3.4 s warm at sf0.1 vs ~1 s split; at
+  *     100 TB that's two cheap column-pruned scans vs sorting a 7×
+  *     multiplied table twice.
+  * The two one-row results broadcast-crossJoin (the accounted one-row
+  * shape) and unpivot via `inline` into one row per column. No
+  * per-column rescans, no driver loop. At extreme widths swap
+  * `count_distinct` for `approx_count_distinct` — the distinct leg then
+  * collapses from Expand to a plain single-pass aggregate; the exact
+  * form here is the oracle-checkable one.
   *
   * Output typing: numeric (and timestamp, via epoch micros) columns report
   * min/max in `min_num`/`max_num` (DOUBLE); string columns in
@@ -41,17 +55,17 @@ object Profile {
                    max(unix_micros(col(s.name).cast("timestamp"))).cast("double"))
       case Str => (lit(null).cast("double"), lit(null).cast("double"))
     }
-    val aggs = specs.flatMap { s =>
+    val basicAggs = specs.flatMap { s =>
       val (mn, mx) = minMax(s)
       Seq(
         count(col(s.name)).as(s"__n_${s.name}"),
         count(lit(1)).as(s"__rows_${s.name}"),
-        count_distinct(col(s.name)).as(s"__nd_${s.name}"),
         mn.as(s"__mn_${s.name}"),
         mx.as(s"__mx_${s.name}"),
         (if (s.kind == Str) min(col(s.name)) else lit(null).cast("string")).as(s"__mns_${s.name}"),
         (if (s.kind == Str) max(col(s.name)) else lit(null).cast("string")).as(s"__mxs_${s.name}"))
     }
+    val ndAggs = specs.map(s => count_distinct(col(s.name)).as(s"__nd_${s.name}"))
     val rows = specs.map { s =>
       struct(
         lit(s.name).as("col_name"),
@@ -63,7 +77,8 @@ object Profile {
         col(s"__mns_${s.name}").as("min_str"),
         col(s"__mxs_${s.name}").as("max_str"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    df.agg(basicAggs.head, basicAggs.tail: _*)
+      .crossJoin(broadcast(df.agg(ndAggs.head, ndAggs.tail: _*)))
       .select(inline(array(rows: _*)))
   }
 }

@@ -66,6 +66,10 @@ class PlanAuditSpec extends SparkTestBase {
     // one-row vocabulary-total side of the piece-cost normalization
     // (Unigram.withCosts — the t10/t26 one-row shape)
     "t43_unigram_learn",
+    // Profile's two one-row aggregate legs crossJoin (r17: the distinct
+    // counts ride the Expand alone on the HashAggregate path; the
+    // string-min/max leg stays a keyless single-pass aggregate)
+    "q41_profile_table",
     // one-row tokenizer-stat sides (n_docs/total_pieces/distinct/total
     // words) of the t45 compression report
     "t45_tokenizer_compare",
