@@ -301,12 +301,53 @@ object NgramLm {
     */
   def writeKnModel(model: KnModel, train: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    writeKnTables(model, path)
+    graft.util.Fingerprint.write(model.big.sparkSession, s"$path/fingerprint",
+      graft.util.Fingerprint.of(train, idCol, Seq(textCol)))
+  }
+
+  private def writeKnTables(model: KnModel, path: String): Unit = {
     model.big.write.mode("overwrite").parquet(s"$path/big")
     model.uni.write.mode("overwrite").parquet(s"$path/uni")
     model.cont.write.mode("overwrite").parquet(s"$path/cont")
     model.tt.write.mode("overwrite").parquet(s"$path/tt")
-    graft.util.Fingerprint.write(model.big.sparkSession, s"$path/fingerprint",
-      graft.util.Fingerprint.of(train, idCol, Seq(textCol)))
+  }
+
+  private def readKnTables(spark: SparkSession, path: String): KnModel =
+    KnModel(
+      big = spark.read.parquet(s"$path/big"),
+      uni = spark.read.parquet(s"$path/uni"),
+      cont = spark.read.parquet(s"$path/cont"),
+      tt = spark.read.parquet(s"$path/tt"))
+
+  /** [[writeKnModel]] guarded by the CATALOG-SNAPSHOT fingerprint
+    * (r17): when the train corpus is path-backed, the staleness guard
+    * fingerprints its FILE LISTING ([[graft.util.Fingerprint.ofSnapshot]])
+    * instead of scanning rows — so [[readKnModelSnapshot]] costs a
+    * metadata round-trip per serve job, never a corpus pass. This is
+    * the production shape the row-fingerprint scaladoc recommends at
+    * 100 TB, executable for any parquet-directory corpus; the
+    * row-exact [[writeKnModel]] remains the corpus-identity-agnostic
+    * default.
+    */
+  def writeKnModelSnapshot(model: KnModel, trainPath: String,
+      path: String): Unit = {
+    val spark = model.big.sparkSession
+    writeKnTables(model, path)
+    graft.util.Fingerprint.write(spark, s"$path/fingerprint_snapshot",
+      graft.util.Fingerprint.ofSnapshot(spark, trainPath))
+  }
+
+  /** Read a snapshot-guarded KN model: requires the stored file-listing
+    * fingerprint of `trainPath` to match the directory's CURRENT
+    * listing — loud on any file added, removed, resized, or rewritten
+    * since training; zero corpus scan either way.
+    */
+  def readKnModelSnapshot(spark: SparkSession, trainPath: String,
+      path: String): KnModel = {
+    graft.util.Fingerprint.requireSnapshotMatch(spark,
+      s"$path/fingerprint_snapshot", trainPath, what = "KN model")
+    readKnTables(spark, path)
   }
 
   /** Read a stored KN model, FIRST requiring its fingerprint to match
@@ -320,11 +361,7 @@ object NgramLm {
       memo: Boolean = false): KnModel = {
     graft.util.Fingerprint.requireMatch(spark, s"$path/fingerprint",
       train, idCol, Seq(textCol), what = "KN model", memo = memo)
-    KnModel(
-      big = spark.read.parquet(s"$path/big"),
-      uni = spark.read.parquet(s"$path/uni"),
-      cont = spark.read.parquet(s"$path/cont"),
-      tt = spark.read.parquet(s"$path/tt"))
+    readKnTables(spark, path)
   }
 
   /** Per-doc scoring under a frozen model, keeping the exact decimal

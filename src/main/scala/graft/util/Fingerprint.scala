@@ -51,6 +51,64 @@ object Fingerprint {
     (n, s)
   }
 
+  /** Catalog-snapshot fingerprint of a PATH-BACKED corpus (r17 — the
+    * production serving shape the scaladoc above recommends, made
+    * executable): `(n_files, row_hash)` over the corpus directory's
+    * FILE LISTING — xxhash64(relative path, length, modification time)
+    * per data file, summed exactly like [[of]]. One driver-side
+    * filesystem listing, ZERO corpus scan — at the 100 TB serving
+    * shape this is the difference between a metadata round-trip and a
+    * full read per serve job (the same idea as fingerprinting a table
+    * format's snapshot/version id; plain parquet directories don't
+    * carry one, so the file listing IS the snapshot).
+    *
+    * Granularity contract: the guard keys on the file SET, not row
+    * content — a corpus rewritten with byte-identical rows reads as
+    * stale (false-stale is the safe direction; re-verify with [[of]]
+    * or re-persist the artifact). Files Spark's parquet reader ignores
+    * (`_`/`.`-prefixed: _SUCCESS, checksums) are excluded, so a
+    * marker-file touch cannot flag a corpus whose data Spark would
+    * read identically.
+    */
+  def ofSnapshot(spark: SparkSession, corpusPath: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(corpusPath)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val basePrefix = fs.makeQualified(base).toUri.getPath
+    val files = Seq.newBuilder[(String, Long, Long)]
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = f.getPath.toUri.getPath.stripPrefix(basePrefix)
+        files += ((rel, f.getLen, f.getModificationTime))
+      }
+    }
+    import spark.implicits._
+    val df = files.result().toDF("file", "bytes", "mtime")
+    of(df, "file", Seq("bytes", "mtime"))
+  }
+
+  /** [[requireMatch]] for a snapshot fingerprint: re-lists the corpus
+    * directory (cheap — no data scan, so no memo variant exists or is
+    * needed) and requires the stored listing-fingerprint to match.
+    */
+  def requireSnapshotMatch(
+      spark: SparkSession, path: String, corpusPath: String,
+      what: String): Unit = {
+    val st = spark.read.parquet(path).head()
+    val stored = (st.getAs[Long]("n_rows"), st.getAs[Long]("row_hash"))
+    val current = ofSnapshot(spark, corpusPath)
+    require(stored == current,
+      s"stale $what artifact (snapshot fingerprint at $path): stored " +
+        s"(n_files=${stored._1}, hash=${stored._2}) does not match the " +
+        s"current file listing of $corpusPath (n_files=${current._1}, " +
+        s"hash=${current._2}) - the corpus files changed since the " +
+        "artifact was built; re-train and re-persist instead of serving " +
+        "stale state")
+  }
+
   /** Persist a fingerprint as a one-row parquet beside an artifact. */
   def write(spark: SparkSession, path: String, fp: (Long, Long)): Unit = {
     import spark.implicits._

@@ -312,6 +312,38 @@ class NgramLmSpec extends SparkTestBase {
     assert(ex2.getMessage.contains("stale"), ex2.getMessage)
   }
 
+  test("snapshot-guarded KN store serves without a corpus scan and refuses a changed directory") {
+    // The catalog-snapshot serving shape (r17): the guard fingerprints
+    // the train directory's file listing, so the serve path NEVER reads
+    // corpus rows - proven by scoring after the listing check against a
+    // model whose train parquet is present but whose rows are never
+    // touched (no df of the corpus is even constructed on the read side).
+    val train = (0L until 40L)
+      .map(i => (i, s"w${i % 5} w${(i * 3) % 5} w${(i * 7) % 5}"))
+      .toDF("doc_id", "text")
+    val docs = Seq((1L, "w0 w1 w2"), (2L, "zz qq")).toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_kn_snap_spec").toString
+    val trainDir = s"$base/train"
+    train.write.mode("overwrite").parquet(trainDir)
+    val trainDf = spark.read.parquet(trainDir)
+    val direct = NgramLm.knScore(docs, NgramLm.knModel(trainDf), 4.0)
+      .collect().map(_.toString).sorted.toSeq
+    val p = s"$base/model"
+    NgramLm.writeKnModelSnapshot(NgramLm.knModel(trainDf), trainDir, p)
+    val served = NgramLm.knScore(docs,
+        NgramLm.readKnModelSnapshot(spark, trainDir, p), 4.0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == direct)
+    // any change to the train directory's file set -> loud
+    train.limit(39).write.mode("overwrite").parquet(trainDir)
+    val ex = intercept[IllegalArgumentException] {
+      NgramLm.readKnModelSnapshot(spark, trainDir, p)
+    }
+    assert(ex.getMessage.contains("stale") &&
+      ex.getMessage.contains("snapshot"), ex.getMessage)
+  }
+
   test("entropy of a perfectly-predicted doc is +0.0, never -0.0 (sign-bit pin)") {
     // Train "a a": big={(a,a):1}; uni: a->(c1=1,fert=1); cont: a->1; T=1.
     // Scoring "a a": num = max(4*1-3,0)*1 + 3*1*1 = 4 = den -> logp =

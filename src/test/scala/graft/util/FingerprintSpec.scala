@@ -100,6 +100,37 @@ class FingerprintSpec extends SparkTestBase {
       ex.getMessage.contains("id_hash"), ex.getMessage)
   }
 
+  test("snapshot fingerprint: stable across re-listing, loud on file changes, blind to markers") {
+    // The catalog-snapshot guard (r17): fingerprints the corpus
+    // directory's FILE LISTING — no data scan — so a serve job pays a
+    // metadata round-trip instead of a corpus pass.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fp_snap").toString + "/corpus"
+    corpus.repartition(2).write.mode("overwrite").parquet(dir)
+    val a = Fingerprint.ofSnapshot(spark, dir)
+    assert(a == Fingerprint.ofSnapshot(spark, dir), "re-listing must be stable")
+    assert(a._1 == 2L, s"two data files expected (got ${a._1}) - " +
+      "_SUCCESS and .crc markers must not count")
+
+    val fpPath = dir + "_fp"
+    Fingerprint.write(spark, fpPath, a)
+    Fingerprint.requireSnapshotMatch(spark, fpPath, dir, "spec")
+
+    // a Spark-invisible marker file must not flag the corpus stale
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_marker"), "x".getBytes)
+    Fingerprint.requireSnapshotMatch(spark, fpPath, dir, "spec")
+
+    // rewriting the corpus (even with identical rows) changes the
+    // listing -> loud, with the standard re-train guidance
+    corpus.repartition(2).write.mode("overwrite").parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      Fingerprint.requireSnapshotMatch(spark, fpPath, dir, "spec")
+    }
+    assert(ex.getMessage.contains("stale") &&
+      ex.getMessage.contains("re-train and re-persist"), ex.getMessage)
+  }
+
   test("array content columns fingerprint (the ANN-index shape)") {
     val emb = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
       .toDF("vec_id", "embedding")
