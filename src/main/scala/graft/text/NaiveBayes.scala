@@ -108,6 +108,35 @@ object NaiveBayes {
       classes = spark.read.parquet(s"$path/classes"))
   }
 
+  /** [[writeNbModel]] guarded by the CATALOG-SNAPSHOT fingerprint (r17,
+    * the [[NgramLm.writeKnModelSnapshot]] pattern): for a path-backed
+    * train corpus the guard fingerprints the directory's FILE LISTING —
+    * which covers text AND labels at once, since any column mutation
+    * rewrites the files — so [[readNbModelSnapshot]] costs a metadata
+    * round-trip per serve job, never a corpus pass. File-set
+    * granularity; see [[graft.util.Fingerprint.ofSnapshot]].
+    */
+  def writeNbModelSnapshot(model: NbModel, trainPath: String,
+      path: String): Unit = {
+    val spark = model.weights.sparkSession
+    model.weights.write.mode("overwrite").parquet(s"$path/weights")
+    model.classes.coalesce(1).write.mode("overwrite").parquet(s"$path/classes")
+    graft.util.Fingerprint.write(spark, s"$path/fingerprint_snapshot",
+      graft.util.Fingerprint.ofSnapshot(spark, trainPath))
+  }
+
+  /** Read a snapshot-guarded NB model: loud on any file change under
+    * `trainPath` since training; zero corpus scan either way.
+    */
+  def readNbModelSnapshot(spark: org.apache.spark.sql.SparkSession,
+      trainPath: String, path: String): NbModel = {
+    graft.util.Fingerprint.requireSnapshotMatch(spark,
+      s"$path/fingerprint_snapshot", trainPath, what = "NB model")
+    NbModel(
+      weights = spark.read.parquet(s"$path/weights"),
+      classes = spark.read.parquet(s"$path/classes"))
+  }
+
   /** Classify `docs` against profiles trained on `train` (which carries
     * `classCol` labels): (id, pred_class, score). Score is the fixed-point
     * log-posterior (up to the constant, as a double for output).

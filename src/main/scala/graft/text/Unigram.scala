@@ -385,6 +385,33 @@ object Unigram {
     spark.read.parquet(s"$path/vocab")
   }
 
+  /** [[writeVocabArtifact]] guarded by the CATALOG-SNAPSHOT fingerprint
+    * (r17, the [[graft.text.NgramLm.writeKnModelSnapshot]] pattern):
+    * for a path-backed corpus the guard fingerprints the directory's
+    * FILE LISTING instead of scanning rows, so
+    * [[readVocabArtifactSnapshot]] costs a metadata round-trip per
+    * serve job — the production shape at 100 TB. File-set granularity;
+    * see [[graft.util.Fingerprint.ofSnapshot]].
+    */
+  def writeVocabArtifactSnapshot(
+      vocab: DataFrame, docsPath: String, path: String): Unit = {
+    vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    graft.util.Fingerprint.write(vocab.sparkSession,
+      s"$path/fingerprint_snapshot",
+      graft.util.Fingerprint.ofSnapshot(vocab.sparkSession, docsPath))
+  }
+
+  /** Read a snapshot-guarded vocab artifact: loud on any file added,
+    * removed, resized, or rewritten under `docsPath` since learning;
+    * zero corpus scan either way.
+    */
+  def readVocabArtifactSnapshot(
+      spark: SparkSession, docsPath: String, path: String): DataFrame = {
+    graft.util.Fingerprint.requireSnapshotMatch(spark,
+      s"$path/fingerprint_snapshot", docsPath, what = "vocab")
+    spark.read.parquet(s"$path/vocab")
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle (t43/t44): the whole learn loop — seed, hard-EM
   // rounds, prune — unrolled as a CTE chain, with each round's Viterbi

@@ -77,6 +77,36 @@ class NaiveBayesSpec extends SparkTestBase {
     assert(ex2.getMessage.contains("stale"), ex2.getMessage)
   }
 
+  test("snapshot-guarded NB store serves without a corpus scan and refuses a changed directory") {
+    // The catalog-snapshot serving shape (r17, the KN-store pattern):
+    // the guard fingerprints the train directory's file listing — which
+    // covers text AND labels, since any column mutation rewrites files.
+    val docs = Seq((10L, "apple banana"), (11L, "engine road wheel"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_nb_snap_spec").toString
+    val trainDir = s"$base/train"
+    train.write.mode("overwrite").parquet(trainDir)
+    val trainDf = spark.read.parquet(trainDir)
+    val direct = NaiveBayes.classify(docs, trainDf, classCol = "topic")
+      .collect().map(_.toString).sorted.toSeq
+    val p = s"$base/model"
+    NaiveBayes.writeNbModelSnapshot(
+      NaiveBayes.nbModel(trainDf, classCol = "topic"), trainDir, p)
+    val served = NaiveBayes.classifyWith(docs,
+        NaiveBayes.readNbModelSnapshot(spark, trainDir, p))
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == direct)
+    // re-labeling rewrites the train files -> the listing changes -> loud
+    train.withColumn("topic", org.apache.spark.sql.functions.lit("fruit"))
+      .write.mode("overwrite").parquet(trainDir)
+    val ex = intercept[IllegalArgumentException] {
+      NaiveBayes.readNbModelSnapshot(spark, trainDir, p)
+    }
+    assert(ex.getMessage.contains("stale") &&
+      ex.getMessage.contains("snapshot"), ex.getMessage)
+  }
+
   test("scores are repartition-stable (fixed-point decimal sums)") {
     val docs = (0L until 200L)
       .map(i => (i, if (i % 2 == 0) s"apple banana x$i" else s"engine road x$i"))

@@ -131,6 +131,33 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
+  test("snapshot-guarded vocab store serves without a corpus scan and refuses a changed directory") {
+    import spark.implicits._
+    // The catalog-snapshot serving shape (r17, the KN-store pattern):
+    // the guard fingerprints the corpus directory's file listing.
+    val corpus = (0L until 30L)
+      .map(i => (i, s"ab${i % 5} ba${(i * 3) % 7} cc"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_vocab_snap_spec").toString
+    val corpusDir = s"$base/corpus"
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    val corpusDf = spark.read.parquet(corpusDir)
+    val path = s"$base/artifact"
+    Unigram.writeVocabArtifactSnapshot(Unigram.learn(corpusDf), corpusDir, path)
+    val vocab = Unigram.collectVocab(
+      Unigram.readVocabArtifactSnapshot(spark, corpusDir, path))
+    assert(vocab.nonEmpty)
+    assert(Unigram.applyUnigram(corpusDf, vocab).count() == 30L)
+    // any change to the corpus directory's file set -> loud
+    corpus.limit(29).write.mode("overwrite").parquet(corpusDir)
+    val ex = intercept[IllegalArgumentException] {
+      Unigram.readVocabArtifactSnapshot(spark, corpusDir, path)
+    }
+    assert(ex.getMessage.contains("stale") &&
+      ex.getMessage.contains("snapshot"), ex.getMessage)
+  }
+
   test("requireRelaxBound fires loudly past the oracle's relaxation budget, is a no-op under it") {
     import spark.implicits._
     // A 17-char word needs up to 17 pieces; the 16-round Bellman-Ford
