@@ -974,6 +974,26 @@ object TrainingData {
       p
     })
 
+  /** Train-once store for the t53c trigram-KN serving face (r17 —
+    * [[knModelPath]]'s order-3 sibling): the first call per sf-dir
+    * trains on the doc_id % 3 <> 0 slice and persists the six model
+    * tables + the train fingerprint
+    * ([[graft.text.NgramLm.writeKn3Model]]); later calls read through
+    * the staleness guard. Same determinism/keying argument as the
+    * bigram store.
+    */
+  private val kn3ModelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def kn3ModelPath(s: SparkSession, dir: String): String =
+    kn3ModelDirs.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_kn3_model").toString
+      val train = Tables.documents(s, dir).select("doc_id", "text")
+        .filter(col("doc_id") % 3 =!= 0)
+      NgramLm.writeKn3Model(NgramLm.kn3Model(train), train, p)
+      p
+    })
+
   /** Train-once store for the t24c NB-classifier serving face: trained
     * on the nbFixture's doc_id % 3 <> 0 slice, persisted with the train
     * fingerprint ([[graft.text.NaiveBayes.writeNbModel]]); same
@@ -3563,6 +3583,45 @@ object TrainingData {
         NgramLm.kn3CrossEntropy(
           d.unionByName(rev),
           d.filter(col("doc_id") % 3 =!= 0),
+          maxCrossEntropy = 5.2)
+          .orderBy("doc_id")
+      },
+      Some(sqlKnCtes + ",\n" + sqlKn3Ctes +
+        """
+          |SELECT d.doc_id,
+             |       CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+             |       CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
+             |       CAST(coalesce(a.n_unseen_prefix, 0) AS BIGINT) AS n_unseen_prefix,
+             |       CAST(coalesce(a.n_unseen_mid, 0) AS BIGINT) AS n_unseen_mid,
+             |       -CAST(a.slp AS DOUBLE) / a.n_trigrams + 0.0 AS kn3_cross_entropy,
+             |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_trigrams <= 5.2, FALSE) AS keep
+             |FROM docs d LEFT JOIN agg3 a USING (doc_id)
+             |WHERE d.text IS NOT NULL
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T53C — t53 SERVED from a stored trigram model (r17 — the serving
+    // split's last missing family member: tokenizer t44b, ANN e10c,
+    // NB t24c, bigram LM t49c, and now the order-3 LM): the first call
+    // per sf-dir trains the Kn3Model once and persists its six narrow
+    // tables + a train-corpus fingerprint; every later call
+    // fingerprint-validates (memoized per session like t49c) and scores
+    // join-only. Oracle: t53's UNTOUCHED chain — the stored artifact
+    // must reproduce the train-and-score result bit-for-bit, so the
+    // serve path carries a FULL oracle and the rows-only roster does
+    // not grow.
+    Q(
+      "t53c_kn3_score_stored",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val rev = d.filter(col("doc_id") % 25 === 0 && col("text").isNotNull)
+          .select((-col("doc_id") - 1).as("doc_id"),
+            concat_ws(" ",
+              transform(split(col("text"), " "), w => reverse(w))).as("text"))
+        val train = d.filter(col("doc_id") % 3 =!= 0)
+        NgramLm.kn3Score(
+          d.unionByName(rev),
+          NgramLm.readKn3Model(s, train, kn3ModelPath(s, dir), memo = true),
           maxCrossEntropy = 5.2)
           .orderBy("doc_id")
       },

@@ -615,6 +615,71 @@ object NgramLm {
       tt = bigTypes.agg(count(lit(1)).as("t")))
   }
 
+  /** Persist a frozen TRIGRAM KN model as a SELF-VALIDATING serving
+    * artifact — [[writeKnModel]]'s order-3 sibling (r17, completing the
+    * serving split across the LM family): the six narrow tables as
+    * parquet plus a [[graft.util.Fingerprint]] of the train corpus, so
+    * [[readKn3Model]] refuses to score under a stale model.
+    */
+  def writeKn3Model(model: Kn3Model, train: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    writeKn3Tables(model, path)
+    graft.util.Fingerprint.write(model.tri.sparkSession, s"$path/fingerprint",
+      graft.util.Fingerprint.of(train, idCol, Seq(textCol)))
+  }
+
+  private def writeKn3Tables(model: Kn3Model, path: String): Unit = {
+    model.tri.write.mode("overwrite").parquet(s"$path/tri")
+    model.pre.write.mode("overwrite").parquet(s"$path/pre")
+    model.mid2.write.mode("overwrite").parquet(s"$path/mid2")
+    model.mid1.write.mode("overwrite").parquet(s"$path/mid1")
+    model.cont.write.mode("overwrite").parquet(s"$path/cont")
+    model.tt.write.mode("overwrite").parquet(s"$path/tt")
+  }
+
+  private def readKn3Tables(spark: SparkSession, path: String): Kn3Model =
+    Kn3Model(
+      tri = spark.read.parquet(s"$path/tri"),
+      pre = spark.read.parquet(s"$path/pre"),
+      mid2 = spark.read.parquet(s"$path/mid2"),
+      mid1 = spark.read.parquet(s"$path/mid1"),
+      cont = spark.read.parquet(s"$path/cont"),
+      tt = spark.read.parquet(s"$path/tt"))
+
+  /** Read a stored trigram KN model through the staleness guard
+    * ([[readKnModel]]'s contract at order 3); the grid guard re-checks
+    * the loaded tables on first scoring call as always.
+    */
+  def readKn3Model(spark: SparkSession, train: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      memo: Boolean = false): Kn3Model = {
+    graft.util.Fingerprint.requireMatch(spark, s"$path/fingerprint",
+      train, idCol, Seq(textCol), what = "trigram KN model", memo = memo)
+    readKn3Tables(spark, path)
+  }
+
+  /** [[writeKn3Model]] under the CATALOG-SNAPSHOT guard (see
+    * [[writeKnModelSnapshot]]): file-listing fingerprint of the
+    * path-backed train corpus, zero corpus scan at serve time.
+    */
+  def writeKn3ModelSnapshot(model: Kn3Model, trainPath: String,
+      path: String): Unit = {
+    val spark = model.tri.sparkSession
+    writeKn3Tables(model, path)
+    graft.util.Fingerprint.write(spark, s"$path/fingerprint_snapshot",
+      graft.util.Fingerprint.ofSnapshot(spark, trainPath))
+  }
+
+  /** Read a snapshot-guarded trigram KN model (see
+    * [[readKnModelSnapshot]]).
+    */
+  def readKn3ModelSnapshot(spark: SparkSession, trainPath: String,
+      path: String): Kn3Model = {
+    graft.util.Fingerprint.requireSnapshotMatch(spark,
+      s"$path/fingerprint_snapshot", trainPath, what = "trigram KN model")
+    readKn3Tables(spark, path)
+  }
+
   /** Per-doc trigram-KN scoring under a frozen model, keeping the exact
     * decimal log-prob sum (the [[knPerDoc]] split): (id, n_trigrams,
     * n_unseen, n_unseen_prefix, n_unseen_mid, __slp, kn3_cross_entropy,

@@ -130,6 +130,9 @@ class PlanAuditSpec extends SparkTestBase {
     // the same one-row T side at order 3: the five model-table joins
     // are equi-joins on (w1,w2,w3)/(w1,w2)/(w2,w3)/(w2)/(w3)
     "t53_kn3_perplexity",
+    // t53 served from the stored six-table model — identical plan
+    // shape, same one-row T side (r17)
+    "t53c_kn3_score_stored",
     // order-3 twin of t49d: the one-row T side over the DECIMAL(38,0)
     // over-grid literal model
     "t53d_kn3_decimal_grid",

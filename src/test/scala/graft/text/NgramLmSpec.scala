@@ -312,6 +312,38 @@ class NgramLmSpec extends SparkTestBase {
     assert(ex2.getMessage.contains("stale"), ex2.getMessage)
   }
 
+  test("trigram KN model store round-trips bit-for-bit and refuses a stale train corpus") {
+    import org.apache.spark.sql.functions.col
+    // writeKnModel's order-3 sibling (r17): six tables + fingerprint.
+    val train = (0L until 40L)
+      .map(i => (i, s"w${i % 5} w${(i * 3) % 5} w${(i * 7) % 5} w${i % 4}"))
+      .toDF("doc_id", "text")
+    val docs = Seq((1L, "w0 w1 w2 w3"), (2L, "zz qq yy")).toDF("doc_id", "text")
+    val direct = NgramLm.kn3Score(docs, NgramLm.kn3Model(train), 6.0)
+      .collect().map(_.toString).sorted.toSeq
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_kn3_store_spec").toString
+    NgramLm.writeKn3Model(NgramLm.kn3Model(train), train, p)
+    val served = NgramLm.kn3Score(docs,
+        NgramLm.readKn3Model(spark, train.repartition(7), p), 6.0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == direct)
+    val ex = intercept[IllegalArgumentException] {
+      NgramLm.readKn3Model(spark, train.filter(col("doc_id") =!= 3L), p)
+    }
+    assert(ex.getMessage.contains("stale"), ex.getMessage)
+    // the snapshot-guarded twin serves identically off a path-backed train
+    val trainDir = p + "_train"
+    train.write.mode("overwrite").parquet(trainDir)
+    val p2 = p + "_snap"
+    val trainDf = spark.read.parquet(trainDir)
+    NgramLm.writeKn3ModelSnapshot(NgramLm.kn3Model(trainDf), trainDir, p2)
+    val servedSnap = NgramLm.kn3Score(docs,
+        NgramLm.readKn3ModelSnapshot(spark, trainDir, p2), 6.0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(servedSnap == direct)
+  }
+
   test("snapshot-guarded KN store serves without a corpus scan and refuses a changed directory") {
     // The catalog-snapshot serving shape (r17): the guard fingerprints
     // the train directory's file listing, so the serve path NEVER reads
