@@ -56,6 +56,16 @@ object ScaleProbe {
     val planes = Similarity.randomPlanes(12, emb1.select("embedding").head.getSeq[Float](0).size)
 
     for ((label, d) <- Seq("1x" -> docs1, s"${n}x" -> docsN)) {
+      // The split profiler (r17): distinct counts ride the Expand alone
+      // on the HashAggregate path; the string-min/max leg is a keyless
+      // single-pass aggregate. Healthy = ~linear in the input — the
+      // fused shape this replaced went through SortAggregate on the
+      // multiplied Expand stream (two wide sorts).
+      time(s"profile_table $label")(
+        graft.quality.Profile.profile(d, Seq(
+          graft.quality.Profile.ColSpec("doc_id", graft.quality.Profile.Num),
+          graft.quality.Profile.ColSpec("text", graft.quality.Profile.Str)))
+          .count())
       time(s"exact_dedup $label")(Dedup.exact(d).count())
       time(s"minhash_lsh $label")(Dedup.minhashLshPairs(d).count())
       time(s"simhash $label")(Dedup.simhashPairs(d, maxHamming = 3).count())
