@@ -1028,16 +1028,11 @@ object TrainingData {
       val emb = Tables.embeddings(s, dir)
       val (cent, cb, idx) = Similarity.ivfPqTrain(
         emb, nCells = 16, m = 4, ksub = 16, trainIters = 2)
-      cent.write.mode("overwrite").parquet(s"$p/centroids")
-      cb.write.mode("overwrite").parquet(s"$p/codebook")
-      // Partitioned BY cell, as the ivfPqIndex scaladoc prescribes for
-      // the at-scale layout: a probe (an equi-join on centroid_id
-      // against the tiny probe table) then reads only the probed cells'
-      // files instead of the whole index.
-      idx.write.mode("overwrite").partitionBy("centroid_id")
-        .parquet(s"$p/index")
-      graft.util.Fingerprint.write(s, s"$p/fingerprint",
-        graft.util.Fingerprint.of(emb, "vec_id", Seq("embedding")))
+      // writeIvfPq partitions the index BY cell, as the ivfPqIndex
+      // scaladoc prescribes for the at-scale layout: a probe (an
+      // equi-join on centroid_id against the tiny probe table) then
+      // reads only the probed cells' files instead of the whole index.
+      Similarity.writeIvfPq(cent, cb, idx, emb, p)
       p
     })
 
@@ -4750,13 +4745,10 @@ object TrainingData {
       "e10c_ann_ivfpq_served",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val p = ivfPqArtifactPath(s, dir)
-        graft.util.Fingerprint.requireMatch(s, s"$p/fingerprint",
-          emb, "vec_id", Seq("embedding"), what = "IVF-PQ index",
-          memo = true)
+        val (cent, cb, idx) = Similarity.readIvfPq(
+          s, emb, ivfPqArtifactPath(s, dir), memo = true)
         Similarity.ivfPqTopKServe(emb.filter(col("vec_id") < 8),
-          s.read.parquet(s"$p/centroids"), s.read.parquet(s"$p/codebook"),
-          s.read.parquet(s"$p/index"), nProbe = 4, k = 5)
+          cent, cb, idx, nProbe = 4, k = 5)
           .withColumnRenamed("rank", "rnk")
           .select("query_id", "rnk", "neighbor_id")
           .orderBy("query_id", "rnk")

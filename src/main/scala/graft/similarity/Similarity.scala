@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1369,6 +1369,75 @@ object Similarity {
       .select(col("id").as("neighbor_id"), col("codes"))
       .join(residuals.select(col("id").as("neighbor_id"),
         col("centroid_id"), col("true_nrm")), "neighbor_id")
+  }
+
+  /** Persist a trained IVF-PQ deployment as a SELF-VALIDATING serving
+    * artifact (r17 — the store logic the e10c face carried inline,
+    * lifted to the library so the vector family's API matches the
+    * KN/kn3/vocab/NB stores): centroids + codebook as plain parquet,
+    * the index PARTITIONED BY centroid_id (the at-scale layout the
+    * [[ivfPqIndex]] scaladoc prescribes — a probe reads only the
+    * probed cells' files), plus a [[graft.util.Fingerprint]] of the
+    * corpus so [[readIvfPq]] refuses to serve a stale index.
+    */
+  def writeIvfPq(
+      centroids: DataFrame, codebook: DataFrame, index: DataFrame,
+      corpus: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    writeIvfPqTables(centroids, codebook, index, path)
+    graft.util.Fingerprint.write(centroids.sparkSession, s"$path/fingerprint",
+      graft.util.Fingerprint.of(corpus, idCol, Seq(vecCol)))
+  }
+
+  private def writeIvfPqTables(
+      centroids: DataFrame, codebook: DataFrame, index: DataFrame,
+      path: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    index.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/index")
+  }
+
+  private def readIvfPqTables(
+      spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/index"))
+
+  /** Read a stored IVF-PQ deployment through the staleness guard:
+    * (centroids, codebook, index), ready for [[ivfPqTopKServe]].
+    * `memo = true` re-verifies the corpus once per session (see
+    * [[graft.util.Fingerprint.requireMatch]] for the contract).
+    */
+  def readIvfPq(
+      spark: SparkSession, corpus: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      memo: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+    graft.util.Fingerprint.requireMatch(spark, s"$path/fingerprint",
+      corpus, idCol, Seq(vecCol), what = "IVF-PQ index", memo = memo)
+    readIvfPqTables(spark, path)
+  }
+
+  /** [[writeIvfPq]] under the CATALOG-SNAPSHOT guard (see
+    * [[graft.util.Fingerprint.ofSnapshot]]): file-listing fingerprint
+    * of the path-backed corpus, zero corpus scan at serve time.
+    */
+  def writeIvfPqSnapshot(
+      centroids: DataFrame, codebook: DataFrame, index: DataFrame,
+      corpusPath: String, path: String): Unit = {
+    val spark = centroids.sparkSession
+    writeIvfPqTables(centroids, codebook, index, path)
+    graft.util.Fingerprint.write(spark, s"$path/fingerprint_snapshot",
+      graft.util.Fingerprint.ofSnapshot(spark, corpusPath))
+  }
+
+  /** Read a snapshot-guarded IVF-PQ deployment (see [[readIvfPq]]). */
+  def readIvfPqSnapshot(
+      spark: SparkSession, corpusPath: String,
+      path: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.util.Fingerprint.requireSnapshotMatch(spark,
+      s"$path/fingerprint_snapshot", corpusPath, what = "IVF-PQ index")
+    readIvfPqTables(spark, path)
   }
 
   /** Serve IVF-PQ top-k from STORED artifacts (centroids + codebook +

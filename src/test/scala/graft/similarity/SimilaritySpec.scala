@@ -386,15 +386,33 @@ class SimilaritySpec extends SparkTestBase {
       emb, nCells = 8, m = 4, ksub = 16, trainIters = 2)
     val p = java.nio.file.Files
       .createTempDirectory("graft_ivfpq_spec").toString
-    cent.write.mode("overwrite").parquet(s"$p/centroids")
-    cb.write.mode("overwrite").parquet(s"$p/codebook")
-    idx.write.mode("overwrite").parquet(s"$p/index")
-    val served = Similarity.ivfPqTopKServe(queries,
-      spark.read.parquet(s"$p/centroids"), spark.read.parquet(s"$p/codebook"),
-      spark.read.parquet(s"$p/index"), nProbe = 3, k = 5)
+    // The library store (r17 — the e10c face's inline logic lifted to
+    // writeIvfPq/readIvfPq): fingerprint-guarded, cell-partitioned.
+    Similarity.writeIvfPq(cent, cb, idx, emb, p)
+    val (rc, rcb, ridx) = Similarity.readIvfPq(spark, emb, p)
+    val served = Similarity.ivfPqTopKServe(queries, rc, rcb, ridx,
+        nProbe = 3, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
     assert(served === endToEnd)
+    // a mutated corpus fails the guard
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.readIvfPq(spark, emb.filter(col("vec_id") =!= 1L), p)
+    }
+    assert(ex.getMessage.contains("stale"), ex.getMessage)
+    // the snapshot-guarded twin serves identically off a path-backed corpus
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_snap_spec").toString
+    val corpusDir = s"$base/corpus"
+    emb.write.mode("overwrite").parquet(corpusDir)
+    val p2 = s"$base/index"
+    Similarity.writeIvfPqSnapshot(cent, cb, idx, corpusDir, p2)
+    val (sc, scb, sidx) = Similarity.readIvfPqSnapshot(spark, corpusDir, p2)
+    val servedSnap = Similarity.ivfPqTopKServe(queries, sc, scb, sidx,
+        nProbe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(servedSnap === endToEnd)
   }
 
   test("trained IVF stays a valid top-k: full probe still equals brute force") {
