@@ -212,6 +212,13 @@ object ScaleProbe {
         ClusterCollapse.collapse(d, pairs).filter(!col("is_survivor")).count()
       }
     }
+    // (No probe for the r17 snapshot-vs-row fingerprint guards: at
+    // probe scales both are Spark-job-overhead-bound and the numbers
+    // would be noise. The scaling argument is structural — ofSnapshot
+    // never scans corpus rows BY CONSTRUCTION (no DataFrame is even
+    // passed; it lists files driver-side), while the row fingerprint's
+    // one column-pruned pass is the cost the snapshot store variants
+    // exist to remove per serve job.)
 
     // As-of hot key: ONE key owns the entire history — the straggler case
     // timeBucket exists for. Unbucketed, the key's full event stream sorts
