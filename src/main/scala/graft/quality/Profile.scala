@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   * collapses from Expand to a plain single-pass aggregate; the exact
   * form here is the oracle-checkable one.
   *
+  * Consistency assumption (r17 ADVICE #2): the two legs are two Spark
+  * JOBS over `df`, so the input must be IMMUTABLE between them — the
+  * file-backed tables every registered face profiles are. Profiling a
+  * source that can change mid-run (a view over live data, a
+  * non-deterministic generator) can tear the report (e.g. n_distinct >
+  * n); for such inputs persist/cache `df` first so both legs read the
+  * same materialized rows.
+  *
   * Output typing: numeric (and timestamp, via epoch micros) columns report
   * min/max in `min_num`/`max_num` (DOUBLE); string columns in
   * `min_str`/`max_str`. Min/max of stored values involve no arithmetic, so

@@ -312,16 +312,19 @@ object Bm25 {
   /** Graded rank-quality eval: Rank-Biased Precision (Moffat & Zobel
     * 2008) at persistence p = 1/2 over the top-`k` of [[search]], with
     * the relevance grade derived from data — gain(query, doc) = number
-    * of distinct query terms the doc contains. One row out:
-    * (n_queries, rbp_num_total, gain_total, rbp_p50,
-    * graded_precision_at_k) on the in-grid Long path; past the BIGINT
-    * grid the exact numerator total is emitted as the divmod-2^62 pair
-    * `rbp_num_hi`/`rbp_num_lo` (both BIGINT; total = hi·2^62 + lo) —
-    * a raw >2^64 DECIMAL(38,0) output cell is the one value shape the
-    * cross-engine hash gates do not share (r16: the suite's single red
-    * row), so the DECIMAL stays INTERNAL exactly as the KN scorers
-    * keep it, and the output rides the 64-bit integer grid both
-    * engines canonicalize identically.
+    * of distinct query terms the doc contains. One row out, with ONE
+    * schema on every path (r17 ADVICE #3 — the output contract must
+    * not flip under a runtime queries.count()): (n_queries,
+    * rbp_num_hi, rbp_num_lo, gain_total, rbp_p50,
+    * graded_precision_at_k), where the exact RBP numerator total is
+    * always the divmod-2^62 pair (both BIGINT; total = hi·2^62 + lo —
+    * in-grid totals simply carry hi = 0 for k <= 61). Only the
+    * ACCUMULATION representation varies: Long sums in-grid, exact
+    * DECIMAL(38,0) past it — a raw >2^64 DECIMAL(38,0) output cell is
+    * the one value shape the cross-engine hash gates do not share
+    * (r16: the suite's single red row), so the DECIMAL stays INTERNAL
+    * exactly as the KN scorers keep it, and the output rides the
+    * 64-bit integer grid both engines canonicalize identically.
     *
     * p = 1/2 is the exactness choice: the rank-i weight is the INTEGER
     * 2^(k-i), so each query's RBP numerator Σ gain·2^(k-i) is an
@@ -420,12 +423,16 @@ object Bm25 {
         count(lit(1)).as("n_queries"),
         sum(coalesce(col("rbp_num"), zeroNum)).as("rbp_num_total"),
         sum(coalesce(col("gain_sum"), lit(0L))).as("gain_total"))
-    // Output grid (r16 verdict #1): the in-grid path emits the BIGINT
-    // total verbatim; the over-Long path divmods the exact decimal
-    // total by 2^62 into two BIGINTs (lo = total mod 2^62 is an exact
-    // decimal remainder; hi = (total − lo)/2^62 is an exact integer
-    // quotient — representable at any division scale, so the decimal
-    // division cannot round it; both fit a Long under the 2^125 guard).
+    // Output grid (r16 verdict #1; schema made path-invariant in r17
+    // per ADVICE #3): BOTH paths emit the hi/lo divmod-2^62 pair. The
+    // over-Long path divmods the exact decimal total (lo = total mod
+    // 2^62 is an exact decimal remainder; hi = (total − lo)/2^62 is an
+    // exact integer quotient — representable at any division scale, so
+    // the decimal division cannot round it; both fit a Long under the
+    // 2^125 guard). The in-grid path divmods on Long (the total is
+    // nonnegative, so pmod == %); a consumer reassembles
+    // total = hi·2^62 + lo identically on either path and never sees
+    // the accumulation representation.
     val numCols: Seq[Column] =
       if (overLong) {
         val base = lit((1L << 62)).cast("decimal(38,0)")
@@ -433,7 +440,13 @@ object Bm25 {
         val hi = (col("rbp_num_total") - lo) / base
         Seq(hi.cast("decimal(38,0)").cast("long").as("rbp_num_hi"),
           lo.cast("long").as("rbp_num_lo"))
-      } else Seq(col("rbp_num_total"))
+      } else {
+        // Exact Long divmod via bit ops (the total is nonnegative, so
+        // >> 62 IS the quotient and & (2^62−1) the remainder — a double
+        // `/` here could round 2^62−1 up across the boundary).
+        Seq(shiftright(col("rbp_num_total"), 62).as("rbp_num_hi"),
+          col("rbp_num_total").bitwiseAND(lit((1L << 62) - 1)).as("rbp_num_lo"))
+      }
     totals.select(
       (col("n_queries") +: numCols) ++ Seq(
         col("gain_total"),

@@ -69,25 +69,58 @@ object Fingerprint {
     * (`_`/`.`-prefixed: _SUCCESS, checksums) are excluded, so a
     * marker-file touch cannot flag a corpus whose data Spark would
     * read identically.
+    *
+    * False-FRESH window (r17 ADVICE #1): the per-file signal is
+    * (relative path, byte length, mtime) — an in-place rewrite that
+    * keeps the file name AND byte length within the filesystem's mtime
+    * granularity (whole seconds on some filesystems and object stores)
+    * passes as fresh. That window is the same one build tools accept
+    * from mtime-based staleness checks; where the FileStatus exposes a
+    * content signal (an etag/checksum on object stores), production
+    * callers should fold it in, and callers who cannot tolerate the
+    * window at all must use the row-exact [[of]] guard instead.
     */
   def ofSnapshot(spark: SparkSession, corpusPath: String): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val base = new Path(corpusPath)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     val basePrefix = fs.makeQualified(base).toUri.getPath
-    val files = Seq.newBuilder[(String, Long, Long)]
+    // Entirely driver-side (r18): the per-entry hash is computed with
+    // the same XXH64 primitives Spark's `xxhash64` expression compiles
+    // to — seed 42, then each field chained (string bytes, then the two
+    // longs) — so the value is IDENTICAL to running [[of]] over a
+    // (file, bytes, mtime) DataFrame of the listing (spec-pinned by
+    // FingerprintSpec), but no Spark job launches at all: a serve-time
+    // staleness check is one filesystem listing plus a Long loop. The
+    // wrapping Long sum IS the exact DECIMAL(38,0) sum's low 64 bits
+    // (two's-complement addition is mod-2^64 arithmetic).
+    var n = 0L
+    var sum = 0L
     val it = fs.listFiles(base, true)
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
       if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
         val rel = f.getPath.toUri.getPath.stripPrefix(basePrefix)
-        files += ((rel, f.getLen, f.getModificationTime))
+        sum += hashFileEntry(rel, f.getLen, f.getModificationTime)
+        n += 1
       }
     }
-    import spark.implicits._
-    val df = files.result().toDF("file", "bytes", "mtime")
-    of(df, "file", Seq("bytes", "mtime"))
+    (n, sum)
+  }
+
+  /** xxhash64(file, bytes, mtime) exactly as the Spark expression
+    * computes it — exposed for the FingerprintSpec pin that
+    * [[ofSnapshot]]'s driver-side loop and a DataFrame `xxhash64` call
+    * can never drift apart.
+    */
+  private[util] def hashFileEntry(rel: String, len: Long, mtime: Long): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    var h = 42L
+    h = XXH64.hashUTF8String(UTF8String.fromString(rel), h)
+    h = XXH64.hashLong(len, h)
+    XXH64.hashLong(mtime, h)
   }
 
   /** [[requireMatch]] for a snapshot fingerprint: re-lists the corpus

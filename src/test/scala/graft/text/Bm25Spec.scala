@@ -184,17 +184,20 @@ class Bm25Spec extends SparkTestBase {
     assert(ranked.length == 4)
     val expNum = ranked.map { case (rk, id) => gain(id) * (1L << (4 - rk)) }.sum
     val expGain = ranked.map { case (_, id) => gain(id) }.sum
+    // Schema is the path-invariant hi/lo pair (r17 ADVICE #3): on the
+    // in-grid Long path hi is 0 and lo carries the whole total.
     val row = Bm25.rbpEval(docs, q, k = 4, maxGain = 2).collect().head
     assert(row.getLong(0) == 1L)
-    assert(row.getLong(1) == expNum, s"rbp_num ${row.getLong(1)} want $expNum")
-    assert(row.getLong(2) == expGain)
-    assert(row.getDouble(3) == expNum.toDouble / (2L << 4))
-    assert(row.getDouble(4) == expGain.toDouble / 8)
+    assert(row.getLong(1) == 0L, s"in-grid hi must be 0: $row")
+    assert(row.getLong(2) == expNum, s"rbp_num_lo ${row.getLong(2)} want $expNum")
+    assert(row.getLong(3) == expGain)
+    assert(row.getDouble(4) == expNum.toDouble / (2L << 4))
+    assert(row.getDouble(5) == expGain.toDouble / 8)
     // An unanswerable query contributes zeros but still counts.
     val q2 = Seq((2L, "the fox"), (9L, "zzz qqq")).toDF("query_id", "query_text")
     val row2 = Bm25.rbpEval(docs, q2, k = 4, maxGain = 2).collect().head
-    assert(row2.getLong(0) == 2L && row2.getLong(1) == expNum &&
-      row2.getDouble(3) == expNum.toDouble / (2 * (2L << 4)))
+    assert(row2.getLong(0) == 2L && row2.getLong(2) == expNum &&
+      row2.getDouble(4) == expNum.toDouble / (2 * (2L << 4)))
   }
 
   test("RBP gain saturates at maxGain - rbp_p50 cannot exceed 1") {
@@ -203,8 +206,8 @@ class Bm25Spec extends SparkTestBase {
     val corpus = Seq((1L, "the quick fox")).toDF("doc_id", "text")
     val q = Seq((1L, "the quick fox")).toDF("query_id", "query_text")
     val row = Bm25.rbpEval(corpus, q, k = 4, maxGain = 2).collect().head
-    assert(row.getLong(2) == 2L, s"gain_total clamps: $row")
-    assert(row.getDouble(3) <= 1.0, s"rbp_p50 bounded: $row")
+    assert(row.getLong(3) == 2L, s"gain_total clamps: $row")
+    assert(row.getDouble(4) <= 1.0, s"rbp_p50 bounded: $row")
   }
 
   test("past the BIGINT grid, RBP auto-switches to DECIMAL(38,0) accumulation, exactly") {
@@ -249,10 +252,13 @@ class Bm25Spec extends SparkTestBase {
     val row3 = Bm25.rbpEval(c4, q4, k = 62, maxGain = 4).collect().head
     assert(row3.getLong(1) == 2L && row3.getLong(2) == 0L, s"hi/lo: $row3")
     assert(row3.getDouble(4) == 0.5, s"rbp_p50: $row3")
-    // The Long-grid edge still takes the cheap Long path: maxGain=2 at
-    // k=61 -> worst 2^62 fits, rbp_num_total is a BIGINT 2^61.
+    // The Long-grid edge still takes the cheap Long accumulation path:
+    // maxGain=2 at k=61 -> worst 2^62 fits a Long; the OUTPUT schema is
+    // the same hi/lo pair (r17 ADVICE #3) — total 2^61 < 2^62 so
+    // (hi, lo) = (0, 2^61), bit-divmodded without touching a double.
     val rowE = Bm25.rbpEval(corpus, q, k = 61, maxGain = 2).collect().head
-    assert(rowE.getLong(1) == (1L << 61), s"long-path num: $rowE")
+    assert(rowE.getLong(1) == 0L && rowE.getLong(2) == (1L << 61),
+      s"long-path hi/lo: $rowE")
   }
 
   test("PRF pulls in a document that shares no term with the original query") {

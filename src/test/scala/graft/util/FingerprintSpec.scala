@@ -131,6 +131,29 @@ class FingerprintSpec extends SparkTestBase {
       ex.getMessage.contains("re-train and re-persist"), ex.getMessage)
   }
 
+  test("driver-side listing hash == Spark's xxhash64 expression (r18 no-job ofSnapshot)") {
+    // ofSnapshot's per-entry hash is computed with XXH64 primitives on
+    // the driver — zero Spark job. Its value contract is "identical to
+    // running Fingerprint.of over a (file, bytes, mtime) DataFrame of
+    // the listing"; this pins the two computations to each other so
+    // they can never drift (a drift would silently invalidate every
+    // stored snapshot fingerprint).
+    val entries = Seq(
+      ("part-00000.parquet", 12345L, 1700000000123L),
+      ("sub/part-00001.parquet", 0L, 0L),
+      ("weird name é中.parquet", Long.MaxValue, -7L))
+    val viaDf = entries.toDF("file", "bytes", "mtime")
+      .select(xxhash64(col("file"), col("bytes"), col("mtime")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaDriver = entries.map { case (f, b, m) =>
+      Fingerprint.hashFileEntry(f, b, m) }
+    assert(viaDf == viaDriver, s"$viaDf != $viaDriver")
+    // and the wrapping Long sum equals the decimal-sum low-64 contract
+    val sumDf = entries.toDF("file", "bytes", "mtime")
+    assert(Fingerprint.of(sumDf, "file", Seq("bytes", "mtime"))._2 ==
+      viaDriver.sum, "wrapping Long sum must equal the decimal-sum low 64 bits")
+  }
+
   test("array content columns fingerprint (the ANN-index shape)") {
     val emb = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
       .toDF("vec_id", "embedding")
