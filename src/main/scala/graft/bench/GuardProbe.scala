@@ -1,0 +1,78 @@
+package graft.bench
+
+import graft.GraftSession
+import graft.tables.Tables
+import graft.text.Unigram
+
+/** One-shot numeric probe of the two artifact staleness guards (r17
+  * verdict #5): the ROW-fingerprint guard re-scans the corpus's (id,
+  * text) columns per verification, the CATALOG-SNAPSHOT guard lists the
+  * corpus directory's files driver-side — the no-scan claim is
+  * structural, but this pins the gap as a measured number in the round
+  * artifact instead of prose.
+  *
+  * Method: build one vocab artifact per guard flavor over the sf0.1
+  * documents corpus (setup, untimed), then time N independent guarded
+  * READS of each (`readVocabArtifact(memo = false)` vs
+  * `readVocabArtifactSnapshot`), materializing the returned vocab table
+  * (count) so both sides pay the same artifact-read tail. The FIRST
+  * sample of each flavor is the cold one (fresh session state); the
+  * remaining samples show the steady per-serve-job cost that `memo`
+  * otherwise hides. Usage: runMain graft.bench.GuardProbe [sfDir] [reps]
+  */
+object GuardProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = GraftSession.fromEnv("graft-guardprobe")
+    val docs = Tables.documents(spark, sfDir)
+    val docsPath = s"$sfDir/documents.parquet"
+    val base = java.nio.file.Files.createTempDirectory("graft_guard_probe").toString
+    val vocab = Unigram.learn(docs)
+    Unigram.writeVocabArtifact(vocab, docs, s"$base/row")
+    Unigram.writeVocabArtifactSnapshot(vocab, docsPath, s"$base/snap")
+
+    def sample(label: String)(read: => org.apache.spark.sql.DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        read.count()
+        (System.nanoTime() - t0) / 1e6
+      }
+      val warm = times.drop(1)
+      val med =
+        if (warm.nonEmpty) warm.sorted.apply(warm.size / 2) else times.head
+      println(f"[guardprobe] $label%-24s cold ${times.head}%9.1f ms  " +
+        f"warm_median ${med}%9.1f ms  (n=$reps, sf=$sfDir)")
+    }
+    // Row-exact guard, memo OFF: every read re-scans (doc_id, text).
+    sample("row_fingerprint")(
+      Unigram.readVocabArtifact(spark, docs, s"$base/row", memo = false))
+    // Snapshot guard: every read re-lists the corpus directory only.
+    sample("catalog_snapshot")(
+      Unigram.readVocabArtifactSnapshot(spark, docsPath, s"$base/snap"))
+
+    // At sf0.1 both guards are bounded below by fixed Spark-job
+    // overhead (~0.5 s local) — the corpus fits one parquet file and
+    // the (id, text) scan is as cheap as the listing job, so the pair
+    // above pins the FLOOR, not the gap. The gap is the SCALING: the
+    // row guard's cost grows with corpus ROWS, the snapshot guard's
+    // with file COUNT only. Measure it directly: a 10x-replicated
+    // copy of the corpus written to a temp dir (32 files), artifacts
+    // built against it, same guarded reads.
+    import org.apache.spark.sql.functions._
+    val big = s"$base/docs10x.parquet"
+    (0 until 10)
+      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(big)
+    val bigDocs = spark.read.parquet(big)
+    val vocabBig = Unigram.learn(docs) // vocab content irrelevant to guard cost
+    Unigram.writeVocabArtifact(vocabBig, bigDocs, s"$base/row10x")
+    Unigram.writeVocabArtifactSnapshot(vocabBig, big, s"$base/snap10x")
+    sample("row_fingerprint_10x")(
+      Unigram.readVocabArtifact(spark, bigDocs, s"$base/row10x", memo = false))
+    sample("catalog_snapshot_10x")(
+      Unigram.readVocabArtifactSnapshot(spark, big, s"$base/snap10x"))
+    spark.stop()
+  }
+}

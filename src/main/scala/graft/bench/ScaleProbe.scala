@@ -212,13 +212,14 @@ object ScaleProbe {
         ClusterCollapse.collapse(d, pairs).filter(!col("is_survivor")).count()
       }
     }
-    // (No probe for the r17 snapshot-vs-row fingerprint guards: at
-    // probe scales both are Spark-job-overhead-bound and the numbers
-    // would be noise. The scaling argument is structural — ofSnapshot
-    // never scans corpus rows BY CONSTRUCTION (no DataFrame is even
-    // passed; it lists files driver-side), while the row fingerprint's
-    // one column-pruned pass is the cost the snapshot store variants
-    // exist to remove per serve job.)
+    // (No REPLICATION probe for the r17 snapshot-vs-row fingerprint
+    // guards: the scaling argument is structural — ofSnapshot never
+    // scans corpus rows BY CONSTRUCTION (no DataFrame is even passed;
+    // it lists files driver-side), while the row fingerprint's one
+    // column-pruned pass is the cost the snapshot store variants exist
+    // to remove per serve job. The gap IS pinned numerically at sf0.1
+    // by graft.bench.GuardProbe (r17 verdict #5) — per-serve guarded
+    // reads of the same vocab artifact under each guard flavor.)
 
     // As-of hot key: ONE key owns the entire history — the straggler case
     // timeBucket exists for. Unbucketed, the key's full event stream sorts
@@ -569,6 +570,38 @@ object ScaleProbe {
             (col("doc_id") % 100 / 10.0).as("score"),
             size(split(col("text"), " ")).cast("long").as("n_toks")),
           "score", "n_toks").count())
+    }
+    // t54 capstone (r18): stored-vocab tokenize -> id-map projection ->
+    // deterministic shard -> per-shard packing cumsum, as one chain. The
+    // vocab is learned ONCE at 1x and served fixed at both scales (the
+    // serving shape — a tokenizer never re-learns per batch). Healthy =
+    // ~linear: segmentation is per-DISTINCT-word (the replicas share
+    // the word table), the id map is a literal projection, the packing
+    // is one window per shard.
+    if (only.isEmpty || only.exists("tokenize_pack_shard".startsWith)) {
+      val vrows = graft.text.Unigram.learn(docs1)
+        .select("piece", "cnt", "cost_micro").collect()
+      val vocab = vrows.map(r => (r.getString(0), r.getLong(2))).toSeq
+      val idOf: Map[String, Long] = vrows
+        .sortBy(r => (-r.getLong(1), r.getString(0))).zipWithIndex
+        .map { case (r, i) => r.getString(0) -> i.toLong }.toMap
+      for ((label, d) <- Seq("1x" -> docs1, s"${n}x" -> docsN)) {
+        time(s"tokenize_pack_shard $label") {
+          val seg = graft.text.Unigram.applyUnigram(d, vocab)
+          val ids = seg.withColumn("token_ids",
+            transform(split(col("uni_text"), " "),
+              p => coalesce(try_element_at(typedLit(idOf), p), lit(-1L))))
+          val sharded = Curation.deterministicShuffle(ids, "doc_id", "t54", 4)
+          // agg over the id array AND the packing columns: pruning must
+          // not delete the segmentation or the cumsum being measured.
+          Curation.packSequences(sharded, "shard", "shuffle_key",
+            "n_pieces", 64)
+            .filter(col("n_pieces") > 0)
+            .agg(sum(size(col("token_ids"))) + max(col("end_seq"))
+              + max(col("start_tok")))
+            .count()
+        }
+      }
     }
     spark.stop()
   }

@@ -1480,6 +1480,46 @@ object CurationQueries {
           .orderBy("source")),
 
     // ------------------------------------------------------------------
+    // T13B — the HLL ACCURACY CONTRACT under a full DuckDB oracle (r17
+    // verdict #4, the e13 recall-eval pattern applied to the sketch
+    // rows-only family): sketch INTERNALS stay engine-specific, but the
+    // guarantee the sketch ships with — |estimate − exact| within a
+    // declared relative-error bound — is itself a deterministic,
+    // oracle-expressible fact. The engine computes the estimate AND the
+    // bound comparison; the oracle recomputes the exact cardinality and
+    // the bound, and asserts the contract held (within_bound = TRUE is
+    // the oracle's literal — a sketch regression past the bound flips
+    // the engine's boolean and the hash goes red). Bound = 5% of the
+    // exact count (≥ 3σ for lgK = 12, σ ≈ 1.04/√4096 ≈ 1.6%; the same
+    // 5% SketchesSpec pins), floored at 1 for tiny sources. The HLL
+    // union is register-wise max — commutative/associative — so the
+    // estimate is partition-order-invariant and the face deterministic.
+    Q(
+      "t13b_hll_error_contract",
+      (s, dir) => {
+        val est = Tables.documents(s, dir)
+          .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy("source")
+          .agg(
+            count_distinct(col("tok")).as("n_exact"),
+            hll_sketch_estimate(hll_sketch_agg(col("tok"), lit(12))).as("est"))
+        val bound = greatest(ceil(col("n_exact") * 0.05).cast("long"), lit(1L))
+        est.select(
+          col("source"), col("n_exact"), bound.as("max_abs_err"),
+          (abs(round(col("est")).cast("long") - col("n_exact")) <= bound)
+            .as("within_bound"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, count(DISTINCT tok) AS n_exact
+             |           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+             |                 FROM documents)
+             |           GROUP BY 1)
+             |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+             |       greatest(CAST(ceil(n_exact * 0.05) AS BIGINT), 1) AS max_abs_err,
+             |       TRUE AS within_bound
+             |FROM d ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T29 — mergeable quantile sketch (approx_percentile) beside the exact
     // interpolated percentile: the sketch is THE scale path for quantiles
     // (partial sketches merge across partitions; the exact form needs the
@@ -1500,6 +1540,57 @@ object CurationQueries {
             approx_percentile(col("value"), lit(0.5), lit(10000)).as("p50_sketch"),
             approx_percentile(col("value"), lit(0.95), lit(10000)).as("p95_sketch"))
           .orderBy("event_type")),
+
+    // ------------------------------------------------------------------
+    // T29B — the quantile-sketch RANK-ERROR CONTRACT under a full DuckDB
+    // oracle (r17 verdict #4, t13b's twin): Greenwald–Khanna guarantees
+    // the returned element's rank is within εn of the target rank
+    // (ε = 1/accuracy), REGARDLESS of partition merge order — so while
+    // the estimate itself may move with parallelism (why t29 is
+    // rows-only), the thresholded rank comparison is deterministic. Per
+    // (event_type, percentile): the engine ranks its own estimate
+    // against the exact data (r_lo = #values < est, r_hi = #values ≤
+    // est — the estimate occupies rank interval [r_lo+1, r_hi]) and
+    // asserts the target rank ceil(p·n) lands within rank_tol of that
+    // interval; the oracle recomputes n, the target and the tolerance
+    // exactly and asserts TRUE. rank_tol = ceil(n/2500) = 4εn at
+    // accuracy 10000 — nominal ε plus merge/rounding slack — floored at
+    // 1. Shape at scale: one sketch aggregate + one broadcast-join rank
+    // count; the exact-rank leg is the EVAL's designed cost (the truth
+    // side), not the serving path — production serves the sketch alone.
+    Q(
+      "t29b_quantile_rank_error",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        val sk = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          approx_percentile(col("value"), lit(0.5), lit(10000)).as("est50"),
+          approx_percentile(col("value"), lit(0.95), lit(10000)).as("est95"))
+        val targets = sk.select(col("event_type"), col("n"),
+          explode(array(
+            struct(lit(50L).as("q_pct"), col("est50").as("est")),
+            struct(lit(95L).as("q_pct"), col("est95").as("est")))).as("q"))
+          .select(col("event_type"), col("n"), col("q.q_pct"), col("q.est"))
+        val ranked = ev.join(broadcast(targets), Seq("event_type"))
+          .groupBy("event_type", "q_pct", "n")
+          .agg(
+            sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("r_lo"),
+            sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("r_hi"))
+        val tol = greatest(ceil(col("n") / lit(2500.0)).cast("long"), lit(1L))
+        val target = ceil(col("q_pct") * col("n") / lit(100.0)).cast("long")
+        ranked.select(
+          col("event_type"), col("q_pct"), col("n"), tol.as("rank_tol"),
+          (target >= col("r_lo") + lit(1L) - tol &&
+            target <= col("r_hi") + tol).as("within_bound"))
+          .orderBy("event_type", "q_pct")
+      },
+      Some("""WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+             |u AS (SELECT event_type, n, unnest([50, 95]) AS q_pct FROM g)
+             |SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
+             |       CAST(n AS BIGINT) AS n,
+             |       greatest(CAST(ceil(n / 2500.0) AS BIGINT), 1) AS rank_tol,
+             |       TRUE AS within_bound
+             |FROM u ORDER BY event_type, q_pct""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T13g — the HLL estimate pinned over a literal fixture: two sources

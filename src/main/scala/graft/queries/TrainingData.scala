@@ -411,6 +411,33 @@ object TrainingData {
       p
     })
 
+  /** The SNAPSHOT-guarded twin of [[unigramVocabPath]], backing the t54
+    * capstone (r17 verdict #3): same deterministic learned vocabulary,
+    * but the serve-time staleness check is the catalog-snapshot
+    * fingerprint of the documents parquet DIRECTORY
+    * ([[graft.util.Fingerprint.ofSnapshot]]) — one driver-side file
+    * listing per serve call, zero corpus scan, the production shape at
+    * 100 TB. Returns the stored (piece, cnt, cost_micro) rows (bounded:
+    * finalVocab + alphabet) so the caller can derive both the segmenter
+    * costs and the frequency-ranked token ids from ONE artifact read.
+    */
+  private val unigramVocabSnapshotDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def unigramVocabSnapshotRows(
+      s: SparkSession, dir: String): Array[(String, Long, Long)] = {
+    val docsPath = s"$dir/documents.parquet"
+    val p = unigramVocabSnapshotDirs.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_unigram_vocab_snap").toString
+      Unigram.writeVocabArtifactSnapshot(
+        Unigram.learn(Tables.documents(s, dir)), docsPath, path)
+      path
+    })
+    Unigram.readVocabArtifactSnapshot(s, docsPath, p)
+      .select("piece", "cnt", "cost_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+  }
+
   /** The same learn-once store for the TRAIN-SLICE vocabulary
     * (doc_id % 3 <> 0 — t20's held-out pattern) that t46/t46b gauge
     * coverage against: learned and persisted once per sf-dir, read on
@@ -1338,17 +1365,21 @@ object TrainingData {
              |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // D11 — quality-aware survivor election: every 20th doc gains a
-    // TRUNCATED near-dup copy (last 2 words dropped, negative-space
-    // −id−1). The copy is deliberately the POORER member (r16 ADVICE:
-    // an augmented copy carried both the minimum id AND the longest
-    // text, so min-id and quality election agreed — a regression to
-    // naive min-id would have passed): min-id election would keep the
-    // negative copy (negatives sort first), but electing by length
-    // keeps the positive-id ORIGINAL — the two rules disagree on every
-    // paired cluster, which is exactly what this face pins. The oracle
-    // recomputes the components recursively and the winner via
-    // row_number over (score desc, id).
+    // D11 — quality-aware survivor election: every 20th doc with >= 3
+    // tokens gains a TRUNCATED near-dup copy (last 2 words dropped,
+    // negative-space −id−1). The copy is deliberately the POORER member
+    // (r16 ADVICE: an augmented copy carried both the minimum id AND
+    // the longest text, so min-id and quality election agreed — a
+    // regression to naive min-id would have passed): min-id election
+    // would keep the negative copy (negatives sort first), but electing
+    // by length keeps the positive-id ORIGINAL — the two rules disagree
+    // on every paired cluster, which is exactly what this face pins.
+    // The >= 3-token floor on the copied cohort (r17 ADVICE #4) bars
+    // the one degenerate case where the pinning claim failed: a <= 1-
+    // token source's truncated copy equals the original, the scores
+    // tie, and the (score desc, id) tie-break collapses to min-id.
+    // The oracle recomputes the components recursively and the winner
+    // via row_number over (score desc, id).
     Q(
       "d11_quality_collapse",
       (s, dir) => {
@@ -1356,7 +1387,7 @@ object TrainingData {
           .filter(col("doc_id") % 10 === 0)
         val toks = TextFunctions.tokens(col("text"))
         val docs = base
-          .unionByName(base.filter(col("doc_id") % 20 === 0)
+          .unionByName(base.filter(col("doc_id") % 20 === 0 && size(toks) >= 3)
             .withColumn("doc_id", -col("doc_id") - 1L)
             .withColumn("text",
               array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(1))), " ")))
@@ -1369,7 +1400,8 @@ object TrainingData {
              |aug AS (SELECT -doc_id - 1 AS doc_id,
              |               array_to_string((string_split(text, ' '))[1:greatest(
              |                 len(string_split(text, ' ')) - 2, 1)], ' ') AS text
-             |        FROM base WHERE doc_id % 20 = 0),
+             |        FROM base WHERE doc_id % 20 = 0
+             |          AND len(string_split(text, ' ')) >= 3),
              |docs AS (SELECT * FROM base UNION ALL SELECT * FROM aug),
              |sh AS (SELECT doc_id,
              |              unnest(list_distinct(list_transform(
@@ -3138,6 +3170,10 @@ object TrainingData {
     // Shape at scale: the grading join never touches the corpus — the
     // ≤ 10·|q| retrieved ids broadcast-semi-filter the doc scan BEFORE
     // the (doc, term) explode, so gains are computed on a bounded set.
+    // Output schema is the path-invariant hi/lo pair (r17 ADVICE #3:
+    // one schema on every accumulation path) — at k = 10 the total is
+    // far inside 2^62, so rbp_num_hi is identically 0 here and the
+    // oracle divmods by the same 2^62 literal t48d uses.
     Q(
       "t48_bm25_rbp_eval",
       (s, dir) => {
@@ -3173,7 +3209,10 @@ object TrainingData {
              |         coalesce(CAST(sum(g.gain) AS BIGINT), 0) AS gain_sum
              |       FROM q LEFT JOIN gr g USING (query_id) GROUP BY 1)
              |SELECT CAST(count(*) AS BIGINT) AS n_queries,
-             |  CAST(sum(rbp_num) AS BIGINT) AS rbp_num_total,
+             |  CAST(CAST(sum(rbp_num) AS HUGEINT) // 4611686018427387904
+             |    AS BIGINT) AS rbp_num_hi,
+             |  CAST(CAST(sum(rbp_num) AS HUGEINT) % 4611686018427387904
+             |    AS BIGINT) AS rbp_num_lo,
              |  CAST(sum(gain_sum) AS BIGINT) AS gain_total,
              |  CAST(sum(rbp_num) AS DOUBLE) / (count(*) * 3072) AS rbp_p50,
              |  CAST(sum(gain_sum) AS DOUBLE) / (count(*) * 30)
@@ -3726,6 +3765,83 @@ object TrainingData {
              |       coalesce(-CAST(a.slp AS DOUBLE) / a.n_trigrams <= 8.0, FALSE) AS keep
              |FROM docs d LEFT JOIN agg3 a USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T54 — the tokenizer-handoff CAPSTONE (r17 verdict #3): the
+    // artifact a training job actually reads, pinned end-to-end as ONE
+    // chained oracle. Stored vocab (served through the SNAPSHOT-guarded
+    // store — staleness check is one file listing, zero corpus scan) →
+    // unigram segmentation (t44's contract) → frequency-ranked token
+    // ids (t17's handoff rule: rank by (cnt desc, piece), OOV −1 —
+    // unreachable here, the char floor covers the train corpus) →
+    // deterministic md5 shuffle into 4 contiguous shards (c8) → per-
+    // shard concat-and-chunk packing at seqLen 64 (c3). Each stage is
+    // individually oracled elsewhere; THIS face pins the stage
+    // BOUNDARIES (vocab ranking feeding ids, piece counts feeding
+    // packing lengths, shuffle order feeding offsets), where drift was
+    // previously invisible. Zero-token docs occupy no slice and are
+    // dropped (c5's rule) — they contribute 0 to the cumsum either way.
+    // Shape at scale: the segmentation runs once per DISTINCT word, the
+    // id map rides as a ~160-entry literal, the packing is one window
+    // cumsum per shard — no corpus-sized shuffle beyond the one the
+    // shard layout itself demands.
+    Q(
+      "t54_tokenize_pack_shard",
+      (s, dir) => {
+        val docs = Unigram.requireRelaxBound(Tables.documents(s, dir))
+        val rows = unigramVocabSnapshotRows(s, dir)
+        val vocab = rows.map(r => (r._1, r._3)).toSeq
+        val idOf: Map[String, Long] = rows
+          .sortBy(r => (-r._2, r._1)).zipWithIndex
+          .map { case (r, i) => r._1 -> i.toLong }.toMap
+        val seg = Unigram.applyUnigram(docs, vocab)
+        val withIds = seg.withColumn("token_ids",
+          when(col("n_pieces") === 0L, array().cast("array<bigint>"))
+            .otherwise(transform(split(col("uni_text"), " "),
+              p => coalesce(try_element_at(typedLit(idOf), p), lit(-1L)))))
+        val sharded = Curation.deterministicShuffle(
+          withIds, idCol = "doc_id", salt = "t54", nShards = 4)
+        Curation.packSequences(sharded, shardCol = "shard",
+          orderCol = "shuffle_key", nTokensCol = "n_pieces", seqLen = 64)
+          .filter(col("n_pieces") > 0)
+          .select(col("doc_id"), col("shard"), col("shuffle_key"),
+            col("n_pieces").as("n_tokens"),
+            to_json(col("token_ids")).as("token_ids"),
+            col("start_tok"), col("first_seq"), col("tok_offset"),
+            col("end_seq"))
+          .orderBy("shard", "shuffle_key")
+      },
+      Some(s"""WITH ${Unigram.learnApplyCtes()},
+             |vid AS (SELECT piece,
+             |               row_number() OVER (ORDER BY cnt DESC, piece) - 1 AS tid
+             |        FROM costf),
+             |pcs AS (SELECT doc_id, i AS pos, p[i+1] AS piece
+             |        FROM (SELECT doc_id, string_split(uni_text, ' ') AS p,
+             |                     unnest(range(len(string_split(uni_text, ' ')))) AS i
+             |              FROM agg WHERE uni_text IS NOT NULL AND uni_text <> '')),
+             |tids AS (SELECT doc_id, pos, CAST(coalesce(v.tid, -1) AS BIGINT) AS tid
+             |         FROM pcs LEFT JOIN vid v USING (piece)),
+             |seqs AS (SELECT doc_id, to_json(list(tid ORDER BY pos)) AS token_ids,
+             |                CAST(count(*) AS BIGINT) AS n_tokens
+             |         FROM tids GROUP BY doc_id),
+             |keyed AS (SELECT doc_id, token_ids, n_tokens,
+             |                 md5('t54' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+             |          FROM seqs),
+             |shd AS (SELECT *, CAST(floor(CAST(CAST('0x' || substr(shuffle_key, 1, 8) AS BIGINT)
+             |                 * 4 AS DOUBLE) / 4294967296) AS INTEGER) AS shard
+             |        FROM keyed),
+             |pk AS (SELECT doc_id, shard, shuffle_key, n_tokens, token_ids,
+             |              CAST(COALESCE(SUM(n_tokens) OVER (
+             |                PARTITION BY shard ORDER BY shuffle_key
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |                AS BIGINT) AS start_tok
+             |       FROM shd)
+             |SELECT doc_id, shard, shuffle_key, n_tokens,
+             |       CAST(token_ids AS VARCHAR) AS token_ids, start_tok,
+             |       CAST(floor(start_tok / 64) AS BIGINT) AS first_seq,
+             |       start_tok % 64 AS tok_offset,
+             |       CAST(floor((start_tok + n_tokens - 1) / 64) AS BIGINT) AS end_seq
+             |FROM pk ORDER BY shard, shuffle_key""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T51 — smoother SHOOT-OUT (the eval face over t20 + t49 + t53, in
