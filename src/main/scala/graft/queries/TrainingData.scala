@@ -2721,6 +2721,63 @@ object TrainingData {
              |FROM g GROUP BY 1 HAVING count(*) >= 20 ORDER BY gram""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // T12B — the count-min ACCURACY CONTRACT under a full DuckDB oracle
+    // (r18, t13b/t29b's sibling — completes the sketch-contract family:
+    // CMS here, HLL t13b, quantiles t29b; Bloom needs none, c4d's
+    // exact-confirm makes it result-invisible): per distinct bigram the
+    // sketch estimate is compared against the exact count and TWO
+    // guarantees are asserted. (1) never-undercount — estimate >= exact
+    // for EVERY gram, a theorem (collisions only add), emitted as the
+    // BIGINT violation count the oracle pins at literal 0; t12's
+    // prefilter-then-confirm composition is CORRECT only because of
+    // this, so a CMS regression that undercounts now reddens a hash
+    // row instead of silently dropping heavy hitters. (2) the
+    // eps-bound rate — P(est > exact + eps*N) <= 2^-depth PER QUERY
+    // (width 2/eps, Markov halves per row, depth 5 at confidence .99
+    // => nominal rate 1/32); the face asserts the observed violator
+    // count stays under double the nominal rate (16*n_over <=
+    // n_distinct), a deterministic fact for fixed data + seed.
+    // Eval-designed cost: one grams.count() picks eps*N exactly
+    // (rbpEval's pattern) and the exact-count side is the truth leg.
+    Q(
+      "t12b_cms_error_contract",
+      (s, dir) => {
+        import org.apache.spark.sql.graftnative.CmsSketch
+        val grams = Tables.documents(s, dir)
+          .select(TextFunctions.tokens(col("text")).as("__toks"))
+          .select(explode(
+            TextFunctions.shinglesFromTokens(col("__toks"), 2)).as("gram"))
+        val sketch = grams
+          .agg(CmsSketch.cmsAgg(xxhash64(col("gram")), 1e-4, 0.99, 42))
+          .head.getAs[Array[Byte]](0)
+        val bound = math.ceil(0.0001 * grams.count()).toLong
+        grams.groupBy("gram").agg(count(lit(1)).as("exact"))
+          .withColumn("est", CmsSketch.estimate(sketch, xxhash64(col("gram"))))
+          .agg(
+            count(lit(1)).as("n_distinct"),
+            sum(col("exact")).as("n_occurrences"),
+            sum(when(col("est") < col("exact"), 1L).otherwise(0L)).as("n_under"),
+            sum(when(col("est") > col("exact") + lit(bound), 1L).otherwise(0L))
+              .as("__n_over"))
+          .select(
+            col("n_distinct"), col("n_occurrences"),
+            lit(bound).as("eps_n_bound"),
+            col("n_under"),
+            (col("__n_over") * 16 <= col("n_distinct")).as("within_confidence"))
+      },
+      Some("""WITH g AS (SELECT unnest(list_transform(
+             |         range(len(string_split(text, ' ')) - 1),
+             |         i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))) AS gram
+             |       FROM documents WHERE len(string_split(text, ' ')) >= 2),
+             |ex AS (SELECT gram, count(*) AS exact FROM g GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+             |       CAST(sum(exact) AS BIGINT) AS n_occurrences,
+             |       CAST(ceil(0.0001 * sum(exact)) AS BIGINT) AS eps_n_bound,
+             |       CAST(0 AS BIGINT) AS n_under,
+             |       TRUE AS within_confidence
+             |FROM ex""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T14 — frequency-ranked vocabulary: top-200 tokens with contiguous
     // ids in (count desc, token) order — the tokenizer-vocab init step.
     // The ordered take keeps the full count table distributed; only the
