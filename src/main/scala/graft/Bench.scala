@@ -207,11 +207,18 @@ object Bench {
       // verdict on every rechecked entry, in priority order:
       //   contaminated — recorded > 2x its end-of-run rerun: in-run
       //     contention on the measured pass; the rerun is the number.
-      //   regression — growth over yardstick-ADJUSTED prev that the
-      //     rerun reproduces: real, and machine speed does not excuse it.
+      //   regression — growth over yardstick-ADJUSTED prev that a CLEAN
+      //     rerun reproduces: real, and machine speed does not excuse
+      //     it. A rerun that itself reads > 2x the recorded median is
+      //     not clean — end-of-run contention can inflate reruns just
+      //     like measured passes (observed live in r18: a host spike
+      //     put a 0.6 s query's rerun at 4.0 s, "confirming" growth
+      //     that four same-code runs showed was oscillation) — so an
+      //     elevated rerun demotes to ambient_unreproduced instead of
+      //     confirming.
       //   ambient_unreproduced — adjusted growth the rerun does NOT
-      //     reproduce (yet recorded <= 2x rerun): mixed evidence, treat
-      //     as noise unless it recurs next round.
+      //     cleanly reproduce: mixed evidence, treat as noise unless it
+      //     recurs next round.
       //   ambient — raw growth fully explained by the yardstick ratio
       //     (the r17 t51/e13/d18b/g2/t24b case).
       //   ok — in the roster by rank only, no cross-round growth.
@@ -219,7 +226,7 @@ object Bench {
         if (c) "contaminated"
         else prevAdj match {
           case Some(adj) if grew(rec, adj) =>
-            if (rr.exists(v => grew(v, adj))) "regression"
+            if (rr.exists(v => grew(v, adj) && v <= 2.0 * rec)) "regression"
             else "ambient_unreproduced"
           case _ if prev.exists(p => grew(rec, p)) => "ambient"
           case _ => "ok"
