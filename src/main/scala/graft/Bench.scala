@@ -52,10 +52,17 @@ object Bench {
     // ratios are only meaningful relative to how fast each MACHINE ran,
     // so the prev yardstick persists beside the prev times and every
     // cross-round comparison below scales by yardstick(now)/yardstick(prev).
+    // toDouble guarded like the prevQueries parser above (r18 ADVICE #2):
+    // the [0-9.]+ class matches non-parseable tokens ("1.2.3", ".") from
+    // a corrupt/hand-edited prev artifact, and a crash here would abort
+    // the whole bench; a malformed prev degrades to yardRatio = 1.0.
     val prevYardstick: Option[Double] =
       prevArtifact.flatMap { s =>
         """"yardstick_warm_s":([0-9.]+)""".r.findFirstMatchIn(s)
-          .map(_.group(1).toDouble).filter(_ > 0)
+          .flatMap(m =>
+            try Some(m.group(1).toDouble)
+            catch { case _: NumberFormatException => None })
+          .filter(_ > 0)
       }
     // Untimed warmup pass: first executions pay ~6s of JVM/codegen/classload
     // warmup that would otherwise land on arbitrary queries and make

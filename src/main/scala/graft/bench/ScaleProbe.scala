@@ -592,14 +592,19 @@ object ScaleProbe {
             transform(split(col("uni_text"), " "),
               p => coalesce(try_element_at(typedLit(idOf), p), lit(-1L))))
           val sharded = Curation.deterministicShuffle(ids, "doc_id", "t54", 4)
-          // agg over the id array AND the packing columns: pruning must
-          // not delete the segmentation or the cumsum being measured.
+          // agg over the id array AND the packing columns, MATERIALIZED
+          // via head.getLong (r18 ADVICE #1): a trailing .count() plans
+          // as Aggregate(count(1)) over this aggregate and references
+          // none of its output, so ColumnPruning could strip the agg
+          // expressions and with them the token-id transform and the
+          // packing window — timing only segmentation. Reading the value
+          // itself (the asof probes' pattern) keeps every layer live.
           Curation.packSequences(sharded, "shard", "shuffle_key",
             "n_pieces", 64)
             .filter(col("n_pieces") > 0)
-            .agg(sum(size(col("token_ids"))) + max(col("end_seq"))
-              + max(col("start_tok")))
-            .count()
+            .agg((sum(size(col("token_ids"))) + max(col("end_seq"))
+              + max(col("start_tok"))).as("probe_sum"))
+            .head.getLong(0)
         }
       }
     }

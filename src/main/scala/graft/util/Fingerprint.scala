@@ -65,8 +65,9 @@ object Fingerprint {
     * Granularity contract: the guard keys on the file SET, not row
     * content — a corpus rewritten with byte-identical rows reads as
     * stale (false-stale is the safe direction; re-verify with [[of]]
-    * or re-persist the artifact). Files Spark's parquet reader ignores
-    * (`_`/`.`-prefixed: _SUCCESS, checksums) are excluded, so a
+    * or re-persist the artifact). Paths Spark's parquet reader ignores
+    * (any `_`/`.`-prefixed SEGMENT: _SUCCESS, checksums, whole
+    * `_temporary/` trees from interrupted writes) are excluded, so a
     * marker-file touch cannot flag a corpus whose data Spark would
     * read identically.
     *
@@ -99,9 +100,19 @@ object Fingerprint {
     val it = fs.listFiles(base, true)
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-        val rel = f.getPath.toUri.getPath.stripPrefix(basePrefix)
+      val rel = f.getPath.toUri.getPath.stripPrefix(basePrefix)
+      // Hidden-PATH exclusion on every relative segment, not just the
+      // file basename (r18 verdict #4): Spark's file index ignores any
+      // path containing a `_`/`.`-prefixed SEGMENT — e.g. a normally
+      // named part file under a `_temporary/` tree left by an
+      // interrupted write — so a basename-only filter would count files
+      // Spark never reads and flag a corpus whose readable data is
+      // unchanged (false-stale: safe, but exactly the interrupted-write
+      // case this exclusion exists for). FingerprintSpec plants
+      // `_temporary/part-0.parquet` and pins the fingerprint unchanged.
+      val hidden = rel.split('/').exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (f.isFile && !hidden) {
         sum += hashFileEntry(rel, f.getLen, f.getModificationTime)
         n += 1
       }

@@ -121,6 +121,20 @@ class FingerprintSpec extends SparkTestBase {
       java.nio.file.Paths.get(dir, "_marker"), "x".getBytes)
     Fingerprint.requireSnapshotMatch(spark, fpPath, dir, "spec")
 
+    // ... and neither must a NORMALLY-NAMED file under a hidden
+    // DIRECTORY (r18 verdict #4): Spark ignores any path with a
+    // `_`/`.`-prefixed segment, so a `_temporary/` tree left by an
+    // interrupted write contains files Spark never reads — the guard
+    // must agree with "files Spark would read identically".
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_temporary"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_temporary", "part-0.parquet"),
+      "not even parquet".getBytes)
+    assert(Fingerprint.ofSnapshot(spark, dir) == a,
+      "hidden-directory subtree must not move the snapshot fingerprint")
+    Fingerprint.requireSnapshotMatch(spark, fpPath, dir, "spec")
+
     // rewriting the corpus (even with identical rows) changes the
     // listing -> loud, with the standard re-train guidance
     corpus.repartition(2).write.mode("overwrite").parquet(dir)
