@@ -5894,6 +5894,83 @@ object TrainingData {
       (s, dir) => annRecallEval(s, dir, trainedLegs = false)),
 
     // ------------------------------------------------------------------
+    // E13B — the ANN recall CONTRACT under a full DuckDB oracle (r18
+    // verdict #5, the t13b/t29b/t12b pattern applied to the last
+    // eval-shaped rows-only family): the measured recall VALUES are
+    // hash-seeded (why e13 is rows-only), but the guarantees the index
+    // family ships with are deterministic booleans an oracle can assert:
+    //   ivf_exhaustive_recall_is_1 — probing ALL cells degenerates IVF
+    //     to brute force, so recall@5 must be exactly 1.0 (the algebra
+    //     SimilaritySpec pins, here as a gate row);
+    //   multiprobe_covers_lsh — multiprobe's candidate set is a strict
+    //     SUPERSET of the single bucket's, so its recall cannot be lower;
+    //   sq8_dominates_lsh — SQ8 scans the whole corpus at 8-bit
+    //     precision while LSH sees one bucket (AnnRecallEvalSpec's pin);
+    //   sq8_recall_ge_0.80 — the near-exact quantizer's declared floor
+    //     (measured 0.94 / 0.98 at the two gate scales; 8-bit uniform
+    //     quantization rarely flips top-5 membership).
+    // The engine computes each leg's recall against its own brute-force
+    // truth and emits the booleans; the oracle recomputes the query
+    // count and the literal TRUE — an index regression below a declared
+    // guarantee is a red hash row, exactly like a sketch past its bound.
+    Q(
+      "e13b_ann_recall_contract",
+      (s, dir) => {
+        val emb = graft.util.CacheScope.persist(Tables.embeddings(s, dir))
+        val queries = emb.filter(col("vec_id") < 10)
+        val dim = emb.select(size(col("embedding"))).head.getInt(0)
+        val planes = Similarity.randomPlanes(6, dim)
+        val exact = graft.util.CacheScope.persist(
+          Similarity.bruteForceTopK(queries, emb, k = 5))
+        // Per-leg mean recall on the exact decimal grid (e13's pattern:
+        // partition-order-invariant, so the booleans below can't flake).
+        def leg(name: String, approx: DataFrame): DataFrame =
+          Similarity.recallAtK(approx, exact, k = 5)
+            .agg(
+              (sum(col("recall").cast("decimal(18,9)")) / count(lit(1)))
+                .cast("double").as("r"),
+              count(lit(1)).as("nq"))
+            .select(lit(name).as("m"), col("r"), col("nq"))
+        val legs = Seq(
+          leg("lsh", Similarity.lshTopK(queries, emb, planes, k = 5)),
+          leg("multiprobe",
+            Similarity.lshTopKMultiProbe(queries, emb, planes, k = 5)),
+          leg("sq8", Similarity.sq8TopK(queries, emb, k = 5)),
+          // nProbe = nCentroids: every cell probed — brute force with
+          // an extra routing hop, the 1.0-recall degenerate case.
+          leg("ivf_exhaustive", Similarity.ivfTopK(queries, emb,
+            nCentroids = 16, nProbe = 16, k = 5)))
+          .reduce(_ unionByName _)
+        // One-row wide pivot (4 rows in), then the contract booleans.
+        legs.agg(
+          min(col("nq")).as("n_queries"),
+          max(when(col("m") === "lsh", col("r"))).as("r_lsh"),
+          max(when(col("m") === "multiprobe", col("r"))).as("r_mp"),
+          max(when(col("m") === "sq8", col("r"))).as("r_sq8"),
+          max(when(col("m") === "ivf_exhaustive", col("r"))).as("r_ivf"))
+          .select(col("n_queries"), explode(array(
+            struct(lit("ivf_exhaustive_recall_is_1").as("contract"),
+              (col("r_ivf") >= 1.0).as("holds")),
+            struct(lit("multiprobe_covers_lsh").as("contract"),
+              (col("r_mp") >= col("r_lsh")).as("holds")),
+            struct(lit("sq8_dominates_lsh").as("contract"),
+              (col("r_sq8") >= col("r_lsh")).as("holds")),
+            struct(lit("sq8_recall_ge_0.80").as("contract"),
+              (col("r_sq8") >= 0.80).as("holds")))).as("c"))
+          .select(col("c.contract").as("contract"), col("n_queries"),
+            lit(5L).as("k"), col("c.holds").as("holds"))
+          .orderBy("contract")
+      },
+      Some("""WITH nq AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < 10)
+             |SELECT c AS contract, CAST(n AS BIGINT) AS n_queries,
+             |       CAST(5 AS BIGINT) AS k, TRUE AS holds
+             |FROM nq, (SELECT unnest(['ivf_exhaustive_recall_is_1',
+             |                         'multiprobe_covers_lsh',
+             |                         'sq8_dominates_lsh',
+             |                         'sq8_recall_ge_0.80']) AS c)
+             |ORDER BY contract""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // G4 — deterministic synchronous label propagation (3 rounds) over the
     // g3 co-occurrence graph: most-frequent neighbor label, ties to the
     // smallest — the async variants converge faster but can't hash-match

@@ -42,4 +42,19 @@ class AnnRecallEvalSpec extends SparkTestBase {
     // faces — identical rows, not merely identical names.
     assert(cheap.map(_.toString).toSeq == full.take(6).map(_.toString).toSeq)
   }
+
+  test("e13b: every declared ANN recall contract holds (r18 verdict #5)") {
+    // The oracle gate asserts these at sf0.01/sf0.1; this pins the third
+    // scale so a contract can't silently depend on corpus size.
+    val rows = graft.SparkEntry.queries("e13b_ann_recall_contract")(spark, dir)
+      .collect()
+    graft.util.CacheScope.releaseAll()
+    assert(rows.map(_.getString(0)).toSeq == Seq(
+      "ivf_exhaustive_recall_is_1", "multiprobe_covers_lsh",
+      "sq8_dominates_lsh", "sq8_recall_ge_0.80"))
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"contract violated: ${r.getString(0)}")
+      assert(r.getLong(1) == 10L && r.getLong(2) == 5L)
+    }
+  }
 }
