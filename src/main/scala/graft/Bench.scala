@@ -64,6 +64,23 @@ object Bench {
             catch { case _: NumberFormatException => None })
           .filter(_ > 0)
       }
+    // Prev run's MULTI-POINT yardstick series (r18 verdict #1): the
+    // in-run ambient index sampled every ~25 queries, [[index, secs],
+    // ...]. When present, each query's cross-round ratio scales by its
+    // NEAREST sample on both sides instead of one run-level scalar —
+    // the r18 quiet artifact carried a ~12% carried-suite drift that a
+    // single early-run yardstick could not localize. Absent (pre-r19
+    // artifact) degrades to the scalar prevYardstick.
+    val prevSeries: Seq[(Int, Double)] =
+      prevArtifact.flatMap { s =>
+        """"yardstick_series":\[((?:\[[^\]]*\],?)*)\]""".r
+          .findFirstMatchIn(s).map(_.group(1))
+      }.map { inner =>
+        """\[([0-9]+),([0-9.]+)\]""".r.findAllMatchIn(inner).flatMap { m =>
+          try Some((m.group(1).toInt, m.group(2).toDouble))
+          catch { case _: NumberFormatException => None }
+        }.filter(_._2 > 0).toSeq
+      }.getOrElse(Seq.empty)
     // Untimed warmup pass: first executions pay ~6s of JVM/codegen/classload
     // warmup that would otherwise land on arbitrary queries and make
     // per-query numbers useless for regression tracking (measured: q6 6.74s
@@ -108,12 +125,41 @@ object Bench {
     def normalizedJson(total: Double): String =
       if (yardstick.isNaN || yardstick <= 0) "null"
       else ((total * yardstickRef / yardstick * 10).round / 10.0).toString
+    // Multi-point ambient index (r18 verdict #1): the single early-run
+    // yardstick cannot adjudicate drift DURING a 40-minute run on a host
+    // whose speed swings ~30% within an hour (r18 carried a ~12%
+    // cross-round drift the artifact could not prove ambient). The
+    // yardstick re-runs every `sampleEvery` queries (min of 2, ~1.2 s a
+    // sample) and once after the last query; the full series is emitted
+    // in the artifact, every query normalizes by its NEAREST sample, and
+    // cross-round growers are classified against the LOCAL ratio
+    // (nearest-now / nearest-prev) instead of one run-level scalar.
+    // Prev-series indices refer to the prev round's query order — query
+    // additions shift names by a few positions, which is within the
+    // 25-query sample granularity anyway (positions proxy elapsed time).
+    val sampleEvery = 25
+    def yardSample(): Double = {
+      val ts = Seq.fill(2) {
+        val t0 = System.nanoTime()
+        execute(yardstickName, SparkEntry.queries(yardstickName))
+        (System.nanoTime() - t0) / 1e9
+      }
+      graft.util.CacheScope.releaseAll()
+      ts.min
+    }
+    val orderedQueries = SparkEntry.queries.toSeq
+    val nameIdx: Map[String, Int] =
+      orderedQueries.zipWithIndex.map { case ((n, _), i) => n -> i }.toMap
+    val ySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    if (!yardstick.isNaN) ySamples += ((0, yardstick))
     // Median of 3 timed runs per query: a single sample at local[32]
     // carries ±30%+ contention noise (r3/r4 both burned a judge round on
     // one-shot artifacts, e.g. q22 2.92s recorded vs 1.3s steady-state);
     // the median of three is stable against one bad draw at 3x the cost.
     val runs = 3
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val resultsSeq = orderedQueries.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx > 0 && idx % sampleEvery == 0 && !yardstick.isNaN)
+        ySamples += ((idx, yardSample()))
       val samples = Seq.fill(runs) {
         val t0 = System.nanoTime()
         execute(name, fn)
@@ -126,6 +172,11 @@ object Bench {
       graft.util.CacheScope.releaseAll()
       name -> samples.sorted.apply(runs / 2)
     }
+    if (!yardstick.isNaN) ySamples += ((orderedQueries.size, yardSample()))
+    val results: Map[String, Double] = resultsSeq.toMap
+    def localYard(idx: Int): Double =
+      if (ySamples.isEmpty) Double.NaN
+      else ySamples.minBy { case (i, _) => math.abs(i - idx) }._2
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -163,10 +214,33 @@ object Bench {
     val yardRatio: Double =
       (for { y <- Option(yardstick).filter(v => !v.isNaN && v > 0)
              p <- prevYardstick } yield y / p).getOrElse(1.0)
-    // Run-level degradation flag: a yardstick >15% over the prev run's
-    // means cross-round growers on THIS run are suspect-ambient by
-    // default — surfaced at the top of the artifact, not buried per-row.
-    val runDegraded = yardRatio > 1.15
+    // LOCAL ratio per query (r18 verdict #1): nearest in-run sample over
+    // the nearest prev-run sample (prev scalar when the prev artifact
+    // predates the series) — so a host that degrades DURING the run
+    // excuses only the queries measured while it was slow, and a grower
+    // measured in a fast window cannot hide behind a slow early
+    // yardstick.
+    def prevLocal(idx: Int): Option[Double] =
+      if (prevSeries.nonEmpty)
+        Some(prevSeries.minBy { case (i, _) => math.abs(i - idx) }._2)
+      else prevYardstick
+    def localRatio(name: String): Double = {
+      val idx = nameIdx.getOrElse(name, 0)
+      val ly = localYard(idx)
+      (for { p <- prevLocal(idx) if !ly.isNaN && ly > 0 && p > 0 }
+        yield ly / p).getOrElse(1.0)
+    }
+    // Run-level degradation flag: the initial yardstick >15% over the
+    // prev run's, OR the in-run series median >15% over the prev
+    // series' median — a run that STARTED healthy but degraded mid-pass
+    // is degraded too (surfaced at the top of the artifact, not buried
+    // per-row).
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val seriesRatio: Option[Double] =
+      if (ySamples.nonEmpty && prevSeries.nonEmpty)
+        Some(med(ySamples.map(_._2).toSeq) / med(prevSeries.map(_._2)))
+      else None
+    val runDegraded = yardRatio > 1.15 || seriesRatio.exists(_ > 1.15)
     def grew(recorded: Double, base: Double): Boolean =
       if (recorded >= 1.0) recorded > 2.0 * base
       else recorded >= 0.25 && recorded > 3.0 * base
@@ -174,7 +248,8 @@ object Bench {
     val slowestNames = results.toSeq.sortBy(-_._2).take(adjudicateN).map(_._1)
     val grownNames = results.toSeq.collect {
       case (name, recorded)
-        if prevQueries.get(name).exists(p => grew(recorded, p * yardRatio)) =>
+        if prevQueries.get(name)
+          .exists(p => grew(recorded, p * localRatio(name))) =>
         name
     }
     // Raw-growers the yardstick adjustment EXPLAINS still enter the
@@ -209,7 +284,10 @@ object Bench {
       }
     val recheckJson = recheck.map { case (n, rec, rr, c, prev) =>
       val rrJson = rr.map(_.toString).getOrElse("null")
-      val prevAdj = prev.map(_ * yardRatio)
+      // Adjusted by the query's LOCAL ratio (nearest yardstick sample on
+      // both sides), not the run-level scalar — see localRatio above.
+      val lr = localRatio(n)
+      val prevAdj = prev.map(_ * lr)
       // Per-row classification (r17 verdict #1) — the artifact's own
       // verdict on every rechecked entry, in priority order:
       //   contaminated — recorded > 2x its end-of-run rerun: in-run
@@ -238,11 +316,15 @@ object Bench {
           case _ if prev.exists(p => grew(rec, p)) => "ambient"
           case _ => "ok"
         }
+      val lyJson = {
+        val ly = localYard(nameIdx.getOrElse(n, 0))
+        if (ly.isNaN) "null" else ((ly * 1000).round / 1000.0).toString
+      }
       val prevJson = prev.map { p =>
-        val ratioAdj = ((rec / (p * yardRatio)) * 100).round / 100.0
-        s""","prev":$p,"prev_adjusted":${((p * yardRatio) * 1000).round / 1000.0},"ratio_adjusted":$ratioAdj"""
+        val ratioAdj = ((rec / (p * lr)) * 100).round / 100.0
+        s""","prev":$p,"prev_adjusted":${((p * lr) * 1000).round / 1000.0},"ratio_adjusted":$ratioAdj,"ratio_local_yard":${((lr) * 1000).round / 1000.0}"""
       }.getOrElse("")
-      s"""\"$n\":{"recorded":$rec,"rerun":$rrJson,"contaminated":$c,"class":"$cls"$prevJson}"""
+      s"""\"$n\":{"recorded":$rec,"rerun":$rrJson,"contaminated":$c,"class":"$cls","yard_local":$lyJson$prevJson}"""
     }.mkString("{", ",", "}")
     val contaminatedJson = recheck.filter(_._4)
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
@@ -253,8 +335,27 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] etl failed: ${e.getMessage}"); (0L, 0.0, 0.0) }
     val prevYardJson = prevYardstick.map(_.toString).getOrElse("null")
     val yardRatioJson = ((yardRatio * 1000).round / 1000.0).toString
+    // The in-run ambient index and its per-query application (r18
+    // verdict #1): the series itself, each query normalized by its
+    // NEAREST sample (query_s x yardstickRef / nearest_sample), and the
+    // locally-normalized total — so a cross-round carried-suite delta is
+    // explained by the artifact alone: compare queries_normalized maps,
+    // not raw seconds.
+    val seriesJson = ySamples
+      .map { case (i, v) => s"[$i,${(v * 1000).round / 1000.0}]" }
+      .mkString("[", ",", "]")
+    val seriesRatioJson =
+      seriesRatio.map(r => ((r * 1000).round / 1000.0).toString).getOrElse("null")
+    val qsNormSeq = resultsSeq.map { case (name, v) =>
+      val ly = localYard(nameIdx(name))
+      val nv = if (ly.isNaN || ly <= 0) v else v * yardstickRef / ly
+      name -> ((nv * 1000).round / 1000.0)
+    }
+    val qsNormJson = qsNormSeq.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val totalNormLocal = (qsNormSeq.map(_._2).sum * 10).round / 10.0
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$runs","yardstick_warm_s":$yardstickJson,"yardstick_ref_s":$yardstickRef,"prev_yardstick_warm_s":$prevYardJson,"yardstick_ratio_vs_prev":$yardRatioJson,"run_degraded":$runDegraded,"total_normalized":${normalizedJson(total)},"recheck":$recheckJson,"contaminated":$contaminatedJson,"queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$runs","yardstick_warm_s":$yardstickJson,"yardstick_ref_s":$yardstickRef,"prev_yardstick_warm_s":$prevYardJson,"yardstick_ratio_vs_prev":$yardRatioJson,"yardstick_series":$seriesJson,"yardstick_series_ratio_vs_prev":$seriesRatioJson,"run_degraded":$runDegraded,"total_normalized":${normalizedJson(total)},"total_normalized_local":$totalNormLocal,"queries_normalized":$qsNormJson,"recheck":$recheckJson,"contaminated":$contaminatedJson,"queries":$qs,"sf":"$sfDir",""" +
       s""""etl_baseline_comparable":{"blocks":10,"transactions":$txs,"secs":$etlSecs,"tx_per_s":$txPerS,""" +
       s""""reference_tx_per_s":"200-300 (README.md:366, 12000 txs in 20-25s)"}}"""
     println(fullLine)
@@ -281,7 +382,7 @@ object Bench {
     // Distinct metric name from the full line above: a consumer keying on
     // "total" must never pick this truncated tail record or double-count.
     println(s"""{"metric":"total_tail","value":$total,"unit":"sec","stat":"median_of_$runs","n_queries":${results.size},""" +
-      s""""yardstick_warm_s":$yardstickJson,"yardstick_ratio_vs_prev":$yardRatioJson,"run_degraded":$runDegraded,"total_normalized":${normalizedJson(total)},""" +
+      s""""yardstick_warm_s":$yardstickJson,"yardstick_ratio_vs_prev":$yardRatioJson,"yardstick_series":$seriesJson,"run_degraded":$runDegraded,"total_normalized":${normalizedJson(total)},"total_normalized_local":$totalNormLocal,""" +
       s""""contaminated":$contaminatedJson,""" +
       s""""slowest":$slowest,"sf":"$sfDir","etl_tx_per_s":$txPerS,"etl_secs":$etlSecs}""")
     spark.stop()

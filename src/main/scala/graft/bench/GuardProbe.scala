@@ -73,6 +73,44 @@ object GuardProbe {
       Unigram.readVocabArtifact(spark, bigDocs, s"$base/row10x", memo = false))
     sample("catalog_snapshot_10x")(
       Unigram.readVocabArtifactSnapshot(spark, big, s"$base/snap10x"))
+
+    // Second store family (r18 verdict #6): the IVF-PQ index over the
+    // EMBEDDINGS corpus — the row guard here scans (vec_id, embedding),
+    // a 64-float array per row vs the vocab guard's one text column, so
+    // the pair shows the row-guard cost scaling with corpus WIDTH while
+    // the snapshot guard stays a file-count listing either way. Train
+    // once (untimed; guard cost is independent of index content), store
+    // under both guard flavors, same timed guarded reads.
+    val embPath = s"$sfDir/embeddings.parquet"
+    val emb = graft.tables.Tables.embeddings(spark, sfDir)
+    val (cent, cb, idx) = graft.similarity.Similarity.ivfPqTrain(
+      emb, nCells = 16, m = 4, ksub = 16, trainIters = 1)
+    graft.similarity.Similarity.writeIvfPq(cent, cb, idx, emb, s"$base/ivf_row")
+    graft.similarity.Similarity.writeIvfPqSnapshot(
+      cent, cb, idx, embPath, s"$base/ivf_snap")
+    sample("ivfpq_row_fingerprint")(
+      graft.similarity.Similarity.readIvfPq(
+        spark, emb, s"$base/ivf_row", memo = false)._3)
+    sample("ivfpq_catalog_snapshot")(
+      graft.similarity.Similarity.readIvfPqSnapshot(
+        spark, embPath, s"$base/ivf_snap")._3)
+
+    val bigEmb = s"$base/emb10x.parquet"
+    (0 until 10)
+      .map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(bigEmb)
+    val bigEmbDf = spark.read.parquet(bigEmb)
+    graft.similarity.Similarity.writeIvfPq(
+      cent, cb, idx, bigEmbDf, s"$base/ivf_row10x")
+    graft.similarity.Similarity.writeIvfPqSnapshot(
+      cent, cb, idx, bigEmb, s"$base/ivf_snap10x")
+    sample("ivfpq_row_fp_10x")(
+      graft.similarity.Similarity.readIvfPq(
+        spark, bigEmbDf, s"$base/ivf_row10x", memo = false)._3)
+    sample("ivfpq_catalog_snap_10x")(
+      graft.similarity.Similarity.readIvfPqSnapshot(
+        spark, bigEmb, s"$base/ivf_snap10x")._3)
     spark.stop()
   }
 }

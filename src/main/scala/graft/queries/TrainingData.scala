@@ -1123,6 +1123,45 @@ object TrainingData {
           .orderBy("id_a", "id_b")),
 
     // ------------------------------------------------------------------
+    // D2B — the MinHash-LSH EXACT-COPY CATCH CONTRACT under a full
+    // DuckDB oracle (r18 — the t13b/e13b pattern applied to the
+    // hash-seeded dedup family): the candidate VALUES stay rows-only
+    // (d2), but the guarantee the screen ships with is deterministic —
+    // an EXACT copy has the identical shingle set, hence the identical
+    // MinHash signature, hence the identical band hash in EVERY band,
+    // so the planted pair is a candidate with estimated Jaccard exactly
+    // 1.0 regardless of seeds, k, or banding. The engine runs the real
+    // d1-fixture screen and asserts every planted pair (with >= 3
+    // tokens — shorter docs have no shingles and drop out by design)
+    // was caught at estimate 1.0; the oracle recomputes the planted
+    // count and the literals. A banding/signature regression that loses
+    // a guaranteed catch is a red hash row.
+    Q(
+      "d2b_minhash_exact_dup_catch",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(docsWithExactDups(s, dir))
+        val planted = Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 === 0 && col("text").isNotNull &&
+            size(TextFunctions.tokens(col("text"))) >= 3)
+          .select((-col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+        planted.join(pairs, Seq("id_a", "id_b"), "left")
+          .agg(
+            count(lit(1)).as("n_planted"),
+            count(col("est_jaccard")).as("n_caught"),
+            min(col("est_jaccard")).as("min_est_jaccard"))
+          .select(col("n_planted"), col("n_caught"), col("min_est_jaccard"),
+            (col("n_planted") === col("n_caught")).as("all_caught"))
+      },
+      Some("""WITH p AS (SELECT count(*) AS n FROM documents
+             |           WHERE doc_id % 10 = 0 AND text IS NOT NULL
+             |             AND len(string_split(text, ' ')) >= 3)
+             |SELECT CAST(n AS BIGINT) AS n_planted,
+             |       CAST(n AS BIGINT) AS n_caught,
+             |       CAST(1.0 AS DOUBLE) AS min_est_jaccard,
+             |       TRUE AS all_caught
+             |FROM p""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // D3 — SimHash near-dups: pigeonhole-blocked hamming join (guaranteed
     // recall within the budget; subset to every 10th doc to keep the
     // demo's candidate volume low — MinHash LSH is the primary scale path).
@@ -1135,6 +1174,42 @@ object TrainingData {
               .filter(col("doc_id") % 10 === 0)),
           maxHamming = 3)
           .orderBy("id_a", "id_b")),
+
+    // ------------------------------------------------------------------
+    // D3B — the SimHash EXACT-COPY CATCH CONTRACT (d2b's twin on the
+    // pigeonhole-blocked screen): identical token arrays produce the
+    // identical packed 64-bit SimHash, so a planted exact copy agrees
+    // with its source on EVERY pigeonhole block and survives the
+    // hamming filter at distance exactly 0 — the catch is guaranteed
+    // by construction, independent of the hash seeds. Engine asserts
+    // every planted pair (text non-null; SimHash has no min-token
+    // floor) is caught at hamming 0; oracle recomputes the planted
+    // count and the literals.
+    Q(
+      "d3b_simhash_exact_dup_catch",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select("doc_id", "text")
+          .filter(col("doc_id") % 10 === 0)
+        val docs = base.unionByName(
+          base.select((-col("doc_id") - 1).as("doc_id"), col("text")))
+        val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+        val planted = base.filter(col("text").isNotNull)
+          .select((-col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+        planted.join(pairs, Seq("id_a", "id_b"), "left")
+          .agg(
+            count(lit(1)).as("n_planted"),
+            count(col("hamming")).as("n_caught"),
+            max(col("hamming")).as("max_hamming"))
+          .select(col("n_planted"), col("n_caught"), col("max_hamming"),
+            (col("n_planted") === col("n_caught")).as("all_caught"))
+      },
+      Some("""WITH p AS (SELECT count(*) AS n FROM documents
+             |           WHERE doc_id % 10 = 0 AND text IS NOT NULL)
+             |SELECT CAST(n AS BIGINT) AS n_planted,
+             |       CAST(n AS BIGINT) AS n_caught,
+             |       CAST(0 AS BIGINT) AS max_hamming,
+             |       TRUE AS all_caught
+             |FROM p""".stripMargin)),
 
     // ------------------------------------------------------------------
     // D2g — MinHash hash-math golden: signatures (k=8, 3-shingles) and LSH
@@ -4051,6 +4126,20 @@ object TrainingData {
     // the measured "the LM screen is not redundant" read-off, and a
     // high heuristic-vs-heuristic Jaccard argues one of them is.
     // Counts are exact BIGINTs; Jaccard is one IEEE division.
+    //
+    // BENCH BIMODALITY, measured cause (r18 verdict #3): this face's
+    // warm time descends MONOTONICALLY 2.2 -> 0.6 s over ~12 same-JVM
+    // executions before plateauing at 0.58-0.91 s (BenchOne x20, sf0.1)
+    // — a long JIT/codegen-tiering ramp through the KN-training stages,
+    // not an AQE-coalescing or broadcast-timing cliff (no binary split;
+    // every reading sits ON the ramp). The bench measures each query at
+    // ~its 4th-5th execution (warmup pass + median-of-3), i.e. mid-ramp
+    // where the slope is steepest, and how much of the shared KN path is
+    // pre-warmed by NEIGHBORING faces depends on roster iteration order
+    // — so adding unrelated queries moves t52 between ~0.6 and ~1.4 s
+    // with zero code diff. Expected envelope for the recheck classifier:
+    // any reading in [0.6, 1.4] straddling reruns is the ramp, not
+    // contention or regression.
     Q(
       "t52_screen_agreement",
       (s, dir) => {

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Run-until-clean quiet bench (r18 verdict #2): re-run graft.Bench up to
+K times and keep the first CLEAN run — run_degraded false AND zero
+contaminated entries — as the committed quiet artifact, so the durable
+record is machine-picked at final HEAD instead of hand-adjudicated.
+
+Each attempt overwrites target/bench.json, which the NEXT attempt reads
+back as its prev chain (yardstick + per-query medians) — so a retry is
+adjudicated against the run it replaces, exactly the comparison the
+classifier needs. A run that is degraded only because the HOST is slower
+than the prior round's (yardstick ratio > 1.15 with empty contamination)
+still retries, because absolute totals from such a run are not
+comparable across rounds.
+
+Usage: python3 tools/quiet_bench.py OUT.json [max_attempts] [sf_dir]
+Exit 0 with the clean artifact copied to OUT.json; exit 1 if no attempt
+came back clean (the LAST run is still copied, loudly marked unclean, so
+the round never ends artifact-less).
+"""
+import json
+import pathlib
+import re
+import shutil
+import subprocess
+import sys
+
+
+def main() -> int:
+    out = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "BENCH_quiet.json")
+    max_attempts = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    bench_out = pathlib.Path("target/bench.json")
+
+    last = None
+    for attempt in range(1, max_attempts + 1):
+        print(f"[quiet_bench] attempt {attempt}/{max_attempts}", flush=True)
+        r = subprocess.run(
+            ["sbt", "-batch", "runMain graft.Bench"],
+            env={**__import__("os").environ,
+                 "SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "8"},
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        if r.returncode != 0 or not bench_out.exists():
+            print(f"[quiet_bench] attempt {attempt}: bench run failed "
+                  f"(rc={r.returncode})", flush=True)
+            continue
+        text = bench_out.read_text()
+        last = text
+        try:
+            artifact = json.loads(text)
+            degraded = bool(artifact.get("run_degraded", True))
+            contaminated = artifact.get("contaminated", ["unparsed"])
+        except json.JSONDecodeError:
+            # The artifact is one hand-built JSON line; fall back to the
+            # same regex reads the bench itself uses on its prev chain.
+            degraded = '"run_degraded":false' not in text
+            m = re.search(r'"contaminated":\[([^\]]*)\]', text)
+            contaminated = [x for x in (m.group(1).split(",") if m else ["?"])
+                            if x.strip()]
+        print(f"[quiet_bench] attempt {attempt}: run_degraded={degraded} "
+              f"contaminated={contaminated}", flush=True)
+        if not degraded and not contaminated:
+            shutil.copyfile(bench_out, out)
+            print(f"[quiet_bench] clean run on attempt {attempt} -> {out}",
+                  flush=True)
+            return 0
+    if last is not None:
+        shutil.copyfile(bench_out, out)
+        print(f"[quiet_bench] NO clean run in {max_attempts} attempts; "
+              f"copied the LAST (unclean) run to {out} - adjudicate by hand",
+              flush=True)
+    else:
+        print("[quiet_bench] every attempt failed to produce an artifact",
+              flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
