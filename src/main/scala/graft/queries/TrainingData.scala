@@ -2764,6 +2764,46 @@ object TrainingData {
           .orderBy("doc_id")),
 
     // ------------------------------------------------------------------
+    // T5B — the winnowing EXACT-COPY FINGERPRINT CONTRACT under a full
+    // DuckDB oracle (the d2b/d3b pattern applied to the last hash-seeded
+    // text-fingerprint family): the fingerprint VALUES stay rows-only
+    // (t5 — xxhash64 has no SQL mirror), but the guarantee winnowing
+    // ships with (Schleimer et al. 2003) is deterministic — the
+    // fingerprint set is a pure function of the token stream, so an
+    // EXACT copy selects the identical k-gram hashes through the
+    // identical windows and its fps array is equal ELEMENT-FOR-ELEMENT,
+    // regardless of the hash seed, k, or w. Engine plants a copy of
+    // every 10th doc, runs the real t5 chain over base ∪ copies, and
+    // null-safe-compares each copy's array to its source's; the oracle
+    // recomputes the planted count and the literal TRUE. A regression
+    // that makes winnowing depend on anything but the text (partition
+    // boundaries, row order, a nondeterministic seed) is a red hash row.
+    Q(
+      "t5b_winnowing_exact_dup_contract",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select("doc_id", "text")
+        val srcs = base.filter(col("doc_id") % 10 === 0 && col("text").isNotNull)
+        val docs = base.unionByName(
+          srcs.select((-col("doc_id") - 1).as("doc_id"), col("text")))
+        val fps = Dedup.winnowingFingerprints(docs)
+        srcs.select(col("doc_id").as("src_id"), (-col("doc_id") - 1).as("cpy_id"))
+          .join(fps.select(col("id").as("src_id"), col("fps").as("src_fps")), "src_id")
+          .join(fps.select(col("id").as("cpy_id"), col("fps").as("cpy_fps")), "cpy_id")
+          .agg(
+            count(lit(1)).as("n_planted"),
+            sum(when(col("src_fps") <=> col("cpy_fps"), 1L).otherwise(0L))
+              .as("n_identical"))
+          .select(col("n_planted"), col("n_identical"),
+            (col("n_planted") === col("n_identical")).as("all_identical"))
+      },
+      Some("""WITH p AS (SELECT count(*) AS n FROM documents
+             |           WHERE doc_id % 10 = 0 AND text IS NOT NULL)
+             |SELECT CAST(n AS BIGINT) AS n_planted,
+             |       CAST(n AS BIGINT) AS n_identical,
+             |       TRUE AS all_identical
+             |FROM p""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // T6 — BPE-ish token counts: the same ASCII subword regex evaluated by
     // Spark and DuckDB.
     Q(
@@ -3021,6 +3061,45 @@ object TrainingData {
           .orderBy("rank")
       },
       None),
+
+    // ------------------------------------------------------------------
+    // T19F — the learned-BPE LOSSLESSNESS CONTRACT under a full DuckDB
+    // oracle (the d2b/t13b pattern applied to the trained tokenizer):
+    // the learned RANKING stays rows-only (t19e — the batched greedy
+    // selection is data-dependent state), but the guarantee every BPE
+    // tokenizer ships with is deterministic — merges only CONCATENATE
+    // adjacent symbols, so stripping the segmentation boundaries from
+    // bpe_text must reproduce each document's whitespace-token
+    // concatenation exactly, for ANY learned table (Sennrich et al.
+    // 2016's invertibility property). Engine learns a fresh 16-merge
+    // table from the corpus (batched, M=8 — the t19e machinery at
+    // contract-sized depth), applies it through the word-local replay,
+    // and compares strip(bpe_text) to strip(tokens) per doc; the oracle
+    // recomputes the doc count and the literal TRUE. A learner that
+    // emits a corrupt merge (symbol not from the corpus, boundary
+    // spanning a word) or an apply that drops/duplicates a subword is a
+    // red hash row.
+    Q(
+      "t19f_bpe_lossless_contract",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = Bpe.learnMergesBatched(docs, nMerges = 16, batchM = 8)
+          .map { case (_, l, r, _) => (l, r) }
+        val flat = docs.select(col("doc_id"),
+          regexp_replace(coalesce(col("text"), lit("")), " ", "").as("flat"))
+        Bpe.applyBpe(docs, merges)
+          .join(flat, Seq("doc_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(regexp_replace(col("bpe_text"), " ", "") === col("flat"),
+              1L).otherwise(0L)).as("n_lossless"))
+          .select(col("n_docs"), col("n_lossless"),
+            (col("n_docs") === col("n_lossless")).as("all_lossless"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(count(*) AS BIGINT) AS n_lossless,
+             |       TRUE AS all_lossless
+             |FROM documents""".stripMargin)),
 
     // ------------------------------------------------------------------
     // T43 — unigram-LM tokenizer, LEARN (Kudo, ACL 2018 — the
@@ -5164,6 +5243,46 @@ object TrainingData {
       }),
 
     // ------------------------------------------------------------------
+    // E11B — the SemDeDup RESCALED-COPY CATCH CONTRACT under a full
+    // DuckDB oracle (the d2b pattern applied to the trained semantic
+    // screen): the cluster assignments stay rows-only (e11 — k-means
+    // state is data-dependent), but the catch is guaranteed by IEEE
+    // arithmetic — scaling a float vector by 2 is exact, and every
+    // product, partial sum, sqrt, and quotient in the cosine chain
+    // scales by powers of two that commute with rounding, so the copy's
+    // cosine to EVERY centroid is bit-identical to its source's (same
+    // argmax ⇒ same cluster, whatever k-means learned) and the
+    // within-cluster pair cosine is 1 up to final-division ulps — far
+    // above tau=0.8. The copy's id (+100000) is the larger side of its
+    // pair, so greedy min-id marking makes it a non-survivor with
+    // n_within_tau >= 1, guaranteed. Oracle recomputes the injection
+    // count and the literal TRUE; a clustering or marking regression
+    // that loses a guaranteed semantic duplicate is a red hash row.
+    Q(
+      "e11b_semdedup_dup_catch",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val injected = emb.unionByName(
+          emb.filter(col("vec_id") % 10 === 0).select(
+            (col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+            col("label")))
+        Similarity.semDedup(injected, nClusters = 16, trainIters = 2, tau = 0.8)
+          .filter(col("vec_id") >= 100000L)
+          .agg(
+            count(lit(1)).as("n_injected"),
+            sum(when(!col("is_survivor") && col("n_within_tau") >= 1, 1L)
+              .otherwise(0L)).as("n_caught"))
+          .select(col("n_injected"), col("n_caught"),
+            (col("n_injected") === col("n_caught")).as("all_caught"))
+      },
+      Some("""WITH p AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 10 = 0)
+             |SELECT CAST(n AS BIGINT) AS n_injected,
+             |       CAST(n AS BIGINT) AS n_caught,
+             |       TRUE AS all_caught
+             |FROM p""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // E11g — SemDeDup over the ANN fixture with EXPLICIT tie-free
     // centroids: assignments are argmax-exact, every within-cluster
     // cosine is an exact small rational (perfect-square norms), and the
@@ -5490,6 +5609,49 @@ object TrainingData {
           .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
           .orderBy("phash")
       }),
+
+    // ------------------------------------------------------------------
+    // M5B — the pHash EXACT-COPY COLLISION CONTRACT under a full DuckDB
+    // oracle (the d2b pattern applied to the image-dedup screen): the
+    // hash VALUES stay rows-only at sf scale (m5 — the stub's JVM hash
+    // is not SQL-expressible; m5_phash_golden pins the bits), but the
+    // guarantee the screen ships with is deterministic — identical
+    // media bytes stub-decode to identical features, and the aHash pack
+    // is a pure function of the features, so a planted byte-exact copy
+    // ALWAYS collides with its source (the "identical media always
+    // collide" clause of perceptualHash's contract). Engine plants a
+    // copy of every 10th doc's media, runs the real decode→hash chain
+    // over base ∪ copies through the mapPartitions batch path, and
+    // compares each copy's hash to its source's; the oracle recomputes
+    // the planted count and the literal TRUE. A decode or hash that
+    // picks up partition- or order-dependent state is a red hash row.
+    Q(
+      "m5b_phash_exact_dup_catch",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select("doc_id", "text")
+        val srcs = base.filter(col("doc_id") % 10 === 0 && col("text").isNotNull)
+        val docs = base.unionByName(
+          srcs.select((-col("doc_id") - 1).as("doc_id"), col("text")))
+        val ph = Multimodal.decodeImageStub(s, Multimodal.withMedia(docs)).toDF()
+          .select(col("doc_id"), Multimodal.perceptualHash(col("features")).as("phash"))
+        srcs.select(col("doc_id").as("src_id"), (-col("doc_id") - 1).as("cpy_id"))
+          .join(ph.select(col("doc_id").as("src_id"), col("phash").as("src_phash")),
+            "src_id")
+          .join(ph.select(col("doc_id").as("cpy_id"), col("phash").as("cpy_phash")),
+            "cpy_id")
+          .agg(
+            count(lit(1)).as("n_planted"),
+            sum(when(col("src_phash") <=> col("cpy_phash"), 1L).otherwise(0L))
+              .as("n_identical"))
+          .select(col("n_planted"), col("n_identical"),
+            (col("n_planted") === col("n_identical")).as("all_identical"))
+      },
+      Some("""WITH p AS (SELECT count(*) AS n FROM documents
+             |           WHERE doc_id % 10 = 0 AND text IS NOT NULL)
+             |SELECT CAST(n AS BIGINT) AS n_planted,
+             |       CAST(n AS BIGINT) AS n_identical,
+             |       TRUE AS all_identical
+             |FROM p""".stripMargin)),
 
     Q(
       "m5_phash_golden",

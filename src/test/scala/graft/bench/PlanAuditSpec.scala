@@ -44,8 +44,14 @@ class PlanAuditSpec extends SparkTestBase {
     // SemDeDup's assignment pass is the same broadcast-centroid argmax.
     "e11_semdedup",
     "e11_semdedup_golden",
+    // the catch-contract face runs the same semDedup assignment pass
+    // over base ∪ injected copies (broadcast-centroid argmax, C rows)
+    "e11b_semdedup_dup_catch",
     // recall eval runs the e1 brute-force baseline + e5/e8-shape probes
     "e13_ann_recall",
+    // the recall-contract face runs the same baseline + probe legs
+    // (broadcast 10-query set × corpus, broadcast C-row centroids)
+    "e13b_ann_recall_contract",
     "c4_decontaminate",
     "c4b_decontaminate_shuffle",
     "c4c_contaminated_spans",
