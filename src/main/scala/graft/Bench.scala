@@ -346,14 +346,23 @@ object Bench {
       .mkString("[", ",", "]")
     val seriesRatioJson =
       seriesRatio.map(r => ((r * 1000).round / 1000.0).toString).getOrElse("null")
+    // No yardstick (e.g. the yardstick face renamed/absent) ⇒ emit null
+    // and an empty map, NOT raw seconds masquerading as normalized ones
+    // (mirrors normalizedJson's degradation) — a cross-round consumer
+    // reading "queries_normalized" must never see unnormalized values.
+    val haveYard = ySamples.nonEmpty
     val qsNormSeq = resultsSeq.map { case (name, v) =>
       val ly = localYard(nameIdx(name))
       val nv = if (ly.isNaN || ly <= 0) v else v * yardstickRef / ly
       name -> ((nv * 1000).round / 1000.0)
     }
-    val qsNormJson = qsNormSeq.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val totalNormLocal = (qsNormSeq.map(_._2).sum * 10).round / 10.0
+    val qsNormJson =
+      if (!haveYard) "{}"
+      else qsNormSeq.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val totalNormLocal =
+      if (!haveYard) "null"
+      else ((qsNormSeq.map(_._2).sum * 10).round / 10.0).toString
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$runs","yardstick_warm_s":$yardstickJson,"yardstick_ref_s":$yardstickRef,"prev_yardstick_warm_s":$prevYardJson,"yardstick_ratio_vs_prev":$yardRatioJson,"yardstick_series":$seriesJson,"yardstick_series_ratio_vs_prev":$seriesRatioJson,"run_degraded":$runDegraded,"total_normalized":${normalizedJson(total)},"total_normalized_local":$totalNormLocal,"queries_normalized":$qsNormJson,"recheck":$recheckJson,"contaminated":$contaminatedJson,"queries":$qs,"sf":"$sfDir",""" +
       s""""etl_baseline_comparable":{"blocks":10,"transactions":$txs,"secs":$etlSecs,"tx_per_s":$txPerS,""" +

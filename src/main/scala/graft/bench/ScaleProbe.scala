@@ -602,8 +602,12 @@ object ScaleProbe {
           Curation.packSequences(sharded, "shard", "shuffle_key",
             "n_pieces", 64)
             .filter(col("n_pieces") > 0)
-            .agg((sum(size(col("token_ids"))) + max(col("end_seq"))
-              + max(col("start_tok"))).as("probe_sum"))
+            // coalesce: sum/max over ZERO rows are SQL NULL and
+            // getLong would NPE — an empty/all-filtered corpus should
+            // record 0, as the old .count() did, not abort the sweep.
+            .agg(coalesce(
+              sum(size(col("token_ids"))) + max(col("end_seq"))
+                + max(col("start_tok")), lit(0L)).as("probe_sum"))
             .head.getLong(0)
         }
       }

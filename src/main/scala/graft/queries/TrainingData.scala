@@ -85,8 +85,28 @@ object TrainingData {
     * cost, skipping training entirely. Both faces pinned by
     * AnnRecallEvalSpec.
     */
-  private[graft] def annRecallEval(
-      s: SparkSession, dir: String, trainedLegs: Boolean = true): DataFrame = {
+  /** Shared ANN-eval harness: the persisted corpus, the 10-query eval
+    * set, the 6-plane LSH geometry, the exact brute-force truth leg, and
+    * the per-leg decimal-grid recall aggregation — built ONCE here so the
+    * eval face (e13) and the contract face (e13b) measure the SAME
+    * configuration and cannot drift: a sizing retune (query count,
+    * planes, k) is automatically the configuration the contracts gate.
+    */
+  private final case class AnnEvalHarness(
+      emb: DataFrame, queries: DataFrame, dim: Int,
+      planes: Seq[Seq[Double]], exact: DataFrame) {
+    def leg(name: String, approx: DataFrame): DataFrame =
+      Similarity.recallAtK(approx, exact, k = 5)
+        .agg(
+          (sum(col("recall").cast("decimal(18,9)")) / count(lit(1)))
+            .cast("double").as("mean_recall"),
+          min(col("recall")).as("min_recall"),
+          count(lit(1)).as("n_queries"))
+        .select(lit(name).as("method"), col("mean_recall"),
+          col("min_recall"), col("n_queries"))
+  }
+
+  private def annEvalHarness(s: SparkSession, dir: String): AnnEvalHarness = {
     // The corpus feeds every leg plus training — persist once or the eval
     // re-reads the parquet ~15 times (r9 verdict #4: the eval's cost is
     // job-count overhead, not data volume).
@@ -103,15 +123,14 @@ object TrainingData {
     val planes = Similarity.randomPlanes(6, dim)
     val exact = graft.util.CacheScope.persist(
       Similarity.bruteForceTopK(queries, emb, k = 5))
-    def leg(name: String, approx: DataFrame): DataFrame =
-      Similarity.recallAtK(approx, exact, k = 5)
-        .agg(
-          (sum(col("recall").cast("decimal(18,9)")) / count(lit(1)))
-            .cast("double").as("mean_recall"),
-          min(col("recall")).as("min_recall"),
-          count(lit(1)).as("n_queries"))
-        .select(lit(name).as("method"), col("mean_recall"),
-          col("min_recall"), col("n_queries"))
+    AnnEvalHarness(emb, queries, dim, planes, exact)
+  }
+
+  private[graft] def annRecallEval(
+      s: SparkSession, dir: String, trainedLegs: Boolean = true): DataFrame = {
+    val h = annEvalHarness(s, dir)
+    import h.{emb, queries, dim, planes}
+    def leg(name: String, approx: DataFrame): DataFrame = h.leg(name, approx)
     // The six one-pass legs: LSH, multiprobe LSH, sample-centroid IVF,
     // plus the three exact-mirrorable compression indexes (SQ8, binary
     // Hamming+rerank, Matryoshka prefix+rerank) — each is a single scan
@@ -5253,22 +5272,31 @@ object TrainingData {
     // cosine to EVERY centroid is bit-identical to its source's (same
     // argmax ⇒ same cluster, whatever k-means learned) and the
     // within-cluster pair cosine is 1 up to final-division ulps — far
-    // above tau=0.8. The copy's id (+100000) is the larger side of its
-    // pair, so greedy min-id marking makes it a non-survivor with
+    // above tau=0.8. The copy's id (+max(vec_id)+1) is the larger side
+    // of its pair, so greedy min-id marking makes it a non-survivor with
     // n_within_tau >= 1, guaranteed. Oracle recomputes the injection
     // count and the literal TRUE; a clustering or marking regression
     // that loses a guaranteed semantic duplicate is a red hash row.
+    //
+    // The injection offset is max(vec_id)+1, NOT a fixed constant
+    // (r19): e11's +100000 convention is collision-free only while
+    // the corpus stays under 100k vectors — at a larger sf a fixed
+    // offset would collide injected ids with real ones and both
+    // corrupt the pair marking and sweep real vectors into the
+    // injected-side filter. One 1-row bounded collect, like the
+    // rbpEval grid pick.
     Q(
       "e11b_semdedup_dup_catch",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
+        val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
         val injected = emb.unionByName(
           emb.filter(col("vec_id") % 10 === 0).select(
-            (col("vec_id") + 100000L).as("vec_id"),
+            (col("vec_id") + off).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
             col("label")))
         Similarity.semDedup(injected, nClusters = 16, trainIters = 2, tau = 0.8)
-          .filter(col("vec_id") >= 100000L)
+          .filter(col("vec_id") >= off)
           .agg(
             count(lit(1)).as("n_injected"),
             sum(when(!col("is_survivor") && col("n_within_tau") >= 1, 1L)
@@ -6160,6 +6188,15 @@ object TrainingData {
     //   sq8_recall_ge_0.80 — the near-exact quantizer's declared floor
     //     (measured 0.94 / 0.98 at the two gate scales; 8-bit uniform
     //     quantization rarely flips top-5 membership).
+    // Contract strength, stated honestly (r19): the first two are
+    // THEOREMS (exhaustive probing IS brute force; a superset candidate
+    // set cannot lose recall) — true on any corpus. The two SQ8 rows
+    // are measured invariants of the COMMITTED corpora + fixed seeds
+    // (SQ8's quantization error vs LSH's bucket miss rate is an
+    // empirical gap, wide here: 0.94+ vs ~0.5), the same determinism
+    // basis every hash-math VALUES golden in this file already rests
+    // on — regenerated testdata would require re-pinning them exactly
+    // as it would the goldens.
     // The engine computes each leg's recall against its own brute-force
     // truth and emits the booleans; the oracle recomputes the query
     // count and the literal TRUE — an index regression below a declared
@@ -6167,38 +6204,32 @@ object TrainingData {
     Q(
       "e13b_ann_recall_contract",
       (s, dir) => {
-        val emb = graft.util.CacheScope.persist(Tables.embeddings(s, dir))
-        val queries = emb.filter(col("vec_id") < 10)
-        val dim = emb.select(size(col("embedding"))).head.getInt(0)
-        val planes = Similarity.randomPlanes(6, dim)
-        val exact = graft.util.CacheScope.persist(
-          Similarity.bruteForceTopK(queries, emb, k = 5))
-        // Per-leg mean recall on the exact decimal grid (e13's pattern:
-        // partition-order-invariant, so the booleans below can't flake).
-        def leg(name: String, approx: DataFrame): DataFrame =
-          Similarity.recallAtK(approx, exact, k = 5)
-            .agg(
-              (sum(col("recall").cast("decimal(18,9)")) / count(lit(1)))
-                .cast("double").as("r"),
-              count(lit(1)).as("nq"))
-            .select(lit(name).as("m"), col("r"), col("nq"))
+        // The SAME harness e13 measures with (annEvalHarness — persisted
+        // corpus, 10-query set, 6-plane geometry, brute-force truth,
+        // decimal-grid per-leg mean: partition-order-invariant, so the
+        // booleans below can't flake). Duplicating the setup here (r18's
+        // first cut) would let an eval sizing retune silently leave the
+        // contracts gating a DIFFERENT index configuration than the e13
+        // face they guarantee. Only the four contract legs run — the
+        // three legs the contracts don't reference stay e13's cost.
+        val h = annEvalHarness(s, dir)
         val legs = Seq(
-          leg("lsh", Similarity.lshTopK(queries, emb, planes, k = 5)),
-          leg("multiprobe",
-            Similarity.lshTopKMultiProbe(queries, emb, planes, k = 5)),
-          leg("sq8", Similarity.sq8TopK(queries, emb, k = 5)),
+          h.leg("lsh", Similarity.lshTopK(h.queries, h.emb, h.planes, k = 5)),
+          h.leg("multiprobe",
+            Similarity.lshTopKMultiProbe(h.queries, h.emb, h.planes, k = 5)),
+          h.leg("sq8", Similarity.sq8TopK(h.queries, h.emb, k = 5)),
           // nProbe = nCentroids: every cell probed — brute force with
           // an extra routing hop, the 1.0-recall degenerate case.
-          leg("ivf_exhaustive", Similarity.ivfTopK(queries, emb,
+          h.leg("ivf_exhaustive", Similarity.ivfTopK(h.queries, h.emb,
             nCentroids = 16, nProbe = 16, k = 5)))
           .reduce(_ unionByName _)
         // One-row wide pivot (4 rows in), then the contract booleans.
         legs.agg(
-          min(col("nq")).as("n_queries"),
-          max(when(col("m") === "lsh", col("r"))).as("r_lsh"),
-          max(when(col("m") === "multiprobe", col("r"))).as("r_mp"),
-          max(when(col("m") === "sq8", col("r"))).as("r_sq8"),
-          max(when(col("m") === "ivf_exhaustive", col("r"))).as("r_ivf"))
+          min(col("n_queries")).as("n_queries"),
+          max(when(col("method") === "lsh", col("mean_recall"))).as("r_lsh"),
+          max(when(col("method") === "multiprobe", col("mean_recall"))).as("r_mp"),
+          max(when(col("method") === "sq8", col("mean_recall"))).as("r_sq8"),
+          max(when(col("method") === "ivf_exhaustive", col("mean_recall"))).as("r_ivf"))
           .select(col("n_queries"), explode(array(
             struct(lit("ivf_exhaustive_recall_is_1").as("contract"),
               (col("r_ivf") >= 1.0).as("holds")),

@@ -110,8 +110,24 @@ object Fingerprint {
       // unchanged (false-stale: safe, but exactly the interrupted-write
       // case this exclusion exists for). FingerprintSpec plants
       // `_temporary/part-0.parquet` and pins the fingerprint unchanged.
-      val hidden = rel.split('/').exists(seg =>
-        seg.startsWith("_") || seg.startsWith("."))
+      //
+      // The `=` exemption mirrors HadoopFSUtils.shouldFilterOutPathName
+      // (r19): an `_`-prefixed segment CONTAINING `=` is a partition
+      // directory (`df.write.partitionBy("_bucket")` ⇒ `_bucket=3/`)
+      // and Spark DOES read under it — excluding those here would count
+      // such a corpus as zero files and freeze its fingerprint at
+      // (0, 0), a false-FRESH (the unsafe direction: a rewritten corpus
+      // would keep serving the stale artifact). `._COPYING_` suffixes
+      // (HDFS in-flight copies) are transient and excluded like Spark
+      // does. Deliberate divergence: legacy `_metadata` /
+      // `_common_metadata` parquet summary files stay EXCLUDED here —
+      // Spark lists them for legacy readers but never reads them as
+      // data rows, and the guard fingerprints the data-file set.
+      val segs = rel.split('/')
+      val hidden = segs.exists(seg =>
+        (seg.startsWith("_") && !seg.contains("=")) ||
+          seg.startsWith(".")) ||
+        segs.lastOption.exists(_.endsWith("._COPYING_"))
       if (f.isFile && !hidden) {
         sum += hashFileEntry(rel, f.getLen, f.getModificationTime)
         n += 1

@@ -135,6 +135,24 @@ class FingerprintSpec extends SparkTestBase {
       "hidden-directory subtree must not move the snapshot fingerprint")
     Fingerprint.requireSnapshotMatch(spark, fpPath, dir, "spec")
 
+    // ... but an `_`-prefixed PARTITION directory (`=` in the segment,
+    // e.g. `partitionBy("_bucket")` output) IS read by Spark
+    // (HadoopFSUtils exempts `_*=*` names), so files under it MUST
+    // count — excluding them would freeze a partitioned corpus's
+    // fingerprint and serve stale artifacts forever (false-FRESH, the
+    // unsafe direction).
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_bucket=3"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_bucket=3", "part-0.parquet"),
+      "partition data".getBytes)
+    assert(Fingerprint.ofSnapshot(spark, dir) != a,
+      "partition-dir (`_name=value/`) files must move the fingerprint")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "_bucket=3", "part-0.parquet"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_bucket=3"))
+    assert(Fingerprint.ofSnapshot(spark, dir) == a)
+
     // rewriting the corpus (even with identical rows) changes the
     // listing -> loud, with the standard re-train guidance
     corpus.repartition(2).write.mode("overwrite").parquet(dir)
