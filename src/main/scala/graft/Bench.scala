@@ -9,6 +9,81 @@ import org.apache.spark.sql.SparkSession
   * query that never hashes anything benches meaninglessly fast).
   */
 object Bench {
+  /** Cross-round growth test (r16 verdict #4 thresholds): >2x for entries
+    * >= 1 s; >3x above a 0.25 s floor below that, where sub-second entries
+    * double-to-triple on scheduler jitter alone. Object-level so
+    * BenchAdjudicationSpec pins it alongside [[classifyRow]].
+    */
+  private[graft] def grew(recorded: Double, base: Double): Boolean =
+    if (recorded >= 1.0) recorded > 2.0 * base
+    else recorded >= 0.25 && recorded > 3.0 * base
+
+  /** Per-row recheck classification (r17 verdict #1), in priority order —
+    * contaminated / regression / ambient_unreproduced / ambient / ok; see
+    * the call site for the full rationale of each class. Pure function of
+    * the row's numbers so the spec can pin every branch.
+    */
+  private[graft] def classifyRow(
+      recorded: Double,
+      rerun: Option[Double],
+      contaminated: Boolean,
+      prev: Option[Double],
+      localRatio: Double): String =
+    if (contaminated) "contaminated"
+    else prev.map(_ * localRatio) match {
+      case Some(adj) if grew(recorded, adj) =>
+        if (rerun.exists(v => grew(v, adj) && v <= 2.0 * recorded)) "regression"
+        else "ambient_unreproduced"
+      case _ if prev.exists(p => grew(recorded, p)) => "ambient"
+      case _ => "ok"
+    }
+
+  /** Prev-chain value for a rechecked row (r19 verdict #3): a slow-window
+    * median whose clean end-of-run rerun the classifier adjudicated
+    * `ok`/`ambient` must NOT become next round's baseline (r19's t44
+    * entered the chain at 4.25 s though its rerun measured 2.50 s — r20
+    * would have compared against the inflated figure). For those two
+    * classes, min(recorded, rerun) is persisted into the
+    * `queries_adjudicated` map the next round's parser prefers; every
+    * other class (contaminated rows never reach a committed quiet
+    * artifact; regression/ambient_unreproduced keep their loud recorded
+    * number) passes through unchanged.
+    */
+  private[graft] def adjudicated(
+      recorded: Double, rerun: Option[Double], cls: String): Double =
+    if (cls == "ok" || cls == "ambient")
+      rerun.fold(recorded)(math.min(recorded, _))
+    else recorded
+
+  /** HEAD commit of the repo the bench ran from, resolved by plain file
+    * reads (`.git/HEAD` → loose ref → packed-refs) — no process exec, and
+    * any failure degrades to None. Stamped into the artifact (r19 verdict
+    * #2 / "what's wrong" #1) so a cross-round reader can tell a code
+    * change from a host change.
+    */
+  private[graft] def headSha(gitDir: java.nio.file.Path =
+      java.nio.file.Paths.get(".git")): Option[String] =
+    try {
+      import java.nio.file.Files
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val head = new String(Files.readAllBytes(gitDir.resolve("HEAD")), utf8).trim
+      if (!head.startsWith("ref: ")) Some(head.take(40))
+      else {
+        val ref = head.stripPrefix("ref: ").trim
+        val loose = gitDir.resolve(ref)
+        if (Files.exists(loose))
+          Some(new String(Files.readAllBytes(loose), utf8).trim.take(40))
+        else {
+          val packed = gitDir.resolve("packed-refs")
+          if (!Files.exists(packed)) None
+          else new String(Files.readAllBytes(packed), utf8)
+            .linesIterator
+            .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+            .map(_.split(" ").head.take(40))
+        }
+      }
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.fromEnv("graft-bench")
@@ -35,9 +110,14 @@ object Bench {
             java.nio.charset.StandardCharsets.UTF_8))
         else None
       } catch { case _: Throwable => None }
-    val prevQueries: Map[String, Double] =
+    // Prev medians: `queries_adjudicated` preferred over raw `queries`
+    // (r19 verdict #3) — the adjudicated map replaces slow-window medians
+    // whose clean rerun the classifier accepted, so cross-round ratios
+    // compare against the number the recheck itself vouched for. Pre-r20
+    // artifacts carry only `queries`; the fallback keeps them readable.
+    def parseQueryMap(field: String): Option[Map[String, Double]] =
       prevArtifact.flatMap { s =>
-        """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s)
+        ("\"" + field + """":\{([^}]*)\}""").r.findFirstMatchIn(s)
           .map(_.group(1).split(",").toSeq.flatMap { kv =>
             kv.split(":") match {
               case Array(k, v) =>
@@ -46,7 +126,11 @@ object Bench {
               case _ => None
             }
           }.toMap)
-      }.getOrElse(Map.empty)
+      }.filter(_.nonEmpty)
+    val prevQueries: Map[String, Double] =
+      parseQueryMap("queries_adjudicated")
+        .orElse(parseQueryMap("queries"))
+        .getOrElse(Map.empty)
     // Previous run's machine-speed yardstick, parsed back from the same
     // artifact the prev medians come from (r17 verdict #1): cross-round
     // ratios are only meaningful relative to how fast each MACHINE ran,
@@ -241,9 +325,6 @@ object Bench {
         Some(med(ySamples.map(_._2).toSeq) / med(prevSeries.map(_._2)))
       else None
     val runDegraded = yardRatio > 1.15 || seriesRatio.exists(_ > 1.15)
-    def grew(recorded: Double, base: Double): Boolean =
-      if (recorded >= 1.0) recorded > 2.0 * base
-      else recorded >= 0.25 && recorded > 3.0 * base
     val adjudicateN = 10
     val slowestNames = results.toSeq.sortBy(-_._2).take(adjudicateN).map(_._1)
     val grownNames = results.toSeq.collect {
@@ -279,43 +360,35 @@ object Bench {
           if (ok) Some(dt) else None
         }.flatten
         val rerun = if (attempts.nonEmpty) Some(attempts.min) else None
-        (name, recorded, rerun, rerun.exists(recorded > 2.0 * _),
-          prevQueries.get(name))
+        val contaminated = rerun.exists(recorded > 2.0 * _)
+        val prev = prevQueries.get(name)
+        // Per-row classification (r17 verdict #1) — the artifact's own
+        // verdict on every rechecked entry, in priority order:
+        //   contaminated — recorded > 2x its end-of-run rerun: in-run
+        //     contention on the measured pass; the rerun is the number.
+        //   regression — growth over yardstick-ADJUSTED prev that a CLEAN
+        //     rerun reproduces: real, and machine speed does not excuse
+        //     it. A rerun that itself reads > 2x the recorded median is
+        //     not clean — end-of-run contention can inflate reruns just
+        //     like measured passes (observed live in r18: a host spike
+        //     put a 0.6 s query's rerun at 4.0 s, "confirming" growth
+        //     that four same-code runs showed was oscillation) — so an
+        //     elevated rerun demotes to ambient_unreproduced instead of
+        //     confirming.
+        //   ambient_unreproduced — adjusted growth the rerun does NOT
+        //     cleanly reproduce: mixed evidence, treat as noise unless it
+        //     recurs next round.
+        //   ambient — raw growth fully explained by the yardstick ratio
+        //     (the r17 t51/e13/d18b/g2/t24b case).
+        //   ok — in the roster by rank only, no cross-round growth.
+        // Adjustment uses the query's LOCAL ratio (nearest yardstick
+        // sample on both sides), not the run-level scalar.
+        val cls = classifyRow(recorded, rerun, contaminated, prev, localRatio(name))
+        (name, recorded, rerun, contaminated, prev, cls)
       }
-    val recheckJson = recheck.map { case (n, rec, rr, c, prev) =>
+    val recheckJson = recheck.map { case (n, rec, rr, c, prev, cls) =>
       val rrJson = rr.map(_.toString).getOrElse("null")
-      // Adjusted by the query's LOCAL ratio (nearest yardstick sample on
-      // both sides), not the run-level scalar — see localRatio above.
       val lr = localRatio(n)
-      val prevAdj = prev.map(_ * lr)
-      // Per-row classification (r17 verdict #1) — the artifact's own
-      // verdict on every rechecked entry, in priority order:
-      //   contaminated — recorded > 2x its end-of-run rerun: in-run
-      //     contention on the measured pass; the rerun is the number.
-      //   regression — growth over yardstick-ADJUSTED prev that a CLEAN
-      //     rerun reproduces: real, and machine speed does not excuse
-      //     it. A rerun that itself reads > 2x the recorded median is
-      //     not clean — end-of-run contention can inflate reruns just
-      //     like measured passes (observed live in r18: a host spike
-      //     put a 0.6 s query's rerun at 4.0 s, "confirming" growth
-      //     that four same-code runs showed was oscillation) — so an
-      //     elevated rerun demotes to ambient_unreproduced instead of
-      //     confirming.
-      //   ambient_unreproduced — adjusted growth the rerun does NOT
-      //     cleanly reproduce: mixed evidence, treat as noise unless it
-      //     recurs next round.
-      //   ambient — raw growth fully explained by the yardstick ratio
-      //     (the r17 t51/e13/d18b/g2/t24b case).
-      //   ok — in the roster by rank only, no cross-round growth.
-      val cls =
-        if (c) "contaminated"
-        else prevAdj match {
-          case Some(adj) if grew(rec, adj) =>
-            if (rr.exists(v => grew(v, adj) && v <= 2.0 * rec)) "regression"
-            else "ambient_unreproduced"
-          case _ if prev.exists(p => grew(rec, p)) => "ambient"
-          case _ => "ok"
-        }
       val lyJson = {
         val ly = localYard(nameIdx.getOrElse(n, 0))
         if (ly.isNaN) "null" else ((ly * 1000).round / 1000.0).toString
@@ -363,8 +436,35 @@ object Bench {
     val totalNormLocal =
       if (!haveYard) "null"
       else ((qsNormSeq.map(_._2).sum * 10).round / 10.0).toString
+    // The single-early-yardstick scalar is DEPRECATED whenever the in-run
+    // series exists (r19 verdict #2): in r19 it read +16% while the
+    // series-local total read −3% — the early sample happened to be the
+    // run's fastest moment — so a consumer keying on the old field name
+    // would conclude a regression the series refutes. The value is still
+    // emitted (under the _scalar_deprecated name) for archaeology; only a
+    // series-less run (yardstick face renamed/absent) keeps the old name,
+    // because then the scalar is all there is.
+    val totalNormField =
+      if (haveYard) "total_normalized_scalar_deprecated" else "total_normalized"
+    // Run config + code identity (r19 verdict #2): r19's quiet artifact
+    // ran at 8 cpus while the driver's ran at 32, and neither said so —
+    // a cross-round reader could not tell a config change from a host
+    // change. Both JSON lines now carry the cpu count the session was
+    // built with and the git HEAD the code was benched at.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val headJson = headSha().map("\"" + _ + "\"").getOrElse("null")
+    // The prev chain the NEXT round compares against (r19 verdict #3):
+    // recheck rows classed ok/ambient with a clean rerun enter at
+    // min(recorded, rerun) — see [[adjudicated]]; all other entries keep
+    // their recorded median.
+    val adjOverrides = recheck.map { case (n, rec, rr, _, _, cls) =>
+      n -> adjudicated(rec, rr, cls)
+    }.toMap
+    val qsAdjJson = resultsSeq.map { case (k, v) =>
+      s"\"" + k + "\":" + adjOverrides.getOrElse(k, v)
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$runs","yardstick_warm_s":$yardstickJson,"yardstick_ref_s":$yardstickRef,"prev_yardstick_warm_s":$prevYardJson,"yardstick_ratio_vs_prev":$yardRatioJson,"yardstick_series":$seriesJson,"yardstick_series_ratio_vs_prev":$seriesRatioJson,"run_degraded":$runDegraded,"total_normalized":${normalizedJson(total)},"total_normalized_local":$totalNormLocal,"queries_normalized":$qsNormJson,"recheck":$recheckJson,"contaminated":$contaminatedJson,"queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$runs","cpus":$cpus,"head_sha":$headJson,"yardstick_warm_s":$yardstickJson,"yardstick_ref_s":$yardstickRef,"prev_yardstick_warm_s":$prevYardJson,"yardstick_ratio_vs_prev":$yardRatioJson,"yardstick_series":$seriesJson,"yardstick_series_ratio_vs_prev":$seriesRatioJson,"run_degraded":$runDegraded,"$totalNormField":${normalizedJson(total)},"total_normalized_local":$totalNormLocal,"queries_normalized":$qsNormJson,"recheck":$recheckJson,"contaminated":$contaminatedJson,"queries":$qs,"queries_adjudicated":$qsAdjJson,"sf":"$sfDir",""" +
       s""""etl_baseline_comparable":{"blocks":10,"transactions":$txs,"secs":$etlSecs,"tx_per_s":$txPerS,""" +
       s""""reference_tx_per_s":"200-300 (README.md:366, 12000 txs in 20-25s)"}}"""
     println(fullLine)
@@ -390,8 +490,8 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Distinct metric name from the full line above: a consumer keying on
     // "total" must never pick this truncated tail record or double-count.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","stat":"median_of_$runs","n_queries":${results.size},""" +
-      s""""yardstick_warm_s":$yardstickJson,"yardstick_ratio_vs_prev":$yardRatioJson,"yardstick_series":$seriesJson,"run_degraded":$runDegraded,"total_normalized":${normalizedJson(total)},"total_normalized_local":$totalNormLocal,""" +
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","stat":"median_of_$runs","n_queries":${results.size},"cpus":$cpus,"head_sha":$headJson,""" +
+      s""""yardstick_warm_s":$yardstickJson,"yardstick_ratio_vs_prev":$yardRatioJson,"yardstick_series":$seriesJson,"run_degraded":$runDegraded,"$totalNormField":${normalizedJson(total)},"total_normalized_local":$totalNormLocal,""" +
       s""""contaminated":$contaminatedJson,""" +
       s""""slowest":$slowest,"sf":"$sfDir","etl_tx_per_s":$txPerS,"etl_secs":$etlSecs}""")
     spark.stop()

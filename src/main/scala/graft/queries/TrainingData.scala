@@ -2800,12 +2800,23 @@ object TrainingData {
     Q(
       "t5b_winnowing_exact_dup_contract",
       (s, dir) => {
+        // Copy-id scheme (r19 ADVICE #4): srcs restricted to doc_id >= 0
+        // (Scala/DuckDB `%` keep sign, so negative multiples of 10 would
+        // otherwise be selected too) and copy ids derived as
+        // doc_id + max(doc_id)+1 — strictly above every real id, so a
+        // corpus containing negative ids can neither feed the plant nor
+        // collide a copy id with a real doc (the old -doc_id-1 scheme
+        // assumed non-negative unique ids silently). One 1-row bounded
+        // collect, the e11b pattern.
         val base = Tables.documents(s, dir).select("doc_id", "text")
-        val srcs = base.filter(col("doc_id") % 10 === 0 && col("text").isNotNull)
+        val off = base.agg(coalesce(max(col("doc_id")), lit(0L)).cast("long"))
+          .head.getLong(0) + 1L
+        val srcs = base.filter(
+          col("doc_id") % 10 === 0 && col("doc_id") >= 0 && col("text").isNotNull)
         val docs = base.unionByName(
-          srcs.select((-col("doc_id") - 1).as("doc_id"), col("text")))
+          srcs.select((col("doc_id") + off).as("doc_id"), col("text")))
         val fps = Dedup.winnowingFingerprints(docs)
-        srcs.select(col("doc_id").as("src_id"), (-col("doc_id") - 1).as("cpy_id"))
+        srcs.select(col("doc_id").as("src_id"), (col("doc_id") + off).as("cpy_id"))
           .join(fps.select(col("id").as("src_id"), col("fps").as("src_fps")), "src_id")
           .join(fps.select(col("id").as("cpy_id"), col("fps").as("cpy_fps")), "cpy_id")
           .agg(
@@ -2816,7 +2827,7 @@ object TrainingData {
             (col("n_planted") === col("n_identical")).as("all_identical"))
       },
       Some("""WITH p AS (SELECT count(*) AS n FROM documents
-             |           WHERE doc_id % 10 = 0 AND text IS NOT NULL)
+             |           WHERE doc_id % 10 = 0 AND doc_id >= 0 AND text IS NOT NULL)
              |SELECT CAST(n AS BIGINT) AS n_planted,
              |       CAST(n AS BIGINT) AS n_identical,
              |       TRUE AS all_identical
@@ -5285,13 +5296,29 @@ object TrainingData {
     // corrupt the pair marking and sweep real vectors into the
     // injected-side filter. One 1-row bounded collect, like the
     // rbpEval grid pick.
+    //
+    // Source domain (r19 ADVICE #5 + #4): zero vectors are EXCLUDED
+    // from the injected sources — cosine for a zero-norm vector is
+    // null/NaN, the pair filter drops it, and its copy could never be
+    // "caught", so the guarantee only ever held for non-zero sources
+    // (committed corpora have none; a regenerated corpus with one
+    // would otherwise red-gate a correct engine). `exists(x != 0)` is
+    // exact and engine-mirrorable; the residual (every nonzero
+    // component so tiny its square underflows the float norm to 0,
+    // |x| < ~2^-75) is far outside any real embedding domain. Sources
+    // are also restricted to vec_id >= 0 so the `%` sign convention
+    // and the `>= off` injected-side filter hold on any id domain,
+    // matching the t5b/m5b scheme.
     Q(
       "e11b_semdedup_dup_catch",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+        val off = emb.agg(coalesce(max(col("vec_id")), lit(0L)).cast("long"))
+          .head.getLong(0) + 1L
         val injected = emb.unionByName(
-          emb.filter(col("vec_id") % 10 === 0).select(
+          emb.filter(
+            col("vec_id") % 10 === 0 && col("vec_id") >= 0 &&
+              exists(col("embedding"), x => x =!= lit(0.0f))).select(
             (col("vec_id") + off).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
             col("label")))
@@ -5304,7 +5331,9 @@ object TrainingData {
           .select(col("n_injected"), col("n_caught"),
             (col("n_injected") === col("n_caught")).as("all_caught"))
       },
-      Some("""WITH p AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 10 = 0)
+      Some("""WITH p AS (SELECT count(*) AS n FROM embeddings
+             |           WHERE vec_id % 10 = 0 AND vec_id >= 0
+             |             AND len(list_filter(embedding, x -> x <> 0)) > 0)
              |SELECT CAST(n AS BIGINT) AS n_injected,
              |       CAST(n AS BIGINT) AS n_caught,
              |       TRUE AS all_caught
@@ -5656,13 +5685,24 @@ object TrainingData {
     Q(
       "m5b_phash_exact_dup_catch",
       (s, dir) => {
+        // The base leg is filtered to text.isNotNull BEFORE the decode
+        // (r19 ADVICE #3): a null-text doc yields null media, and
+        // decodeImageStub's mapPartitions dereferences r.media — the
+        // un-filtered base would NPE the whole face on a corpus with
+        // nullable text (a crash, not a red hash row). The contract
+        // joins only touch src/cpy ids, all non-null-text, so the
+        // result is unchanged. Copy-id scheme: doc_id >= 0 plus a
+        // max(doc_id)+1 offset, same rationale as t5b (r19 ADVICE #4).
         val base = Tables.documents(s, dir).select("doc_id", "text")
-        val srcs = base.filter(col("doc_id") % 10 === 0 && col("text").isNotNull)
+          .filter(col("text").isNotNull)
+        val off = base.agg(coalesce(max(col("doc_id")), lit(0L)).cast("long"))
+          .head.getLong(0) + 1L
+        val srcs = base.filter(col("doc_id") % 10 === 0 && col("doc_id") >= 0)
         val docs = base.unionByName(
-          srcs.select((-col("doc_id") - 1).as("doc_id"), col("text")))
+          srcs.select((col("doc_id") + off).as("doc_id"), col("text")))
         val ph = Multimodal.decodeImageStub(s, Multimodal.withMedia(docs)).toDF()
           .select(col("doc_id"), Multimodal.perceptualHash(col("features")).as("phash"))
-        srcs.select(col("doc_id").as("src_id"), (-col("doc_id") - 1).as("cpy_id"))
+        srcs.select(col("doc_id").as("src_id"), (col("doc_id") + off).as("cpy_id"))
           .join(ph.select(col("doc_id").as("src_id"), col("phash").as("src_phash")),
             "src_id")
           .join(ph.select(col("doc_id").as("cpy_id"), col("phash").as("cpy_phash")),
@@ -5675,7 +5715,7 @@ object TrainingData {
             (col("n_planted") === col("n_identical")).as("all_identical"))
       },
       Some("""WITH p AS (SELECT count(*) AS n FROM documents
-             |           WHERE doc_id % 10 = 0 AND text IS NOT NULL)
+             |           WHERE doc_id % 10 = 0 AND doc_id >= 0 AND text IS NOT NULL)
              |SELECT CAST(n AS BIGINT) AS n_planted,
              |       CAST(n AS BIGINT) AS n_identical,
              |       TRUE AS all_identical

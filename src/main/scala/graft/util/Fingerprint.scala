@@ -123,11 +123,15 @@ object Fingerprint {
       // `_common_metadata` parquet summary files stay EXCLUDED here —
       // Spark lists them for legacy readers but never reads them as
       // data rows, and the guard fingerprints the data-file set.
+      // `._COPYING_` tested per SEGMENT, not just the basename (r19
+      // ADVICE #2): HadoopFSUtils.shouldFilterOutPathName filters every
+      // path component during recursive listing, so a file under a
+      // directory named `*._COPYING_` is invisible to Spark too.
       val segs = rel.split('/')
       val hidden = segs.exists(seg =>
         (seg.startsWith("_") && !seg.contains("=")) ||
-          seg.startsWith(".")) ||
-        segs.lastOption.exists(_.endsWith("._COPYING_"))
+          seg.startsWith(".") ||
+          seg.endsWith("._COPYING_"))
       if (f.isFile && !hidden) {
         sum += hashFileEntry(rel, f.getLen, f.getModificationTime)
         n += 1

@@ -153,6 +153,23 @@ class FingerprintSpec extends SparkTestBase {
     java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_bucket=3"))
     assert(Fingerprint.ofSnapshot(spark, dir) == a)
 
+    // `._COPYING_` (HDFS in-flight copy) is excluded on EVERY path
+    // segment, not just the basename (r19 ADVICE #2):
+    // HadoopFSUtils.shouldFilterOutPathName filters each component, so a
+    // normally-named file under a `*._COPYING_` DIRECTORY is invisible
+    // to Spark and must not move the fingerprint either.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-9.parquet._COPYING_"),
+      "in-flight".getBytes)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "staging._COPYING_"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "staging._COPYING_", "part-0.parquet"),
+      "in-flight tree".getBytes)
+    assert(Fingerprint.ofSnapshot(spark, dir) == a,
+      "._COPYING_ files and subtrees must not move the snapshot fingerprint")
+    Fingerprint.requireSnapshotMatch(spark, fpPath, dir, "spec")
+
     // rewriting the corpus (even with identical rows) changes the
     // listing -> loud, with the standard re-train guidance
     corpus.repartition(2).write.mode("overwrite").parquet(dir)

@@ -17,7 +17,14 @@ round's (yardstick ratio > 1.15 with empty contamination) still
 retries, because absolute totals from such a run are not comparable
 across rounds.
 
-Usage: python3 tools/quiet_bench.py OUT.json [max_attempts] [sf_dir]
+Usage: python3 tools/quiet_bench.py OUT.json [max_attempts] [sf_dir] [prev.json]
+`prev.json` (r19 verdict #6) seeds target/bench.json with the committed
+prior-round quiet artifact before the first attempt — pass the previous
+BENCH_r*_quiet.json here instead of hand-copying it. Starting PREV-LESS
+(no seed argument and no pre-existing target/bench.json) is almost
+always a mistake — every attempt then runs un-compared (no cross-round
+growers, a null series ratio) — so the picker warns unmissably and
+names the artifact to seed from.
 Exit 0 with the clean artifact copied to OUT.json; exit 1 if no attempt
 came back clean (the LAST run is still copied, loudly marked unclean, so
 the round never ends artifact-less).
@@ -34,12 +41,30 @@ def main() -> int:
     out = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "BENCH_quiet.json")
     max_attempts = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    seed = pathlib.Path(sys.argv[4]) if len(sys.argv) > 4 else None
     bench_out = pathlib.Path("target/bench.json")
 
     # Snapshot the prior-round prev chain once; every attempt compares
     # against THIS, never against a failed sibling attempt (see module
-    # docstring — chaining would launder cross-round regressions).
-    prev_chain = bench_out.read_bytes() if bench_out.exists() else None
+    # docstring — chaining would launder cross-round regressions). The
+    # explicit seed argument, when given, IS the snapshot.
+    if seed is not None:
+        prev_chain = seed.read_bytes()
+    else:
+        prev_chain = bench_out.read_bytes() if bench_out.exists() else None
+    if prev_chain is None:
+        latest = sorted(pathlib.Path(".").glob("BENCH_r*_quiet.json"))
+        hint = (f"seed it, e.g.:  python3 tools/quiet_bench.py {out} "
+                f"{max_attempts} {sf_dir} {latest[-1]}" if latest
+                else "no committed BENCH_r*_quiet.json found either")
+        print("=" * 72, flush=True)
+        print("[quiet_bench] WARNING: starting PREV-LESS - target/bench.json "
+              "is absent and no prev artifact argument was given. Every "
+              "attempt will run UN-COMPARED: no cross-round growers, a null "
+              "series ratio, and the round's delta cannot be adjudicated.",
+              flush=True)
+        print(f"[quiet_bench] {hint}", flush=True)
+        print("=" * 72, flush=True)
 
     last = None
     for attempt in range(1, max_attempts + 1):
