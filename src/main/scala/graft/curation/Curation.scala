@@ -585,9 +585,12 @@ object Curation {
       nTokensCol: String,
       budget: Column,
       salt: String): DataFrame = {
-    val keyed = df
+    // Persisted (the madOutliers pattern): the keyed frame feeds BOTH the
+    // bucket-offset aggregate and the join-back — un-persisted, the
+    // caller's whole upstream lineage ran twice (guide §2.4).
+    val keyed = graft.util.CacheScope.persist(df
       .withColumn("order_key", md5(concat(lit(salt), col(idCol).cast("string"))))
-      .withColumn("__b", conv(substring(col("order_key"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__b", conv(substring(col("order_key"), 1, 2), 16, 10).cast("int")))
     val offsets = graft.operators.TwoPhase
       .offsets(keyed, "__b", sum(col(nTokensCol)), partitionCols = Seq(sourceCol))
       .drop("__bt")
@@ -612,9 +615,11 @@ object Curation {
     * global-window answer, at 1/256 the per-task funnel.
     */
   def globalPositions(df: DataFrame, idCol: String, salt: String): DataFrame = {
-    val keyed = df
+    // Persisted: consumed by the offsets aggregate AND the join-back
+    // (see tokenBudgetTrimWith).
+    val keyed = graft.util.CacheScope.persist(df
       .withColumn("order_key", md5(concat(lit(salt), col(idCol).cast("string"))))
-      .withColumn("__b", conv(substring(col("order_key"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__b", conv(substring(col("order_key"), 1, 2), 16, 10).cast("int")))
     val offsets = graft.operators.TwoPhase.offsets(keyed, "__b", count(lit(1)))
       .drop("__bt")
     val rnW = Window.partitionBy(col("__b")).orderBy("order_key")
@@ -639,10 +644,13 @@ object Curation {
       scoreCol: String,
       q: Double): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
-    val thresholds = df
+    // Persisted (the madOutliers pattern): df feeds the threshold
+    // aggregate AND the join-back — one upstream pass, not two.
+    val base = graft.util.CacheScope.persist(df)
+    val thresholds = base
       .groupBy(sourceCol)
       .agg(percentile(col(scoreCol), lit(q)).as("source_threshold"))
-    df.join(broadcast(thresholds), Seq(sourceCol))
+    base.join(broadcast(thresholds), Seq(sourceCol))
       .filter(col(scoreCol) >= col("source_threshold"))
   }
 
@@ -668,10 +676,12 @@ object Curation {
       lo: Double,
       hi: Double): DataFrame = {
     require(lo >= 0.0 && hi <= 1.0 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
-    val bands = df.groupBy(sourceCol).agg(
+    // Persisted: bands aggregate + join-back read the same frame twice.
+    val base = graft.util.CacheScope.persist(df)
+    val bands = base.groupBy(sourceCol).agg(
       percentile(col(valueCol), lit(lo)).as("band_lo"),
       percentile(col(valueCol), lit(hi)).as("band_hi"))
-    df.join(broadcast(bands), Seq(sourceCol))
+    base.join(broadcast(bands), Seq(sourceCol))
       .withColumn(s"${valueCol}_clipped",
         greatest(col("band_lo"), least(col("band_hi"), col(valueCol))))
   }

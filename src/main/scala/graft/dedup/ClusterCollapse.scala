@@ -185,9 +185,12 @@ object ClusterCollapse {
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxRounds: Int = 30): DataFrame = {
-    val labeled = collapse(docs, pairs, idCol, idACol, idBCol, maxRounds)
-      .drop("is_survivor")
-      .join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
+    // Persisted: the labeled table feeds the winner election AND the
+    // final join — un-persisted, the component labeling re-ran per use.
+    val labeled = graft.util.CacheScope.persist(
+      collapse(docs, pairs, idCol, idACol, idBCol, maxRounds)
+        .drop("is_survivor")
+        .join(docs.select(col(idCol), col(scoreCol)), Seq(idCol)))
     val winners = labeled
       .groupBy("cluster_id")
       .agg(max_by(

@@ -192,7 +192,22 @@ object DedupEval {
       docs: DataFrame, bits: Int, maxHamming: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     simhashBlockedCandidates(
-      md5SimhashKeys(docs, bits, idCol, textCol), bits, maxHamming)
+      md5SimhashKeysFromToks(md5TokenHashes(docs, idCol, textCol), bits),
+      bits, maxHamming)
+
+  /** The (id, h) per-token-occurrence md5 table the SimHash vote pass
+    * consumes — split out so [[screenQuality]] computes it ONCE and feeds
+    * both key widths (the 16- and 64-bit screens hash the very same
+    * occurrences; guide §2.4's shared-pass rule).
+    */
+  private def md5TokenHashes(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", md5(col("tok")))
 
   /** The (id, ks) packed md5-SimHash key table — computed ONCE and
     * shared across hamming budgets by [[simhashSweep]] (the pigeonhole
@@ -200,14 +215,12 @@ object DedupEval {
     */
   private def md5SimhashKeys(
       docs: DataFrame, bits: Int,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String): DataFrame =
+    md5SimhashKeysFromToks(md5TokenHashes(docs, idCol, textCol), bits)
+
+  private def md5SimhashKeysFromToks(
+      toks: DataFrame, bits: Int): DataFrame = {
     require(bits <= 128, s"md5 provides 128 bits, asked for $bits")
-    val toks = docs
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .withColumn("h", md5(col("tok")))
     val votes = toks
       .select(col("id"), col("h"),
         explode(sequence(lit(0), lit(bits - 1))).as("i"))
@@ -357,7 +370,13 @@ object DedupEval {
       s"maxEvalRows=$maxEvalRows outside the sample grid (must be in " +
         s"[1, ${Long.MaxValue / SampleBuckets}])")
     val n = df.count()
-    if (n <= maxEvalRows) df
+    // The bounded frame this returns feeds every screen AND the truth pass
+    // (4-5 consumers in screenQuality) — persist it so the caller-built
+    // fixture lineage (often a union/transform over a corpus scan) runs
+    // once, not once per consumer (guide §2.4). Only the BOUNDED side is
+    // ever persisted: on the sample path the cached frame is the thinned
+    // output (~maxEvalRows rows), never the unbounded input.
+    if (n <= maxEvalRows) graft.util.CacheScope.persist(df)
     else {
       require(sampleOverMax,
         s"screenQuality input '$salt' has $n rows > maxEvalRows=" +
@@ -371,8 +390,9 @@ object DedupEval {
           s"unbounded ~n/$SampleBuckets rows — pre-thin the input or " +
           "raise maxEvalRows deliberately")
       val keep = math.max(1L, maxEvalRows * SampleBuckets / n)
-      df.filter(graft.curation.Curation.hashBucket(
-        col(idCol), SampleBuckets.toInt, salt) < keep)
+      graft.util.CacheScope.persist(
+        df.filter(graft.curation.Curation.hashBucket(
+          col(idCol), SampleBuckets.toInt, salt) < keep))
     }
   }
 
@@ -430,13 +450,21 @@ object DedupEval {
       exactJaccardTruth(d, shingleN, jaccardThreshold))
     val mh = scoreScreen("minhash_lsh_md5",
       truthText, md5MinhashLshCandidates(d, minhashK, minhashBands, shingleN))
+    // ONE token-md5 pass feeds both SimHash key widths: the 16- and
+    // 64-bit screens vote over the same per-occurrence hashes, so
+    // computing the (id, h) table twice was a duplicated tokenize+md5
+    // corpus pass (guide §2.4).
+    val toksH = graft.util.CacheScope.persist(
+      md5TokenHashes(d, "doc_id", "text"))
     val sim = scoreScreen("simhash_md5",
-      truthText, md5SimhashCandidates(d, simBits, simMaxHamming))
+      truthText, simhashBlockedCandidates(
+        md5SimhashKeysFromToks(toksH, simBits), simBits, simMaxHamming))
     // The 64-bit variant the 16-bit row's precision collapse argues for
     // (same hamming budget, 16-bit pigeonhole blocks): measured side by
     // side so the key-width decision is a read-off, not a guess.
     val sim64 = scoreScreen("simhash64_md5",
-      truthText, md5SimhashCandidates(d, bits = 64, simMaxHamming))
+      truthText, simhashBlockedCandidates(
+        md5SimhashKeysFromToks(toksH, 64), 64, simMaxHamming))
     // Embedding truth: exact all-pairs cosine — THE bounded-quadratic
     // eval pass (size enforced above).
     val vecs = e.select(col("vec_id").as("id"), col("embedding").as("v"),

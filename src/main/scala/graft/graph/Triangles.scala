@@ -27,12 +27,15 @@ object Triangles {
     * vertices in no triangle omitted.
     */
   def perVertex(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val e = edges
+    // Persisted: the canonical edge set is read three times (both wedge
+    // legs + the closing join) — un-persisted, the caller's edge lineage
+    // (often itself a self-join) re-ran per leg (guide §2.4).
+    val e = graft.util.CacheScope.persist(edges
       .select(
         least(col(srcCol), col(dstCol)).as("lo"),
         greatest(col(srcCol), col(dstCol)).as("hi"))
       .filter(col("lo") < col("hi"))
-      .distinct()
+      .distinct())
     // Wedges centered at a: (a,b) and (a,c) with b < c; close with (b,c).
     val wedges = e.as("e1")
       .join(e.as("e2"),

@@ -78,11 +78,28 @@ object ExactPercentiles {
       .select(col("g"), col("n"), col("t.qname").as("qname"), col("t.pos").as("pos"))
       .withColumn("lo", floor(col("pos")).cast("long"))
       .withColumn("hi", ceil(col("pos")).cast("long"))
-    val rlo = ranked.select(col("g").as("__lg"), col("__r").as("__lr"), col("v").as("vlo"))
-    val rhi = ranked.select(col("g").as("__hg"), col("__r").as("__hr"), col("v").as("vhi"))
-    val picked = broadcast(targets)
-      .join(rlo, col("g") <=> col("__lg") && col("lo") === col("__lr"))
-      .join(rhi, col("g") <=> col("__hg") && col("hi") === col("__hr"))
+    // ONE equi-join fetches BOTH target ranks (guide §2.4): the lo/hi
+    // lookups used to be two separate joins against `ranked`, and the
+    // un-persisted data-sized rank pass executed twice. Exploding each
+    // target into its (rank, side) rows and pivoting after the join keeps
+    // the values bit-identical (same two ranked rows feed the same
+    // interpolation; lo == hi joins one row twice and the pivot collapses
+    // it) while the windowed numbering runs once.
+    val sides = targets.select(
+      col("g"), col("n"), col("qname"), col("pos"), col("lo"), col("hi"),
+      explode(array(
+        struct(col("lo").as("r"), lit("lo").as("side")),
+        struct(col("hi").as("r"), lit("hi").as("side")))).as("t2"))
+      .select(col("g"), col("n"), col("qname"), col("pos"), col("lo"), col("hi"),
+        col("t2.r").as("__tr"), col("t2.side").as("side"))
+    val rr = ranked.select(
+      col("g").as("__rg"), col("__r").as("__rr"), col("v"))
+    val picked = broadcast(sides)
+      .join(rr, col("g") <=> col("__rg") && col("__tr") === col("__rr"))
+      .groupBy("g", "n", "qname", "pos", "lo", "hi")
+      .agg(
+        max(when(col("side") === "lo", col("v"))).as("vlo"),
+        max(when(col("side") === "hi", col("v"))).as("vhi"))
       .withColumn("value",
         when(col("lo") === col("hi"), col("vlo"))
           .otherwise((col("hi") - col("pos")) * col("vlo") +

@@ -478,10 +478,13 @@ object CurationQueries {
           .agg(sum(col("__t")).as("avail_naive"))
         val ded = withH.join(surv, Seq("__h", "doc_id"), "left_semi")
           .groupBy("source").agg(sum(col("__t")).as("avail_dedup"))
-        val av = naive.join(ded, Seq("source"), "left")
-          .select(col("source"), col("avail_naive"),
-            coalesce(col("avail_dedup"), lit(0L)).as("avail"),
-            lit(1L).as("w"))
+        // |sources|-row table with three consumers (budget agg, waterfill
+        // input, final naive join) — persist or each re-runs both rollups.
+        val av = graft.util.CacheScope.persist(
+          naive.join(ded, Seq("source"), "left")
+            .select(col("source"), col("avail_naive"),
+              coalesce(col("avail_dedup"), lit(0L)).as("avail"),
+              lit(1L).as("w")))
         val budget = av.agg(expr("sum(avail) * 2 div 5").as("budget"))
         Curation.waterfillAllocation(av.select("source", "avail", "w"),
             budget, rounds = 3)

@@ -22,13 +22,19 @@ object RelationalExtended {
     * Returns (step name, (user_id, t)) per stage in order.
     */
   private def funnelStages(ev: DataFrame): Seq[(String, DataFrame)] = {
+    // Each stage persisted: stage N is consumed by stage N+1's join AND by
+    // the caller's per-step aggregate (q45) or timing leg (q47) — without
+    // the persists the chain re-ran cumulatively (s1 four times for s4's
+    // one use; the DupAudit x3/x5 Aggregate finding). The stage tables are
+    // one row per surviving user — far smaller than the event scan.
+    val persist = graft.util.CacheScope.persist _
     def stage(prev: DataFrame, step: String): DataFrame =
-      ev.filter(col("event_type") === step)
+      persist(ev.filter(col("event_type") === step)
         .join(prev.select(col("user_id"), col("t").as("__pt")), Seq("user_id"))
         .filter(col("ts") > col("__pt"))
-        .groupBy("user_id").agg(min(col("ts")).as("t"))
-    val s1 = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min(col("ts")).as("t"))
+        .groupBy("user_id").agg(min(col("ts")).as("t")))
+    val s1 = persist(ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t")))
     val s2 = stage(s1, "view")
     val s3 = stage(s2, "click")
     val s4 = stage(s3, "purchase")

@@ -833,10 +833,12 @@ object TrainingData {
     * change here must be mirrored in both SQL texts.
     */
   private def coOccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
-    val occ = Tables.events(s, dir)
+    // Persisted: both legs of the co-occurrence self-join read this
+    // distinct pass — one event scan, not two (guide §2.4).
+    val occ = graft.util.CacheScope.persist(Tables.events(s, dir)
       .select(col("user_id"), col("event_type"),
         date_trunc("minute", col("ts")).as("mb"))
-      .distinct()
+      .distinct())
     occ.as("o1")
       .join(occ.as("o2"),
         col("o1.event_type") === col("o2.event_type") &&
@@ -1480,12 +1482,14 @@ object TrainingData {
         val base = Tables.documents(s, dir).select("doc_id", "text")
           .filter(col("doc_id") % 10 === 0)
         val toks = TextFunctions.tokens(col("text"))
-        val docs = base
+        // Persisted: the planted-fixture union feeds the shingle pair
+        // screen AND collapseBy's label/score joins (3 consumers).
+        val docs = graft.util.CacheScope.persist(base
           .unionByName(base.filter(col("doc_id") % 20 === 0 && size(toks) >= 3)
             .withColumn("doc_id", -col("doc_id") - 1L)
             .withColumn("text",
               array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(1))), " ")))
-          .withColumn("score", length(col("text")).cast("long"))
+          .withColumn("score", length(col("text")).cast("long")))
         val pairs = Dedup.jaccardShinglePairs(docs, threshold = 0.5)
         ClusterCollapse.collapseBy(docs, pairs, scoreCol = "score")
           .orderBy("doc_id")
@@ -3342,11 +3346,14 @@ object TrainingData {
       (s, dir) => {
         val docs = Tables.documents(s, dir).select("doc_id", "text")
         val toks = TextFunctions.tokens(col("text"))
-        val queries = docs
+        // Persisted: the query table feeds the scoring pass AND the final
+        // qrels spine, and each un-persisted use re-runs the corpus
+        // tokenize+filter lineage (guide §2.4 — one corpus pass, not two).
+        val queries = graft.util.CacheScope.persist(docs
           .filter(col("text").isNotNull && size(toks) >= 3 &&
             col("doc_id") % 20 === 0)
           .select(col("doc_id").as("query_id"),
-            concat_ws(" ", slice(toks, 1, 3)).as("query_text"))
+            concat_ws(" ", slice(toks, 1, 3)).as("query_text")))
         val self = Bm25.search(docs, queries, k = 10)
           .filter(col("doc_id") === col("query_id"))
           .select(col("query_id"), col("rk"))
@@ -4413,16 +4420,22 @@ object TrainingData {
             concat(col("text"), lit(".")),
             lit("so short."),
             lit("Thanks for reading, good bye friend.")).as("text"))
-        val clean = LineFilter.c4Lines(wrapped, minWords = 5,
-          banned = Seq("javascript", "cookies"))
-          .select(col("doc_id"), col("n_lines_kept"), col("text_clean"))
+        // Both stages persisted: `clean` feeds the entropy pass AND the
+        // gate join; `gated` feeds the dedup rollup AND the final join —
+        // un-persisted, the line-filter and char-entropy chains each ran
+        // twice (guide §2.4).
+        val clean = graft.util.CacheScope.persist(
+          LineFilter.c4Lines(wrapped, minWords = 5,
+            banned = Seq("javascript", "cookies"))
+            .select(col("doc_id"), col("n_lines_kept"), col("text_clean")))
         val ent = Entropy.charEntropy(
           clean.select(col("doc_id"), col("text_clean").as("text")),
           minEntropy = 2.0, maxEntropy = 4.5)
           .select(col("doc_id").as("__eid"), col("entropy_nats"),
             col("keep").as("ent_keep"))
-        val gated = clean.join(ent, col("doc_id") === col("__eid"))
-          .withColumn("h", md5(col("text_clean")))
+        val gated = graft.util.CacheScope.persist(
+          clean.join(ent, col("doc_id") === col("__eid"))
+            .withColumn("h", md5(col("text_clean"))))
         val dd = gated.filter(col("ent_keep"))
           .groupBy("h")
           .agg(min(col("doc_id")).as("__survivor"), count(lit(1)).as("__n_copies"))
@@ -5700,8 +5713,13 @@ object TrainingData {
         val srcs = base.filter(col("doc_id") % 10 === 0 && col("doc_id") >= 0)
         val docs = base.unionByName(
           srcs.select((col("doc_id") + off).as("doc_id"), col("text")))
-        val ph = Multimodal.decodeImageStub(s, Multimodal.withMedia(docs)).toDF()
-          .select(col("doc_id"), Multimodal.perceptualHash(col("features")).as("phash"))
+        // Persisted: the phash table is joined on BOTH the src and the cpy
+        // side — un-persisted, the decode mapPartitions (the expensive
+        // stage at scale: a real image decode) executed twice.
+        val ph = graft.util.CacheScope.persist(
+          Multimodal.decodeImageStub(s, Multimodal.withMedia(docs)).toDF()
+            .select(col("doc_id"),
+              Multimodal.perceptualHash(col("features")).as("phash")))
         srcs.select(col("doc_id").as("src_id"), (col("doc_id") + off).as("cpy_id"))
           .join(ph.select(col("doc_id").as("src_id"), col("phash").as("src_phash")),
             "src_id")

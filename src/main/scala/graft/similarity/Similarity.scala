@@ -456,8 +456,12 @@ object Similarity {
       maxBucket: Option[Int] = Some(4096),
       saltOverCap: Boolean = true,
       bandBits: Int = 8): DataFrame = {
-    val scored = signBandScoredPairs(
-      corpus, dim, idCol, vecCol, rotate, maxBucket, saltOverCap, bandBits)
+    // Persisted: the symmetrization union reads the scored-pair table in
+    // BOTH directions — un-persisted, the entire band/self-join/cosine
+    // pipeline executed twice (guide §2.4; the 48-node duplicated subtree
+    // the round-20 DupAudit flagged on every knn-graph face).
+    val scored = graft.util.CacheScope.persist(signBandScoredPairs(
+      corpus, dim, idCol, vecCol, rotate, maxBucket, saltOverCap, bandBits))
     val directed = scored
       .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cosine"))
       .unionByName(scored
@@ -567,10 +571,16 @@ object Similarity {
       maxBucket: Option[Int] = Some(4096),
       saltOverCap: Boolean = true,
       bandBits: Int = 8): DataFrame = {
-    val bandsAll = signBands(corpus, dim, idCol, vecCol, rotate, bandBits)
+    // Persisted at both layers (guide §2.4): bandsAll feeds the bucket-size
+    // aggregate AND the capped table's build; the capped table is then BOTH
+    // legs of the pair self-join — un-persisted, the sign-pack explode ran
+    // up to 4x per call. The bands table is nBands narrow rows per vector,
+    // far smaller than the vectors it derives from.
+    val bandsAll = graft.util.CacheScope.persist(
+      signBands(corpus, dim, idCol, vecCol, rotate, bandBits))
     // The bucket-size table is at most (dim/8)·256 rows — broadcast
     // anti-join / size-join, no extra shuffle of the bands table.
-    val bands = maxBucket.fold(bandsAll) { cap =>
+    val bands = graft.util.CacheScope.persist(maxBucket.fold(bandsAll) { cap =>
       if (saltOverCap) {
         val sizes = bandsAll.groupBy("band", "key")
           .agg(count(lit(1)).as("__n"))
@@ -584,7 +594,7 @@ object Similarity {
           .select("band", "key")
         bandsAll.join(broadcast(over), Seq("band", "key"), "left_anti")
       }
-    }
+    })
     val saltEq =
       if (saltOverCap && maxBucket.isDefined) col("a.salt") === col("b.salt")
       else lit(true)

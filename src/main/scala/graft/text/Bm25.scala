@@ -354,13 +354,21 @@ object Bm25 {
     // (k=50, maxGain=3, ~3k queries already leaves 2^63). The worst case
     // is exactly computable from the query count, so one count() over
     // the (small by design) query table decides the whole grid in
-    // BigInt. Past 2^63 the accumulation AUTO-SWITCHES to DECIMAL(38,0)
+    // BigInt — and since the guard must materialize the query table
+    // anyway, it is persisted first: the query set is consumed three
+    // more times below (the scoring pass's term explode, the gain
+    // grading's qt, the final left-join spine), and each un-persisted
+    // use re-runs the caller's corpus-derived query lineage — at crawl
+    // scale that is three extra corpus scans for a table of a few
+    // thousand rows (guide §2.4: remove repeated passes outright).
+    // Past 2^63 the accumulation AUTO-SWITCHES to DECIMAL(38,0)
     // (r15 verdict #1's pattern, applied here in r16: the mitigation is
     // a code path, not prose — still exact integers; every per-rank
     // gain·2^(k−rk) term itself fits a Long at k <= 62, only the SUMS
     // and the normalizer move to the decimal grid, and DuckDB mirrors
     // them as HUGEINT — the t48d face). Past even 10^38: loud refusal.
-    val nQ = queries.count()
+    val qs = CacheScope.persist(queries)
+    val nQ = qs.count()
     val worst = BigInt(math.max(nQ, 1L)) * maxGain * (BigInt(1) << k)
     val overLong = worst > Long.MaxValue
     // 2^125 (< 10^38) is the ceiling of BOTH exact representations in
@@ -372,8 +380,14 @@ object Bm25 {
       s"rbpEval leaves the exact accumulation grid: " +
         s"n_queries*maxGain*2^k = $worst >= 2^125 (n_queries=$nQ, " +
         s"maxGain=$maxGain, k=$k) - every unit off k halves the bound")
-    val res = search(docs, queries, k, idCol, textCol)
-    val qt = queries
+    // The retrieval result feeds TWO consumers — the broadcast semi-filter
+    // that bounds the grading corpus AND the per-rank gain join — and
+    // un-persisted the ENTIRE scoring tail (posting joins + bounded-heap
+    // top-k) re-ran once per consumer (measured in the t48 physical plan:
+    // the search subtree appeared verbatim under the BroadcastExchange).
+    // One persist makes the second consumer an in-memory scan.
+    val res = CacheScope.persist(search(docs, qs, k, idCol, textCol))
+    val qt = qs
       .select(col("query_id"),
         explode(TextFunctions.tokens(col("query_text"))).as("term"))
       .distinct()
@@ -417,7 +431,7 @@ object Bm25 {
       else
         col("rbp_num_total").cast("double") /
           (col("n_queries") * norm.toLong)
-    val totals = queries.select("query_id")
+    val totals = qs.select("query_id")
       .join(perQ, Seq("query_id"), "left")
       .agg(
         count(lit(1)).as("n_queries"),

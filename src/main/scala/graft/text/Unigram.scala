@@ -58,7 +58,12 @@ object Unigram {
   def requireRelaxBound(
       docs: DataFrame, relaxRounds: Int = 16,
       textCol: String = "text"): DataFrame = {
-    val m = wordFreqs(docs, textCol)
+    // Persisted under the CacheScope contract: every caller immediately
+    // feeds the same docs into learn()/coverage, whose first step is this
+    // exact wordFreqs plan — the CacheManager plan-match turns the guard's
+    // corpus pass and the learner's into ONE (guide §2.4); the table is
+    // distinct-word-sized, never corpus-sized.
+    val m = graft.util.CacheScope.persist(wordFreqs(docs, textCol))
       .agg(max(length(col("word"))).as("m")).head()
     val maxLen = if (m.isNullAt(0)) 0 else m.getInt(0)
     require(maxLen <= relaxRounds,
@@ -305,7 +310,11 @@ object Unigram {
     * final vocabulary.
     */
   private def pruneTop(counts: DataFrame, chars: DataFrame, v: Int): DataFrame = {
-    val ranked = counts
+    // Persisted: the candidate table feeds the ranking window AND the
+    // char-floor union branch — one seed/E-step pass, not two. The table
+    // is vocabulary-sized by construction.
+    val c = graft.util.CacheScope.persist(counts)
+    val ranked = c
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("piece"))))
@@ -314,7 +323,7 @@ object Unigram {
     // to seedVocab from round one) — vocabulary-sized, never the corpus.
     ranked.filter(col("__rn") <= v).select("piece", "cnt")
       .unionByName(
-        counts.join(chars, Seq("piece"), "left_semi").select("piece", "cnt"))
+        c.join(chars, Seq("piece"), "left_semi").select("piece", "cnt"))
       .distinct()
   }
 
@@ -322,12 +331,16 @@ object Unigram {
     * their used counts (unused ⇒ dropped); every corpus character stays
     * with max(used, 1).
     */
-  private def floorChars(used: DataFrame, chars: DataFrame): DataFrame =
-    used.filter(length(col("piece")) > 1)
+  private def floorChars(used: DataFrame, chars: DataFrame): DataFrame = {
+    // Persisted: consumed by the multi-char branch AND the char-floor
+    // outer join — the E-step's segment+count pass must run once.
+    val u = graft.util.CacheScope.persist(used)
+    u.filter(length(col("piece")) > 1)
       .unionByName(
-        chars.join(used, Seq("piece"), "left_outer")
+        chars.join(u, Seq("piece"), "left_outer")
           .select(col("piece"),
             greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt")))
+  }
 
   /** Bounded driver collect of a (piece, cnt, ...) table's costs —
     * seedVocab + |alphabet| rows at most.
