@@ -49,15 +49,20 @@ object DedupEval {
   def exactJaccardTruth(
       docs: DataFrame, shingleN: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs
+    // Persisted at both layers (guide §2.4): the shingle-set table feeds
+    // the sizes projection AND the inverted index; the index is BOTH legs
+    // of the pair self-join — un-persisted, the tokenize+shingle pass ran
+    // up to 3x per truth build (the round-20 DupAudit finding).
+    val sh = graft.util.CacheScope.persist(docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col("id"),
         array_distinct(TextFunctions.shinglesFromTokens(col("toks"), shingleN))
-          .as("shingles"))
+          .as("shingles")))
     val sizes = sh.select(col("id"), size(col("shingles")).cast("long").as("n"))
-    val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val inv = graft.util.CacheScope.persist(
+      sh.select(col("id"), explode(col("shingles")).as("shingle")))
     inv.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("lo"), col("b.id").as("hi"))
@@ -109,12 +114,14 @@ object DedupEval {
       sig: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val rows = k / bands
-    val banded = sig
+    // Persisted: the banded key table is both legs of the candidate
+    // self-join (same rationale as exactJaccardTruth's index).
+    val banded = graft.util.CacheScope.persist(sig
       .withColumn("band", expr(s"seed div $rows"))
       .groupBy("id", "band")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("seed"), col("sig")))),
-          x => x.getField("sig")), "").as("band_key"))
+          x => x.getField("sig")), "").as("band_key")))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.id") < col("y.id"))
@@ -259,13 +266,15 @@ object DedupEval {
       s"blockBits=$blockBits must divide 32 — a block must not straddle " +
         "the 32-bit key words, and multi-word block keys are not assembled")
     val nWords = (bits + 31) / 32
-    val blocked = keys
+    // Persisted: both legs of the block-key self-join read this table —
+    // un-persisted, the whole vote/pack pipeline above it ran twice.
+    val blocked = graft.util.CacheScope.persist(keys
       .select(col("id"), col("ks"),
         explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
       .withColumn("blk_key",
         expr(s"(ks[CAST(($blockBits * blk) div 32 AS INT)] div " +
           s"CAST(pow(2, ($blockBits * blk) % 32) AS LONG)) % " +
-          s"CAST(pow(2, $blockBits) AS LONG)"))
+          s"CAST(pow(2, $blockBits) AS LONG)")))
     val ham = (0 until nWords)
       .map(w => bit_count(col("ksa").getItem(w).bitwiseXOR(col("ksb").getItem(w))))
       .reduce(_ + _)

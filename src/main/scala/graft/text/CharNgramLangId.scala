@@ -87,11 +87,19 @@ object CharNgramLangId {
       .agg(sum(col("c_doc") * col("c_lang")).as("__dot"))
       .join(broadcast(totals), Seq("plang"))
       .withColumn("score", col("__dot").cast("double") / col("n_lang"))
-    val byDoc = Window.partitionBy("id").orderBy(col("score").desc, col("plang").asc)
+    // Argmax as a map-side-combinable min_by over (−score, plang) instead
+    // of a row_number window (guide §2.3: aggregate before you shuffle —
+    // the window form shuffled and SORTED every (doc, lang) score row;
+    // the aggregate ships one partial row per doc per mapper). Ordering
+    // identical to the window's (score desc, plang asc): Double.compare
+    // on the negated score reverses exactly, ties fall to the language.
     val best = scores
-      .withColumn("__rk", row_number().over(byDoc))
-      .filter(col("__rk") === 1)
-      .select(col("id"), col("plang").as("pred_lang"), col("score"))
+      .groupBy("id")
+      .agg(min_by(
+        struct(col("plang"), col("score")),
+        struct(negate(col("score")), col("plang"))).as("__b"))
+      .select(col("id"), col("__b.plang").as("pred_lang"),
+        col("__b.score").as("score"))
     val label =
       if (docs.columns.contains(langCol)) col(langCol)
       else lit(null).cast("string")

@@ -181,10 +181,16 @@ object CorpusStats {
     def lnDec(x: Column): Column = log(x).cast("decimal(12,6)")
     val tok = docs.select(col(sourceCol).as("source"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val cst = tok.groupBy("source", "term").agg(count(lit(1)).as("c_st"))
-    val ct = tok.groupBy("term").agg(count(lit(1)).as("c_t"))
-    val ns = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
-    val nn = tok.agg(count(lit(1)).as("n"))
+    // ONE corpus tokenize pass (guide §2.4): the per-(source, term) counts
+    // are a lossless rollup base — c_t = Σ_s c_st, n_s = Σ_t c_st,
+    // n = Σ c_st — so the corpus-wide/per-source/total counts aggregate
+    // the persisted vocabulary-sized table instead of each re-exploding
+    // the corpus (4 passes before).
+    val cst = graft.util.CacheScope.persist(
+      tok.groupBy("source", "term").agg(count(lit(1)).as("c_st")))
+    val ct = cst.groupBy("term").agg(sum(col("c_st")).as("c_t"))
+    val ns = cst.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val nn = cst.agg(sum(col("c_st")).as("n"))
     cst
       .join(ct, Seq("term"))
       .join(broadcast(ns), Seq("source"))

@@ -173,11 +173,15 @@ object NaiveBayes {
       .select(col("id"), col("cls"),
         (coalesce(col("s1"), lit(0).cast(fix))
           - col("dl") * col("denom") + col("prior")).as("score"))
-    val byDoc = Window.partitionBy("id").orderBy(col("score").desc, col("cls").asc)
+    // Argmax as a map-side-combinable min_by over (−score, cls) instead of
+    // a row_number window (see CharNgramLangId.classify — same rationale,
+    // same ordering; decimal negation is exact so the reversal is too).
     scored
-      .withColumn("__rk", row_number().over(byDoc))
-      .filter(col("__rk") === 1)
-      .select(col("id").as(idCol), col("cls").as("pred_class"),
-        col("score").cast("double").as("score"))
+      .groupBy("id")
+      .agg(min_by(
+        struct(col("cls"), col("score")),
+        struct(negate(col("score")), col("cls"))).as("__b"))
+      .select(col("id").as(idCol), col("__b.cls").as("pred_class"),
+        col("__b.score").cast("double").as("score"))
   }
 }
