@@ -136,10 +136,15 @@ object CorpusStats {
           count(lit(1)).as("vocab"),
           sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singletons"),
           sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_doubletons"))
-      val perSrc = level(
+      // ONE pass over the exploded grams (guide §2.4): the pooled level's
+      // per-term count is exactly the per-source counts re-summed
+      // (c_pooled = Σ_s c_st), so both levels roll up the same persisted
+      // vocabulary-sized table instead of re-aggregating the gram stream.
+      val srcCounts = graft.util.CacheScope.persist(
         tok.groupBy("source", "term").agg(count(lit(1)).as("c")))
+      val perSrc = level(srcCounts)
       val pooled = level(
-        tok.groupBy("term").agg(count(lit(1)).as("c"))
+        srcCounts.groupBy("term").agg(sum(col("c")).as("c"))
           .withColumn("source", lit("__all")))
       perSrc.unionByName(pooled).withColumn("gram", lit(g.toLong))
     }.reduce(_ unionByName _)
