@@ -30,6 +30,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE re-plan (and so coalesce) the plan that MATERIALIZES a
+      // persisted DataFrame. Off (the default), every CacheScope persist
+      // is built with the raw `shuffle.partitions = cores` partitioning:
+      // at local[32] a k-row intermediate becomes 32 cache blocks and
+      // every consumer stage pays 32 near-empty tasks — measured on
+      // e13's recall harness as 68 tasks/materialization vs 6 with this
+      // on, and it is why the heaviest eval queries ran SLOWER at 32
+      // cores than at 8 (r20 scaling ratios 0.36-0.54). On a cluster the
+      // same setting sizes cached partitions by bytes (AQE advisory)
+      // instead of by core count — scale-adaptive in both directions.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.session.timeZone", "UTC")
