@@ -254,14 +254,27 @@ object Bench {
       // blocks, which is the steady-state a benchmark should report; the
       // release bounds accumulation to one query's intermediates.
       graft.util.CacheScope.releaseAll()
-      name -> samples.sorted.apply(runs / 2)
+      // samples.head is the query's COLD-CACHE time (the JVM is warm from
+      // the untimed pass, but CacheScope was released, so run 1 pays every
+      // persist's materialization; runs 2-3 reuse the warm blocks). The
+      // r20 judge asked for it beside the median ("what's wrong" #2):
+      // the median measures steady state, the cold column measures the
+      // plan — emitted as an ADDITIONAL map, never changing the median.
+      name -> (samples.sorted.apply(runs / 2), samples.head)
     }
     if (!yardstick.isNaN) ySamples += ((orderedQueries.size, yardSample()))
-    val results: Map[String, Double] = resultsSeq.toMap
+    val coldSeq: Seq[(String, Double)] =
+      resultsSeq.map { case (n, (_, cold)) => n -> cold }
+    val medianSeq: Seq[(String, Double)] =
+      resultsSeq.map { case (n, (med, _)) => n -> med }
+    val results: Map[String, Double] = medianSeq.toMap
     def localYard(idx: Int): Double =
       if (ySamples.isEmpty) Double.NaN
       else ySamples.minBy { case (i, _) => math.abs(i - idx) }._2
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsCold = coldSeq.map { case (k, v) =>
+      s"\"" + k + "\":" + ((v * 1000).round / 1000.0) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Contamination self-adjudication (r14 verdict #5): every round so
@@ -424,7 +437,7 @@ object Bench {
     // (mirrors normalizedJson's degradation) — a cross-round consumer
     // reading "queries_normalized" must never see unnormalized values.
     val haveYard = ySamples.nonEmpty
-    val qsNormSeq = resultsSeq.map { case (name, v) =>
+    val qsNormSeq = medianSeq.map { case (name, v) =>
       val ly = localYard(nameIdx(name))
       val nv = if (ly.isNaN || ly <= 0) v else v * yardstickRef / ly
       name -> ((nv * 1000).round / 1000.0)
@@ -460,11 +473,11 @@ object Bench {
     val adjOverrides = recheck.map { case (n, rec, rr, _, _, cls) =>
       n -> adjudicated(rec, rr, cls)
     }.toMap
-    val qsAdjJson = resultsSeq.map { case (k, v) =>
+    val qsAdjJson = medianSeq.map { case (k, v) =>
       s"\"" + k + "\":" + adjOverrides.getOrElse(k, v)
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$runs","cpus":$cpus,"head_sha":$headJson,"yardstick_warm_s":$yardstickJson,"yardstick_ref_s":$yardstickRef,"prev_yardstick_warm_s":$prevYardJson,"yardstick_ratio_vs_prev":$yardRatioJson,"yardstick_series":$seriesJson,"yardstick_series_ratio_vs_prev":$seriesRatioJson,"run_degraded":$runDegraded,"$totalNormField":${normalizedJson(total)},"total_normalized_local":$totalNormLocal,"queries_normalized":$qsNormJson,"recheck":$recheckJson,"contaminated":$contaminatedJson,"queries":$qs,"queries_adjudicated":$qsAdjJson,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$runs","cpus":$cpus,"head_sha":$headJson,"yardstick_warm_s":$yardstickJson,"yardstick_ref_s":$yardstickRef,"prev_yardstick_warm_s":$prevYardJson,"yardstick_ratio_vs_prev":$yardRatioJson,"yardstick_series":$seriesJson,"yardstick_series_ratio_vs_prev":$seriesRatioJson,"run_degraded":$runDegraded,"$totalNormField":${normalizedJson(total)},"total_normalized_local":$totalNormLocal,"queries_normalized":$qsNormJson,"recheck":$recheckJson,"contaminated":$contaminatedJson,"queries":$qs,"queries_cold":$qsCold,"queries_adjudicated":$qsAdjJson,"sf":"$sfDir",""" +
       s""""etl_baseline_comparable":{"blocks":10,"transactions":$txs,"secs":$etlSecs,"tx_per_s":$txPerS,""" +
       s""""reference_tx_per_s":"200-300 (README.md:366, 12000 txs in 20-25s)"}}"""
     println(fullLine)

@@ -704,8 +704,12 @@ object Curation {
       k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val base = graft.util.CacheScope.persist(df)
-    val med = base.groupBy(sourceCol)
-      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    // Persisted: `dev` below has two consumers (the MAD aggregate and the
+    // final join), so without this the per-source median aggregate over
+    // the whole cached input ran once per consumer (guide §2.4 — c27's
+    // plan dup). |sources| rows.
+    val med = graft.util.CacheScope.persist(base.groupBy(sourceCol)
+      .agg(percentile(col(valueCol), lit(0.5)).as("med")))
     val dev = base.join(broadcast(med), Seq(sourceCol))
       .withColumn("adev", abs(col(valueCol) - col("med")))
     val mad = dev.groupBy(sourceCol)

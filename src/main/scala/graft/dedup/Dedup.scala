@@ -317,9 +317,13 @@ object Dedup {
     // three consumers.
     val sh = graft.util.CacheScope.persist(
       simhashBitVectors(docs, idCol, textCol))
-    val blocked = sh.select(
+    // Persisted: the blocked-key table is BOTH legs of the candidate
+    // self-join — without it the block-key explode over the cached
+    // vectors runs once per leg (guide §2.4; the DedupEval screens
+    // persist their blocked keys for the same reason). nBlocks·N rows.
+    val blocked = graft.util.CacheScope.persist(sh.select(
       col("id"),
-      posexplode(TextFunctions.simhashBlockKeys(col("bits"), nBlocks)).as(Seq("blk", "blk_key")))
+      posexplode(TextFunctions.simhashBlockKeys(col("bits"), nBlocks)).as(Seq("blk", "blk_key"))))
     // Same exchange-reuse shape as minhashLshPairs: alias self-join first,
     // rename after, so the block shuffle is planned once.
     val candidates = blocked.as("x")
@@ -422,9 +426,15 @@ object Dedup {
     val invAll = graft.util.CacheScope.persist(
       sh.select(col("id"), explode(col("shingles")).as("shingle")))
     val inv = maxDocFreq.fold(invAll) { cap =>
-      val df = invAll.groupBy("shingle").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= cap).select("shingle")
-      invAll.join(df, "shingle")
+      // Persist the SURVIVOR shingle set (vocabulary-sized), not the
+      // capped index (corpus-sized): both self-join legs re-derive
+      // inv = invAll ⋈ keep from cache, but without this the df
+      // aggregation over the whole index ran once PER LEG (guide §2.4 —
+      // d5's plan dup).
+      val keep = graft.util.CacheScope.persist(
+        invAll.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("shingle"))
+      invAll.join(keep, "shingle")
     }
     val common = inv.as("x").join(inv.as("y"), Seq("shingle"))
       .filter(col("x.id") < col("y.id"))

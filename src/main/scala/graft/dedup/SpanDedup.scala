@@ -113,9 +113,13 @@ object SpanDedup {
         posexplode(TextFunctions.shinglesFromTokens(col("w"), k)).as(Seq("pos", "sp")))
       .select(col("id"), col("pos").cast("long").as("pos"), md5(col("sp")).as("h")))
     val freq = wins.groupBy("h").agg(count(lit(1)).as("w_df"))
-    wins.join(freq, "h")
+    // Persisted: slidingSpanStats consumes the hit set twice (interval
+    // merge + hot-window counts) — without this the frequency rollup and
+    // the hits join re-ran per consumer (guide §2.4 — d10's plan dup).
+    // Hot-hit-sized (windows at/over minCount only).
+    graft.util.CacheScope.persist(wins.join(freq, "h")
       .filter(col("w_df") >= minCount)
-      .select(col("id"), col("pos").as("s"), (col("pos") + k).as("e"))
+      .select(col("id"), col("pos").as("s"), (col("pos") + k).as("e")))
   }
 
   def slidingSpanStats(

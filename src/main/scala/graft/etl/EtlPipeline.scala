@@ -91,7 +91,10 @@ object EtlPipeline {
 
   /** A2 — type histogram with percentage-of-total (transform.rs:340-377). */
   def typeHistogram(transactions: DataFrame): DataFrame = {
-    val hist = transactions.groupBy("transaction_type").agg(count(lit(1)).as("n"))
+    // Persisted: the |types|-row histogram feeds both the total and the
+    // percentage join — one transaction pass instead of two (guide §2.4).
+    val hist = graft.util.CacheScope.persist(
+      transactions.groupBy("transaction_type").agg(count(lit(1)).as("n")))
     val total = hist.agg(sum("n").as("__total"))
     hist.crossJoin(broadcast(total))
       .withColumn("percentage", col("n") * lit(100.0) / col("__total"))

@@ -169,16 +169,21 @@ object AsOfJoin {
           .partitionBy(bucketCols: _*)
           .orderBy(tsOrd, col("__side").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val inBucket = bucketed.withColumn("__in", last(col("__vs"), ignoreNulls = true).over(w1))
+        // Persisted: the resolved slices feed the final fill join AND both
+        // carry-table inputs below — without this the union-scan (both
+        // base-table scans + the bucket window) ran three times (guide
+        // §2.4 — q29d scanned events 5x).
+        val inBucket = graft.util.CacheScope.persist(
+          bucketed.withColumn("__in", last(col("__vs"), ignoreNulls = true).over(w1)))
         // Pass 2: each bucket's terminal right row (last in scan order =
         // max ts backward / min ts forward), cumulatively carried across
         // STRICTLY EARLIER buckets per key. One row per touched (key,
         // bucket) — the window that replaces "one task per key's history".
         val terminal =
           if (forward) min_by(col("__vs"), col("__tsn")) else max_by(col("__vs"), col("__tsn"))
-        val summaries = bucketed.filter(col("__side") === 0)
+        val summaries = inBucket.filter(col("__side") === 0)
           .groupBy(bucketCols: _*).agg(terminal.as("__s"))
-        val allBuckets = bucketed.select(bucketCols: _*).distinct()
+        val allBuckets = inBucket.select(bucketCols: _*).distinct()
         val w2 = Window
           .partitionBy(keys.map(col): _*)
           .orderBy(if (forward) col("__bkt").desc else col("__bkt").asc)

@@ -1108,9 +1108,14 @@ object RelationalExtended {
           .select(explode(sequence(col("lo"), col("hi"),
             expr("interval 1 minute"))).as("m"))
         val present = ev.select(date_trunc("minute", col("ts")).as("m")).distinct()
-        val missing = spine.join(present, Seq("m"), "left_anti")
-          .withColumn("idx", (col("m").cast("long") / 60).cast("long"))
-          .withColumn("__b", (col("idx") / 1440).cast("long"))
+        // Persisted: the missing-minute table feeds both the TwoPhase
+        // offsets aggregate and the grouping join — without this the
+        // spine/anti-join (two events scans) ran twice (guide §2.4).
+        // Gap-minute-sized, never event-sized.
+        val missing = graft.util.CacheScope.persist(
+          spine.join(present, Seq("m"), "left_anti")
+            .withColumn("idx", (col("m").cast("long") / 60).cast("long"))
+            .withColumn("__b", (col("idx") / 1440).cast("long")))
         val offsets = graft.operators.TwoPhase.offsets(missing, "__b", count(lit(1)))
           .drop("__bt")
         val rnW = Window.partitionBy("__b").orderBy("idx")

@@ -94,9 +94,9 @@ object TrainingData {
     */
   private final case class AnnEvalHarness(
       emb: DataFrame, queries: DataFrame, dim: Int,
-      planes: Seq[Seq[Double]], exact: DataFrame) {
+      planes: Seq[Seq[Double]], exact: DataFrame, denom: DataFrame) {
     def leg(name: String, approx: DataFrame): DataFrame =
-      Similarity.recallAtK(approx, exact, k = 5)
+      Similarity.recallAtKWith(approx, exact, denom, k = 5)
         .agg(
           (sum(col("recall").cast("decimal(18,9)")) / count(lit(1)))
             .cast("double").as("mean_recall"),
@@ -123,7 +123,11 @@ object TrainingData {
     val planes = Similarity.randomPlanes(6, dim)
     val exact = graft.util.CacheScope.persist(
       Similarity.bruteForceTopK(queries, emb, k = 5))
-    AnnEvalHarness(emb, queries, dim, planes, exact)
+    // The per-query recall denominator is shared by EVERY leg — persist
+    // it once instead of re-aggregating the exact set per leg (guide
+    // §2.4; it was e13's x6 duplicated subtree).
+    val denom = graft.util.CacheScope.persist(Similarity.recallDenom(exact, k = 5))
+    AnnEvalHarness(emb, queries, dim, planes, exact, denom)
   }
 
   private[graft] def annRecallEval(
@@ -1990,9 +1994,12 @@ object TrainingData {
         val docs = base.unionByName(base.filter(col("doc_id") % 10 === 0)
           .select((-col("doc_id") - 1L).as("doc_id"),
             lit("mirror").as("source"), col("text")))
-        val g = docs
+        // Persisted: g is BOTH legs of the source-pair self-join — one
+        // hash+count pass over the corpus instead of two (guide §2.4).
+        // (hash, source, count) rows: key-sized, never document-sized.
+        val g = graft.util.CacheScope.persist(docs
           .groupBy(md5(col("text")).as("h"), col("source").as("src"))
-          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("c")))
         g.as("a").join(g.as("b"),
             col("a.h") === col("b.h") && col("a.src") <= col("b.src"))
           .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
@@ -2519,11 +2526,14 @@ object TrainingData {
     Q(
       "t41_fuzzy_word_join",
       (s, dir) => {
-        val vocab = Tables.documents(s, dir)
+        // Persisted: the distinct-vocabulary pass feeds both union legs
+        // below (itself + the clipped-typo injection) — one corpus
+        // tokenize instead of two (guide §2.4).
+        val vocab = graft.util.CacheScope.persist(Tables.documents(s, dir)
           .filter(col("text").isNotNull)
           .select(explode(TextFunctions.tokens(col("text"))).as("word"))
           .filter(length(col("word")) > 0)
-          .distinct()
+          .distinct())
         val withTypos = vocab.unionByName(
           vocab.filter(length(col("word")) >= 6)
             .select(col("word").substr(lit(1), length(col("word")) - 1).as("word")))
@@ -2572,9 +2582,12 @@ object TrainingData {
           (4L, "slow scann filter"),
           (5L, "vectr data table")).toDF("query_id", "query_text")
         val docs = Tables.documents(s, dir)
-        val vocab = docs
+        // Persisted: correctTerms consumes the vocabulary three times
+        // (in-vocab anti-join, variant table, final in-vocab join) — one
+        // corpus tokenize+count instead of three (guide §2.4).
+        val vocab = graft.util.CacheScope.persist(docs
           .select(explode(TextFunctions.tokens(col("text"))).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("ctf"))
+          .groupBy("word").agg(count(lit(1)).as("ctf")))
         Bm25.search(docs, graft.text.Fuzzy.correctTerms(typo, vocab), k = 8)
           .orderBy("query_id", "rk")
       },
@@ -6182,10 +6195,13 @@ object TrainingData {
     Q(
       "t30b_proximity_search",
       (s, dir) => {
-        val pos = Tables.documents(s, dir)
+        // Persisted: both proximity legs (a, b) filter this two-term
+        // position table — one corpus tokenize instead of two (guide
+        // §2.4). Term-occurrence-sized, two terms only.
+        val pos = graft.util.CacheScope.persist(Tables.documents(s, dir)
           .select(col("doc_id"),
             posexplode(TextFunctions.tokens(col("text"))).as(Seq("i", "t")))
-          .filter(col("t").isin("vector", "stream"))
+          .filter(col("t").isin("vector", "stream")))
         val a = pos.filter(col("t") === "vector").select(col("doc_id"), col("i").as("ia"))
         val b = pos.filter(col("t") === "stream").select(col("doc_id"), col("i").as("ib"))
         a.join(b, Seq("doc_id"))
@@ -6474,12 +6490,15 @@ object TrainingData {
             sum(when(col("b") === 2, 1L).otherwise(0L)).as("n_middle"),
             sum(when(col("b") === 3, 1L).otherwise(0L)).as("n_tail"))
         val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
-        val kl = CorpusStats.sourceDivergence(d)
-        val corpus = CorpusStats.zipfFit(d, topN = 200)
+        // ONE corpus tokenize feeds the KL table, the Zipf fit, and the
+        // vocabulary count (guide §2.4 — three separate explodes before).
+        val tok = graft.util.CacheScope.persist(d.select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("term")))
+        val kl = CorpusStats.sourceDivergenceFromTokens(tok)
+        val corpus = CorpusStats.zipfFitFromTokens(tok.select("term"), topN = 200)
           .agg(min(col("slope")).as("zipf_slope"))
           .crossJoin(
-            d.select(explode(TextFunctions.tokens(col("text"))).as("term"))
-              .agg(count_distinct(col("term")).as("vocab")))
+            tok.agg(count_distinct(col("term")).as("vocab")))
         counts
           .join(kl, Seq("source"))
           .join(bands, Seq("source"), "left_outer")

@@ -249,7 +249,11 @@ object Similarity {
   def sq8TopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val stats = sq8Stats(corpus, vecCol)
+    // Persisted: the one-row stats frame feeds BOTH the encode and the
+    // decode broadcast, and each broadcast build would otherwise re-run
+    // the full posexplode+per-dim min/max corpus pass (guide §2.4 — the
+    // e13/e17 plans showed the stats subtree twice).
+    val stats = graft.util.CacheScope.persist(sq8Stats(corpus, vecCol))
     val dec = sq8Decode(sq8Encode(corpus, stats, idCol, vecCol), stats, idCol)
       .select(
         col(idCol).as("neighbor_id"), col("dec_vec").as("c_vec"),
@@ -953,14 +957,34 @@ object Similarity {
     val dims = dimsOpt.getOrElse(corpus.select(size(col(vecCol))).head.getInt(0))
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
-    val data = graft.util.CacheScope.persist(
-      corpus.select(
-        col(idCol).as("id"),
-        posexplode(array((0 until m).map(j =>
-          slice(col(vecCol), j * dsub + 1, dsub)): _*)).as(Seq("gid", "subvec")))
-        .select(col("gid"), col("id"), col("subvec").as("vec"),
-          norm(col("subvec")).as("nrm")))
-    val picked = corpus.select(col(idCol).as("id"))
+    pqCodebookFromSub(
+      graft.util.CacheScope.persist(pqSubRows(corpus, m, dsub, idCol, vecCol)),
+      ksub, iters)
+  }
+
+  /** The shared exploded-subvector table of the PQ family: (id, nrm,
+    * subspace, subvec) — one row per (vector, subspace). Built ONCE and
+    * persisted by [[pqTopK]] so codebook training and corpus encoding
+    * read the same table instead of each re-exploding the corpus (guide
+    * §2.4 — e9's plan had the explode subtree twice).
+    */
+  private def pqSubRows(
+      corpus: DataFrame, m: Int, dsub: Int,
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(
+      col(idCol).as("id"), norm(col(vecCol)).as("nrm"),
+      posexplode(array((0 until m).map(j =>
+        slice(col(vecCol), j * dsub + 1, dsub)): _*)).as(Seq("subspace", "subvec")))
+
+  /** [[pqCodebook]] over a prebuilt (persisted) [[pqSubRows]] table. The
+    * bootstrap pick reads the ids off the subspace-0 slice of the cached
+    * table (exactly one row per corpus vector — the same id set, in the
+    * same hash order, as the former corpus re-scan).
+    */
+  private def pqCodebookFromSub(sub: DataFrame, ksub: Int, iters: Int): DataFrame = {
+    val data = sub.select(col("subspace").as("gid"), col("id"),
+      col("subvec").as("vec"), norm(col("subvec")).as("nrm"))
+    val picked = sub.filter(col("subspace") === 0).select("id")
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(ksub)
       .coalesce(1)
@@ -995,13 +1019,13 @@ object Similarity {
 
   private def pqEncodeWith(
       corpus: DataFrame, codebook: DataFrame, m: Int, dsub: Int,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String): DataFrame =
+    pqEncodeFromSub(pqSubRows(corpus, m, dsub, idCol, vecCol), codebook)
+
+  /** [[pqEncodeWith]] over a prebuilt [[pqSubRows]] table. */
+  private def pqEncodeFromSub(subRows: DataFrame, codebook: DataFrame): DataFrame = {
     val cb = codebook.select(col("subspace"), col("code"), col("centroid_vec"),
       dot(col("centroid_vec"), col("centroid_vec")).as("__cc"))
-    val subRows = corpus.select(
-      col(idCol).as("id"), norm(col(vecCol)).as("nrm"),
-      posexplode(array((0 until m).map(j =>
-        slice(col(vecCol), j * dsub + 1, dsub)): _*)).as(Seq("subspace", "subvec")))
     subRows.join(broadcast(cb), Seq("subspace"))
       .withColumn("__key",
         lit(2.0) * dot(col("subvec"), col("centroid_vec")) - col("__cc"))
@@ -1070,10 +1094,14 @@ object Similarity {
     // downstream stages take them as arguments instead of paying four
     // driver-blocking metadata jobs to rediscover them.
     val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+    // ONE exploded-subvector pass feeds BOTH codebook training and the
+    // corpus encode (guide §2.4 — each re-exploded the corpus before).
+    val sub = graft.util.CacheScope.persist(
+      pqSubRows(corpus, m, dims / m, idCol, vecCol))
     val codebook = graft.util.CacheScope.persist(
-      pqCodebook(corpus, m, ksub, trainIters, idCol, vecCol, Some(dims)))
+      pqCodebookFromSub(sub, ksub, trainIters))
     pqTopKEncodedWith(queries,
-      pqEncodeWith(corpus, codebook, m, dims / m, idCol, vecCol),
+      pqEncodeFromSub(sub, codebook),
       codebook, k, m, dims / m, idCol, vecCol)
   }
 
@@ -1533,10 +1561,26 @@ object Similarity {
     * nothing"). One semi-join + two tiny aggregations; at scale both
     * sides are k·|queries| rows — eval cost never touches the corpus.
     */
-  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame =
+    recallAtKWith(approx, exact, recallDenom(exact, k), k)
+
+  /** The per-query denominator of [[recallAtK]] — split out so a
+    * multi-leg eval (e13: six legs against ONE exact table) can compute
+    * and persist it once instead of re-aggregating the exact set per leg
+    * (guide §2.4 — the x6 duplicated denominator aggregate in e13's
+    * plan).
+    */
+  def recallDenom(exact: DataFrame, k: Int): DataFrame =
+    exact.filter(col("rank") <= k).select("query_id", "neighbor_id")
+      .groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+
+  /** [[recallAtK]] against a precomputed [[recallDenom]] — bit-identical
+    * by construction (same expressions, same join).
+    */
+  def recallAtKWith(
+      approx: DataFrame, exact: DataFrame, denom: DataFrame, k: Int): DataFrame = {
     val ex = exact.filter(col("rank") <= k).select("query_id", "neighbor_id")
     val ap = approx.filter(col("rank") <= k).select("query_id", "neighbor_id")
-    val denom = ex.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     val hits = ex.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
     denom.join(hits, Seq("query_id"), "left")

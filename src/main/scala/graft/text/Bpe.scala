@@ -111,11 +111,14 @@ object Bpe {
   def applyBpe(
       docs: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val occ = docs
+    // Persisted: occurrences feed BOTH the distinct-word segmentation and
+    // the assembly join — one corpus tokenize instead of two (guide §2.4;
+    // t19/t19d/t19f/t54's plan dup).
+    val occ = graft.util.CacheScope.persist(docs
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("id"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("widx", "word")))
-      .filter(length(col("word")) > 0)
+      .filter(length(col("word")) > 0))
     val wordBpe = segmentWordsLocal(occ.select("word"), merges)
     val perDoc = occ.join(wordBpe, "word")
       .groupBy(col("id").as(idCol))

@@ -29,11 +29,17 @@ object CorpusStats {
   def zipfFit(
       docs: DataFrame,
       topN: Int = 200,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    zipfFitFromTokens(
+      docs.select(explode(TextFunctions.tokens(col(textCol))).as("term")), topN)
+
+  /** [[zipfFit]] over an already-exploded (term) stream — so a composed
+    * report (t38) can tokenize the corpus ONCE and feed every diagnostic
+    * from the same persisted stream (guide §2.4).
+    */
+  def zipfFitFromTokens(tokens: DataFrame, topN: Int = 200): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
-    val tf = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val tf = tokens.groupBy("term").agg(count(lit(1)).as("freq"))
     val item = struct(negate(col("freq")).as("nf"), col("term").as("term"))
     val ranked = tf
       .agg(org.apache.spark.sql.graftnative.TopK
@@ -45,13 +51,17 @@ object CorpusStats {
         negate(col("__it.nf")).as("freq"))
       .withColumn("__x", log(col("rank")).cast("decimal(8,6)"))
       .withColumn("__y", log(col("freq")).cast("decimal(8,6)"))
-    val sums = ranked.agg(
+      // Persisted: the topN-row ranked table feeds both the regression
+      // sums and the join-back; without it the corpus tokenize + TopK
+      // pass runs once per consumer (guide §2.4 — t33/t38 plan dup).
+    val rankedP = graft.util.CacheScope.persist(ranked)
+    val sums = rankedP.agg(
       count(lit(1)).cast("double").as("__n"),
       sum(col("__x")).cast("double").as("__sx"),
       sum(col("__y")).cast("double").as("__sy"),
       sum(col("__x") * col("__y")).cast("double").as("__sxy"),
       sum(col("__x") * col("__x")).cast("double").as("__sxx"))
-    ranked.crossJoin(broadcast(sums))
+    rankedP.crossJoin(broadcast(sums))
       .withColumn("slope",
         (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
           (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
@@ -182,10 +192,15 @@ object CorpusStats {
   def sourceDivergence(
       docs: DataFrame,
       sourceCol: String = "source",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    sourceDivergenceFromTokens(docs.select(col(sourceCol).as("source"),
+      explode(TextFunctions.tokens(col(textCol))).as("term")))
+
+  /** [[sourceDivergence]] over an already-exploded (source, term) stream
+    * — the t38 shared-tokenize entry point (guide §2.4).
+    */
+  def sourceDivergenceFromTokens(tok: DataFrame): DataFrame = {
     def lnDec(x: Column): Column = log(x).cast("decimal(12,6)")
-    val tok = docs.select(col(sourceCol).as("source"),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
     // ONE corpus tokenize pass (guide §2.4): the per-(source, term) counts
     // are a lossless rollup base — c_t = Σ_s c_st, n_s = Σ_t c_st,
     // n = Σ c_st — so the corpus-wide/per-source/total counts aggregate
@@ -254,13 +269,19 @@ object CorpusStats {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     def lnDec(x: Column): Column = log(x).cast("decimal(12,6)")
     val spark = docs.sparkSession
-    val cur = bucketProfile(docs, buckets, salt, textCol)
+    // Persisted: each B-row profile feeds its total aggregate AND the
+    // spine join — without this the corpus tokenize behind each side ran
+    // twice (guide §2.4 — t39 scanned documents 4x). persist() is
+    // idempotent on an already-persisted refProfile.
+    val cur = graft.util.CacheScope.persist(
+      bucketProfile(docs, buckets, salt, textCol))
+    val ref = graft.util.CacheScope.persist(refProfile)
     val nRow = cur.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
-    val nrRow = refProfile.agg(coalesce(sum(col("cnt")), lit(0L)).as("nr"))
+    val nrRow = ref.agg(coalesce(sum(col("cnt")), lit(0L)).as("nr"))
     val spine = spark.range(buckets).select(col("id").as("bucket"))
     spine
       .join(cur, Seq("bucket"), "left_outer")
-      .join(refProfile.select(col("bucket").cast("long").as("bucket"),
+      .join(ref.select(col("bucket").cast("long").as("bucket"),
         col("cnt").as("__cr")), Seq("bucket"), "left_outer")
       .crossJoin(broadcast(nRow))
       .crossJoin(broadcast(nrRow))

@@ -39,7 +39,12 @@ object Fuzzy {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val w = words.select("word").distinct()
       .filter(length(col("word")) >= minLen)
-    val vars = w.select(col("word"), explode(delVariants(col("word"))).as("v"))
+    // Persisted: the variant table is BOTH legs of the self-join below, so
+    // the whole upstream chain (corpus tokenize + distinct + variant
+    // explode) would otherwise run twice (guide §2.4 — t41's x4 Generate
+    // plan dup). Vocabulary-sized (|vocab|·(len+1) rows), never corpus-sized.
+    val vars = graft.util.CacheScope.persist(
+      w.select(col("word"), explode(delVariants(col("word"))).as("v")))
     vars.as("a")
       .join(vars.as("b"),
         col("a.v") === col("b.v") && col("a.word") < col("b.word"))

@@ -70,16 +70,45 @@ object HeavyHitters {
     * only shuffle, paid after the highest-frequency tokens — by
     * definition the volume — are anti-joined away.
     */
+  /** ONE tokenize pass shared by the vocab side and the positional side
+    * of [[stripTopTokens]] / [[tokenIds]] (guide §2.4 — each previously
+    * tokenized the corpus twice): (id, __tk tokens, __ne text-non-empty).
+    * The __ne flag preserves the positional side's `length(text) > 0`
+    * filter exactly — an empty-but-non-null text tokenizes to [''] and
+    * must feed the VOCAB counts (it always did) while staying out of the
+    * positional stream (it always was).
+    */
+  private def tokenArrays(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.util.CacheScope.persist(docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__tk"),
+        (length(col(textCol)) > 0).as("__ne")))
+
+  /** [[vocab]] over an already-exploded (token) frame. */
+  private def vocabFromTokens(tokens: DataFrame, size: Int): DataFrame = {
+    require(size > 0, s"vocab size must be positive, got $size")
+    tokens
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(size)
+      .coalesce(1)
+      .sortWithinPartitions(col("freq").desc, col("token"))
+      .select(
+        monotonically_increasing_id().as("token_id"),
+        col("token"), col("freq"))
+  }
+
   def stripTopTokens(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 100): DataFrame = {
-    val stop = vocab(docs, textCol, k).select("token")
-    val toks = docs
-      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(col(idCol).as("id"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val arr = tokenArrays(docs, idCol, textCol)
+    val stop = vocabFromTokens(
+      arr.select(explode(col("__tk")).as("token")), k).select("token")
+    val toks = arr.filter(col("__ne"))
+      .select(col("id"), posexplode(col("__tk")).as(Seq("pos", "tok")))
     val kept = toks.join(broadcast(stop), toks("tok") === stop("token"), "left_anti")
     val rejoined = kept
       .groupBy(col("id").as(idCol))
@@ -106,11 +135,12 @@ object HeavyHitters {
       textCol: String = "text",
       vocabSize: Int = 32768,
       unkId: Long = -1L): DataFrame = {
-    val v = vocab(docs, textCol, vocabSize).select("token", "token_id")
-    val toks = docs
-      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(col(idCol).as("id"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val arr = tokenArrays(docs, idCol, textCol)
+    val v = vocabFromTokens(
+      arr.select(explode(col("__tk")).as("token")), vocabSize)
+      .select("token", "token_id")
+    val toks = arr.filter(col("__ne"))
+      .select(col("id"), posexplode(col("__tk")).as(Seq("pos", "tok")))
     val mapped = toks
       .join(broadcast(v), toks("tok") === v("token"), "left_outer")
       .select(col("id"), col("pos"),
@@ -134,16 +164,7 @@ object HeavyHitters {
     * winners then number themselves in one partition, the same
     * deterministic single-partition trick as the IVF centroid pick.
     */
-  def vocab(df: DataFrame, textCol: String = "text", size: Int = 32768): DataFrame = {
-    require(size > 0, s"vocab size must be positive, got $size")
-    df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token"))
-      .limit(size)
-      .coalesce(1)
-      .sortWithinPartitions(col("freq").desc, col("token"))
-      .select(
-        monotonically_increasing_id().as("token_id"),
-        col("token"), col("freq"))
-  }
+  def vocab(df: DataFrame, textCol: String = "text", size: Int = 32768): DataFrame =
+    vocabFromTokens(
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("token")), size)
 }

@@ -104,8 +104,13 @@ object Unigram {
   def withCosts(counts: DataFrame): DataFrame = {
     val lnMicros = (x: Column) =>
       (log(x).cast("decimal(12,6)") * 1000000).cast("long")
-    val total = counts.agg(sum(col("cnt")).cast("long").as("__t"))
-    counts.crossJoin(broadcast(total))
+    // Persisted: the candidate table feeds both the total aggregate and
+    // the cost projection — without this pruneTop's union (window + semi
+    // join + distinct) re-ran per consumer (guide §2.4 — t43's plan
+    // dup). Vocabulary-sized.
+    val c = graft.util.CacheScope.persist(counts)
+    val total = c.agg(sum(col("cnt")).cast("long").as("__t"))
+    c.crossJoin(broadcast(total))
       .withColumn("cost_micro", lnMicros(col("__t")) - lnMicros(col("cnt")))
       .drop("__t")
   }
@@ -162,11 +167,14 @@ object Unigram {
   def applyUnigram(
       docs: DataFrame, vocab: Seq[(String, Long)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val occ = docs
+    // Persisted: occurrences feed BOTH the distinct-word segmentation and
+    // the assembly join — one corpus tokenize instead of two (guide §2.4;
+    // t44/t44b's plan dup; same fix as Bpe.applyBpe).
+    val occ = graft.util.CacheScope.persist(docs
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("id"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("widx", "word")))
-      .filter(length(col("word")) > 0)
+      .filter(length(col("word")) > 0))
     val wordUni = segmentWordsLocal(occ.select("word"), vocab)
     val perDoc = occ.join(wordUni, "word")
       .groupBy(col("id").as(idCol))
@@ -201,7 +209,10 @@ object Unigram {
       docs: DataFrame, vocab: Seq[(String, Long)],
       textCol: String = "text"): DataFrame = {
     val vocabChars = vocab.map(_._1).filter(_.length == 1).sorted.toArray
-    val words = wordFreqs(docs, textCol)
+    // Persisted: the word-frequency table feeds both the distinct-word
+    // segmentation and the coverage join — one corpus tokenize instead
+    // of two (guide §2.4; t46's plan dup). Vocabulary-sized.
+    val words = graft.util.CacheScope.persist(wordFreqs(docs, textCol))
     val seg = segmentWordsLocal(words, vocab)
       .withColumn("covered",
         size(array_except(array_distinct(split(col("word"), "")),
@@ -251,12 +262,15 @@ object Unigram {
       textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
     val vocabChars = vocab.map(_._1).filter(_.length == 1).sorted.toArray
-    val srcWords = docs
+    // Persisted: (source, word) counts feed both the distinct-word
+    // segmentation and the per-source rollup join (guide §2.4 — same
+    // shape as coverageReport). Vocabulary-sized per source.
+    val srcWords = graft.util.CacheScope.persist(docs
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(sourceCol).as("source"),
         explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
-      .groupBy("source", "word").agg(count(lit(1)).as("freq"))
+      .groupBy("source", "word").agg(count(lit(1)).as("freq")))
     val seg = segmentWordsLocal(srcWords, vocab)
       .withColumn("covered",
         size(array_except(array_distinct(split(col("word"), "")),
