@@ -91,8 +91,14 @@ object CharNgramLangId {
     // of a row_number window (guide §2.3: aggregate before you shuffle —
     // the window form shuffled and SORTED every (doc, lang) score row;
     // the aggregate ships one partial row per doc per mapper). Ordering
-    // identical to the window's (score desc, plang asc): Double.compare
-    // on the negated score reverses exactly, ties fall to the language.
+    // identical to the window's (score desc, plang asc) FOR NON-NaN
+    // scores — guaranteed here because score is an exact integer dot
+    // divided by a count >= 1. A score source that could produce NaN
+    // would break the equivalence (Spark sorts NaN greatest, so the
+    // window picked a NaN row first while min_by on the negation picks
+    // it last) — keep the denominator positive if this ever changes.
+    // Otherwise: Double.compare on the negated score reverses exactly,
+    // ties fall to the language.
     val best = scores
       .groupBy("id")
       .agg(min_by(

@@ -175,7 +175,9 @@ object NaiveBayes {
           - col("dl") * col("denom") + col("prior")).as("score"))
     // Argmax as a map-side-combinable min_by over (−score, cls) instead of
     // a row_number window (see CharNgramLangId.classify — same rationale,
-    // same ordering; decimal negation is exact so the reversal is too).
+    // same ordering; decimal negation is exact so the reversal is too;
+    // the score is exact DECIMAL here, which can never be NaN, so the
+    // NaN caveat documented there is unreachable on this path).
     scored
       .groupBy("id")
       .agg(min_by(
