@@ -37,8 +37,13 @@ object LabelPropagation {
         greatest(col(srcCol), col(dstCol)).as("hi"))
       .filter(col("lo") < col("hi"))
       .distinct()
-    val nbr = e.select(col("lo").as("v"), col("hi").as("u"))
-      .unionByName(e.select(col("hi").as("v"), col("lo").as("u")))
+    // Loop-invariant: the normalized adjacency (dedup shuffle + union) is
+    // consumed once per round PLUS the initial vertex set — persist it
+    // once instead of re-running the distinct per consumer (guide §2.4;
+    // 2|E| rows).
+    val nbr = graft.util.CacheScope.persist(
+      e.select(col("lo").as("v"), col("hi").as("u"))
+        .unionByName(e.select(col("hi").as("v"), col("lo").as("u"))))
     var labels = nbr.select(col("v").as("vertex"))
       .distinct()
       .withColumn("lbl", col("vertex"))
